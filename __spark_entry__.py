@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``sslr_spark/`` (see SURVEY.md §2 for the
+operator inventory each query key refers to).
 """
 
 from __future__ import annotations
@@ -15,24 +17,66 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the engine's signature operator — bucketed commutative
+    key fingerprints (SURVEY §2 A4/J4, the delete-diff primitive) over
+    lineitem at sf0.001, joined against a simulated divergent target to
+    surface mismatched buckets plus per-bucket stats."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.deletes import bucket_fingerprints
+    from sslr_spark.queries import LINEITEM_PK
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    target = li.filter(F.col("l_orderkey") % 500 != 7)  # simulated drift
+    s = bucket_fingerprints(li, LINEITEM_PK, 32).withColumnsRenamed(
+        {"cnt": "src_cnt", "fp": "src_fp"}
+    )
+    t = bucket_fingerprints(target, LINEITEM_PK, 32).withColumnsRenamed(
+        {"cnt": "tgt_cnt", "fp": "tgt_fp"}
+    )
+    return (
+        s.join(t, "bucket", "full_outer")
+        .withColumn(
+            "mismatch",
+            ~(
+                F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
+                & F.col("src_fp").eqNullSafe(F.col("tgt_fp"))
+            ),
+        )
+        .orderBy("bucket")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from sslr_spark.queries import CORE_QUERIES
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(CORE_QUERIES)
+    try:
+        from sslr_spark.queries_ext import EXT_QUERIES
+
+        out.update(EXT_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each queries() key.
+    Keys absent here get the driver's weaker rows-only check."""
+    from sslr_spark.queries import CORE_ORACLES
+
+    out: dict[str, str] = {}
+    out.update(CORE_ORACLES)
+    try:
+        from sslr_spark.queries_ext import EXT_ORACLES
+
+        out.update(EXT_ORACLES)
+    except ImportError:
+        pass
+    return out

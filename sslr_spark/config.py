@@ -1,0 +1,203 @@
+"""Engine configuration: JSON file -> validated Config with defaults.
+
+Mirrors the semantics of the reference config layer
+(reference internal/config.go:13-151): unknown-key rejection, per-table
+filter ("where") definitions with declared cross-table dependencies
+("uses"), defaults for chunk sizing / throttle / sync policy. Chunk
+sizes steer Spark partitioning instead of OFFSET/LIMIT pagination.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class ConfigError(ValueError):
+    """Raised for malformed or inconsistent engine configuration."""
+
+
+@dataclass
+class FilteredTable:
+    """A replicated table with a SQL predicate pushed into every source
+    read, optionally depending on other replicated tables (evaluated
+    first; the predicate may reference them as views).
+
+    Reference: FilteredSourceTables, internal/config.go:17-21.
+    """
+
+    where: str
+    uses: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Config:
+    """Validated engine configuration (defaults follow the reference,
+    internal/config.go:36-49, adapted to Spark semantics where noted).
+    """
+
+    source: str = ""  # source database: parquet dir path or jdbc:... URL
+    target: str = ""  # target database: parquet dir path or jdbc:... URL
+    source_tables: list[str] = field(default_factory=list)
+    filtered_source_tables: dict[str, FilteredTable] = field(default_factory=dict)
+    primary_keys: dict[str, list[str]] = field(default_factory=dict)
+    version_column: str = "xmin"  # CDC version/watermark column
+    # Chunk sizes size Spark partitions, not OFFSET/LIMIT pages:
+    update_chunk_size: int = 1000
+    delete_chunk_size: int = 1000  # rows per coarse hash-diff bucket
+    min_delete_chunk_size: int = 100  # rows per fine (repair-unit) bucket
+    throttle_percentage: int = 80
+    full_copy_threshold: float = 0.5
+    resync_on_schema_change: bool = False
+    wait_between_jobs_seconds: float = 5.0
+    shuffle_partitions: int = 32
+    state_table: str = "__sslr_state"
+
+    def all_tables(self) -> list[str]:
+        return list(self.source_tables) + list(self.filtered_source_tables)
+
+    def where_for(self, table: str) -> str | None:
+        ft = self.filtered_source_tables.get(table)
+        return ft.where if ft else None
+
+    def validate(self) -> None:
+        if not self.source or not self.target:
+            raise ConfigError("source and target must both be set")
+        names = self.all_tables()
+        if not names:
+            raise ConfigError("no tables configured")
+        dupes = {t for t in names if names.count(t) > 1}
+        if dupes:
+            raise ConfigError(f"table(s) configured twice: {sorted(dupes)}")
+        if not (1 <= self.throttle_percentage <= 100):
+            raise ConfigError("throttle_percentage must be in [1, 100]")
+        if self.min_delete_chunk_size > self.delete_chunk_size:
+            raise ConfigError("min_delete_chunk_size > delete_chunk_size")
+        for table, ft in self.filtered_source_tables.items():
+            if not ft.where.strip():
+                raise ConfigError(f"filtered table {table!r} has empty where")
+            for dep in ft.uses:
+                if dep not in names:
+                    # Reference rejects unknown 'uses' targets
+                    # (internal/config.go:135-139).
+                    raise ConfigError(
+                        f"table {table!r} uses unknown table {dep!r}"
+                    )
+        self._check_cycles()
+
+    def _check_cycles(self) -> None:
+        """Detect dependency loops in the 'uses' DAG up front (the
+        reference only detects them lazily mid-validation,
+        internal/job.go:101-103)."""
+        WHITE, GRAY, BLACK = 0, 1, 2
+        color = {t: WHITE for t in self.all_tables()}
+
+        def visit(t: str, path: list[str]) -> None:
+            color[t] = GRAY
+            ft = self.filtered_source_tables.get(t)
+            for dep in ft.uses if ft else []:
+                if color[dep] == GRAY:
+                    cycle = path + [t, dep]
+                    raise ConfigError(f"dependency loop: {' -> '.join(cycle)}")
+                if color[dep] == WHITE:
+                    visit(dep, path + [t])
+            color[t] = BLACK
+
+        for t in list(color):
+            if color[t] == WHITE:
+                visit(t, [])
+
+    def validation_order(self) -> list[str]:
+        """Topological order over the 'uses' DAG: dependencies first
+        (reference validates recursively, internal/job.go:111-118)."""
+        order: list[str] = []
+        seen: set[str] = set()
+
+        def visit(t: str) -> None:
+            if t in seen:
+                return
+            seen.add(t)
+            ft = self.filtered_source_tables.get(t)
+            for dep in ft.uses if ft else []:
+                visit(dep)
+            order.append(t)
+
+        for t in self.all_tables():
+            visit(t)
+        return order
+
+
+_KNOWN_TOP = {
+    "source",
+    "target",
+    "sourceTables",
+    "filteredSourceTables",
+    "primaryKeys",
+    "versionColumn",
+    "updateChunkSize",
+    "deleteChunkSize",
+    "minDeleteChunkSize",
+    "throttlePercentage",
+    "fullCopyThreshold",
+    "resyncOnSchemaChange",
+    "waitBetweenJobsSeconds",
+    "shufflePartitions",
+    "stateTable",
+}
+_KNOWN_FILTERED = {"where", "uses"}
+
+_COMMENT_RE = re.compile(r"/\*.*?\*/", re.S)
+
+
+def load_config(path_or_text: str) -> Config:
+    """Load config from a JSON file path or a JSON string.
+
+    Like the reference (internal/config.go:58-62), ``/* ... */``
+    comments are stripped before parsing, and unknown keys are rejected
+    at both the top level and inside filtered-table entries
+    (internal/config.go:97-113).
+    """
+    text = path_or_text
+    if not path_or_text.lstrip().startswith("{"):
+        with open(path_or_text, encoding="utf-8") as f:
+            text = f.read()
+    raw: dict[str, Any] = json.loads(_COMMENT_RE.sub("", text))
+
+    unknown = set(raw) - _KNOWN_TOP
+    if unknown:
+        raise ConfigError(f"unknown config key(s): {sorted(unknown)}")
+
+    filtered: dict[str, FilteredTable] = {}
+    for table, spec in (raw.get("filteredSourceTables") or {}).items():
+        bad = set(spec) - _KNOWN_FILTERED
+        if bad:
+            raise ConfigError(
+                f"unknown key(s) in filtered table {table!r}: {sorted(bad)}"
+            )
+        if "where" not in spec:
+            raise ConfigError(f"filtered table {table!r} missing 'where'")
+        filtered[table] = FilteredTable(
+            where=spec["where"], uses=list(spec.get("uses", []))
+        )
+
+    cfg = Config(
+        source=raw.get("source", ""),
+        target=raw.get("target", ""),
+        source_tables=list(raw.get("sourceTables", [])),
+        filtered_source_tables=filtered,
+        primary_keys={k: list(v) for k, v in (raw.get("primaryKeys") or {}).items()},
+        version_column=raw.get("versionColumn", "xmin"),
+        update_chunk_size=int(raw.get("updateChunkSize", 1000)),
+        delete_chunk_size=int(raw.get("deleteChunkSize", 1000)),
+        min_delete_chunk_size=int(raw.get("minDeleteChunkSize", 100)),
+        throttle_percentage=int(raw.get("throttlePercentage", 80)),
+        full_copy_threshold=float(raw.get("fullCopyThreshold", 0.5)),
+        resync_on_schema_change=bool(raw.get("resyncOnSchemaChange", False)),
+        wait_between_jobs_seconds=float(raw.get("waitBetweenJobsSeconds", 5.0)),
+        shuffle_partitions=int(raw.get("shufflePartitions", 32)),
+        state_table=raw.get("stateTable", "__sslr_state"),
+    )
+    cfg.validate()
+    return cfg

@@ -1,0 +1,79 @@
+"""Portable hashing / fingerprint columns.
+
+The reference fingerprints a key range as
+``md5(array_agg(key-tuple))`` over an *ordered* subquery
+(reference internal/deletes.go:237-269). An order-sensitive aggregate
+is shuffle-hostile at scale, so the engine's bucket diff uses a
+**commutative** fingerprint instead: per bucket, ``bit_xor`` of a
+60-bit hash of the key tuple plus a row count. XOR is
+order-insensitive and overflow-free, so it parallelizes perfectly;
+equal multisets of keys => equal (count, fingerprint) pairs, and the
+probability two *different* buckets collide on both count and a 60-bit
+XOR is negligible for diff purposes.
+
+Everything here is chosen for *engine parity*: the exact same formula
+is expressible in ANSI SQL (DuckDB oracle) — md5, substring, hex cast,
+bit_xor — so correctness can be cross-checked engine-to-engine.
+
+Spark-side these compile to built-in JVM expressions (whole-stage
+codegen, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Separator that is unlikely to appear inside key values; the reference
+# concatenates key parts with '' casts to varchar (internal/deletes.go:249).
+KEY_SEP = "\x1f"
+
+
+def key_string(cols: Sequence[str | Column]) -> Column:
+    """Key tuple -> one string, null-safe (nulls become '\\x00')."""
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("\x00")
+        )
+        for c in cols
+    ]
+    return F.concat_ws(KEY_SEP, *parts)
+
+
+def h60(col: Column) -> Column:
+    """Deterministic 60-bit non-negative hash of a string column.
+
+    md5 -> first 15 hex digits -> integer. Portable: DuckDB spells it
+    ``cast(concat('0x', substring(md5(x),1,15)) as bigint)``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def key_hash(cols: Sequence[str | Column]) -> Column:
+    """60-bit hash of a composite key tuple."""
+    return h60(key_string(cols))
+
+
+def bucket_id(cols: Sequence[str | Column], n_buckets: int) -> Column:
+    """Stable hash-bucket assignment of a key tuple into [0, n_buckets).
+
+    Uses a *different* hash than :func:`key_hash` (md5 offset 16) so the
+    bucket id and the fingerprint are independent.
+    """
+    h = F.conv(F.substring(F.md5(key_string(cols)), 17, 15), 16, 10).cast("long")
+    return (h % F.lit(n_buckets)).alias("bucket")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`h60` for oracle parity."""
+    return f"cast(concat('0x', substring(md5({expr}), 1, 15)) as bigint)"
+
+
+def bucket_sql(expr: str, n_buckets: int) -> str:
+    """DuckDB spelling of :func:`bucket_id`."""
+    return (
+        f"cast(concat('0x', substring(md5({expr}), 17, 15)) as bigint)"
+        f" % {n_buckets}"
+    )

@@ -1,0 +1,50 @@
+"""Full filtered table copy (reference S1 -> S3).
+
+The reference streams ``select * from t [where f]`` row-by-row into a
+truncate+COPY transaction (reference internal/copy.go:11-59). Spark
+version: a declarative filtered read written atomically — Catalyst
+pushes the filter to the scan (parquet row-group pruning / JDBC WHERE)
+and executors write in parallel; the staged-rename overwrite supplies
+the truncate+COPY transactionality.
+
+Progress reporting (reference internal/copy.go:61-105 logs every
+10k/100k/500k rows) maps to ``df.observe`` — a zero-cost accumulator
+collected on the same job, no second scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from sslr_spark.sources.parquet import ParquetDatabase
+
+
+def filtered_source(
+    df: DataFrame, where: str | None, drop_version: str | None = None
+) -> DataFrame:
+    """Apply the user filter (pushed down by Catalyst) and optionally
+    drop the engine's version column from the payload (the reference
+    strips xmin from copied columns, internal/updates.go:117-124)."""
+    if where:
+        df = df.filter(F.expr(where))
+    if drop_version and drop_version in df.columns:
+        df = df.drop(drop_version)
+    return df
+
+
+def copy_full_table(
+    source_df: DataFrame,
+    target: ParquetDatabase,
+    table: str,
+    where: str | None = None,
+) -> int:
+    """Overwrite ``table`` in the target with the filtered source.
+
+    Returns the number of rows copied, counted via ``observe`` on the
+    write job itself (no extra scan).
+    """
+    obs = Observation(f"copy_{table}")
+    df = filtered_source(source_df, where).observe(obs, F.count(F.lit(1)).alias("rows"))
+    target.overwrite(table, df)
+    return int(obs.get["rows"])

@@ -1,0 +1,144 @@
+"""Delete detection + repair via one-pass bucketed hash diff.
+
+The reference walks the PK space in chunks, comparing an *ordered* md5
+fingerprint of each key range between source and target, recursing by
+halving on mismatch until ranges are small, then rewriting the range
+(divide-and-conquer, reference internal/deletes.go:13-89; fingerprint
+:237-269; repair :166-235). That design minimizes *round trips* for a
+single-connection tool — the wrong constraint for Spark.
+
+Spark reformulation (SURVEY §2.8 T4): assign every key to a hash
+bucket, aggregate a commutative (count, bit_xor-of-key-hash)
+fingerprint per bucket on BOTH sides in one parallel pass each, then a
+tiny equi-join of the two fingerprint tables finds every mismatched
+bucket at once — O(2 scans + 1 small join) instead of O(k log n) round
+trips. Repair replaces exactly the mismatched buckets' rows with the
+source's rows for those buckets (the J3 range-repair semantics, with
+hash buckets instead of key ranges).
+
+Scale notes: both fingerprint scans are key-column-only (column-pruned
+at the parquet/JDBC scan) and reduce map-side before a shuffle of at
+most n_buckets rows; the fingerprint join is broadcast-sized. Repair
+joins stream the full tables but only against the (small) mismatched
+bucket set — broadcast. Bucket count should be sized so a bucket ~=
+the reference's minDeleteChunkSize rows (the repair unit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sslr_spark.functions.hashing import bucket_id, key_hash
+from sslr_spark.operators.copy import filtered_source
+from sslr_spark.sources.parquet import ParquetDatabase
+
+
+@dataclass
+class DeleteSyncStats:
+    n_buckets: int
+    mismatched_buckets: int
+    rows_rewritten: int
+
+
+def bucket_fingerprints(
+    df: DataFrame, pk_cols: list[str], n_buckets: int
+) -> DataFrame:
+    """Per-bucket (count, fingerprint) over the key columns only.
+
+    Equal key multisets => equal fingerprints; commutative aggregation
+    keeps the whole computation map-side-combinable.
+    """
+    return (
+        df.select(
+            bucket_id(pk_cols, n_buckets).alias("bucket"),
+            key_hash(pk_cols).alias("kh"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("bit_xor(kh)").alias("fp"),
+        )
+    )
+
+
+def mismatched_buckets(
+    source_df: DataFrame, target_df: DataFrame, pk_cols: list[str], n_buckets: int
+) -> DataFrame:
+    """Bucket ids whose key multiset differs between source and target
+    (J4: the source/target hash comparison as an equi-join)."""
+    s = bucket_fingerprints(source_df, pk_cols, n_buckets)
+    t = bucket_fingerprints(target_df, pk_cols, n_buckets)
+    joined = s.withColumnsRenamed({"cnt": "s_cnt", "fp": "s_fp"}).join(
+        t.withColumnsRenamed({"cnt": "t_cnt", "fp": "t_fp"}),
+        on="bucket",
+        how="full_outer",
+    )
+    diff = ~(
+        F.col("s_cnt").eqNullSafe(F.col("t_cnt"))
+        & F.col("s_fp").eqNullSafe(F.col("t_fp"))
+    )
+    return joined.filter(diff).select("bucket")
+
+
+def repair_buckets(
+    source_df: DataFrame,
+    target_df: DataFrame,
+    pk_cols: list[str],
+    n_buckets: int,
+    bad_buckets: DataFrame,
+) -> DataFrame:
+    """Replace the mismatched buckets' rows in the target with the
+    source's rows for those buckets (range repair J3, hash-bucket
+    flavor). ``bad_buckets`` is small — broadcast both membership
+    joins."""
+    bad = F.broadcast(bad_buckets)
+    tgt_b = target_df.withColumn("__b", bucket_id(pk_cols, n_buckets))
+    src_b = source_df.withColumn("__b", bucket_id(pk_cols, n_buckets))
+    kept = tgt_b.join(bad, tgt_b["__b"] == bad["bucket"], "left_anti").drop("__b")
+    replaced = src_b.join(bad, src_b["__b"] == bad["bucket"], "left_semi").drop("__b")
+    return kept.unionByName(replaced.select(*kept.columns))
+
+
+def choose_bucket_count(row_count: int, rows_per_bucket: int) -> int:
+    """Bucket sizing: one bucket ~= the repair unit
+    (reference minDeleteChunkSize, internal/config.go:42)."""
+    return max(1, (row_count + rows_per_bucket - 1) // rows_per_bucket)
+
+
+def sync_deletes(
+    source_df: DataFrame,
+    target: ParquetDatabase,
+    table: str,
+    pk_cols: list[str],
+    where: str | None = None,
+    rows_per_bucket: int = 1000,
+    version_col: str | None = "xmin",
+) -> DeleteSyncStats:
+    """Detect and repair rows present in the target but gone from the
+    (filtered) source — and any other key-set divergence.
+
+    Runs after the update phase, like the reference's SyncDeletes
+    (internal/job.go:246-292). Payload differences with identical keys
+    are the update phase's job; this phase compares *keys only*, same
+    as the reference's key-list fingerprints.
+    """
+    src = filtered_source(source_df, where)
+    tgt = target.read(table)
+    # Compare key sets only; the version column is engine metadata and
+    # participates in neither side's fingerprint payload.
+    n_rows = src.count()
+    n_buckets = choose_bucket_count(n_rows, rows_per_bucket)
+
+    bad = mismatched_buckets(src, tgt, pk_cols, n_buckets)
+    bad_rows = bad.collect()  # at most n_buckets ids; typically ~0
+    if not bad_rows:
+        return DeleteSyncStats(n_buckets, 0, 0)
+
+    bad_df = src.sparkSession.createDataFrame(bad_rows, schema=bad.schema)
+    repaired = repair_buckets(src, tgt, pk_cols, n_buckets, bad_df)
+    target.overwrite(table, repaired)
+    rows = len(bad_rows)  # buckets; row count reported by caller if needed
+    return DeleteSyncStats(n_buckets, len(bad_rows), rows)

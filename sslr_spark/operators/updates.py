@@ -1,0 +1,208 @@
+"""Incremental (CDC) update path.
+
+Reference semantics (internal/updates.go):
+- ``getUpdateRange`` (:23-65): no state / forced / stale target =>
+  full copy; else incremental scan from ``last_seen+1``.
+- Staleness: ``target_count < source_count * fullCopyThreshold``
+  (:53-62) => catching up incrementally would be slower than a copy.
+- ``updateTableRange`` (:67-169): versioned scan ordered by
+  (version, pk), chunked OFFSET/LIMIT pagination, upsert apply.
+- T2 commit rule (:127-165): the watermark only advances to the
+  highest *fully consumed* version, so a transaction spanning chunks
+  is never half-committed.
+
+Spark reformulation: never OFFSET/LIMIT-paginate (O(n^2) server-side;
+SURVEY §4). The whole version slice ``version >= start`` is one
+partitioned, filter-pushed read; the merge apply is one shuffle on the
+primary key; the watermark commits once per applied batch, after the
+data commit. Optional version batching bounds sink-transaction size
+while keeping batch boundaries on version boundaries — which *is* the
+T2 rule (a version is never split across commits).
+
+Scale notes (100 TB): the anti-join shuffles on the PK — with a
+bucketed / Delta target this becomes a partition-pruned MERGE; the
+incremental slice is typically tiny relative to the target, so Spark's
+AQE will broadcast it when it fits, turning the merge into a
+shuffle-free broadcast anti-join. Updates with few distinct keys are
+deduplicated (last version wins) before the merge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sslr_spark.operators.copy import copy_full_table, filtered_source
+from sslr_spark.sources.parquet import ParquetDatabase
+from sslr_spark.state import StateStore, TableState
+
+
+@dataclass
+class UpdateRange:
+    """Mirror of the reference's updateRange (internal/updates.go:13-17)."""
+
+    full_table: bool
+    start_version: int
+    end_version: int
+
+
+def get_update_range(
+    source_df: DataFrame,
+    target: ParquetDatabase,
+    table: str,
+    state: TableState,
+    where: str | None = None,
+    version_col: str = "xmin",
+    full_copy_threshold: float = 0.5,
+    force_full: bool = False,
+) -> UpdateRange:
+    """Decide full-copy vs incremental and compute the version range.
+
+    One aggregate over the filtered source gives (count, max version)
+    in a single pass (reference A1, internal/updates.go:44-51).
+    """
+    src = filtered_source(source_df, where)
+    row = src.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.col(version_col)).alias("hi")
+    ).first()
+    source_count = row["n"] or 0
+    end_version = int(row["hi"]) if row["hi"] is not None else 0
+
+    if force_full or state.last_seen_version == 0 or not target.table_exists(table):
+        return UpdateRange(True, 0, end_version)
+
+    target_count = target.read(table).count()
+    if target_count < source_count * full_copy_threshold:
+        # Stale target: incremental catch-up would be slower than copy
+        # (reference internal/updates.go:53-62).
+        return UpdateRange(True, 0, end_version)
+
+    return UpdateRange(False, state.last_seen_version + 1, end_version)
+
+
+def dedup_latest_version(
+    updates: DataFrame, pk_cols: list[str], version_col: str = "xmin"
+) -> DataFrame:
+    """Keep only the newest version of each key within a slice
+    (last-writer-wins before the merge)."""
+    w = Window.partitionBy(*pk_cols).orderBy(F.col(version_col).desc())
+    return (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target_df: DataFrame, updates: DataFrame, pk_cols: list[str]
+) -> DataFrame:
+    """Upsert semantics of the reference's delete-then-COPY transaction
+    (J2, internal/updates.go:171-222): rows matching an updated key are
+    replaced, new keys are inserted.
+
+    Expressed as anti-join + union so Catalyst picks the join strategy
+    (broadcast when the update slice is small — the common CDC case).
+    With a transactional table format this is MERGE INTO.
+    """
+    keys = updates.select(*pk_cols).distinct()
+    kept = target_df.join(keys, on=pk_cols, how="left_anti")
+    return kept.unionByName(updates.select(*target_df.columns))
+
+
+def plan_version_batches(
+    slice_df: DataFrame,
+    version_col: str,
+    rows_per_batch: int,
+    max_planned_versions: int = 100_000,
+) -> list[tuple[int, int]]:
+    """Split a version slice into [start, end] version windows of
+    ~rows_per_batch rows, never splitting a version (T2).
+
+    Driver-side planning over per-version counts — fine while distinct
+    versions per slice stay modest; above ``max_planned_versions`` the
+    plan degrades to a single batch (the merge itself is still fully
+    distributed, only sink-transaction granularity is affected).
+    """
+    counts = (
+        slice_df.groupBy(version_col).count().orderBy(version_col)
+        .limit(max_planned_versions + 1)
+        .collect()
+    )
+    if not counts:
+        return []
+    if len(counts) > max_planned_versions:
+        return [(int(counts[0][0]), int(counts[-1][0]))]
+    batches: list[tuple[int, int]] = []
+    start = acc = None
+    for r in counts:
+        v, n = int(r[0]), int(r["count"])
+        if start is None:
+            start, acc, end = v, n, v
+        else:
+            acc += n
+            end = v
+        if acc >= rows_per_batch:
+            batches.append((start, end))
+            start = acc = None
+    if start is not None:
+        batches.append((start, end))
+    return batches
+
+
+def sync_updates(
+    source_df: DataFrame,
+    target: ParquetDatabase,
+    state_store: StateStore,
+    table: str,
+    pk_cols: list[str],
+    where: str | None = None,
+    version_col: str = "xmin",
+    full_copy_threshold: float = 0.5,
+    force_full: bool = False,
+    rows_per_batch: int | None = None,
+) -> int:
+    """Run the update phase for one table; returns rows written.
+
+    Data commit precedes state commit (idempotent re-apply on crash —
+    see state.py). With ``rows_per_batch`` set, the slice is applied in
+    version-aligned batches, each with its own data+state commit pair,
+    mirroring the reference's bounded chunk transactions.
+    """
+    state = state_store.get(table)
+    rng = get_update_range(
+        source_df, target, table, state, where, version_col,
+        full_copy_threshold, force_full,
+    )
+
+    if rng.full_table:
+        rows = copy_full_table(source_df, target, table, where)
+        state_store.set(TableState(table, rng.end_version, where or ""))
+        return rows
+
+    slice_df = filtered_source(source_df, where).filter(
+        F.col(version_col) >= F.lit(rng.start_version)
+    )
+
+    if rows_per_batch:
+        batches = plan_version_batches(slice_df, version_col, rows_per_batch)
+    else:
+        batches = [(rng.start_version, rng.end_version)] if rng.end_version >= rng.start_version else []
+
+    total = 0
+    for lo, hi in batches:
+        batch = slice_df.filter(
+            (F.col(version_col) >= F.lit(lo)) & (F.col(version_col) <= F.lit(hi))
+        )
+        updates = dedup_latest_version(batch, pk_cols, version_col)
+        n = updates.count()
+        if n:
+            merged = merge_upsert(target.read(table), updates, pk_cols)
+            target.overwrite(table, merged)
+            total += n
+        # watermark advances to the end of the fully applied batch (T2)
+        state_store.set(TableState(table, hi, where or ""))
+    if not batches:
+        state_store.set(TableState(table, rng.end_version, where or ""))
+    return total

@@ -1,0 +1,80 @@
+"""Parquet-directory database adapter.
+
+A "database" is a directory holding one parquet dataset per table at
+``<root>/<table>.parquet``. Writes are atomic: stage to a temp
+directory, then swap via rename — this is the parquet-world analog of
+the reference's transactional apply (BEGIN ... COPY ... COMMIT,
+reference internal/updates.go:172-221). A reader either sees the old
+table or the new one, never a partial write, and a crash mid-write
+leaves the previous committed table intact.
+
+At scale this adapter maps to a real lakehouse table format (Delta /
+Iceberg provide the same atomic-swap semantics natively); the staged
+rename is the dependency-free local equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetDatabase:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ---------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, f"{table}.parquet")
+
+    # -- catalog probes (reference internal/schemas.go:195-200) --------
+    def table_exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.root)
+            if f.endswith(".parquet")
+        )
+
+    # -- read ----------------------------------------------------------
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    # -- write ---------------------------------------------------------
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        """Atomically replace ``table`` with ``df`` (stage + swap)."""
+        final = self.path(table)
+        stage = os.path.join(self.root, f".stage-{table}-{uuid.uuid4().hex}")
+        old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        try:
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(stage, final)
+        except BaseException:
+            # roll back: restore the previous committed table
+            if not os.path.exists(final) and os.path.exists(old):
+                os.rename(old, final)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    def append(self, table: str, df: DataFrame) -> None:
+        """Append rows (bulk-load sink, reference COPY protocol analog,
+        internal/copy.go:47). Not atomic with respect to concurrent
+        readers of the same table; the sync engine only uses
+        ``overwrite`` for published tables."""
+        df.write.mode("append").parquet(self.path(table))
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def schema(self, table: str):
+        return self.read(table).schema

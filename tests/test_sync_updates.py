@@ -1,0 +1,103 @@
+"""Sync-semantics tests for the update path (FIXTURES.md §3 scenarios:
+fresh-sync, incremental, big-txn, stale-target)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sslr_spark.operators.updates import sync_updates
+from sslr_spark.state import StateStore
+from tests.conftest import assert_df_equal, make_timestamps
+
+
+def test_fresh_sync_full_copy(spark, source_db, target_db):
+    src = make_timestamps(spark, 500)
+    source_db.overwrite("timestamps", src)
+    store = StateStore(target_db)
+
+    rows = sync_updates(
+        source_db.read("timestamps"), target_db, store, "timestamps", ["id"]
+    )
+    assert rows == 500
+    assert_df_equal(target_db.read("timestamps"), src, ["id"])
+    assert store.get("timestamps").last_seen_version == 50  # max xmin
+
+
+def test_incremental_upsert(spark, source_db, target_db):
+    src = make_timestamps(spark, 1000)
+    source_db.overwrite("timestamps", src)
+    store = StateStore(target_db)
+    sync_updates(source_db.read("timestamps"), target_db, store, "timestamps", ["id"])
+
+    # mutate: update rows 0-9 (new xmin=200), insert rows 1000-1019 (xmin=201)
+    import datetime
+
+    new_ts = datetime.datetime(2030, 1, 1)
+    updated = spark.createDataFrame(
+        [(i, new_ts, 200) for i in range(10)]
+        + [(i, new_ts, 201) for i in range(1000, 1020)],
+        schema="id long, ts timestamp, xmin long",
+    )
+    src2 = src.filter(~F.col("id").isin(list(range(10)))).unionByName(updated)
+    source_db.overwrite("timestamps", src2)
+
+    rows = sync_updates(
+        source_db.read("timestamps"), target_db, store, "timestamps", ["id"]
+    )
+    assert rows == 30  # only the changed slice was applied
+    assert_df_equal(target_db.read("timestamps"), src2, ["id"])
+    assert store.get("timestamps").last_seen_version == 201
+
+
+def test_big_txn_version_batches_never_split_a_version(spark, source_db, target_db):
+    # 300 rows share xmin=7 (one big transaction) amid others
+    src = make_timestamps(spark, 600, xmin_of=lambda i: 7 if i < 300 else 8 + i % 3)
+    source_db.overwrite("timestamps", src)
+    store = StateStore(target_db)
+    # fresh full copy first, then force incremental re-apply in batches
+    sync_updates(source_db.read("timestamps"), target_db, store, "timestamps", ["id"])
+    store.set_version("timestamps", 1)  # pretend we only saw version 1
+
+    rows = sync_updates(
+        source_db.read("timestamps"),
+        target_db,
+        store,
+        "timestamps",
+        ["id"],
+        rows_per_batch=100,  # batches of ~100 rows, but version 7 has 300
+    )
+    assert rows == 600
+    assert_df_equal(target_db.read("timestamps"), src, ["id"])
+    assert store.get("timestamps").last_seen_version == 10
+
+
+def test_stale_target_triggers_full_copy(spark, source_db, target_db):
+    src = make_timestamps(spark, 1000)
+    source_db.overwrite("timestamps", src)
+    store = StateStore(target_db)
+    # target holds only 100 rows (< 0.5 * 1000) but state claims sync'd
+    target_db.overwrite("timestamps", src.filter(F.col("id") < 100))
+    store.set_version("timestamps", 100)
+
+    rows = sync_updates(
+        source_db.read("timestamps"), target_db, store, "timestamps", ["id"]
+    )
+    assert rows == 1000  # full copy path
+    assert_df_equal(target_db.read("timestamps"), src, ["id"])
+
+
+def test_filtered_sync(spark, source_db, target_db):
+    src = make_timestamps(spark, 400)
+    source_db.overwrite("timestamps", src)
+    store = StateStore(target_db)
+    rows = sync_updates(
+        source_db.read("timestamps"),
+        target_db,
+        store,
+        "timestamps",
+        ["id"],
+        where="id % 2 = 0",
+    )
+    assert rows == 200
+    assert target_db.read("timestamps").count() == 200
+    assert store.get("timestamps").where_clause == "id % 2 = 0"

@@ -1,0 +1,113 @@
+"""Local replica of the driver's t2 correctness gate: run each
+queries() entry on Spark and its oracle_sql() on DuckDB at a given
+sf dir; compare row count, column names, and order-insensitive values.
+
+Usage: python tools/verify_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from sslr_spark.session import get_spark
+
+    spark = get_spark(app_name="verify_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only check, {len(s_rows)} rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_rows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            failures.append(name)
+            print(f"FAIL {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(s_rows)} != {len(d_rows)}")
+            continue
+        ms, md = rows_multiset(s_cols, s_rows), rows_multiset(d_cols, d_rows)
+        if ms != md:
+            failures.append(name)
+            diff = next(
+                (i, a, b) for i, (a, b) in enumerate(zip(ms, md)) if a != b
+            )
+            print(f"FAIL {name}: value mismatch, first diff: {diff}")
+            continue
+        print(f"ok   {name}: {len(s_rows)} rows match")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
