@@ -1,0 +1,304 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all beyond the reference surface (driver
+contract / SURVEY §7 phase 5):
+
+- exact: content-hash groupBy (one shuffle on a 128-bit hash).
+- n-gram Jaccard: word-shingle inverted index -> shingle-equi-join ->
+  per-pair intersection counts -> Jaccard. The shingle join is the
+  scale path: pairs never materialize unless they share a shingle.
+- MinHash + LSH: k hash "permutations" over shingles, banded into
+  buckets; candidate pairs are an equi-join on (band, bucket-sig) —
+  at 100 TB this is the only pairwise-dedup that avoids quadratic
+  blowup; band/row parameters trade recall vs candidate count.
+- SimHash: 32-bit weighted-majority fingerprint; near-dups have small
+  Hamming distance (bit_count(xor)).
+- Embedding cosine: near-dup by vector similarity, blocked to keep
+  the pair space bounded.
+
+Everything is built-in expressions (JVM codegen) — no UDFs — and every
+formula has an exact DuckDB spelling for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sslr_spark.functions.hashing import h60
+from sslr_spark.functions.text import words
+
+
+# ------------------------------------------------------------------
+# exact
+# ------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group documents by content hash; keeper = min doc_id.
+    One hash-shuffle; map-side combine; no pairwise anything."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# shingles + n-gram Jaccard
+# ------------------------------------------------------------------
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Built with transform/slice over the word array — no explode of
+    overlapping windows through Python.
+    """
+    w = words(F.col(text_col))
+    sh = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        )
+    )
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.15
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: pairs form only where a shingle is shared.
+    Hot shingles fan out quadratically — at scale, drop top-frequency
+    shingles first (stopword-shingle pruning), which is also standard
+    MinHash practice.
+    """
+    sh = shingles(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    jac = F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------
+# MinHash + LSH
+# ------------------------------------------------------------------
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, seed, minhash): min over shingles of a seeded 60-bit
+    hash — the classic k-permutation MinHash approximation. The seed
+    cross-product is an array explode (JVM), and min() combines
+    map-side, so the shuffle carries n_hashes rows per doc."""
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "seed",
+        h60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_band_buckets(
+    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, sig): band signature = md5 of the band's minhash
+    values in seed order (order made explicit via sort_array on
+    (seed, minhash) structs — collect_list alone is unordered)."""
+    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+            )
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.1,
+) -> DataFrame:
+    """Candidate pairs via banded MinHash-LSH, verified with true
+    shingle Jaccard. This is the 100 TB dedup path: candidates come
+    from an equi-join on (band, sig) — never a cross join — and the
+    expensive exact Jaccard runs only on candidates."""
+    sh = shingles(df, text_col, shingle_n)
+    sigs = minhash_signatures(sh, n_hashes)
+    buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands)
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact-verify candidates with true Jaccard over shingle sets
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
+    jac = F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+    return (
+        inter.join(za, "doc_a").join(zb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# ------------------------------------------------------------------
+# SimHash
+# ------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per word, a 60-bit hash contributes +freq/-freq
+    to each bit position; fingerprint sets bits with positive sums.
+    Two shuffles (word counts, bit sums) — fully map-side-combinable."""
+    wc = (
+        df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("h", h60(F.col("word")))
+    )
+    per_bit = (
+        wc.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+            "freq",
+            "h",
+        )
+        .withColumn(
+            "contrib", F.expr("freq * (((h >> b) & 1) * 2 - 1)")
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("case when s > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end")
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 4, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — pigeonhole-blocked.
+
+    The 32-bit fingerprint is split into ``max_hamming + 1`` segments;
+    any pair within Hamming distance ``max_hamming`` must agree exactly
+    on at least one segment, so candidates come from an equi-join on
+    (segment_index, segment_value) instead of an all-pairs cross join.
+    Exact Hamming verification runs on candidates only. Recall is
+    exactly 100% (pigeonhole), so the result equals the naive
+    quadratic scan — which is what the DuckDB oracle runs.
+    """
+    n_seg = max_hamming + 1
+    seg_w = (bits + n_seg - 1) // n_seg
+    s = simhash(df, text_col)
+    segs = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_seg - 1))).alias("seg"),
+    ).withColumn(
+        "seg_val",
+        F.expr(f"(simhash >> (seg * {seg_w})) & {(1 << seg_w) - 1}"),
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------------
+# embedding near-dup
+# ------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine similarity, blocked on
+    ``block_col`` (a cluster/label/LSH-bucket column) so the pair space
+    stays linear-ish. Dot products are JVM array expressions."""
+    from sslr_spark.functions.similarity import cosine_expr
+
+    a, b = df.alias("a"), df.alias("b")
+    cos = cosine_expr(f"a.{vec_col}", f"b.{vec_col}")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

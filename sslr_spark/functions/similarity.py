@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with a JVM
+array-fold dot product (no UDF), then a top-k. Scale path: LSH
+bucketing (sign-bit buckets here; hyperplane or IVF centroids in a
+real deployment) so the query only scans one bucket — same answer
+shape, sub-linear work.
+
+Float math parity note: all arithmetic is forced to double and folds
+run in index order, so Spark and DuckDB (list_transform/list_sum over
+the same index order) agree bit-for-bit; results are rounded to 6
+decimals anyway before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> Column:
+    """Index-ordered double-precision dot product of two array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def sign_lsh_bucket(vec_col: str, n_bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket: bit d set iff component d > 0.
+    2^n_bits buckets; deterministic and engine-portable. A production
+    variant uses random hyperplanes (dot with fixed seed vectors) —
+    same plan shape."""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), d + 1) > 0, F.lit(1 << d)).otherwise(0)
+        for d in range(n_bits)
+    ]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return total.cast("long")
+
+
+def topk_bruteforce(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of the vector with ``query_vec_id``.
+
+    The one-row query side is broadcast; the scan side stays
+    partitioned — this is the brute-force ANN baseline and the recall
+    oracle for the LSH variant.
+    """
+    q = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine_expr(vec_col, "__qvec"), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def topk_lsh(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: only vectors in the query's sign-LSH bucket
+    are scored. At scale the bucket column is precomputed/partitioned
+    so a query prunes to one partition (partition pruning at the scan).
+    """
+    bucketed = df.withColumn("__bucket", sign_lsh_bucket(vec_col, n_bits))
+    q = bucketed.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"), F.col("__bucket").alias("__qbucket")
+    )
+    scored = (
+        bucketed.filter(F.col(id_col) != query_vec_id)
+        .join(F.broadcast(q), F.col("__bucket") == F.col("__qbucket"))
+        .select(
+            id_col,
+            F.round(cosine_expr(vec_col, "__qvec"), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def all_pairs_topk_blocked(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+) -> DataFrame:
+    """k-NN graph restricted to blocks: per vector, top-k neighbors
+    within its block (label / coarse-quantizer cell). The IVF pattern:
+    an equi-join on the block column keeps the pair space linear in
+    block size; a window takes top-k per query vector."""
+    from pyspark.sql import Window
+
+    a, b = df.alias("a"), df.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"b.{id_col}").alias("dst"),
+            F.round(cosine_expr(f"a.{vec_col}", f"b.{vec_col}"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

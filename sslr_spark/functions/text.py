@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These are additions beyond the reference surface (SURVEY §7 phase 5 /
+driver contract): token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All pure built-in column
+expressions — JVM-side, whole-stage-codegen'd, no Python in the hot
+path — and each has an exact ANSI-SQL spelling for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
+# non-space symbols (the classic GPT-2 pre-tokenization shape, minus
+# unicode categories). Same regex semantics in Java regex and RE2.
+SUBTOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to"]
+
+# language -> marker words for the n-gram/stopword language-ID
+# heuristic. Deterministic scoring; ties broken by language name.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "fr": ["le", "la", "et", "des"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "los", "y", "las"],
+    "zh": ["de", "le", "shi", "bu"],
+}
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, "\\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(words(text)).cast("long")
+
+
+def subtoken_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (regex matches)."""
+    return F.size(F.regexp_extract_all(text, F.lit(SUBTOKEN_RE), 0)).cast("long")
+
+
+def word_match_count(text: Column, vocab: list[str]) -> Column:
+    """How many whitespace tokens are in ``vocab`` (exact match).
+    Split-then-filter instead of regex so overlap semantics can't
+    diverge between engines."""
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words(text), lambda w: F.array_contains(arr, w))).cast(
+        "long"
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    ws = words(text)
+    total = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(total / F.size(ws))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: token count, stopword ratio, mean
+    word length, and a composite keep/drop flag (Gopher-rule shaped:
+    drop too-short docs and docs with implausible word shape)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_stop = word_match_count(t, STOPWORDS)
+    mwl = mean_word_len(t)
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / n_tok
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        subtoken_count(t).alias("n_subtokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        (
+            (n_tok >= 10) & (mwl >= 2.0) & (mwl <= 12.0)
+        ).alias("keep"),
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    return [
+        (lang, word_match_count(text, markers))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: highest marker-hit count wins; ties go
+    to the lexicographically smallest language; zero hits -> 'und'."""
+    t = F.col(text_col)
+    scored = lang_scores(t)
+    # greatest score, then first language reaching it (sorted order)
+    best = F.greatest(*[s for _, s in scored])
+    pred = F.lit("und")
+    for lang, s in reversed(scored):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def normalized(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", prefix_len: int = 100) -> DataFrame:
+    """Document fingerprints: full-text md5 of the normalized text plus
+    a prefix fingerprint (cheap near-head-dup probe)."""
+    norm = normalized(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.md5(F.substring(norm, 1, prefix_len)).alias("prefix_fp"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -1,0 +1,418 @@
+"""Extension operator catalog: dedup / similarity / text analysis /
+multimodal queries with DuckDB oracle SQL (driver contract additions
+beyond the reference surface — SURVEY §7 phase 5).
+
+Oracle parity rules: identical hash formulas (see functions/hashing),
+double-forced index-ordered float folds, round(6) on similarity
+scores, split-then-filter word matching (no regex overlap ambiguity).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sslr_spark.functions import dedup as D
+from sslr_spark.functions import multimodal as M
+from sslr_spark.functions import similarity as S
+from sslr_spark.functions import text as X
+from sslr_spark.functions.hashing import h60_sql
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# DuckDB building blocks -------------------------------------------------
+
+# whitespace words with empty-text guard (matches functions.text.words)
+W_SQL = (
+    "case when length(trim(text)) = 0 then [] "
+    "else string_split_regex(trim(text), '\\s+') end"
+)
+
+
+def _shingles_cte(n: int = 3) -> str:
+    return f"""
+sh as (
+  select distinct doc_id, unnest(
+    list_transform(generate_series(1, len({W_SQL}) - {n - 1}),
+                   i -> array_to_string(({W_SQL})[i:i+{n - 1}], ' '))
+  ) as shingle
+  from documents
+)"""
+
+
+_JACCARD_TAIL = """
+sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select doc_a, doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+"""
+
+
+# ------------------------------------------------------------------
+# text analysis
+# ------------------------------------------------------------------
+
+def q_text_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex pre-tokens."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.subtoken_count(F.col("text")).alias("n_subtokens"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+select doc_id,
+       cast(len({W_SQL}) as bigint) as n_tokens,
+       cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) as bigint)
+         as n_subtokens
+from documents
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Per-doc quality scoring (length / stopword-ratio / word-shape
+    keep rule)."""
+    return X.quality_metrics(_docs(spark, sf_dir))
+
+
+_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in X.STOPWORDS) + "]"
+
+SQL_TEXT_QUALITY = f"""
+with t as (
+  select doc_id, {W_SQL} as w,
+         cast(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) as bigint)
+           as n_subtokens
+  from documents
+), m as (
+  select doc_id,
+         cast(len(w) as bigint) as n_tokens,
+         n_subtokens,
+         cast(len(list_filter(w, x -> list_contains({_STOP_LIST}, x))) as bigint) as n_stop,
+         case when len(w) = 0 then 0.0
+              else cast(list_sum(list_transform(w, x -> cast(length(x) as double))) as double) / len(w)
+         end as mwl
+  from t
+)
+select doc_id, n_tokens, n_subtokens,
+       round(case when n_tokens = 0 then 0.0 else cast(n_stop as double) / n_tokens end, 6)
+         as stopword_ratio,
+       round(mwl, 6) as mean_word_len,
+       (n_tokens >= 10 and mwl >= 2.0 and mwl <= 12.0) as keep
+from m
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic."""
+    return X.lang_id(_docs(spark, sf_dir))
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, markers in sorted(X.LANG_MARKERS.items()):
+        lst = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"cast(len(list_filter(w, x -> list_contains({lst}, x))) as bigint) as s_{lang}"
+        )
+    langs = sorted(X.LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"case when best > 0 and s_{lang} = best then '{lang}' else {pred} end"
+    return f"""
+with t as (select doc_id, {W_SQL} as w from documents),
+scored as (select doc_id, {', '.join(score_cols)} from t),
+m as (select *, {greatest} as best from scored)
+select doc_id, {pred} as pred_lang, best as marker_hits from m
+"""
+
+
+SQL_TEXT_LANG_ID = _lang_sql()
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting over normalized text."""
+    return X.fingerprints(_docs(spark, sf_dir))
+
+
+SQL_TEXT_FINGERPRINT = """
+with n as (
+  select doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) as norm
+  from documents
+)
+select doc_id, md5(norm) as fp, md5(substring(norm, 1, 100)) as prefix_fp,
+       cast(length(norm) as int) as norm_len
+from n
+"""
+
+
+# ------------------------------------------------------------------
+# dedup
+# ------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groups with keeper ids."""
+    return D.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+select md5(text) as content_fp, count(*) as n_docs, min(doc_id) as keep_id
+from documents group by 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs via shingle inverted index."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+
+
+SQL_DEDUP_NGRAM = (
+    "with " + _shingles_cte(3) + "," + _JACCARD_TAIL + " where "
+    "round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.05"
+)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4 bands x 4 rows) candidates, Jaccard-verified."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.02)
+
+
+_MINHASH_CTES = f"""
+with {_shingles_cte(3)},
+sigs as (
+  select doc_id, seed,
+         min({h60_sql("concat(cast(seed as varchar), ':', shingle)")}) as minhash
+  from sh, (select unnest(generate_series(0, 15)) as seed)
+  group by doc_id, seed
+),
+buckets as (
+  select doc_id, cast(seed / 4 as int) as band,
+         md5(string_agg(cast(minhash as varchar), ',' order by seed)) as sig
+  from sigs group by doc_id, cast(seed / 4 as int)
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from buckets a
+  join buckets b on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id
+),
+sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+inter as (
+  select c.doc_a, c.doc_b, count(*) as n_common
+  from cand c
+  join sh a on a.doc_id = c.doc_a
+  join sh b on b.doc_id = c.doc_b and b.shingle = a.shingle
+  group by 1, 2
+)
+"""
+
+SQL_DEDUP_MINHASH = (
+    _MINHASH_CTES
+    + """
+select i.doc_a, i.doc_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
+from inter i
+join sizes sa on sa.doc_id = i.doc_a
+join sizes sb on sb.doc_id = i.doc_b
+where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.02
+"""
+)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash(32-bit) near-dup pairs, pigeonhole-segment blocked
+    (oracle runs the naive quadratic scan — results must be equal)."""
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=4)
+
+
+SQL_DEDUP_SIMHASH = f"""
+with wc as (
+  select doc_id, word, count(*) as freq,
+         {h60_sql('word')} as h
+  from (select doc_id, unnest({W_SQL}) as word from documents)
+  group by doc_id, word
+),
+per_bit as (
+  select doc_id, b, sum(freq * (((h >> b) & 1) * 2 - 1)) as s
+  from wc, (select unnest(generate_series(0, 31)) as b)
+  group by doc_id, b
+),
+fp as (
+  select doc_id,
+         sum(case when s > 0 then (cast(1 as bigint) << b) else 0 end) as simhash
+  from per_bit group by doc_id
+)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as bigint) as hamming
+from fp a join fp b on a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 4
+"""
+
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform({a}, x -> cast(x as double) * cast(x as double))))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        _DOT.format(a=a, b=b)
+        + f" / ({_NORM.format(a=a)} * {_NORM.format(a=b)})"
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.9), label-blocked."""
+    return D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+SQL_DEDUP_EMB = f"""
+select a.vec_id as vec_a, b.vec_id as vec_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) as cos_sim
+from embeddings a
+join embeddings b on a.label = b.label and a.vec_id < b.vec_id
+where round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+"""
+
+
+# ------------------------------------------------------------------
+# similarity search
+# ------------------------------------------------------------------
+
+def q_sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 neighbors of vec_id 0 (brute force)."""
+    return S.topk_bruteforce(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+SQL_SIM_TOPK = f"""
+with q as (select embedding as qvec from embeddings where vec_id = 0)
+select vec_id, round({_cos_sql('embedding', 'qvec')}, 6) as cos_sim
+from embeddings, q
+where vec_id != 0
+order by cos_sim desc, vec_id
+limit 10
+"""
+
+
+def q_sim_topk_lsh(spark, sf_dir):
+    """Approximate top-10 via sign-LSH bucket pruning (6 bits)."""
+    return S.topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10, n_bits=6)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(case when embedding[{d + 1}] > 0 then {1 << d} else 0 end)" for d in range(6)
+)
+
+SQL_SIM_LSH = f"""
+with b as (
+  select vec_id, embedding, cast({_BUCKET_SQL} as bigint) as bucket
+  from embeddings
+), q as (select embedding as qvec, bucket as qbucket from b where vec_id = 0)
+select vec_id, round({_cos_sql('embedding', 'qvec')}, 6) as cos_sim
+from b, q
+where vec_id != 0 and bucket = qbucket
+order by cos_sim desc, vec_id
+limit 10
+"""
+
+
+def q_sim_knn_blocked(spark, sf_dir):
+    """Label-blocked k-NN graph (IVF pattern): top-3 per vector within
+    its block."""
+    return S.all_pairs_topk_blocked(_emb(spark, sf_dir), k=3)
+
+
+SQL_SIM_KNN = f"""
+select src, dst, cos_sim, rank from (
+  select a.vec_id as src, b.vec_id as dst,
+         round({_cos_sql('a.embedding', 'b.embedding')}, 6) as cos_sim,
+         cast(row_number() over (
+           partition by a.vec_id
+           order by round({_cos_sql('a.embedding', 'b.embedding')}, 6) desc, b.vec_id
+         ) as bigint) as rank
+  from embeddings a
+  join embeddings b on a.label = b.label and a.vec_id != b.vec_id
+) where rank <= 3
+"""
+
+
+# ------------------------------------------------------------------
+# multimodal
+# ------------------------------------------------------------------
+
+def q_mm_binary_meta(spark, sf_dir):
+    """Binary-column triage metadata (byte length / content hash /
+    magic bytes) — pure SQL, no decode."""
+    return M.binary_meta(_docs(spark, sf_dir))
+
+
+SQL_MM_META = """
+select doc_id,
+       cast(octet_length(cast(text as blob)) as bigint) as n_bytes,
+       md5(text) as content_fp,
+       lower(hex(cast(substring(text, 1, 4) as blob))) as magic_hex
+from documents
+"""
+
+
+def q_mm_decode_stub(spark, sf_dir):
+    """Arrow-batched mapInPandas decode plumbing with stubbed codec —
+    rows-only check (not SQL-expressible: Python stage)."""
+    return M.decode_metadata(M.with_binary_payload(_docs(spark, sf_dir)))
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_knn_blocked": q_sim_knn_blocked,
+    "mm_binary_meta": q_mm_binary_meta,
+    "mm_decode_stub": q_mm_decode_stub,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "text_token_count": SQL_TOKEN_COUNT,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_lang_id": SQL_TEXT_LANG_ID,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_embedding_cosine": SQL_DEDUP_EMB,
+    "sim_topk_bruteforce": SQL_SIM_TOPK,
+    "sim_topk_lsh": SQL_SIM_LSH,
+    "sim_knn_blocked": SQL_SIM_KNN,
+    "mm_binary_meta": SQL_MM_META,
+    # mm_decode_stub: rows-only (mapInPandas stage, not SQL-expressible)
+}
