@@ -1,0 +1,134 @@
+"""Headline benchmark (BASELINE.md plan): sync-engine operator families
+plus extension pipelines at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each timed section measures the operator end-to-end (job run +
+action), with input staging excluded. Temp outputs go under
+.bench_tmp/ (gitignored) and are removed afterwards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TMP = os.path.join(REPO, ".bench_tmp")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from sslr_spark.session import get_spark
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.state import StateStore, TableState
+    from sslr_spark.operators.copy import copy_full_table
+    from sslr_spark.operators.updates import sync_updates
+    from sslr_spark.operators.deletes import sync_deletes
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+    spark = get_spark(app_name="sslr_bench")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *exc):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pk = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+
+    # ---- full-copy: filtered full table copy (S1->S3) ----------------
+    tgt = ParquetDatabase(spark, os.path.join(TMP, "target"))
+    with timed("full_copy"):
+        copy_full_table(lineitem, tgt, "lineitem", where="l_quantity >= 1")
+
+    # ---- agg-probe: count/max watermark probe (A1/A2) ----------------
+    with timed("agg_probe"):
+        lineitem.agg(
+            F.count(F.lit(1)).alias("n"), F.max("l_orderkey").alias("hi")
+        ).collect()
+
+    # ---- incr-update: 1% changed rows, watermark slice + merge -------
+    # stage: source = lineitem + version col; target = source with 1%
+    # of rows at an old version (so the slice re-applies them)
+    src_db = ParquetDatabase(spark, os.path.join(TMP, "src"))
+    versioned = lineitem.withColumn(
+        "xmin",
+        F.when(F.col("l_orderkey") % 100 == 0, F.lit(200)).otherwise(F.lit(100)),
+    )
+    src_db.overwrite("lineitem", versioned)
+    tgt2 = ParquetDatabase(spark, os.path.join(TMP, "target2"))
+    tgt2.overwrite("lineitem", versioned.withColumn("xmin", F.lit(100)))
+    store = StateStore(tgt2)
+    store.set(TableState("lineitem", 100, ""))
+    with timed("incr_update"):
+        sync_updates(src_db.read("lineitem"), tgt2, store, "lineitem", pk)
+
+    # ---- delete-diff: 0.1% extra target rows, bucket diff + repair ---
+    tgt3 = ParquetDatabase(spark, os.path.join(TMP, "target3"))
+    tgt3.overwrite("lineitem", lineitem)
+    src_deleted = lineitem.filter(F.col("l_orderkey") % 997 != 0)
+    src_db.overwrite("lineitem_del", src_deleted)
+    with timed("delete_diff"):
+        sync_deletes(
+            src_db.read("lineitem_del"), tgt3, "lineitem", pk,
+            rows_per_bucket=1000, version_col=None,
+        )
+
+    # ---- extension pipelines ----------------------------------------
+    from sslr_spark.queries_ext import (
+        q_dedup_minhash_lsh,
+        q_dedup_simhash,
+        q_sim_topk_bruteforce,
+        q_text_quality,
+    )
+
+    with timed("dedup_minhash_lsh"):
+        q_dedup_minhash_lsh(spark, SF_DIR).count()
+    with timed("dedup_simhash"):
+        q_dedup_simhash(spark, SF_DIR).count()
+    with timed("sim_topk"):
+        q_sim_topk_bruteforce(spark, SF_DIR).collect()
+    with timed("text_quality"):
+        q_text_quality(spark, SF_DIR).count()
+
+    # ---- flagship smoke (sf0.001 per BASELINE.md) --------------------
+    import __spark_entry__ as entrymod
+
+    with timed("flagship"):
+        entrymod.entry(spark).collect()
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sslr_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

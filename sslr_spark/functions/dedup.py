@@ -77,7 +77,7 @@ def ngram_jaccard_pairs(
     shingles first (stopword-shingle pruning), which is also standard
     MinHash practice.
     """
-    sh = shingles(df, text_col, n)
+    sh = shingles(df, text_col, n).persist()  # reused by sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -154,7 +154,10 @@ def minhash_lsh_pairs(
     shingle Jaccard. This is the 100 TB dedup path: candidates come
     from an equi-join on (band, sig) — never a cross join — and the
     expensive exact Jaccard runs only on candidates."""
-    sh = shingles(df, text_col, shingle_n)
+    # The shingle inverted index feeds three consumers (signatures,
+    # both sides of the verification join) — persist it once instead
+    # of recomputing the explode+distinct per consumer.
+    sh = shingles(df, text_col, shingle_n).persist()
     sigs = minhash_signatures(sh, n_hashes)
     buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands)
 
