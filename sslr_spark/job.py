@@ -1,0 +1,175 @@
+"""Job orchestration: connect -> validate -> update, per table.
+
+Mirrors the reference's job layer (internal/job.go):
+- dependency-ordered validation over the 'uses' DAG with cycle
+  detection via the validating-state re-entry rule (:96-212);
+- schema drift -> abort or recreate+force-resync (:129-153);
+- where-clause drift detected through the state table (:185-209);
+- update phase = incremental upsert sync then delete sync (:246-292);
+- run-once vs continuous polling loop (reference main.go:38-82).
+
+Filtered tables' predicates may reference their 'uses' dependencies;
+those are registered as temp views before evaluation (reference P9 —
+arbitrary SQL incl. subqueries in `where`, sslr.json:15-24).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sslr_spark.catalog import (
+    ValidationStatus,
+    discover_primary_keys,
+    validate_target_schema,
+)
+from sslr_spark.config import Config
+from sslr_spark.sources.parquet import ParquetDatabase
+from sslr_spark.state import StateStore
+from sslr_spark.operators.updates import sync_updates
+from sslr_spark.operators.deletes import sync_deletes
+from sslr_spark.throttle import Throttle
+
+
+class DependencyLoop(Exception):
+    """'uses' cycle discovered during validation (reference
+    internal/job.go:101-103)."""
+
+
+@dataclass
+class JobResult:
+    updated_rows: int = 0
+    repaired_buckets: int = 0
+    full_copies: list[str] = field(default_factory=list)
+    validated: list[str] = field(default_factory=list)
+
+
+class Job:
+    def __init__(self, spark: SparkSession, config: Config):
+        config.validate()
+        self.spark = spark
+        self.config = config
+        self.source = ParquetDatabase(spark, config.source)
+        self.target = ParquetDatabase(spark, config.target)
+        self.state = StateStore(self.target, config.state_table)
+        self.status: dict[str, ValidationStatus] = {
+            t: ValidationStatus.UNKNOWN for t in config.all_tables()
+        }
+        self.primary_keys: dict[str, list[str]] = {}
+        self.force_full: set[str] = set()
+        self._stop = threading.Event()
+
+    # -- validation (reference internal/job.go:96-212) -----------------
+    def _validate_table(self, table: str) -> None:
+        st = self.status.get(table, ValidationStatus.UNKNOWN)
+        if st == ValidationStatus.VALID:
+            return
+        if st == ValidationStatus.VALIDATING:
+            raise DependencyLoop(f"dependency loop involving {table!r}")
+        self.status[table] = ValidationStatus.VALIDATING
+
+        ft = self.config.filtered_source_tables.get(table)
+        for dep in ft.uses if ft else []:
+            self._validate_table(dep)
+
+        try:
+            schema = self.source.schema(table)
+            self.primary_keys[table] = discover_primary_keys(
+                self.config.primary_keys, table, schema
+            )
+            needs_full = validate_target_schema(
+                schema, self.target, table, self.config.resync_on_schema_change
+            )
+            if needs_full:
+                self.force_full.add(table)
+            if ft is not None:
+                # where-clause drift -> force resync (reference :185-209)
+                prev = self.state.get(table)
+                if prev.last_seen_version > 0 and prev.where_clause != ft.where:
+                    self.force_full.add(table)
+        except Exception:
+            self.status[table] = ValidationStatus.INVALID
+            raise
+        self.status[table] = ValidationStatus.VALID
+
+    def validate_tables(self) -> list[str]:
+        order = self.config.validation_order()
+        for t in order:
+            self._validate_table(t)
+        return order
+
+    # -- update phase (reference internal/job.go:223-292) --------------
+    def _register_uses_views(self, table: str) -> None:
+        """Register the table's 'uses' dependencies as temp views so the
+        filter predicate can reference them (P9)."""
+        ft = self.config.filtered_source_tables.get(table)
+        for dep in ft.uses if ft else []:
+            self.source.read(dep).createOrReplaceTempView(dep)
+
+    def source_df(self, table: str) -> DataFrame:
+        self._register_uses_views(table)
+        return self.source.read(table)
+
+    def update_table(self, table: str, result: JobResult, throttle: Throttle) -> None:
+        where = self.config.where_for(table)
+        pks = self.primary_keys[table]
+        src = self.source_df(table)
+        with throttle:
+            rows = sync_updates(
+                src,
+                self.target,
+                self.state,
+                table,
+                pks,
+                where=where,
+                version_col=self.config.version_column,
+                full_copy_threshold=self.config.full_copy_threshold,
+                force_full=table in self.force_full,
+                rows_per_batch=self.config.update_chunk_size * 100 or None,
+            )
+        result.updated_rows += rows
+        if table in self.force_full:
+            result.full_copies.append(table)
+            self.force_full.discard(table)
+        else:
+            with throttle:
+                stats = sync_deletes(
+                    src,
+                    self.target,
+                    table,
+                    pks,
+                    where=where,
+                    rows_per_bucket=self.config.min_delete_chunk_size,
+                    version_col=self.config.version_column,
+                )
+            result.repaired_buckets += stats.mismatched_buckets
+
+    # -- entry points (reference main.go:38-82) ------------------------
+    def run(self) -> JobResult:
+        result = JobResult()
+        result.validated = self.validate_tables()
+        throttle = Throttle(self.config.throttle_percentage)
+        for table in result.validated:
+            self.update_table(table, result, throttle)
+        return result
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def run_continuous(self, max_iterations: int | None = None) -> list[JobResult]:
+        """Polling loop: run, sleep wait_between_jobs, repeat until
+        stop() or max_iterations. Graceful: finishes the in-flight
+        pass before exiting (the reference drains on SIGINT)."""
+        results: list[JobResult] = []
+        i = 0
+        while not self._stop.is_set():
+            results.append(self.run())
+            i += 1
+            if max_iterations is not None and i >= max_iterations:
+                break
+            self._stop.wait(self.config.wait_between_jobs_seconds)
+        return results

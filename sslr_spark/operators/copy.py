@@ -23,11 +23,28 @@ from sslr_spark.sources.parquet import ParquetDatabase
 def filtered_source(
     df: DataFrame, where: str | None, drop_version: str | None = None
 ) -> DataFrame:
-    """Apply the user filter (pushed down by Catalyst) and optionally
-    drop the engine's version column from the payload (the reference
-    strips xmin from copied columns, internal/updates.go:117-124)."""
+    """Apply the user filter and optionally drop the engine's version
+    column from the payload (the reference strips xmin from copied
+    columns, internal/updates.go:117-124).
+
+    The filter is evaluated through ``spark.sql`` (not ``F.expr``)
+    because the reference allows arbitrary SQL in ``where`` including
+    subqueries over 'uses' tables (reference sslr.json:15-24, P9) —
+    callers register those as temp views first. Catalyst produces the
+    same pushed-down plan either way."""
     if where:
-        df = df.filter(F.expr(where))
+        import uuid
+
+        spark = df.sparkSession
+        name = f"__sslr_src_{uuid.uuid4().hex}"
+        df.createOrReplaceTempView(name)
+        try:
+            df = spark.sql(f"select * from {name} where {where}")
+            # force analysis while the view exists, then drop it — the
+            # resolved plan no longer needs the view
+            df.schema
+        finally:
+            spark.catalog.dropTempView(name)
     if drop_version and drop_version in df.columns:
         df = df.drop(drop_version)
     return df

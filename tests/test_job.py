@@ -1,0 +1,215 @@
+"""Job-orchestration tests: config validation branches, schema drift,
+where-drift, dependency ordering/cycles, filtered tables with
+subquery predicates over 'uses' views, throttle math, continuous mode.
+(FIXTURES.md scenarios: drift, where-drift, dep-cycle, no-pk.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sslr_spark.catalog import MissingPrimaryKey, SchemaMismatch
+from sslr_spark.config import Config, ConfigError, FilteredTable, load_config
+from sslr_spark.job import Job
+from tests.conftest import assert_df_equal, make_timestamps
+
+
+def make_job(spark, tmp_path, **cfg_kw) -> Job:
+    defaults = dict(
+        source=str(tmp_path / "source"),
+        target=str(tmp_path / "target"),
+        source_tables=["timestamps"],
+        primary_keys={"timestamps": ["id"]},
+        min_delete_chunk_size=100,
+    )
+    defaults.update(cfg_kw)
+    return Job(spark, Config(**defaults))
+
+
+# -- config validation (reference internal/config.go rejections) -------
+
+def test_unknown_top_level_key_rejected():
+    with pytest.raises(ConfigError, match="unknown config key"):
+        load_config('{"source": "/s", "target": "/t", "sourceTables": ["a"], "bogus": 1}')
+
+
+def test_unknown_filtered_key_rejected():
+    with pytest.raises(ConfigError, match="unknown key"):
+        load_config(
+            '{"source": "/s", "target": "/t", '
+            '"filteredSourceTables": {"a": {"where": "1=1", "extra": 2}}}'
+        )
+
+
+def test_comments_stripped_and_defaults():
+    cfg = load_config(
+        '{/* a comment */ "source": "/s", "target": "/t", "sourceTables": ["a"],'
+        ' "primaryKeys": {"a": ["id"]}}'
+    )
+    assert cfg.update_chunk_size == 1000
+    assert cfg.throttle_percentage == 80
+    assert cfg.full_copy_threshold == 0.5
+
+
+def test_uses_unknown_table_rejected():
+    with pytest.raises(ConfigError, match="unknown table"):
+        Config(
+            source="/s", target="/t", source_tables=["a"],
+            filtered_source_tables={"b": FilteredTable(where="1=1", uses=["zzz"])},
+        ).validate()
+
+
+def test_dependency_cycle_rejected():
+    with pytest.raises(ConfigError, match="dependency loop"):
+        Config(
+            source="/s", target="/t",
+            filtered_source_tables={
+                "a": FilteredTable(where="1=1", uses=["b"]),
+                "b": FilteredTable(where="1=1", uses=["a"]),
+            },
+        ).validate()
+
+
+def test_validation_order_dependencies_first():
+    cfg = Config(
+        source="/s", target="/t", source_tables=["base"],
+        filtered_source_tables={
+            "mid": FilteredTable(where="1=1", uses=["base"]),
+            "top": FilteredTable(where="1=1", uses=["mid"]),
+        },
+    )
+    order = cfg.validation_order()
+    assert order.index("base") < order.index("mid") < order.index("top")
+
+
+# -- job runs ----------------------------------------------------------
+
+def test_job_end_to_end_sync(spark, tmp_path):
+    job = make_job(spark, tmp_path)
+    src = make_timestamps(spark, 800)
+    job.source.overwrite("timestamps", src)
+
+    r1 = job.run()
+    assert r1.updated_rows == 800
+    assert_df_equal(job.target.read("timestamps"), src, ["id"])
+
+    # second pass: no changes -> no rows, no repairs
+    r2 = job.run()
+    assert r2.updated_rows == 0
+    assert r2.repaired_buckets == 0
+
+    # now delete some source rows; update phase sees nothing new but
+    # the delete phase must repair
+    src2 = src.filter(F.col("id") % 7 != 0)
+    job.source.overwrite("timestamps", src2)
+    r3 = job.run()
+    assert r3.repaired_buckets > 0
+    assert_df_equal(job.target.read("timestamps"), src2, ["id"])
+
+
+def test_no_pk_hard_error(spark, tmp_path):
+    job = make_job(spark, tmp_path, primary_keys={})
+    job.source.overwrite("timestamps", make_timestamps(spark, 10))
+    with pytest.raises(MissingPrimaryKey):
+        job.run()
+
+
+def test_schema_drift_aborts_without_resync_flag(spark, tmp_path):
+    job = make_job(spark, tmp_path)
+    src = make_timestamps(spark, 100)
+    job.source.overwrite("timestamps", src)
+    job.run()
+    # drift: source gains a column
+    job.source.overwrite("timestamps", src.withColumn("extra", F.lit("x")))
+    job2 = make_job(spark, tmp_path)
+    with pytest.raises(SchemaMismatch):
+        job2.run()
+
+
+def test_schema_drift_resyncs_with_flag(spark, tmp_path):
+    job = make_job(spark, tmp_path)
+    src = make_timestamps(spark, 100)
+    job.source.overwrite("timestamps", src)
+    job.run()
+    drifted = src.withColumn("extra", F.lit("x"))
+    job.source.overwrite("timestamps", drifted)
+    job2 = make_job(spark, tmp_path, resync_on_schema_change=True)
+    res = job2.run()
+    assert "timestamps" in res.full_copies
+    assert_df_equal(job2.target.read("timestamps"), drifted, ["id"])
+
+
+def test_filtered_table_with_subquery_over_uses(spark, tmp_path):
+    """P9: where clause containing a subquery over a 'uses' table."""
+    job = make_job(
+        spark,
+        tmp_path,
+        source_tables=["timestamps"],
+        filtered_source_tables={
+            "strings": FilteredTable(
+                where="exists (select 1 from timestamps) and key like 'k%'",
+                uses=["timestamps"],
+            )
+        },
+        primary_keys={"timestamps": ["id"], "strings": ["key"]},
+    )
+    job.source.overwrite("timestamps", make_timestamps(spark, 50))
+    strings = spark.createDataFrame(
+        [(f"k{i}", f"v{i}", 1) for i in range(40)]
+        + [(f"x{i}", f"v{i}", 1) for i in range(10)],
+        schema="key string, val string, xmin long",
+    )
+    job.source.overwrite("strings", strings)
+    res = job.run()
+    assert job.target.read("strings").count() == 40  # filter applied
+    assert res.updated_rows == 50 + 40
+
+
+def test_where_drift_forces_resync(spark, tmp_path):
+    def mk(where):
+        return make_job(
+            spark, tmp_path,
+            source_tables=[],
+            filtered_source_tables={"timestamps": FilteredTable(where=where)},
+        )
+
+    job = mk("id < 30")
+    job.source.overwrite("timestamps", make_timestamps(spark, 100))
+    job.run()
+    assert job.target.read("timestamps").count() == 30
+
+    job2 = mk("id < 60")  # changed filter -> full resync
+    res = job2.run()
+    assert "timestamps" in res.full_copies
+    assert job2.target.read("timestamps").count() == 60
+
+
+def test_continuous_mode_runs_and_stops(spark, tmp_path):
+    job = make_job(spark, tmp_path, wait_between_jobs_seconds=0.01)
+    job.source.overwrite("timestamps", make_timestamps(spark, 50))
+    results = job.run_continuous(max_iterations=3)
+    assert len(results) == 3
+    assert results[0].updated_rows == 50
+    assert results[1].updated_rows == 0
+
+
+def test_throttle_math():
+    from sslr_spark.throttle import Throttle
+
+    sleeps = []
+    t = {"now": 0.0}
+
+    def clock():
+        return t["now"]
+
+    th = Throttle(50, clock=clock, sleep=sleeps.append)
+    with th:
+        t["now"] += 8.0  # 8s of source work in 8s wall -> 100% util
+    # utilization 1.0, level 0.5 -> excess 0.5*8s=4s -> sleep 8s
+    assert sleeps == [pytest.approx(8.0)]
+
+    # 100% level disables throttling entirely
+    th2 = Throttle(100, clock=clock, sleep=sleeps.append)
+    with th2:
+        t["now"] += 5.0
+    assert len(sleeps) == 1
