@@ -117,6 +117,31 @@ union all select * from new
 """
 
 
+def q_s5_catalog_schema(spark, sf_dir):
+    """S5: catalog schema scan (reference extractTableSchema,
+    internal/schemas.go:91-139) — the table's schema as rows.
+    Rows-only check: type-name spellings differ across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = [
+        (i, f.name, f.dataType.simpleString()) for i, f in enumerate(li.schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "ordinal int, column_name string, data_type string"
+    )
+
+
+def q_s7_object_exists(spark, sf_dir):
+    """S7: object-existence probes (reference objectExists,
+    internal/schemas.go:195-200). Rows-only: catalog metadata op."""
+    import os
+
+    names = ["lineitem", "orders", "no_such_table"]
+    rows = [
+        (n, os.path.exists(f"{sf_dir}/{n}.parquet")) for n in names
+    ]
+    return spark.createDataFrame(rows, "table_name string, table_exists boolean")
+
+
 # --------------------------------------------------------------------
 # A: aggregates
 # --------------------------------------------------------------------
@@ -511,6 +536,8 @@ from events group by 1, 2
 CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_full_filtered_scan": q_s1_full_filtered_scan,
     "s2_incremental_scan": q_s2_incremental_scan,
+    "s5_catalog_schema": q_s5_catalog_schema,
+    "s7_object_exists": q_s7_object_exists,
     "s9_state_upsert": q_s9_state_upsert,
     "a1_watermark_probe": q_a1_watermark_probe,
     "a2_table_length": q_a2_table_length,
