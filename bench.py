@@ -92,6 +92,38 @@ def main() -> None:
             rows_per_bucket=1000, version_col=None,
         )
 
+    # ---- partitioned-target scale path: same ops, bucket-partitioned
+    # target so merges/repairs rewrite only touched partitions ---------
+    from sslr_spark.operators.deletes import (
+        BUCKET_COL,
+        sync_deletes_partitioned,
+        with_bucket,
+    )
+    from sslr_spark.operators.updates import merge_upsert_partitioned
+
+    N_BUCKETS = 64
+    tgt4 = ParquetDatabase(spark, os.path.join(TMP, "target4"))
+    tgt4.overwrite_partitioned(
+        "lineitem", with_bucket(versioned, pk, N_BUCKETS), BUCKET_COL
+    )
+    # small update batch (~20 keys) — the typical per-trigger CDC slice;
+    # only those keys' buckets are read+rewritten
+    upd = versioned.filter(F.col("l_orderkey") % 30011 == 0).withColumn(
+        "xmin", F.lit(300)
+    )
+    with timed("incr_update_partitioned"):
+        merge_upsert_partitioned(tgt4, "lineitem", upd, pk, N_BUCKETS)
+    # small clustered delete batch (the typical CDC shape): ~20 order
+    # keys gone -> only their buckets get rewritten
+    src_db.overwrite(
+        "lineitem_del_small",
+        versioned.filter(F.col("l_orderkey") % 30011 != 0),
+    )
+    with timed("delete_diff_partitioned"):
+        sync_deletes_partitioned(
+            src_db.read("lineitem_del_small"), tgt4, "lineitem", pk, N_BUCKETS
+        )
+
     # ---- extension pipelines ----------------------------------------
     from sslr_spark.queries_ext import (
         q_dedup_minhash_lsh,

@@ -58,8 +58,9 @@ def schemas_equal(a: T.StructType, b: T.StructType, ignore_nullability: bool = T
     """Structural schema equality; nullability is presentation-level
     for parquet round-trips, so it is ignored by default."""
     def norm(s: T.StructType):
-        return [(f.name, f.dataType.simpleString()) for f in s.fields] if ignore_nullability \
-            else [(f.name, f.dataType.simpleString(), f.nullable) for f in s.fields]
+        fields = [f for f in s.fields if not f.name.startswith("__sslr")]
+        return [(f.name, f.dataType.simpleString()) for f in fields] if ignore_nullability \
+            else [(f.name, f.dataType.simpleString(), f.nullable) for f in fields]
 
     return norm(a) == norm(b)
 

@@ -54,6 +54,9 @@ class Config:
     wait_between_jobs_seconds: float = 5.0
     shuffle_partitions: int = 32
     state_table: str = "__sslr_state"
+    # >0: maintain targets bucket-partitioned on the PK hash so merges
+    # and repairs rewrite only touched partitions (the scale path).
+    target_buckets: int = 0
 
     def all_tables(self) -> list[str]:
         return list(self.source_tables) + list(self.filtered_source_tables)
@@ -145,6 +148,7 @@ _KNOWN_TOP = {
     "waitBetweenJobsSeconds",
     "shufflePartitions",
     "stateTable",
+    "targetBuckets",
 }
 _KNOWN_FILTERED = {"where", "uses"}
 
@@ -198,6 +202,7 @@ def load_config(path_or_text: str) -> Config:
         wait_between_jobs_seconds=float(raw.get("waitBetweenJobsSeconds", 5.0)),
         shuffle_partitions=int(raw.get("shufflePartitions", 32)),
         state_table=raw.get("stateTable", "__sslr_state"),
+        target_buckets=int(raw.get("targetBuckets", 0)),
     )
     cfg.validate()
     return cfg

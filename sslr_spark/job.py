@@ -118,6 +118,7 @@ class Job:
         where = self.config.where_for(table)
         pks = self.primary_keys[table]
         src = self.source_df(table)
+        n_buckets = self.config.target_buckets or None
         with throttle:
             rows = sync_updates(
                 src,
@@ -130,6 +131,7 @@ class Job:
                 full_copy_threshold=self.config.full_copy_threshold,
                 force_full=table in self.force_full,
                 rows_per_batch=self.config.update_chunk_size * 100 or None,
+                n_buckets=n_buckets,
             )
         result.updated_rows += rows
         if table in self.force_full:
@@ -137,15 +139,22 @@ class Job:
             self.force_full.discard(table)
         else:
             with throttle:
-                stats = sync_deletes(
-                    src,
-                    self.target,
-                    table,
-                    pks,
-                    where=where,
-                    rows_per_bucket=self.config.min_delete_chunk_size,
-                    version_col=self.config.version_column,
-                )
+                if n_buckets:
+                    from sslr_spark.operators.deletes import sync_deletes_partitioned
+
+                    stats = sync_deletes_partitioned(
+                        src, self.target, table, pks, n_buckets, where=where
+                    )
+                else:
+                    stats = sync_deletes(
+                        src,
+                        self.target,
+                        table,
+                        pks,
+                        where=where,
+                        rows_per_bucket=self.config.min_delete_chunk_size,
+                        version_col=self.config.version_column,
+                    )
             result.repaired_buckets += stats.mismatched_buckets
 
     # -- entry points (reference main.go:38-82) ------------------------

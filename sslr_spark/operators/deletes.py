@@ -108,6 +108,71 @@ def choose_bucket_count(row_count: int, rows_per_bucket: int) -> int:
     return max(1, (row_count + rows_per_bucket - 1) // rows_per_bucket)
 
 
+BUCKET_COL = "__sslr_bucket"
+
+
+def with_bucket(df: DataFrame, pk_cols: list[str], n_buckets: int) -> DataFrame:
+    return df.withColumn(BUCKET_COL, bucket_id(pk_cols, n_buckets))
+
+
+def sync_deletes_partitioned(
+    source_df: DataFrame,
+    target: ParquetDatabase,
+    table: str,
+    pk_cols: list[str],
+    n_buckets: int,
+    where: str | None = None,
+) -> DeleteSyncStats:
+    """Delete sync against a bucket-partitioned target
+    (``<table>.parquet/__sslr_bucket=N/``): identical diff protocol to
+    :func:`sync_deletes`, but repair rewrites ONLY the mismatched
+    partitions via dynamic partition overwrite — cost proportional to
+    divergence, not table size. This is the 100 TB path; the
+    whole-table variant remains for unpartitioned targets.
+    """
+    src = filtered_source(source_df, where)
+    tgt = target.read(table)
+
+    s_fp = (
+        with_bucket(src, pk_cols, n_buckets)
+        .select(F.col(BUCKET_COL).alias("bucket"), key_hash(pk_cols).alias("kh"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(kh)").alias("fp"))
+    )
+    # the stored partition column prunes the target scan to key columns
+    t_fp = (
+        tgt.select(
+            F.col(BUCKET_COL).cast("long").alias("bucket"),
+            key_hash(pk_cols).alias("kh"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(kh)").alias("fp"))
+    )
+    joined = s_fp.withColumnsRenamed({"cnt": "s_cnt", "fp": "s_fp"}).join(
+        t_fp.withColumnsRenamed({"cnt": "t_cnt", "fp": "t_fp"}), "bucket", "full_outer"
+    )
+    bad = joined.filter(
+        ~(
+            F.col("s_cnt").eqNullSafe(F.col("t_cnt"))
+            & F.col("s_fp").eqNullSafe(F.col("t_fp"))
+        )
+    ).select("bucket", "s_cnt")
+    bad_rows = bad.collect()
+    if not bad_rows:
+        return DeleteSyncStats(n_buckets, 0, 0)
+
+    nonempty = [int(r.bucket) for r in bad_rows if r.s_cnt]
+    empty = [int(r.bucket) for r in bad_rows if not r.s_cnt]
+    if nonempty:
+        repl = with_bucket(src, pk_cols, n_buckets).filter(
+            F.col(BUCKET_COL).isin(nonempty)
+        )
+        target.replace_partitions(table, repl, BUCKET_COL)
+    if empty:
+        target.drop_partitions(table, BUCKET_COL, empty)
+    return DeleteSyncStats(n_buckets, len(bad_rows), len(bad_rows))
+
+
 def sync_deletes(
     source_df: DataFrame,
     target: ParquetDatabase,

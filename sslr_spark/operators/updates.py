@@ -111,6 +111,37 @@ def merge_upsert(
     return kept.unionByName(updates.select(*target_df.columns))
 
 
+def merge_upsert_partitioned(
+    target: ParquetDatabase,
+    table: str,
+    updates: DataFrame,
+    pk_cols: list[str],
+    n_buckets: int,
+) -> None:
+    """Partition-pruned merge against a bucket-partitioned target:
+    only the partitions containing updated keys are read (pruned scan)
+    and rewritten (dynamic partition overwrite) — the plain-parquet
+    equivalent of MERGE INTO with file pruning. Cost ∝ touched
+    buckets, not table size."""
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+    upd = with_bucket(updates, pk_cols, n_buckets)
+    affected = [int(r[0]) for r in upd.select(BUCKET_COL).distinct().collect()]
+    if not affected:
+        return
+    tgt = target.read(table)
+    keys = upd.select(*pk_cols).distinct()
+    kept = (
+        tgt.filter(F.col(BUCKET_COL).isin(affected))  # partition pruning
+        .drop(BUCKET_COL)
+        .join(keys, on=pk_cols, how="left_anti")
+    )
+    out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
+    target.replace_partitions(
+        table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL
+    )
+
+
 def plan_version_batches(
     slice_df: DataFrame,
     version_col: str,
@@ -162,13 +193,16 @@ def sync_updates(
     full_copy_threshold: float = 0.5,
     force_full: bool = False,
     rows_per_batch: int | None = None,
+    n_buckets: int | None = None,
 ) -> int:
     """Run the update phase for one table; returns rows written.
 
     Data commit precedes state commit (idempotent re-apply on crash —
     see state.py). With ``rows_per_batch`` set, the slice is applied in
     version-aligned batches, each with its own data+state commit pair,
-    mirroring the reference's bounded chunk transactions.
+    mirroring the reference's bounded chunk transactions. With
+    ``n_buckets`` set, the target is maintained bucket-partitioned and
+    merges rewrite only touched partitions (the scale path).
     """
     state = state_store.get(table)
     rng = get_update_range(
@@ -177,7 +211,15 @@ def sync_updates(
     )
 
     if rng.full_table:
-        rows = copy_full_table(source_df, target, table, where)
+        if n_buckets:
+            from sslr_spark.operators.copy import filtered_source as _fs
+            from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+            df = with_bucket(_fs(source_df, where), pk_cols, n_buckets)
+            target.overwrite_partitioned(table, df, BUCKET_COL)
+            rows = target.read(table).count()
+        else:
+            rows = copy_full_table(source_df, target, table, where)
         state_store.set(TableState(table, rng.end_version, where or ""))
         return rows
 
@@ -198,8 +240,11 @@ def sync_updates(
         updates = dedup_latest_version(batch, pk_cols, version_col)
         n = updates.count()
         if n:
-            merged = merge_upsert(target.read(table), updates, pk_cols)
-            target.overwrite(table, merged)
+            if n_buckets:
+                merge_upsert_partitioned(target, table, updates, pk_cols, n_buckets)
+            else:
+                merged = merge_upsert(target.read(table), updates, pk_cols)
+                target.overwrite(table, merged)
             total += n
         # watermark advances to the end of the fully applied batch (T2)
         state_store.set(TableState(table, hi, where or ""))

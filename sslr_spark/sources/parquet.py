@@ -66,6 +66,57 @@ class ParquetDatabase:
             raise
         shutil.rmtree(old, ignore_errors=True)
 
+    def overwrite_partitioned(
+        self, table: str, df: DataFrame, partition_col: str
+    ) -> None:
+        """Full overwrite of a partitioned table layout
+        (``<table>.parquet/<partition_col>=v/...``). Reads of the table
+        recover ``partition_col`` as an ordinary column."""
+        final = self.path(table)
+        stage = os.path.join(self.root, f".stage-{table}-{uuid.uuid4().hex}")
+        old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        try:
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(stage, final)
+        except BaseException:
+            if not os.path.exists(final) and os.path.exists(old):
+                os.rename(old, final)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    def replace_partitions(
+        self, table: str, df: DataFrame, partition_col: str
+    ) -> None:
+        """Dynamic partition overwrite: only the partitions present in
+        ``df`` are replaced; all others are untouched. This is the
+        plain-parquet equivalent of Delta's ``replaceWhere`` — the
+        scale path for repairs that touch a small fraction of a huge
+        table (cost ∝ changed partitions, not table size).
+
+        Not atomic across partitions (a crash can leave a partition
+        mix); safe here because every caller re-applies idempotently
+        until the watermark/state commit succeeds."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(table))
+        )
+
+    def drop_partitions(
+        self, table: str, partition_col: str, values: list
+    ) -> None:
+        """Remove whole partitions (used when a repair leaves a bucket
+        empty — dynamic overwrite cannot express an empty partition)."""
+        for v in values:
+            shutil.rmtree(
+                os.path.join(self.path(table), f"{partition_col}={v}"),
+                ignore_errors=True,
+            )
+
     def append(self, table: str, df: DataFrame) -> None:
         """Append rows (bulk-load sink, reference COPY protocol analog,
         internal/copy.go:47). Not atomic with respect to concurrent
