@@ -83,6 +83,76 @@ def decode_metadata(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(decode_batches, DECODE_SCHEMA)
 
 
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def extract_features(binary_df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction plumbing: binary payload -> fixed-dim float
+    vector via Arrow-batched mapInPandas. STUB featurizer (md5-derived
+    deterministic values in [-1, 1]); a real deployment runs an image/
+    audio encoder here with identical plumbing. Output feeds directly
+    into the similarity/dedup operators (same array<float> shape as the
+    embeddings table)."""
+
+    def feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                h = hashlib.md5(bytes(p)).digest()
+                # stretch 16 md5 bytes deterministically to `dim` floats
+                vals = [
+                    (h[i % 16] ^ (i * 37 & 0xFF)) / 127.5 - 1.0 for i in range(dim)
+                ]
+                feats.append(np.asarray(vals, dtype="float32"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return binary_df.mapInPandas(feat, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_fp", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video-shaped payloads: one output
+    row per sampled frame (every ``every_n``-th of the payload's
+    n_frames). The decode is the same STUB as decode_metadata; the
+    Spark-side shape — batch in, multiple rows out per input row — is
+    exactly what real frame extraction needs."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, fps = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(p)
+                _, _, n_frames = _decode_stub(payload)
+                for i in range(0, n_frames, every_n):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    fps.append(
+                        hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "frame_fp": fps}
+            )
+
+    return binary_df.mapInPandas(frames, FRAME_SCHEMA)
+
+
 def binary_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pure-SQL binary metadata (no Python): byte length, content hash,
     leading-bytes 'magic number' hex — the cheap pre-decode triage

@@ -383,6 +383,18 @@ def q_mm_decode_stub(spark, sf_dir):
     return M.decode_metadata(M.with_binary_payload(_docs(spark, sf_dir)))
 
 
+def q_mm_extract_features(spark, sf_dir):
+    """Feature-extraction plumbing (binary -> array<float>), stub
+    featurizer — rows-only (Python stage)."""
+    return M.extract_features(M.with_binary_payload(_docs(spark, sf_dir)))
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (1 row per sampled frame) — rows-only
+    (Python stage)."""
+    return M.sample_frames(M.with_binary_payload(_docs(spark, sf_dir)), every_n=2)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
@@ -398,6 +410,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_blocked": q_sim_knn_blocked,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_stub": q_mm_decode_stub,
+    "mm_extract_features": q_mm_extract_features,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
 EXT_ORACLES: dict[str, str] = {

@@ -97,6 +97,50 @@ def windowed_event_aggregate(
     )
 
 
+FIRST_SEEN_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("first_version", T.LongType(), True),
+    ]
+)
+FIRST_SEEN_STATE = T.StructType([T.StructField("seen", T.BooleanType(), False)])
+
+
+def streaming_first_seen(
+    keyed_stream: DataFrame,
+    key_col: str = "key",
+    version_col: str = "xmin",
+):
+    """Custom stateful operator via applyInPandasWithState: streaming
+    exact-dedup — emit each key only the FIRST time it is ever seen
+    across micro-batches; per-key GroupState persists in the
+    checkpoint. This is the streaming form of exact dedup (a new
+    document/key passes once; re-deliveries and re-crawls are dropped),
+    state bounded by distinct keys and shardable by the groupBy hash.
+    """
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            return iter(())
+        first_version = None
+        for pdf in pdf_iter:
+            v = pdf[version_col].min()
+            first_version = v if first_version is None else min(first_version, v)
+        state.update((True,))
+        return iter(
+            [pd.DataFrame({"key": [key[0]], "first_version": [first_version]})]
+        )
+
+    return keyed_stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=FIRST_SEEN_OUTPUT,
+        stateStructType=FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def sessionized_stream(
     events: DataFrame,
     gap: str = "30 minutes",
