@@ -529,6 +529,56 @@ from events group by 1, 2
 """
 
 
+def q_x_asof_join(spark, sf_dir):
+    """As-of join (operator Spark lacks; union+window form): each event
+    annotated with the value of the user's latest purchase at-or-before
+    it. Oracle: DuckDB's native ASOF JOIN — semantic equality across
+    two very different physical strategies."""
+    from sslr_spark.operators.asof import asof_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("purchase_value")
+    )
+    joined = asof_join(
+        ev, purchases, by_cols=["user_id"], ts_col="ts",
+        value_cols=["purchase_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ev_ts"),
+        F.col("purchase_value_asof").alias("last_purchase_value"),
+    )
+
+
+SQL_X_ASOF = """
+select a.event_id, a.user_id,
+       strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') as ev_ts,
+       b.purchase_value as last_purchase_value
+from events a
+asof left join (
+  select user_id, ts, round(value, 4) as purchase_value
+  from events where event_type = 'purchase'
+) b on a.user_id = b.user_id and a.ts >= b.ts
+"""
+
+
+def q_x_json_extract(spark, sf_dir):
+    """JSON property extraction from the events props column (pipeline
+    metadata columns are routinely JSON at ingest)."""
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+SQL_X_JSON = """
+select event_id, cast(props->>'$.k' as bigint) as k from events
+"""
+
+
 # --------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------
@@ -555,6 +605,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d2_range_delete": q_d2_range_delete,
     "t3_staleness_check": q_t3_staleness_check,
     "t6_event_window_agg": q_t6_event_window_agg,
+    "x_asof_join": q_x_asof_join,
+    "x_json_extract": q_x_json_extract,
 }
 
 CORE_ORACLES: dict[str, str] = {
@@ -577,4 +629,6 @@ CORE_ORACLES: dict[str, str] = {
     "d2_range_delete": SQL_D2,
     "t3_staleness_check": SQL_T3,
     "t6_event_window_agg": SQL_T6,
+    "x_asof_join": SQL_X_ASOF,
+    "x_json_extract": SQL_X_JSON,
 }
