@@ -39,7 +39,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # ts_us: epoch microseconds — used instead of rendered
+        # timestamps in query outputs so results are independent of the
+        # (driver-controlled, unknown) session timezone
+        ev = ev.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    else:
+        ev = ev.withColumn("ts_us", F.unix_micros("ts"))
     return ev
 
 
@@ -279,9 +286,9 @@ def q_o1_event_sessionize(spark, sf_dir):
     reference's only ranking-shaped logic is O3; sessionization is the
     streaming-analytics generalization the rebuild adds."""
     ev = read_events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800
-    newsess = F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = (F.col("ts_us") - F.lag("ts_us").over(w)) > 1800 * 1_000_000
+    newsess = F.when(gap | F.lag("ts_us").over(w).isNull(), 1).otherwise(0)
     return (
         ev.withColumn("new_session", newsess)
         .groupBy("user_id")
@@ -294,7 +301,7 @@ SQL_O1 = """
 with marked as (
   select user_id,
          case when lag(ts) over w is null
-                   or epoch(ts) - epoch(lag(ts) over w) > 1800
+                   or epoch_us(cast(ts as timestamp)) - epoch_us(cast(lag(ts) over w as timestamp)) > 1800 * 1000000
               then 1 else 0 end as new_session
   from events
   window w as (partition by user_id order by ts, event_id)
@@ -512,7 +519,7 @@ def q_t6_event_window_agg(spark, sf_dir):
     ev = read_events(spark, sf_dir)
     return (
         ev.groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.expr("ts_us div 3600000000 * 3600").alias("hour_epoch_s"),
             "event_type",
         )
         .agg(
@@ -523,7 +530,7 @@ def q_t6_event_window_agg(spark, sf_dir):
 
 
 SQL_T6 = """
-select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+select cast(epoch_us(cast(ts as timestamp)) // 3600000000 * 3600 as bigint) as hour_epoch_s,
        event_type, count(*) as n, round(sum(value), 4) as total_value
 from events group by 1, 2
 """
@@ -547,14 +554,14 @@ def q_x_asof_join(spark, sf_dir):
     return joined.select(
         "event_id",
         "user_id",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ev_ts"),
+        F.col("ts_us").alias("ev_ts_us"),
         F.col("purchase_value_asof").alias("last_purchase_value"),
     )
 
 
 SQL_X_ASOF = """
 select a.event_id, a.user_id,
-       strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') as ev_ts,
+       epoch_us(cast(a.ts as timestamp)) as ev_ts_us,
        b.purchase_value as last_purchase_value
 from events a
 asof left join (
