@@ -1,0 +1,65 @@
+"""CLI entry point mirroring the reference binary (reference
+main.go:20-41): ``python -m sslr_spark -cfg sslr.json [-c]``.
+
+Exit codes follow the reference protocol (main.go:64-81): 0 success,
+1 job error, 2 interrupted, 3 config error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="sslr_spark", description="PySpark-native incremental table sync"
+    )
+    parser.add_argument("-cfg", default="sslr.json", help="config file path")
+    parser.add_argument(
+        "-c", action="store_true", help="continuous mode (poll loop)"
+    )
+    parser.add_argument(
+        "--max-iterations",
+        type=int,
+        default=None,
+        help="stop continuous mode after N passes (testing)",
+    )
+    args = parser.parse_args(argv)
+
+    from sslr_spark.config import ConfigError, load_config
+
+    try:
+        config = load_config(args.cfg)
+    except (ConfigError, OSError, ValueError) as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 3
+
+    from sslr_spark.job import Job
+    from sslr_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=config.shuffle_partitions)
+    job = Job(spark, config)
+    try:
+        if args.c:
+            results = job.run_continuous(max_iterations=args.max_iterations)
+            total = sum(r.updated_rows for r in results)
+            print(f"{len(results)} passes, {total} rows updated")
+        else:
+            result = job.run()
+            print(
+                f"{result.updated_rows} rows updated, "
+                f"{result.repaired_buckets} buckets repaired, "
+                f"full copies: {result.full_copies or 'none'}"
+            )
+    except KeyboardInterrupt:
+        job.stop()
+        return 2
+    except Exception as e:
+        print(f"job error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,7 +16,6 @@ arbitrary SQL incl. subqueries in `where`, sslr.json:15-24).
 from __future__ import annotations
 
 import threading
-import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession

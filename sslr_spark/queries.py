@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sslr_spark.functions.hashing import bucket_id, bucket_sql, h60_sql, key_hash
+from sslr_spark.functions.hashing import bucket_sql, h60_sql
 from sslr_spark.operators.keyrange import range_predicate
 from sslr_spark.operators.updates import merge_upsert
 from sslr_spark.operators.deletes import mismatched_buckets
