@@ -180,6 +180,27 @@ from documents group by 1
 """
 
 
+def q_dedup_apply(spark, sf_dir):
+    """Dedup application: keep only each content-group's keeper row
+    (min doc_id) — the left-semi join a pipeline runs after dedup
+    analysis. Keeper set is small relative to the corpus => broadcast."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    keepers = D.exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
+    return docs.join(F.broadcast(keepers), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_APPLY = """
+select doc_id, lang, source, n_chars from documents
+where doc_id in (
+  select min(doc_id) from documents group by md5(text)
+)
+"""
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs via shingle inverted index."""
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
@@ -401,6 +422,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact": q_dedup_exact,
+    "dedup_apply": q_dedup_apply,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -420,6 +442,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_lang_id": SQL_TEXT_LANG_ID,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
