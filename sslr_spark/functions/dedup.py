@@ -106,39 +106,51 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 16
 ) -> DataFrame:
-    """(doc_id, seed, minhash): min over shingles of a seeded 60-bit
-    hash — the classic k-permutation MinHash approximation. The seed
-    cross-product is an array explode (JVM), and min() combines
-    map-side, so the shuffle carries n_hashes rows per doc."""
-    seeded = sh.select(
+    """Wide MinHash signatures: (doc_id, mh0..mh{k-1}) — min over
+    shingles of k seeded 60-bit hashes, the classic k-permutation
+    approximation.
+
+    All k hashes are computed as per-row expressions and aggregated
+    with k element-wise ``min`` aggs — no seed explode, so the shuffle
+    carries one row per (doc, shingle) instead of k. All map-side
+    combinable; at 100 TB this is k x less shuffle volume."""
+    hashed = sh.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "seed",
-        h60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        *[
+            h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
     )
-    return seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    )
 
 
 def lsh_band_buckets(
     sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """(doc_id, band, sig): band signature = md5 of the band's minhash
-    values in seed order (order made explicit via sort_array on
-    (seed, minhash) structs — collect_list alone is unordered)."""
-    banded = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
+    values joined in seed order. Bands unpivot via a small array+explode
+    over the already-aggregated (1 row/doc) signatures — negligible."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("sig"),
             )
-        ).alias("sig")
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
 
 
@@ -208,24 +220,22 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("h", h60(F.col("word")))
     )
-    per_bit = (
-        wc.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-            "freq",
-            "h",
-        )
-        .withColumn(
-            "contrib", F.expr("freq * (((h >> b) & 1) * 2 - 1)")
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
+    # one aggregation with `bits` conditional sums — no bit explode, so
+    # the shuffle carries (doc, word) rows once instead of `bits` times;
+    # the fingerprint assembles from the agg columns without a shuffle
+    per_bit = wc.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"freq * (((h >> {b}) & 1) * 2 - 1)")).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("case when s > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end")
-        ).alias("simhash")
-    )
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return per_bit.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_pairs(
