@@ -1,0 +1,59 @@
+"""Unit tests for the composite-key range operators (P6/P7/O3/O4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sslr_spark.operators.keyrange import (
+    key_at_offset,
+    min_key,
+    range_predicate,
+    sorted_pk_cols,
+)
+
+
+def _df(spark):
+    rows = [(t, s) for t in ["a", "b", "c"] for s in range(10)]
+    return spark.createDataFrame(rows, "tenant string, seq long")
+
+
+def test_range_predicate_per_column_conjunction(spark):
+    """The reference's semantics are per-column conjunction, NOT
+    lexicographic tuple order (internal/deletes.go:334-336): the range
+    ('a',5)..('c',2) over-covers by excluding seq>2 rows even for
+    middle tenants."""
+    df = _df(spark)
+    pred = range_predicate(["tenant", "seq"], ("a", 2), ("c", 7))
+    got = {(r.tenant, r.seq) for r in df.filter(pred).collect()}
+    # per-column conjunction: every column independently bounded
+    assert got == {(t, s) for t in "abc" for s in range(2, 8)}
+    # NOT the lexicographic slice, which would include e.g. ('b', 0):
+    assert ("b", 0) not in got
+
+
+def test_range_predicate_lower_bound_only(spark):
+    df = _df(spark)
+    pred = range_predicate(["tenant", "seq"], ("b", 3), None)
+    got = {(r.tenant, r.seq) for r in df.filter(pred).collect()}
+    assert got == {(t, s) for t in "bc" for s in range(3, 10)}
+
+
+def test_key_at_offset_and_clamp(spark):
+    df = _df(spark)
+    assert key_at_offset(df, ["tenant", "seq"], 1) == ("a", 0)
+    assert key_at_offset(df, ["tenant", "seq"], 12) == ("b", 1)
+    # offset past the end clamps to the last key (reference :140-156)
+    assert key_at_offset(df, ["tenant", "seq"], 10_000) == ("c", 9)
+    # with a start key: offset counts from there
+    assert key_at_offset(df, ["tenant", "seq"], 1, start_key=("b", 0)) == ("b", 0)
+
+
+def test_min_key(spark):
+    df = _df(spark)
+    assert min_key(df, ["tenant", "seq"]) == ("a", 0)
+    assert min_key(df.filter(F.col("tenant") == "zz"), ["tenant", "seq"]) is None
+
+
+def test_sorted_pk_cols():
+    assert sorted_pk_cols(["seq", "tenant"]) == ["seq", "tenant"]
+    assert sorted_pk_cols(["tenant", "seq"]) == ["seq", "tenant"]

@@ -95,6 +95,40 @@ def test_partitioned_delete_repair_selective(spark, tmp_path):
     assert _logical(job2.target.read("t1")) == _logical(src2)
 
 
+def test_partitioned_random_workload_property(spark, tmp_path):
+    """Random delete+update workloads against a partitioned target
+    converge exactly like the whole-table path (hypothesis-lite: a few
+    seeded variants to keep runtime bounded)."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        tmp = tmp_path / f"w{seed}"
+        job = _mk_job(spark, tmp, target_buckets=8)
+        src = make_timestamps(spark, 500)
+        job.source.overwrite("t1", src)
+        job.run()
+
+        deleted = rng.sample(range(500), rng.randint(0, 50))
+        updated = rng.sample(range(500), rng.randint(0, 50))
+        import datetime
+
+        upd_rows = [
+            (i, datetime.datetime(2031, 1, 1), 900)
+            for i in updated
+            if i not in deleted
+        ]
+        src2 = src.filter(
+            ~F.col("id").isin(deleted + [u[0] for u in upd_rows])
+        ).unionByName(
+            spark.createDataFrame(upd_rows, "id long, ts timestamp, xmin long")
+        )
+        job.source.overwrite("t1", src2)
+        job2 = _mk_job(spark, tmp, target_buckets=8)
+        job2.run()
+        assert _logical(job2.target.read("t1")) == _logical(src2), f"seed {seed}"
+
+
 def test_partitioned_bucket_emptied_entirely(spark, tmp_path):
     """A bucket whose every source row disappears must end empty in the
     target too (dynamic overwrite can't express this; the engine drops

@@ -52,10 +52,15 @@ def main():
 
     import duckdb
 
+    import json
+
     import __spark_entry__ as entrymod
     from sslr_spark.session import get_spark
 
-    spark = get_spark(app_name="verify_oracle")
+    # SSLR_VERIFY_EXTRA_CONF: JSON dict of spark confs — used to matrix-
+    # test the queries under hostile driver-session configurations
+    extra = json.loads(os.environ.get("SSLR_VERIFY_EXTRA_CONF", "{}"))
+    spark = get_spark(app_name="verify_oracle", extra_conf=extra)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
