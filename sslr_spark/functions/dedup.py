@@ -286,6 +286,63 @@ def simhash_pairs(
 
 
 # ------------------------------------------------------------------
+# duplicate clusters (connected components over pair edges)
+# ------------------------------------------------------------------
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (doc_id, cluster_id) where
+    cluster_id = the smallest doc_id in the connected component — the
+    canonical keeper, so dedup-apply is `filter(doc_id == cluster_id)`.
+
+    Iterative min-label propagation (each pass: label <- min(label,
+    neighbors' labels)), converging in O(component diameter) joins —
+    the standard large-scale connected-components loop (hash-join
+    based; no driver-side graph). Each iteration is checkpointed via
+    localCheckpoint to keep the plan from growing unboundedly.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).count()
+        labels = updated.select(
+            "id", F.col("new_label").alias("label")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+# ------------------------------------------------------------------
 # embedding near-dup
 # ------------------------------------------------------------------
 

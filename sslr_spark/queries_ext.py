@@ -258,6 +258,49 @@ where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.02
 )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over the 3-gram-Jaccard
+    pair graph; cluster_id = smallest member (the keeper). Spark runs
+    iterative min-label propagation; the oracle is a recursive CTE —
+    an iterative algorithm with a full value-hash check."""
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    return D.dup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = (
+    "with " + _shingles_cte(3) + "," + """
+sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select doc_a, doc_b
+  from inter
+  join sizes sa on sa.doc_id = doc_a
+  join sizes sb on sb.doc_id = doc_b
+  where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.05
+),
+edges as (
+  select doc_a as src, doc_b as dst from pairs
+  union
+  select doc_b as src, doc_a as dst from pairs
+),
+reach as (
+  with recursive r(src, dst) as (
+    select src, dst from edges
+    union
+    select r.src, e.dst from r join edges e on r.dst = e.src
+  )
+  select * from r
+)
+select src as doc_id, least(src, min(dst)) as cluster_id
+from reach group by src
+"""
+)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(32-bit) near-dup pairs, pigeonhole-segment blocked
     (oracle runs the naive quadratic scan — results must be equal)."""
@@ -425,6 +468,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply": q_dedup_apply,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
@@ -445,6 +489,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
     "sim_topk_bruteforce": SQL_SIM_TOPK,
