@@ -108,6 +108,72 @@ def topk_lsh(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: KMeans centroids + cell assignment.
+
+    Returns (indexed_df with a __cell column, centroids_df). At scale
+    the indexed table is written partitioned by __cell so a query scans
+    only its probe cells (same partition-pruning story as the sync
+    engine's bucket partitioning). Training samples the input; KMeans
+    runs on Spark ML (distributed)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = df.withColumn("__vec", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__vec", predictionCol="__cell")
+    model = km.fit(with_vec)
+    indexed = model.transform(with_vec).drop("__vec")
+    centroids = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return indexed, centroids
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF query: rank cells by centroid distance, scan the best
+    ``n_probe`` cells only, exact cosine within them. The centroid
+    ranking is a tiny driver-side computation (n_cells rows); the scan
+    is partition-pruned to the probe cells."""
+    import math
+
+    cents = centroids.collect()
+
+    def dist(c):
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, query_vec)))
+
+    probe = [r.cell for r in sorted(cents, key=lambda r: dist(r.centroid))[:n_probe]]
+    q = indexed.sparkSession.createDataFrame(
+        [([float(x) for x in query_vec],)], "qvec array<float>"
+    )
+    scoped = indexed.filter(F.col("__cell").isin(probe))
+    if exclude_id is not None:
+        scoped = scoped.filter(F.col(id_col) != exclude_id)
+    return (
+        scoped.crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine_expr(vec_col, "qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def all_pairs_topk_blocked(
     df: DataFrame,
     k: int = 5,

@@ -402,6 +402,18 @@ limit 10
 """
 
 
+def q_sim_ivf_ann(spark, sf_dir):
+    """IVF ANN: KMeans coarse quantizer (8 cells), probe the 4 closest
+    cells, exact cosine within. Rows-only: KMeans training is not
+    SQL-expressible (iterative ML)."""
+    emb = _emb(spark, sf_dir)
+    indexed, centroids = S.ivf_index(emb, n_cells=8)
+    query = emb.filter("vec_id = 0").first().embedding
+    return S.ivf_search(
+        indexed, centroids, list(query), k=10, n_probe=4, exclude_id=0
+    )
+
+
 def q_sim_knn_blocked(spark, sf_dir):
     """Label-blocked k-NN graph (IVF pattern): top-3 per vector within
     its block."""
@@ -473,6 +485,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_topk_lsh": q_sim_topk_lsh,
+    "sim_ivf_ann": q_sim_ivf_ann,
     "sim_knn_blocked": q_sim_knn_blocked,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_stub": q_mm_decode_stub,
