@@ -57,6 +57,9 @@ class Config:
     # >0: maintain targets bucket-partitioned on the PK hash so merges
     # and repairs rewrite only touched partitions (the scale path).
     target_buckets: int = 0
+    # tables synced concurrently per pass (the reference only offers
+    # process-level table parallelism, README.md:97-101)
+    parallel_tables: int = 1
 
     def all_tables(self) -> list[str]:
         return list(self.source_tables) + list(self.filtered_source_tables)
@@ -149,6 +152,7 @@ _KNOWN_TOP = {
     "shufflePartitions",
     "stateTable",
     "targetBuckets",
+    "parallelTables",
 }
 _KNOWN_FILTERED = {"where", "uses"}
 
@@ -203,6 +207,7 @@ def load_config(path_or_text: str) -> Config:
         shuffle_partitions=int(raw.get("shufflePartitions", 32)),
         state_table=raw.get("stateTable", "__sslr_state"),
         target_buckets=int(raw.get("targetBuckets", 0)),
+        parallel_tables=int(raw.get("parallelTables", 1)),
     )
     cfg.validate()
     return cfg

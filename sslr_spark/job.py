@@ -158,11 +158,41 @@ class Job:
 
     # -- entry points (reference main.go:38-82) ------------------------
     def run(self) -> JobResult:
+        """One sync pass. With ``parallel_tables > 1``, independent
+        tables sync concurrently — Spark's scheduler interleaves their
+        jobs across the cluster. The reference only offers table
+        parallelism via separate OS processes (README.md:97-101);
+        in-driver threads share one SparkSession and its resource
+        management. Validation stays serial (it is cheap and
+        dependency-ordered); per-table update phases are independent
+        by design (distinct target tables; state upserts are locked).
+        """
         result = JobResult()
         result.validated = self.validate_tables()
         throttle = Throttle(self.config.throttle_percentage)
-        for table in result.validated:
-            self.update_table(table, result, throttle)
+        n_par = max(1, self.config.parallel_tables)
+        if n_par == 1 or len(result.validated) <= 1:
+            for table in result.validated:
+                self.update_table(table, result, throttle)
+            return result
+
+        import concurrent.futures
+        import threading
+
+        res_lock = threading.Lock()
+
+        def run_one(table: str) -> None:
+            local = JobResult()
+            self.update_table(table, local, throttle)
+            with res_lock:
+                result.updated_rows += local.updated_rows
+                result.repaired_buckets += local.repaired_buckets
+                result.full_copies.extend(local.full_copies)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=n_par) as ex:
+            futures = [ex.submit(run_one, t) for t in result.validated]
+            for f in futures:
+                f.result()  # propagate the first failure
         return result
 
     def stop(self) -> None:

@@ -40,8 +40,13 @@ class TableState:
 
 class StateStore:
     def __init__(self, target: ParquetDatabase, state_table: str = "__sslr_state"):
+        import threading
+
         self.target = target
         self.state_table = state_table
+        # set/clear are read-modify-write over the whole state table;
+        # the lock makes them safe under table-parallel jobs (job.py).
+        self._lock = threading.Lock()
 
     def _read_all(self) -> dict[str, TableState]:
         if not self.target.table_exists(self.state_table):
@@ -61,16 +66,17 @@ class StateStore:
 
     def set(self, state: TableState) -> None:
         """Upsert one table's state (reference internal/state.go:64-70)."""
-        all_states = self._read_all()
-        all_states[state.table_name] = state
-        df = self.target.spark.createDataFrame(
-            [
-                (s.table_name, int(s.last_seen_version), s.where_clause)
-                for s in all_states.values()
-            ],
-            schema=STATE_SCHEMA,
-        )
-        self.target.overwrite(self.state_table, df)
+        with self._lock:
+            all_states = self._read_all()
+            all_states[state.table_name] = state
+            df = self.target.spark.createDataFrame(
+                [
+                    (s.table_name, int(s.last_seen_version), s.where_clause)
+                    for s in all_states.values()
+                ],
+                schema=STATE_SCHEMA,
+            )
+            self.target.overwrite(self.state_table, df)
 
     def set_version(self, table: str, version: int) -> None:
         st = self.get(table)
@@ -78,6 +84,10 @@ class StateStore:
         self.set(st)
 
     def clear(self, table: str) -> None:
+        with self._lock:
+            self._clear_locked(table)
+
+    def _clear_locked(self, table: str) -> None:
         all_states = self._read_all()
         if table in all_states:
             del all_states[table]

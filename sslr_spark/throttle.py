@@ -24,17 +24,22 @@ class Throttle:
         pct = max(1, min(100, int(percentage)))
         self.level = pct / 100.0
         self.enabled = pct < 100
+        import threading
+
         self._clock = clock
         self._sleep = sleep
         self._start = clock()
         self._source_time = 0.0
+        self._tls = threading.local()  # per-thread enter timestamps
+        self._acc_lock = threading.Lock()
 
     def __enter__(self):
-        self._enter_t = self._clock()
+        self._tls.enter_t = self._clock()
         return self
 
     def __exit__(self, *exc):
-        self._source_time += self._clock() - self._enter_t
+        with self._acc_lock:
+            self._source_time += self._clock() - self._tls.enter_t
         self.maybe_sleep()
 
     @property
