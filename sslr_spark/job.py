@@ -129,6 +129,11 @@ class Job:
                 version_col=self.config.version_column,
                 full_copy_threshold=self.config.full_copy_threshold,
                 force_full=table in self.force_full,
+                # The reference's chunk bounds a single-connection txn's
+                # memory (default 1000 rows); a Spark sink transaction
+                # has no such bound, so the batch unit is 100 chunks —
+                # it exists to bound sink-commit granularity (T2), not
+                # memory.
                 rows_per_batch=self.config.update_chunk_size * 100 or None,
                 n_buckets=n_buckets,
             )

@@ -102,10 +102,17 @@ def repair_buckets(
     return kept.unionByName(replaced.select(*kept.columns))
 
 
+MAX_DIFF_BUCKETS = 1 << 20
+
+
 def choose_bucket_count(row_count: int, rows_per_bucket: int) -> int:
     """Bucket sizing: one bucket ~= the repair unit
-    (reference minDeleteChunkSize, internal/config.go:42)."""
-    return max(1, (row_count + rows_per_bucket - 1) // rows_per_bucket)
+    (reference minDeleteChunkSize, internal/config.go:42), capped at
+    ~1M buckets — beyond that the fingerprint tables stop being
+    broadcast-sized and the mismatch list stops being collectable; a
+    trillion-row table simply gets coarser repair units (its bucket
+    still holds only ~rows/2^20 rows)."""
+    return max(1, min(MAX_DIFF_BUCKETS, (row_count + rows_per_bucket - 1) // rows_per_bucket))
 
 
 BUCKET_COL = "__sslr_bucket"
