@@ -63,6 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(EXT_QUERIES)
     except ImportError:
         pass
+    try:
+        from sslr_spark.queries_olap import OLAP_QUERIES
+
+        out.update(OLAP_QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -77,6 +83,12 @@ def oracle_sql() -> dict[str, str]:
         from sslr_spark.queries_ext import EXT_ORACLES
 
         out.update(EXT_ORACLES)
+    except ImportError:
+        pass
+    try:
+        from sslr_spark.queries_olap import OLAP_ORACLES
+
+        out.update(OLAP_ORACLES)
     except ImportError:
         pass
     return out

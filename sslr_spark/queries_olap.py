@@ -1,0 +1,189 @@
+"""General OLAP query shapes (beyond the reference's issued SQL).
+
+The reference never issues joins/windows/rollups itself (SURVEY §2.3,
+§2.4 "All exist natively in Spark if ever needed") — these queries
+demonstrate that the rebuilt engine covers the standard analytics
+surface its users would expect from a Spark-based replacement, each
+with a DuckDB oracle.
+
+Float policy: aggregate sums rounded; counts exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sslr_spark.queries import _t, read_events
+
+
+def q_x_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: multi-aggregate groupBy with computed measures
+    over the filtered lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) as sum_charge,
+       round(avg(l_quantity), 6) as avg_qty,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_x_topk_per_group(spark, sf_dir):
+    """Top-3 orders by total price per order priority (window top-k —
+    the canonical 'no global sort' ranking pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority", "rank", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+SQL_TOPK_GROUP = """
+select o_orderpriority, rank, o_orderkey, total from (
+  select o_orderpriority,
+         cast(row_number() over (partition by o_orderpriority
+                                 order by o_totalprice desc, o_orderkey) as bigint) as rank,
+         o_orderkey, round(o_totalprice, 2) as total
+  from orders
+) where rank <= 3
+"""
+
+
+def q_x_pivot(spark, sf_dir):
+    """Pivot: revenue by returnflag x linestatus. Spark runs a real
+    .pivot(); the oracle spells it as conditional aggregation (the
+    portable relational form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(disc))
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("rev_open"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("rev_filled"),
+    )
+
+
+SQL_PIVOT = """
+select l_returnflag,
+       round(coalesce(sum(case when l_linestatus = 'O'
+             then l_extendedprice * (1 - l_discount) end), 0.0), 2) as rev_open,
+       round(coalesce(sum(case when l_linestatus = 'F'
+             then l_extendedprice * (1 - l_discount) end), 0.0), 2) as rev_filled
+from lineitem group by l_returnflag
+"""
+
+
+def q_x_rollup(spark, sf_dir):
+    """Rollup: order counts at (status, priority), (status), and total
+    levels, with grouping ids for level identification."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+select o_orderstatus, o_orderpriority, count(*) as n,
+       cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) as bigint) as gid
+from orders group by rollup(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_x_funnel(spark, sf_dir):
+    """Event funnel: per user, did signup -> click -> purchase happen in
+    order? Min event times per stage compared pairwise (window-free
+    conditional aggregation — one shuffle)."""
+    ev = read_events(spark, sf_dir)
+    stage = lambda s: F.min(F.when(F.col("event_type") == s, F.col("ts_us")))
+    per_user = ev.groupBy("user_id").agg(
+        stage("signup").alias("t_signup"),
+        stage("click").alias("t_click"),
+        stage("purchase").alias("t_purchase"),
+    )
+    reached2 = F.col("t_signup").isNotNull() & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_signup")
+    )
+    reached3 = reached2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return per_user.select(
+        "user_id",
+        F.col("t_signup").isNotNull().alias("reached_signup"),
+        reached2.alias("reached_click"),
+        reached3.alias("reached_purchase"),
+    )
+
+
+SQL_FUNNEL = """
+with per_user as (
+  select user_id,
+         min(case when event_type = 'signup' then epoch_us(cast(ts as timestamp)) end) as t_signup,
+         min(case when event_type = 'click' then epoch_us(cast(ts as timestamp)) end) as t_click,
+         min(case when event_type = 'purchase' then epoch_us(cast(ts as timestamp)) end) as t_purchase
+  from events group by user_id
+)
+select user_id,
+       t_signup is not null as reached_signup,
+       (t_signup is not null and t_click is not null and t_click > t_signup)
+         as reached_click,
+       (t_signup is not null and t_click is not null and t_click > t_signup
+        and t_purchase is not null and t_purchase > t_click) as reached_purchase
+from per_user
+"""
+
+
+OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_tpch_q1": q_x_tpch_q1,
+    "x_topk_per_group": q_x_topk_per_group,
+    "x_pivot": q_x_pivot,
+    "x_rollup": q_x_rollup,
+    "x_funnel": q_x_funnel,
+}
+
+OLAP_ORACLES: dict[str, str] = {
+    "x_tpch_q1": SQL_TPCH_Q1,
+    "x_topk_per_group": SQL_TOPK_GROUP,
+    "x_pivot": SQL_PIVOT,
+    "x_rollup": SQL_ROLLUP,
+    "x_funnel": SQL_FUNNEL,
+}
