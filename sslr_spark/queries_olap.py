@@ -172,7 +172,78 @@ from per_user
 """
 
 
+def q_x_join_star(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way star join (region -> nation -> customer ->
+    orders -> lineitem), revenue per nation. Catalyst broadcast-joins
+    the small dims and reorders; no hints needed."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        region.join(nation, region["r_regionkey"] == nation["n_regionkey"])
+        .join(cust, nation["n_nationkey"] == cust["c_nationkey"])
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(disc), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_JOIN_STAR = """
+select n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_items
+from region
+join nation on r_regionkey = n_regionkey
+join customer on n_nationkey = c_nationkey
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where r_name = 'ASIA'
+group by n_name
+"""
+
+
+def q_x_scalar_functions(spark, sf_dir):
+    """Scalar-function closure for SURVEY §2.7: every scalar the
+    reference's issued SQL uses — md5, coalesce, string concat, casts,
+    case when — in one projection."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.coalesce(F.col("p_brand"), F.lit("?")).alias("brand"),
+        F.concat_ws("|", F.col("p_type"), F.col("p_size").cast("string")).alias(
+            "type_size"
+        ),
+        F.col("p_partkey").cast("string").alias("key_str"),
+        F.when(F.col("p_retailprice") > 1500, "premium")
+        .when(F.col("p_retailprice") > 1000, "standard")
+        .otherwise("budget")
+        .alias("tier"),
+    )
+
+
+SQL_SCALARS = """
+select p_partkey,
+       md5(p_name) as name_md5,
+       coalesce(p_brand, '?') as brand,
+       concat_ws('|', p_type, cast(p_size as varchar)) as type_size,
+       cast(p_partkey as varchar) as key_str,
+       case when p_retailprice > 1500 then 'premium'
+            when p_retailprice > 1000 then 'standard'
+            else 'budget' end as tier
+from part
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_join_star": q_x_join_star,
+    "x_scalar_functions": q_x_scalar_functions,
     "x_tpch_q1": q_x_tpch_q1,
     "x_topk_per_group": q_x_topk_per_group,
     "x_pivot": q_x_pivot,
@@ -181,6 +252,8 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 OLAP_ORACLES: dict[str, str] = {
+    "x_join_star": SQL_JOIN_STAR,
+    "x_scalar_functions": SQL_SCALARS,
     "x_tpch_q1": SQL_TPCH_Q1,
     "x_topk_per_group": SQL_TOPK_GROUP,
     "x_pivot": SQL_PIVOT,
