@@ -141,6 +141,14 @@ def main() -> None:
     with timed("text_quality"):
         q_text_quality(spark, SF_DIR).count()
 
+    # ---- analytics shapes -------------------------------------------
+    from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
+
+    with timed("tpch_q1"):
+        q_x_tpch_q1(spark, SF_DIR).collect()
+    with timed("join_star"):
+        q_x_join_star(spark, SF_DIR).collect()
+
     # ---- flagship smoke (sf0.001 per BASELINE.md) --------------------
     import __spark_entry__ as entrymod
 

@@ -241,7 +241,62 @@ from part
 """
 
 
+def q_x_set_ops(spark, sf_dir):
+    """Set operations (absent from the reference's issued SQL,
+    SURVEY §2.6 — free on Spark): high-value orders EXCEPT ALL
+    open-status ones, UNION ALL the intersection of two slices."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+    )
+    high = o.filter(F.col("total") > 400000)
+    open_ = o.filter(F.col("o_orderstatus") == "O")
+    first = o.filter(F.col("o_orderkey") < 1000)
+    second = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+    return high.exceptAll(open_).unionByName(first.intersectAll(second))
+
+
+SQL_SET_OPS = """
+with o as (select o_orderkey, o_orderstatus, round(o_totalprice, 2) as total
+           from orders)
+select * from (select * from o where total > 400000
+               except all
+               select * from o where o_orderstatus = 'O')
+union all
+select * from (select * from o where o_orderkey < 1000
+               intersect all
+               select * from o where o_orderkey >= 500 and o_orderkey < 1500)
+"""
+
+
+def q_x_date_rollup(spark, sf_dir):
+    """Time-series rollup on the NTZ ship date: revenue by (year,
+    month) — the date-dimension aggregation every CDC-fed warehouse
+    runs. NTZ extraction is timezone-free on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy(
+            F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+        )
+        .agg(
+            F.round(F.sum(disc), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_DATE_ROLLUP = """
+select cast(extract(year from l_shipdate) as int) as y,
+       cast(extract(month from l_shipdate) as int) as m,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       count(*) as n_items
+from lineitem group by 1, 2
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_set_ops": q_x_set_ops,
+    "x_date_rollup": q_x_date_rollup,
     "x_join_star": q_x_join_star,
     "x_scalar_functions": q_x_scalar_functions,
     "x_tpch_q1": q_x_tpch_q1,
@@ -252,6 +307,8 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 OLAP_ORACLES: dict[str, str] = {
+    "x_set_ops": SQL_SET_OPS,
+    "x_date_rollup": SQL_DATE_ROLLUP,
     "x_join_star": SQL_JOIN_STAR,
     "x_scalar_functions": SQL_SCALARS,
     "x_tpch_q1": SQL_TPCH_Q1,
