@@ -460,9 +460,35 @@ def q_mm_decode_stub(spark, sf_dir):
 
 
 def q_mm_extract_features(spark, sf_dir):
-    """Feature-extraction plumbing (binary -> array<float>), stub
-    featurizer — rows-only (Python stage)."""
-    return M.extract_features(M.with_binary_payload(_docs(spark, sf_dir)))
+    """Feature-extraction plumbing (binary -> array<float>) via
+    Arrow-batched mapInPandas, projected to driver-sortable scalar
+    rows (doc_id, dim_idx, feat_val) — raw arrays are unhashable for
+    the driver's canonicalizer, and the deterministic stub featurizer
+    is SQL-reproducible, so this entry gets a full hash check."""
+    from pyspark.sql import functions as F
+
+    feats = M.extract_features(M.with_binary_payload(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim_idx", "feat_val")
+    ).select(
+        "doc_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round(F.col("feat_val").cast("double"), 4).alias("feat_val"),
+    )
+
+
+# Reproduces multimodal._decode_stub's featurizer in SQL:
+# feature[i] = (md5_byte[i % 16] XOR (i*37 & 0xFF)) / 127.5 - 1.0
+# (md5 over the utf8 text bytes == md5 over the binary payload).
+# round(4) absorbs the float32 storage error; values are n/255 grid
+# points so no rounding-boundary ambiguity exists (see round-2 notes).
+SQL_MM_FEATURES = f"""
+select doc_id, cast(i as int) as dim_idx,
+       round(xor(cast(concat('0x', substr(md5(text), 2*(i % 16) + 1, 2))
+                      as bigint),
+                 (i * 37) % 256) / 127.5 - 1.0, 4) as feat_val
+from documents, generate_series(0, {M.FEATURE_DIM - 1}) as t(i)
+"""
 
 
 def q_mm_frame_sample(spark, sf_dir):
@@ -509,5 +535,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_topk_lsh": SQL_SIM_LSH,
     "sim_knn_blocked": SQL_SIM_KNN,
     "mm_binary_meta": SQL_MM_META,
-    # mm_decode_stub: rows-only (mapInPandas stage, not SQL-expressible)
+    "mm_extract_features": SQL_MM_FEATURES,
+    # mm_decode_stub, mm_frame_sample: rows-only (mapInPandas stages
+    # whose stub dims aren't worth SQL-reproducing; features are)
 }
