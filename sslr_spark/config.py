@@ -38,8 +38,8 @@ class Config:
     internal/config.go:36-49, adapted to Spark semantics where noted).
     """
 
-    source: str = ""  # source database: parquet dir path or jdbc:... URL
-    target: str = ""  # target database: parquet dir path or jdbc:... URL
+    source: str = ""  # source database: parquet dir path or postgres/jdbc URL
+    target: str = ""  # target database: parquet dir path or postgres/jdbc URL
     source_tables: list[str] = field(default_factory=list)
     filtered_source_tables: dict[str, FilteredTable] = field(default_factory=dict)
     primary_keys: dict[str, list[str]] = field(default_factory=dict)
@@ -50,6 +50,11 @@ class Config:
     min_delete_chunk_size: int = 100  # rows per fine (repair-unit) bucket
     throttle_percentage: int = 80
     full_copy_threshold: float = 0.5
+    # Phase toggles (reference internal/config.go:27-28, defaults true;
+    # syncDeletes=false is the reference's documented mitigation for
+    # slow delete scans on very large tables, README.md:101).
+    sync_updates: bool = True
+    sync_deletes: bool = True
     resync_on_schema_change: bool = False
     wait_between_jobs_seconds: float = 5.0
     shuffle_partitions: int = 32
@@ -135,11 +140,17 @@ class Config:
         return order
 
 
+# Reference key names (internal/config.go:13-32) plus Spark-side
+# extensions. 'sourceTables'/'filteredSourceTables'/
+# 'waitBetweenJobsSeconds' are accepted as aliases so round-1 configs
+# keep loading; the reference names are canonical.
 _KNOWN_TOP = {
     "source",
     "target",
-    "sourceTables",
-    "filteredSourceTables",
+    "tables",
+    "sourceTables",  # alias of "tables"
+    "filteredTables",
+    "filteredSourceTables",  # alias of "filteredTables"
     "primaryKeys",
     "versionColumn",
     "updateChunkSize",
@@ -147,53 +158,118 @@ _KNOWN_TOP = {
     "minDeleteChunkSize",
     "throttlePercentage",
     "fullCopyThreshold",
+    "syncUpdates",
+    "syncDeletes",
     "resyncOnSchemaChange",
-    "waitBetweenJobsSeconds",
+    "waitBetweenJobs",
+    "waitBetweenJobsSeconds",  # alias of "waitBetweenJobs" (seconds)
     "shufflePartitions",
     "stateTable",
     "targetBuckets",
     "parallelTables",
 }
-_KNOWN_FILTERED = {"where", "uses"}
+_KNOWN_FILTERED = {"where", "wheres", "uses"}
 
 _COMMENT_RE = re.compile(r"/\*.*?\*/", re.S)
+
+_DURATION_RE = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DURATION_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0,
+    "m": 60.0, "h": 3600.0,
+}
+
+
+def parse_duration(value: Any) -> float:
+    """waitBetweenJobs -> seconds. Accepts a number (seconds) or a
+    Go-style duration string like "5s" / "1m30s" / "500ms" (the
+    reference field is a time.Duration, internal/config.go:31)."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    s = str(value).strip()
+    if not s:
+        raise ConfigError("empty duration")
+    if not re.fullmatch(f"({_DURATION_RE.pattern})+", s):
+        raise ConfigError(f"malformed duration: {value!r}")
+    return sum(
+        float(n) * _DURATION_UNITS[u] for n, u in _DURATION_RE.findall(s)
+    )
+
+
+def _strip_comments(raw: dict[str, Any]) -> dict[str, Any]:
+    """Drop the reference's comment-hack entries — JSON pairs whose key
+    starts with "/*" (internal/config.go:83-86) — at the top level and
+    inside each filtered-table spec."""
+    out = {k: v for k, v in raw.items() if not k.lstrip().startswith("/*")}
+    for section in ("filteredTables", "filteredSourceTables"):
+        if isinstance(out.get(section), dict):
+            out[section] = {
+                t: {
+                    k: v
+                    for k, v in spec.items()
+                    if not k.lstrip().startswith("/*")
+                }
+                for t, spec in out[section].items()
+            }
+    return out
+
+
+def _alias(raw: dict[str, Any], canonical: str, alias: str) -> Any:
+    if canonical in raw and alias in raw:
+        raise ConfigError(f"cannot set both {canonical!r} and {alias!r}")
+    return raw.get(canonical, raw.get(alias))
 
 
 def load_config(path_or_text: str) -> Config:
     """Load config from a JSON file path or a JSON string.
 
-    Like the reference (internal/config.go:58-62), ``/* ... */``
-    comments are stripped before parsing, and unknown keys are rejected
-    at both the top level and inside filtered-table entries
-    (internal/config.go:97-113).
+    Comment handling matches the reference (internal/config.go:83-86):
+    entries whose key starts with ``/*`` are ignored, so the
+    reference's own ``sslr.json`` loads verbatim. Non-JSON ``/* ... */``
+    block comments are also stripped as a fallback. Unknown keys are
+    rejected at both the top level and inside filtered-table entries
+    (internal/config.go:97-113); ``wheres`` lines are joined with
+    spaces and conflict with ``where`` (internal/config.go:141-148).
     """
     text = path_or_text
     if not path_or_text.lstrip().startswith("{"):
         with open(path_or_text, encoding="utf-8") as f:
             text = f.read()
-    raw: dict[str, Any] = json.loads(_COMMENT_RE.sub("", text))
+    try:
+        raw: dict[str, Any] = json.loads(text)
+    except json.JSONDecodeError:
+        raw = json.loads(_COMMENT_RE.sub("", text))
+    raw = _strip_comments(raw)
 
     unknown = set(raw) - _KNOWN_TOP
     if unknown:
         raise ConfigError(f"unknown config key(s): {sorted(unknown)}")
 
     filtered: dict[str, FilteredTable] = {}
-    for table, spec in (raw.get("filteredSourceTables") or {}).items():
+    raw_filtered = _alias(raw, "filteredTables", "filteredSourceTables") or {}
+    for table, spec in raw_filtered.items():
         bad = set(spec) - _KNOWN_FILTERED
         if bad:
             raise ConfigError(
                 f"unknown key(s) in filtered table {table!r}: {sorted(bad)}"
             )
-        if "where" not in spec:
+        wheres = list(spec.get("wheres") or [])
+        if wheres and spec.get("where"):
+            # reference internal/config.go:142-144
+            raise ConfigError(
+                f"cannot set both 'where' and 'wheres' for table {table!r}"
+            )
+        where = " ".join(wheres) if wheres else spec.get("where")
+        if where is None:
             raise ConfigError(f"filtered table {table!r} missing 'where'")
         filtered[table] = FilteredTable(
-            where=spec["where"], uses=list(spec.get("uses", []))
+            where=where, uses=list(spec.get("uses", []))
         )
 
+    wait = _alias(raw, "waitBetweenJobs", "waitBetweenJobsSeconds")
     cfg = Config(
         source=raw.get("source", ""),
         target=raw.get("target", ""),
-        source_tables=list(raw.get("sourceTables", [])),
+        source_tables=list(_alias(raw, "tables", "sourceTables") or []),
         filtered_source_tables=filtered,
         primary_keys={k: list(v) for k, v in (raw.get("primaryKeys") or {}).items()},
         version_column=raw.get("versionColumn", "xmin"),
@@ -202,8 +278,10 @@ def load_config(path_or_text: str) -> Config:
         min_delete_chunk_size=int(raw.get("minDeleteChunkSize", 100)),
         throttle_percentage=int(raw.get("throttlePercentage", 80)),
         full_copy_threshold=float(raw.get("fullCopyThreshold", 0.5)),
+        sync_updates=bool(raw.get("syncUpdates", True)),
+        sync_deletes=bool(raw.get("syncDeletes", True)),
         resync_on_schema_change=bool(raw.get("resyncOnSchemaChange", False)),
-        wait_between_jobs_seconds=float(raw.get("waitBetweenJobsSeconds", 5.0)),
+        wait_between_jobs_seconds=parse_duration(wait) if wait is not None else 5.0,
         shuffle_partitions=int(raw.get("shufflePartitions", 32)),
         state_table=raw.get("stateTable", "__sslr_state"),
         target_buckets=int(raw.get("targetBuckets", 0)),

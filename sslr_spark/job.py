@@ -118,6 +118,12 @@ class Job:
         pks = self.primary_keys[table]
         src = self.source_df(table)
         n_buckets = self.config.target_buckets or None
+        if not self.config.sync_updates:
+            # Phase toggle (reference internal/job.go:254): skip the
+            # update phase entirely; delete sync may still run below.
+            if self.config.sync_deletes:
+                self._sync_deletes_phase(table, src, pks, where, n_buckets, result, throttle)
+            return
         with throttle:
             rows = sync_updates(
                 src,
@@ -139,27 +145,35 @@ class Job:
             )
         result.updated_rows += rows
         if table in self.force_full:
+            # Full copy just ran — the target IS the source snapshot,
+            # so delete sync is skipped this pass (reference
+            # internal/job.go:261-271 returns before SyncDeletes).
             result.full_copies.append(table)
             self.force_full.discard(table)
-        else:
-            with throttle:
-                if n_buckets:
-                    from sslr_spark.operators.deletes import sync_deletes_partitioned
+        elif self.config.sync_deletes:
+            self._sync_deletes_phase(table, src, pks, where, n_buckets, result, throttle)
 
-                    stats = sync_deletes_partitioned(
-                        src, self.target, table, pks, n_buckets, where=where
-                    )
-                else:
-                    stats = sync_deletes(
-                        src,
-                        self.target,
-                        table,
-                        pks,
-                        where=where,
-                        rows_per_bucket=self.config.min_delete_chunk_size,
-                        version_col=self.config.version_column,
-                    )
-            result.repaired_buckets += stats.mismatched_buckets
+    def _sync_deletes_phase(
+        self, table, src, pks, where, n_buckets, result, throttle
+    ) -> None:
+        with throttle:
+            if n_buckets:
+                from sslr_spark.operators.deletes import sync_deletes_partitioned
+
+                stats = sync_deletes_partitioned(
+                    src, self.target, table, pks, n_buckets, where=where
+                )
+            else:
+                stats = sync_deletes(
+                    src,
+                    self.target,
+                    table,
+                    pks,
+                    where=where,
+                    rows_per_bucket=self.config.min_delete_chunk_size,
+                    version_col=self.config.version_column,
+                )
+        result.repaired_buckets += stats.mismatched_buckets
 
     # -- entry points (reference main.go:38-82) ------------------------
     def run(self) -> JobResult:

@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 from sslr_spark.catalog import MissingPrimaryKey, SchemaMismatch
 from sslr_spark.config import Config, ConfigError, FilteredTable, load_config
-from sslr_spark.job import Job
+from sslr_spark.job import Job, JobResult
+from sslr_spark.throttle import Throttle
 from tests.conftest import assert_df_equal, make_timestamps
 
 
@@ -213,3 +214,98 @@ def test_throttle_math():
     with th2:
         t["now"] += 5.0
     assert len(sleeps) == 1
+
+
+# -- reference config parity (round 2: wheres / toggles / key names) ----
+
+def test_reference_sslr_json_loads_verbatim():
+    """The reference's own example config (reference sslr.json) must
+    load: reference key names (tables/filteredTables/waitBetweenJobs),
+    JSON-pair comments ("/* ... ":"*/"), empty wheres list."""
+    cfg = load_config("/root/reference/sslr.json")
+    assert cfg.source.startswith("postgres://")
+    assert cfg.all_tables() == ["timestamps", "strings"]
+    assert cfg.filtered_source_tables["strings"].uses == ["timestamps"]
+    assert cfg.throttle_percentage == 75
+    assert cfg.sync_updates is True and cfg.sync_deletes is True
+
+
+def test_wheres_joined_with_spaces():
+    cfg = load_config(
+        '{"source": "/s", "target": "/t", "tables": ["a"],'
+        ' "primaryKeys": {"a": ["id"], "b": ["id"]},'
+        ' "filteredTables": {"b": {"wheres": ["id > 1", "and id < 9"]}}}'
+    )
+    assert cfg.filtered_source_tables["b"].where == "id > 1 and id < 9"
+
+
+def test_where_and_wheres_conflict_rejected():
+    with pytest.raises(ConfigError, match="both 'where' and 'wheres'"):
+        load_config(
+            '{"source": "/s", "target": "/t", "tables": ["a"],'
+            ' "filteredTables": {"b": {"where": "1=1", "wheres": ["2=2"]}}}'
+        )
+
+
+def test_tables_alias_conflict_rejected():
+    with pytest.raises(ConfigError, match="cannot set both"):
+        load_config(
+            '{"source": "/s", "target": "/t", "tables": ["a"],'
+            ' "sourceTables": ["b"], "primaryKeys": {"a": ["id"]}}'
+        )
+
+
+def test_duration_forms():
+    from sslr_spark.config import parse_duration
+
+    assert parse_duration(5) == 5.0
+    assert parse_duration("1m30s") == 90.0
+    assert parse_duration("500ms") == 0.5
+    with pytest.raises(ConfigError, match="malformed duration"):
+        parse_duration("5 parsecs")
+
+
+def test_sync_toggles_thread_through_job(spark, tmp_path):
+    """syncUpdates=false leaves new source rows unapplied; the delete
+    phase still repairs key-set divergence (reference
+    internal/job.go:254,283 gate the two phases independently)."""
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    src = ParquetDatabase(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(100)], "id long, v long, xmin long"
+    )
+    src.overwrite("t", df)
+    base = dict(
+        source=str(tmp_path / "s"), target=str(tmp_path / "t"),
+        source_tables=["t"], primary_keys={"t": ["id"]},
+    )
+    # initial full sync with both phases on
+    job = Job(spark, Config(**base))
+    job.validate_tables()
+    r = JobResult()
+    job.update_table("t", r, Throttle(100))
+    assert r.updated_rows == 100
+
+    # new rows + deletes in source; updates off, deletes on
+    df2 = spark.createDataFrame(
+        [(i, i * 10, 2) for i in range(5, 110)], "id long, v long, xmin long"
+    )
+    src.overwrite("t", df2)
+    job2 = Job(spark, Config(**base, sync_updates=False))
+    job2.validate_tables()
+    r2 = JobResult()
+    job2.update_table("t", r2, Throttle(100))
+    assert r2.updated_rows == 0  # update phase skipped
+    # delete-phase repair reconciles the key set anyway
+    got = sorted(r.id for r in job2.target.read("t").select("id").collect())
+    assert got == list(range(5, 110))
+
+    # both phases off: nothing happens at all
+    src.overwrite("t", df)
+    job3 = Job(spark, Config(**base, sync_updates=False, sync_deletes=False))
+    job3.validate_tables()
+    r3 = JobResult()
+    job3.update_table("t", r3, Throttle(100))
+    assert r3.updated_rows == 0 and r3.repaired_buckets == 0
+    assert job3.target.read("t").count() == 105  # unchanged
