@@ -54,11 +54,24 @@ class TableMeta:
     primary_keys: list[str] = field(default_factory=list)
 
 
-def schemas_equal(a: T.StructType, b: T.StructType, ignore_nullability: bool = True) -> bool:
+def schemas_equal(
+    a: T.StructType,
+    b: T.StructType,
+    ignore_nullability: bool = True,
+    ignore_cols: set[str] | None = None,
+) -> bool:
     """Structural schema equality; nullability is presentation-level
-    for parquet round-trips, so it is ignored by default."""
+    for parquet round-trips, so it is ignored by default.
+    ``ignore_cols`` excludes engine metadata (the version column is
+    not stored in stripped targets — reference targets never hold
+    xmin, internal/updates.go:117-124)."""
+    skip = ignore_cols or set()
+
     def norm(s: T.StructType):
-        fields = [f for f in s.fields if not f.name.startswith("__sslr")]
+        fields = [
+            f for f in s.fields
+            if not f.name.startswith("__sslr") and f.name not in skip
+        ]
         return [(f.name, f.dataType.simpleString()) for f in fields] if ignore_nullability \
             else [(f.name, f.dataType.simpleString(), f.nullable) for f in fields]
 
@@ -86,6 +99,7 @@ def validate_target_schema(
     target: ParquetDatabase,
     table: str,
     resync_on_schema_change: bool = False,
+    ignore_cols: set[str] | None = None,
 ) -> bool:
     """Compare source vs target schema; returns True when the caller
     must force a full resync (target was dropped), raises on
@@ -94,7 +108,7 @@ def validate_target_schema(
     if not target.table_exists(table):
         return True  # fresh table -> full sync
     tgt_schema = target.schema(table)
-    if schemas_equal(source_schema, tgt_schema):
+    if schemas_equal(source_schema, tgt_schema, ignore_cols=ignore_cols):
         return False
     if resync_on_schema_change:
         target.drop(table)

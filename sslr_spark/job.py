@@ -27,7 +27,6 @@ from sslr_spark.catalog import (
     validate_target_schema,
 )
 from sslr_spark.config import Config
-from sslr_spark.sources.parquet import ParquetDatabase
 from sslr_spark.state import StateStore
 from sslr_spark.operators.updates import sync_updates
 from sslr_spark.operators.deletes import sync_deletes
@@ -48,12 +47,31 @@ class JobResult:
 
 
 class Job:
-    def __init__(self, spark: SparkSession, config: Config):
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: Config,
+        source_db=None,
+        target_db=None,
+    ):
+        """Adapters are chosen from the config's location strings
+        (postgres:///jdbc: URL -> JdbcDatabase, else ParquetDatabase —
+        reference internal/job.go:81-92 connects both sides from the
+        same strings). ``source_db``/``target_db`` override the
+        factory (tests inject in-memory fakes)."""
+        from sslr_spark.sources.factory import open_database
+
         config.validate()
         self.spark = spark
         self.config = config
-        self.source = ParquetDatabase(spark, config.source)
-        self.target = ParquetDatabase(spark, config.target)
+        self.source = source_db or open_database(
+            spark, config.source, role="source",
+            version_column=config.version_column,
+        )
+        self.target = target_db or open_database(
+            spark, config.target, role="target",
+            version_column=config.version_column,
+        )
         self.state = StateStore(self.target, config.state_table)
         self.status: dict[str, ValidationStatus] = {
             t: ValidationStatus.UNKNOWN for t in config.all_tables()
@@ -81,10 +99,12 @@ class Job:
                 self.config.primary_keys, table, schema
             )
             needs_full = validate_target_schema(
-                schema, self.target, table, self.config.resync_on_schema_change
+                schema, self.target, table, self.config.resync_on_schema_change,
+                ignore_cols=self._target_ignored_cols(),
             )
             if needs_full:
                 self.force_full.add(table)
+                self._mirror_target_ddl(table, schema)
             if ft is not None:
                 # where-clause drift -> force resync (reference :185-209)
                 prev = self.state.get(table)
@@ -101,6 +121,46 @@ class Job:
             self._validate_table(t)
         return order
 
+    def _strip_version(self) -> bool:
+        """In-place (JDBC) targets never store the source's version
+        column (reference targets hold no xmin,
+        internal/updates.go:117-124)."""
+        return hasattr(self.target, "apply_upsert")
+
+    def _target_ignored_cols(self) -> set[str] | None:
+        return {self.config.version_column} if self._strip_version() else None
+
+    def _mirror_target_ddl(self, table: str, source_schema) -> None:
+        """S8 + S6/A5/A6 for DDL-capable targets: create the missing
+        (or just-dropped) target table and replay the source's indexes
+        (reference internal/job.go:155-183 create/recreate path).
+        Postgres sources supply extracted DDL + indexes; other sources
+        fall back to StructType-generated DDL and a synthesized unique
+        PK index — the merge key always ends up indexed."""
+        if not hasattr(self.target, "create_table") or self.target.table_exists(table):
+            return
+        from pyspark.sql import types as T
+
+        from sslr_spark.sources.ddl import pk_index
+
+        ddl = None
+        indices = None
+        if hasattr(self.source, "extract_table_schema"):
+            try:
+                ddl = self.source.extract_table_schema(table)
+                indices = self.source.extract_table_indices(table)
+            except Exception:
+                ddl = None  # non-Postgres JDBC source: fall back
+        if ddl is None:
+            skip = self._target_ignored_cols() or set()
+            ddl = T.StructType(
+                [f for f in source_schema.fields if f.name not in skip]
+            )
+        self.target.create_table(table, ddl)
+        if not indices:
+            indices = [pk_index(table, self.primary_keys[table])]
+        self.target.apply_indices(table, indices)
+
     # -- update phase (reference internal/job.go:223-292) --------------
     def _register_uses_views(self, table: str) -> None:
         """Register the table's 'uses' dependencies as temp views so the
@@ -111,6 +171,11 @@ class Job:
 
     def source_df(self, table: str) -> DataFrame:
         self._register_uses_views(table)
+        if hasattr(self.source, "read_auto_partitioned"):
+            # JDBC source: range-partitioned parallel scan on the
+            # first PK column (bounds probed with one min/max pushdown)
+            pk = (self.primary_keys.get(table) or [None])[0]
+            return self.source.read_auto_partitioned(table, pk)
         return self.source.read(table)
 
     def update_table(self, table: str, result: JobResult, throttle: Throttle) -> None:
@@ -118,6 +183,10 @@ class Job:
         pks = self.primary_keys[table]
         src = self.source_df(table)
         n_buckets = self.config.target_buckets or None
+        if n_buckets and not hasattr(self.target, "replace_partitions"):
+            # bucket-partitioned layout is a lake/parquet concept;
+            # in-place targets repair per-key instead
+            n_buckets = None
         if not self.config.sync_updates:
             # Phase toggle (reference internal/job.go:254): skip the
             # update phase entirely; delete sync may still run below.
@@ -142,6 +211,7 @@ class Job:
                 # memory.
                 rows_per_batch=self.config.update_chunk_size * 100 or None,
                 n_buckets=n_buckets,
+                strip_version=self._strip_version(),
             )
         result.updated_rows += rows
         if table in self.force_full:

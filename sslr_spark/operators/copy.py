@@ -55,13 +55,18 @@ def copy_full_table(
     target: ParquetDatabase,
     table: str,
     where: str | None = None,
+    drop_version: str | None = None,
 ) -> int:
     """Overwrite ``table`` in the target with the filtered source.
 
     Returns the number of rows copied, counted via ``observe`` on the
-    write job itself (no extra scan).
+    write job itself (no extra scan). ``drop_version`` strips the
+    engine's version column from the payload (JDBC targets — the
+    reference strips xmin, internal/updates.go:117-124).
     """
     obs = Observation(f"copy_{table}")
-    df = filtered_source(source_df, where).observe(obs, F.count(F.lit(1)).alias("rows"))
+    df = filtered_source(source_df, where, drop_version=drop_version).observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    )
     target.overwrite(table, df)
     return int(obs.get["rows"])

@@ -210,7 +210,25 @@ def sync_deletes(
         return DeleteSyncStats(n_buckets, 0, 0)
 
     bad_df = src.sparkSession.createDataFrame(bad_rows, schema=bad.schema)
-    repaired = repair_buckets(src, tgt, pk_cols, n_buckets, bad_df)
-    target.overwrite(table, repaired)
+    if hasattr(target, "delete_keys"):
+        # In-place-capable target (JDBC): rewrite only the mismatched
+        # buckets' rows — DELETE the target's keys in those buckets,
+        # INSERT the source's rows for them (the reference's repair
+        # transaction, internal/deletes.go:166-235). Cost ∝ divergent
+        # buckets, never a table rewrite.
+        bcast = F.broadcast(bad_df)
+        tgt_b = tgt.withColumn("__b", bucket_id(pk_cols, n_buckets))
+        doomed = tgt_b.join(
+            bcast, tgt_b["__b"] == bcast["bucket"], "left_semi"
+        ).select(*pk_cols)
+        target.delete_keys(table, doomed, pk_cols)
+        src_b = src.withColumn("__b", bucket_id(pk_cols, n_buckets))
+        repl = src_b.join(
+            bcast, src_b["__b"] == bcast["bucket"], "left_semi"
+        ).select(*tgt.columns)  # align to target schema (drops xmin etc.)
+        target.append(table, repl)
+    else:
+        repaired = repair_buckets(src, tgt, pk_cols, n_buckets, bad_df)
+        target.overwrite(table, repaired)
     rows = len(bad_rows)  # buckets; row count reported by caller if needed
     return DeleteSyncStats(n_buckets, len(bad_rows), rows)

@@ -194,6 +194,7 @@ def sync_updates(
     force_full: bool = False,
     rows_per_batch: int | None = None,
     n_buckets: int | None = None,
+    strip_version: bool = False,
 ) -> int:
     """Run the update phase for one table; returns rows written.
 
@@ -203,12 +204,21 @@ def sync_updates(
     mirroring the reference's bounded chunk transactions. With
     ``n_buckets`` set, the target is maintained bucket-partitioned and
     merges rewrite only touched partitions (the scale path).
+
+    ``strip_version`` drops the version column from written payloads —
+    JDBC targets never store the source's transaction id, exactly as
+    the reference strips xmin from copied columns
+    (internal/updates.go:117-124). In-place-capable targets (adapters
+    exposing ``apply_upsert``) are applied with DELETE+INSERT of the
+    changed keys instead of read-merge-overwrite.
     """
     state = state_store.get(table)
     rng = get_update_range(
         source_df, target, table, state, where, version_col,
         full_copy_threshold, force_full,
     )
+    drop_col = version_col if strip_version else None
+    in_place = hasattr(target, "apply_upsert")
 
     if rng.full_table:
         if n_buckets:
@@ -219,7 +229,9 @@ def sync_updates(
             target.overwrite_partitioned(table, df, BUCKET_COL)
             rows = target.read(table).count()
         else:
-            rows = copy_full_table(source_df, target, table, where)
+            rows = copy_full_table(
+                source_df, target, table, where, drop_version=drop_col
+            )
         state_store.set(TableState(table, rng.end_version, where or ""))
         return rows
 
@@ -238,10 +250,14 @@ def sync_updates(
             (F.col(version_col) >= F.lit(lo)) & (F.col(version_col) <= F.lit(hi))
         )
         updates = dedup_latest_version(batch, pk_cols, version_col)
+        if drop_col and drop_col in updates.columns:
+            updates = updates.drop(drop_col)
         n = updates.count()
         if n:
             if n_buckets:
                 merge_upsert_partitioned(target, table, updates, pk_cols, n_buckets)
+            elif in_place:
+                target.apply_upsert(table, updates, pk_cols)
             else:
                 merged = merge_upsert(target.read(table), updates, pk_cols)
                 target.overwrite(table, merged)

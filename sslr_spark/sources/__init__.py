@@ -9,4 +9,17 @@ path, mirroring the reference's PostgreSQL source/target).
 
 from sslr_spark.sources.parquet import ParquetDatabase
 
-__all__ = ["ParquetDatabase"]
+__all__ = ["ParquetDatabase", "JdbcDatabase", "open_database"]
+
+
+def __getattr__(name):
+    # lazy: keep `import sslr_spark.sources` cheap and cycle-free
+    if name == "JdbcDatabase":
+        from sslr_spark.sources.jdbc import JdbcDatabase
+
+        return JdbcDatabase
+    if name == "open_database":
+        from sslr_spark.sources.factory import open_database
+
+        return open_database
+    raise AttributeError(name)

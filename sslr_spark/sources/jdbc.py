@@ -9,19 +9,30 @@ Key mappings:
   ``(select xmin::text::bigint as xmin, t.* from <table> t) q``
   (the reference casts the same way, internal/updates.go:44,94).
 - chunked reads: partitionColumn/lowerBound/upperBound/numPartitions
-  replace OFFSET/LIMIT pagination (SURVEY §4 — never OFFSET-paginate).
+  replace OFFSET/LIMIT pagination (SURVEY §4 — never OFFSET-paginate);
+  bounds are probed with a one-row min/max pushdown on the PK.
+- in-place apply: updates are DELETE-by-key + batched INSERT inside
+  the same adapter call (the reference's J2 transaction,
+  internal/updates.go:171-222) — never truncate-and-rewrite, so a
+  100 TB target pays per changed row, not per table.
 - COPY-protocol bulk load: ``batchsize`` + reWriteBatchedInserts on
   the write path.
+- DDL/index mirroring (S6/S8/A5/A6): see sources/ddl.py; statements
+  run through ``_execute`` on a driver-side java.sql connection.
 - throttle: ``fetchsize`` bounds per-round-trip row counts (T5's
   passive half; the active utilization cap wraps reads driver-side).
 
-Untested in this container (no database available); the interface
-matches ParquetDatabase so the Job layer is adapter-agnostic.
+All Spark/JDBC I/O funnels through ``_load`` / ``_save`` /
+``_execute`` / ``_scalar`` so tests can subclass with an in-memory
+backend and exercise the full Job layer without a server (no real
+database exists in this container; see tests/test_jdbc_job.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from sslr_spark.sources import ddl as D
 
 
 class JdbcDatabase:
@@ -34,6 +45,7 @@ class JdbcDatabase:
         batchsize: int = 10_000,
         num_partitions: int = 8,
         expose_xmin: bool = False,
+        delete_key_chunk: int = 1000,
     ):
         self.spark = spark
         self.url = url
@@ -42,6 +54,9 @@ class JdbcDatabase:
         self.batchsize = batchsize
         self.num_partitions = num_partitions
         self.expose_xmin = expose_xmin
+        # keys per DELETE statement (reference applies deletions in
+        # minDeleteChunkSize batches, internal/deletes.go:166-205)
+        self.delete_key_chunk = delete_key_chunk
 
     # -- option assembly (unit-testable without a server) --------------
     def read_options(
@@ -82,6 +97,45 @@ class JdbcDatabase:
             **self.properties,
         }
 
+    # -- transport layer (overridden by in-memory test fakes) ----------
+    def _load(self, options: dict[str, str]) -> DataFrame:
+        return self.spark.read.format("jdbc").options(**options).load()
+
+    def _save(
+        self, df: DataFrame, options: dict[str, str], mode: str,
+        truncate: bool = False,
+    ) -> None:
+        writer = df.write.format("jdbc").options(**options).mode(mode)
+        if truncate:
+            writer = writer.option("truncate", "true")
+        writer.save()
+
+    def _execute(self, sql: str) -> None:
+        """Run a DDL/DML statement on a driver-side java.sql connection
+        (Spark's JDBC data source only reads/writes tables; statements
+        like CREATE INDEX go through the raw driver)."""
+        jvm = self.spark._jvm
+        props = jvm.java.util.Properties()
+        for k, v in self.properties.items():
+            props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.url, props)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def _scalar(self, sql: str):
+        """One-row-one-column catalog probe, pushed down as a subquery
+        scan (stays a single round trip)."""
+        row = self._load(
+            {"url": self.url, "dbtable": f"({sql}) q", **self.properties}
+        ).first()
+        return None if row is None else row[0]
+
     # -- adapter interface (same shape as ParquetDatabase) -------------
     def read(
         self,
@@ -90,39 +144,163 @@ class JdbcDatabase:
         lower_bound: int | None = None,
         upper_bound: int | None = None,
     ) -> DataFrame:
-        return (
-            self.spark.read.format("jdbc")
-            .options(**self.read_options(table, partition_column, lower_bound, upper_bound))
-            .load()
+        return self._load(
+            self.read_options(table, partition_column, lower_bound, upper_bound)
         )
+
+    def read_auto_partitioned(
+        self, table: str, partition_column: str | None
+    ) -> DataFrame:
+        """Partitioned scan with probed bounds: one min/max pushdown on
+        the key, then numPartitions range-sliced parallel readers —
+        the scan parallelism the reference's single connection lacks.
+        Falls back to a single-stream read when the key is missing or
+        non-numeric (Spark JDBC range-partitions numeric/date keys)."""
+        if not partition_column:
+            return self.read(table)
+        try:
+            row = self._load(
+                {
+                    "url": self.url,
+                    "dbtable": (
+                        f"(select min({partition_column}) as lo, "
+                        f"max({partition_column}) as hi from {table}) b"
+                    ),
+                    **self.properties,
+                }
+            ).first()
+            lo, hi = (row["lo"], row["hi"]) if row else (None, None)
+            lo, hi = int(lo), int(hi)  # non-numeric keys raise here
+        except (TypeError, ValueError):
+            return self.read(table)
+        if hi <= lo:
+            return self.read(table)
+        return self.read(table, partition_column, lo, hi + 1)
 
     def overwrite(self, table: str, df: DataFrame) -> None:
-        (
-            df.write.format("jdbc")
-            .options(**self.write_options(table))
-            .option("truncate", "true")
-            .mode("overwrite")
-            .save()
-        )
+        """Truncate + reload (the reference's full-copy transaction,
+        internal/copy.go:21-45). Incremental paths never call this —
+        they go through apply_upsert/delete_keys."""
+        self._save(df, self.write_options(table), "overwrite", truncate=True)
 
     def append(self, table: str, df: DataFrame) -> None:
-        df.write.format("jdbc").options(**self.write_options(table)).mode(
-            "append"
-        ).save()
+        self._save(df, self.write_options(table), "append")
+
+    def drop(self, table: str) -> None:
+        self._execute(D.drop_table_ddl(table))
 
     def table_exists(self, table: str) -> bool:
-        probe = (
-            self.spark.read.format("jdbc")
-            .options(url=self.url, **self.properties)
-            .option(
-                "dbtable",
-                f"(select to_regclass('{table}') is not null as e) q",
-            )
-        )
         try:
-            return bool(probe.load().first()["e"])
+            return bool(self._scalar(
+                f"select to_regclass('{table}') is not null as e"
+            ))
         except Exception:
             return False
 
     def schema(self, table: str):
         return self.read(table).schema
+
+    # -- in-place incremental apply (J2/J1/D1 transactions) ------------
+    def _delete_key_chunks(
+        self, table: str, key_rows: list, pk_cols: list[str]
+    ) -> None:
+        """Chunked composite-key DELETEs (reference deleteRows,
+        internal/deletes.go:207-235: ``delete ... where (k1,k2) in
+        (...)`` per chunk)."""
+        def lit(v) -> str:
+            if v is None:
+                return "null"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float)):
+                return repr(v)
+            return "'" + str(v).replace("'", "''") + "'"
+
+        cols = "(" + ",".join(pk_cols) + ")"
+        for i in range(0, len(key_rows), self.delete_key_chunk):
+            chunk = key_rows[i : i + self.delete_key_chunk]
+            tuples = ",".join(
+                "(" + ",".join(lit(r[c]) for c in pk_cols) + ")" for r in chunk
+            )
+            self._execute(f"delete from {table} where {cols} in ({tuples})")
+
+    def delete_keys(self, table: str, keys: DataFrame, pk_cols: list[str]) -> None:
+        """Delete the target rows matching ``keys``. Keys stream to the
+        driver in bounded chunks — the key volume is the *changed* row
+        count (CDC slice / mismatched buckets), not table size, the
+        same driver-side bound the reference accepts for its key
+        lists (internal/deletes.go:91-164)."""
+        it = keys.select(*pk_cols).toLocalIterator()
+        buf: list = []
+        for r in it:
+            buf.append(r)
+            if len(buf) >= self.delete_key_chunk:
+                self._delete_key_chunks(table, buf, pk_cols)
+                buf = []
+        if buf:
+            self._delete_key_chunks(table, buf, pk_cols)
+
+    def apply_upsert(
+        self, table: str, updates: DataFrame, pk_cols: list[str]
+    ) -> None:
+        """The reference's chunk transaction (internal/updates.go:171-222):
+        DELETE the updated keys, INSERT the new rows. Executors batch
+        the inserts (reWriteBatchedInserts); only the keys visit the
+        driver. Cost ∝ update-slice size — the in-place alternative to
+        read-merge-overwrite for mutable stores."""
+        updates = updates.persist()
+        try:
+            self.delete_keys(table, updates, pk_cols)
+            self.append(table, updates)
+        finally:
+            updates.unpersist()
+
+    # -- DDL / index mirroring (S6 / S8 / A5 / A6) ---------------------
+    def extract_table_schema(self, table: str) -> str | None:
+        """A5: the assembled ``create table`` statement, built by the
+        source database from pg_catalog (reference
+        internal/schemas.go:91-139)."""
+        return self._scalar(D.schema_extract_sql(table))
+
+    def extract_table_indices(self, table: str) -> list[D.TableIndex]:
+        """S6/A6: the table's indexes with their key columns (reference
+        internal/schemas.go:147-193)."""
+        rows = self._load(
+            {
+                "url": self.url,
+                "dbtable": f"({D.index_extract_sql(table)}) q",
+                **self.properties,
+            }
+        ).collect()
+        return [
+            D.TableIndex(
+                index_name=r["index_name"],
+                primary=bool(r["is_primary"]),
+                columns=[c for c in (r["columns"] or "").split(",") if c],
+            )
+            for r in rows
+        ]
+
+    def create_table(self, table: str, schema_or_ddl) -> None:
+        """S8: bootstrap namespace + create the mirrored table, from
+        either an extracted DDL string (Postgres source) or a Spark
+        StructType (any other source). Reference
+        internal/schemas.go:213-225."""
+        self._execute(D.create_schema_ddl(table))
+        stmt = (
+            schema_or_ddl
+            if isinstance(schema_or_ddl, str)
+            else D.create_table_ddl(table, schema_or_ddl)
+        )
+        self._execute(stmt)
+
+    def recreate_table(self, table: str, schema_or_ddl) -> None:
+        """Schema-drift recovery (reference internal/schemas.go:227-239)."""
+        self._execute(D.drop_table_ddl(table))
+        self.create_table(table, schema_or_ddl)
+
+    def apply_indices(self, table: str, indices: list[D.TableIndex]) -> None:
+        """Replay source indexes on the target (reference
+        internal/schemas.go:241-256): concurrent build, idempotent."""
+        for index in indices:
+            self._execute(D.index_ddl(table, index))
