@@ -337,6 +337,18 @@ def dup_clusters(
         ).localCheckpoint(eager=True)
         if changed == 0:
             break
+    else:
+        # A component with diameter > max_iterations would silently
+        # split into multiple clusters (several keepers for one group)
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters stopped after {max_iterations} iterations "
+            f"without converging ({changed} labels still changing); "
+            "raise max_iterations for deep chains",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

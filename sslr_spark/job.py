@@ -178,7 +178,16 @@ class Job:
             return self.source.read_auto_partitioned(table, pk)
         return self.source.read(table)
 
-    def update_table(self, table: str, result: JobResult, throttle: Throttle) -> None:
+    def update_table(
+        self, table: str, result: JobResult, throttle: Throttle | None = None
+    ) -> None:
+        """Sync one table. Each phase gets a FRESH per-operation
+        throttle measuring only its own source reads (the reference
+        creates one per operation, internal/updates.go:69,
+        internal/deletes.go:29) — a shared instance would sum source
+        time across tables/threads and overshoot the sleep. An
+        explicitly passed ``throttle`` is used for both phases
+        (tests / callers that want a shared budget)."""
         where = self.config.where_for(table)
         pks = self.primary_keys[table]
         src = self.source_df(table)
@@ -187,32 +196,36 @@ class Job:
             # bucket-partitioned layout is a lake/parquet concept;
             # in-place targets repair per-key instead
             n_buckets = None
+        pct = self.config.throttle_percentage
         if not self.config.sync_updates:
             # Phase toggle (reference internal/job.go:254): skip the
             # update phase entirely; delete sync may still run below.
             if self.config.sync_deletes:
-                self._sync_deletes_phase(table, src, pks, where, n_buckets, result, throttle)
+                self._sync_deletes_phase(
+                    table, src, pks, where, n_buckets, result,
+                    throttle or Throttle(pct),
+                )
             return
-        with throttle:
-            rows = sync_updates(
-                src,
-                self.target,
-                self.state,
-                table,
-                pks,
-                where=where,
-                version_col=self.config.version_column,
-                full_copy_threshold=self.config.full_copy_threshold,
-                force_full=table in self.force_full,
-                # The reference's chunk bounds a single-connection txn's
-                # memory (default 1000 rows); a Spark sink transaction
-                # has no such bound, so the batch unit is 100 chunks —
-                # it exists to bound sink-commit granularity (T2), not
-                # memory.
-                rows_per_batch=self.config.update_chunk_size * 100 or None,
-                n_buckets=n_buckets,
-                strip_version=self._strip_version(),
-            )
+        rows = sync_updates(
+            src,
+            self.target,
+            self.state,
+            table,
+            pks,
+            where=where,
+            version_col=self.config.version_column,
+            full_copy_threshold=self.config.full_copy_threshold,
+            force_full=table in self.force_full,
+            # The reference's chunk bounds a single-connection txn's
+            # memory (default 1000 rows); a Spark sink transaction
+            # has no such bound, so the batch unit is 100 chunks —
+            # it exists to bound sink-commit granularity (T2), not
+            # memory.
+            rows_per_batch=self.config.update_chunk_size * 100 or None,
+            n_buckets=n_buckets,
+            strip_version=self._strip_version(),
+            throttle=throttle or Throttle(pct),
+        )
         result.updated_rows += rows
         if table in self.force_full:
             # Full copy just ran — the target IS the source snapshot,
@@ -221,28 +234,32 @@ class Job:
             result.full_copies.append(table)
             self.force_full.discard(table)
         elif self.config.sync_deletes:
-            self._sync_deletes_phase(table, src, pks, where, n_buckets, result, throttle)
+            self._sync_deletes_phase(
+                table, src, pks, where, n_buckets, result,
+                throttle or Throttle(self.config.throttle_percentage),
+            )
 
     def _sync_deletes_phase(
         self, table, src, pks, where, n_buckets, result, throttle
     ) -> None:
-        with throttle:
-            if n_buckets:
-                from sslr_spark.operators.deletes import sync_deletes_partitioned
+        if n_buckets:
+            from sslr_spark.operators.deletes import sync_deletes_partitioned
 
-                stats = sync_deletes_partitioned(
-                    src, self.target, table, pks, n_buckets, where=where
-                )
-            else:
-                stats = sync_deletes(
-                    src,
-                    self.target,
-                    table,
-                    pks,
-                    where=where,
-                    rows_per_bucket=self.config.min_delete_chunk_size,
-                    version_col=self.config.version_column,
-                )
+            stats = sync_deletes_partitioned(
+                src, self.target, table, pks, n_buckets, where=where,
+                throttle=throttle,
+            )
+        else:
+            stats = sync_deletes(
+                src,
+                self.target,
+                table,
+                pks,
+                where=where,
+                rows_per_bucket=self.config.min_delete_chunk_size,
+                version_col=self.config.version_column,
+                throttle=throttle,
+            )
         result.repaired_buckets += stats.mismatched_buckets
 
     # -- entry points (reference main.go:38-82) ------------------------
@@ -258,11 +275,10 @@ class Job:
         """
         result = JobResult()
         result.validated = self.validate_tables()
-        throttle = Throttle(self.config.throttle_percentage)
         n_par = max(1, self.config.parallel_tables)
         if n_par == 1 or len(result.validated) <= 1:
             for table in result.validated:
-                self.update_table(table, result, throttle)
+                self.update_table(table, result)
             return result
 
         import concurrent.futures
@@ -272,7 +288,7 @@ class Job:
 
         def run_one(table: str) -> None:
             local = JobResult()
-            self.update_table(table, local, throttle)
+            self.update_table(table, local)  # per-phase throttles inside
             with res_lock:
                 result.updated_rows += local.updated_rows
                 result.repaired_buckets += local.repaired_buckets

@@ -129,6 +129,7 @@ def sync_deletes_partitioned(
     pk_cols: list[str],
     n_buckets: int,
     where: str | None = None,
+    throttle=None,
 ) -> DeleteSyncStats:
     """Delete sync against a bucket-partitioned target
     (``<table>.parquet/__sslr_bucket=N/``): identical diff protocol to
@@ -164,7 +165,12 @@ def sync_deletes_partitioned(
             & F.col("s_fp").eqNullSafe(F.col("t_fp"))
         )
     ).select("bucket", "s_cnt")
-    bad_rows = bad.collect()
+    if throttle is None:
+        from sslr_spark.throttle import Throttle
+
+        throttle = Throttle(100)
+    with throttle:  # fingerprint scan reads the source key columns
+        bad_rows = bad.collect()
     if not bad_rows:
         return DeleteSyncStats(n_buckets, 0, 0)
 
@@ -188,6 +194,7 @@ def sync_deletes(
     where: str | None = None,
     rows_per_bucket: int = 1000,
     version_col: str | None = "xmin",
+    throttle=None,
 ) -> DeleteSyncStats:
     """Detect and repair rows present in the target but gone from the
     (filtered) source — and any other key-set divergence.
@@ -199,13 +206,21 @@ def sync_deletes(
     """
     src = filtered_source(source_df, where)
     tgt = target.read(table)
+    if throttle is None:
+        from sslr_spark.throttle import Throttle
+
+        throttle = Throttle(100)  # 100% = measuring no-op
     # Compare key sets only; the version column is engine metadata and
     # participates in neither side's fingerprint payload.
-    n_rows = src.count()
+    # The throttle wraps the source-scanning steps (count + fingerprint
+    # pass) per operation, like the reference (internal/deletes.go:29-43).
+    with throttle:
+        n_rows = src.count()
     n_buckets = choose_bucket_count(n_rows, rows_per_bucket)
 
     bad = mismatched_buckets(src, tgt, pk_cols, n_buckets)
-    bad_rows = bad.collect()  # at most n_buckets ids; typically ~0
+    with throttle:
+        bad_rows = bad.collect()  # at most n_buckets ids; typically ~0
     if not bad_rows:
         return DeleteSyncStats(n_buckets, 0, 0)
 

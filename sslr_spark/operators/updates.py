@@ -195,6 +195,7 @@ def sync_updates(
     rows_per_batch: int | None = None,
     n_buckets: int | None = None,
     strip_version: bool = False,
+    throttle=None,
 ) -> int:
     """Run the update phase for one table; returns rows written.
 
@@ -212,11 +213,20 @@ def sync_updates(
     exposing ``apply_upsert``) are applied with DELETE+INSERT of the
     changed keys instead of read-merge-overwrite.
     """
+    from sslr_spark.throttle import Throttle
+
+    # Per-operation throttle wrapping only source-reading steps (range
+    # probe, slice scan), sleeping after each apply — the reference's
+    # shape (internal/updates.go:69,87,145,154: fresh throttle,
+    # start/end around fetch, wait after apply). Full copy is
+    # unthrottled, also like the reference.
+    throttle = throttle or Throttle(100)  # 100% = measuring no-op
     state = state_store.get(table)
-    rng = get_update_range(
-        source_df, target, table, state, where, version_col,
-        full_copy_threshold, force_full,
-    )
+    with throttle:
+        rng = get_update_range(
+            source_df, target, table, state, where, version_col,
+            full_copy_threshold, force_full,
+        )
     drop_col = version_col if strip_version else None
     in_place = hasattr(target, "apply_upsert")
 
@@ -240,7 +250,8 @@ def sync_updates(
     )
 
     if rows_per_batch:
-        batches = plan_version_batches(slice_df, version_col, rows_per_batch)
+        with throttle:  # per-version counts scan the source slice
+            batches = plan_version_batches(slice_df, version_col, rows_per_batch)
     else:
         batches = [(rng.start_version, rng.end_version)] if rng.end_version >= rng.start_version else []
 
@@ -252,7 +263,8 @@ def sync_updates(
         updates = dedup_latest_version(batch, pk_cols, version_col)
         if drop_col and drop_col in updates.columns:
             updates = updates.drop(drop_col)
-        n = updates.count()
+        with throttle:  # the count scans the source slice
+            n = updates.count()
         if n:
             if n_buckets:
                 merge_upsert_partitioned(target, table, updates, pk_cols, n_buckets)
@@ -265,5 +277,10 @@ def sync_updates(
         # watermark advances to the end of the fully applied batch (T2)
         state_store.set(TableState(table, hi, where or ""))
     if not batches:
-        state_store.set(TableState(table, rng.end_version, where or ""))
+        # Empty slice: never move the watermark backwards — a drained
+        # source reports max(version) = None => end_version 0, and
+        # rewinding would force a spurious full copy next pass (the
+        # delete phase already reconciles removals).
+        new_mark = max(state.last_seen_version, rng.end_version)
+        state_store.set(TableState(table, new_mark, where or ""))
     return total

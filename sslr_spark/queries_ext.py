@@ -348,7 +348,10 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs (cosine >= 0.9), label-blocked."""
+    """Embedding near-dup pairs (cosine >= 0.3, label-blocked).
+    0.3 is deliberately low: the synthetic embeddings' within-label
+    cosine tops out near 0.47, so a production-style 0.9 would make
+    this an empty (untested) result set."""
     return D.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 

@@ -61,8 +61,15 @@ class StateStore:
 
     def get(self, table: str) -> TableState:
         """Point lookup; absent -> zero state (version 0 = full sync,
-        reference internal/updates.go:33-34)."""
-        return self._read_all().get(table, TableState(table))
+        reference internal/updates.go:33-34).
+
+        Takes the store lock: set() swaps the state table via staged
+        renames, and an unlocked read can land in the window where the
+        final path does not exist (parallel_tables > 1). The lock only
+        covers threads of THIS driver — like the reference, the state
+        table assumes a single writer process per target."""
+        with self._lock:
+            return self._read_all().get(table, TableState(table))
 
     def set(self, state: TableState) -> None:
         """Upsert one table's state (reference internal/state.go:64-70)."""

@@ -101,3 +101,25 @@ def test_filtered_sync(spark, source_db, target_db):
     assert rows == 200
     assert target_db.read("timestamps").count() == 200
     assert store.get("timestamps").where_clause == "id % 2 = 0"
+
+
+def test_watermark_never_rewinds_on_drained_source(spark, tmp_path):
+    """A source that empties out reports max(version)=None => range end
+    0; the committed watermark must stay at the old high-water mark —
+    rewinding would force a spurious full copy next pass (the delete
+    phase already reconciles the removals)."""
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.state import StateStore
+    from sslr_spark.operators.updates import sync_updates
+
+    target = ParquetDatabase(spark, str(tmp_path / "t"))
+    state = StateStore(target)
+    df = spark.createDataFrame(
+        [(i, i, 5) for i in range(20)], "id long, v long, xmin long"
+    )
+    sync_updates(df, target, state, "t", ["id"])
+    assert state.get("t").last_seen_version == 5
+
+    empty = spark.createDataFrame([], "id long, v long, xmin long")
+    sync_updates(empty, target, state, "t", ["id"])
+    assert state.get("t").last_seen_version == 5  # not rewound to 0
