@@ -67,7 +67,19 @@ def main() -> None:
 
     # ---- incr-update: 1% changed rows, watermark slice + merge -------
     # stage: source = lineitem + version col; target = source with 1%
-    # of rows at an old version (so the slice re-applies them)
+    # of rows at an old version (so the slice re-applies them).
+    # Runs the engine DEFAULT path (bucket-partitioned target,
+    # targetBuckets=64): the scattered 1% update touches most buckets,
+    # so this is the partitioned merge's worst case; the clustered
+    # small-batch case is measured as incr_update_partitioned below.
+    from sslr_spark.operators.deletes import (
+        BUCKET_COL,
+        sync_deletes_partitioned,
+        with_bucket,
+    )
+    from sslr_spark.operators.updates import merge_upsert_partitioned
+
+    N_BUCKETS = 64
     src_db = ParquetDatabase(spark, os.path.join(TMP, "src"))
     versioned = lineitem.withColumn(
         "xmin",
@@ -75,11 +87,18 @@ def main() -> None:
     )
     src_db.overwrite("lineitem", versioned)
     tgt2 = ParquetDatabase(spark, os.path.join(TMP, "target2"))
-    tgt2.overwrite("lineitem", versioned.withColumn("xmin", F.lit(100)))
+    tgt2.overwrite_partitioned(
+        "lineitem",
+        with_bucket(versioned.withColumn("xmin", F.lit(100)), pk, N_BUCKETS),
+        BUCKET_COL,
+    )
     store = StateStore(tgt2)
     store.set(TableState("lineitem", 100, ""))
     with timed("incr_update"):
-        sync_updates(src_db.read("lineitem"), tgt2, store, "lineitem", pk)
+        sync_updates(
+            src_db.read("lineitem"), tgt2, store, "lineitem", pk,
+            n_buckets=N_BUCKETS,
+        )
 
     # ---- delete-diff: 0.1% extra target rows, bucket diff + repair ---
     tgt3 = ParquetDatabase(spark, os.path.join(TMP, "target3"))
@@ -92,16 +111,8 @@ def main() -> None:
             rows_per_bucket=1000, version_col=None,
         )
 
-    # ---- partitioned-target scale path: same ops, bucket-partitioned
-    # target so merges/repairs rewrite only touched partitions ---------
-    from sslr_spark.operators.deletes import (
-        BUCKET_COL,
-        sync_deletes_partitioned,
-        with_bucket,
-    )
-    from sslr_spark.operators.updates import merge_upsert_partitioned
-
-    N_BUCKETS = 64
+    # ---- partitioned-target scale path: clustered small batches, so
+    # merges/repairs rewrite only the touched partitions --------------
     tgt4 = ParquetDatabase(spark, os.path.join(TMP, "target4"))
     tgt4.overwrite_partitioned(
         "lineitem", with_bucket(versioned, pk, N_BUCKETS), BUCKET_COL
@@ -125,17 +136,24 @@ def main() -> None:
         )
 
     # ---- extension pipelines ----------------------------------------
+    # Dedup runs in PRODUCTION mode: xxhash64 seeded hashes + hot-
+    # shingle cap. The md5-derived portable hash exists only for the
+    # DuckDB oracle (CORRECTNESS gate) and costs ~16 digests/shingle —
+    # benching it would measure the parity harness, not the engine.
+    from sslr_spark.functions import dedup as DD
     from sslr_spark.queries_ext import (
-        q_dedup_minhash_lsh,
-        q_dedup_simhash,
         q_sim_topk_bruteforce,
         q_text_quality,
     )
 
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with timed("dedup_minhash_lsh"):
-        q_dedup_minhash_lsh(spark, SF_DIR).count()
+        DD.minhash_lsh_pairs(
+            docs, hash_mode="fast", max_shingle_doc_freq=250
+        ).count()
     with timed("dedup_simhash"):
-        q_dedup_simhash(spark, SF_DIR).count()
+        DD.simhash_pairs(docs, hash_mode="fast").count()
+    DD.release_caches()
     with timed("sim_topk"):
         q_sim_topk_bruteforce(spark, SF_DIR).collect()
     with timed("text_quality"):

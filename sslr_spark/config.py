@@ -60,8 +60,12 @@ class Config:
     shuffle_partitions: int = 32
     state_table: str = "__sslr_state"
     # >0: maintain targets bucket-partitioned on the PK hash so merges
-    # and repairs rewrite only touched partitions (the scale path).
-    target_buckets: int = 0
+    # and repairs rewrite only touched partitions. This is the DEFAULT:
+    # the unpartitioned path full-rewrites the target per merge — fine
+    # for small tables, a scale-killer at 100 TB. Set 0 to opt out
+    # (plain single-dataset layout). Ignored by in-place (JDBC)
+    # targets, which repair per-key.
+    target_buckets: int = 64
     # tables synced concurrently per pass (the reference only offers
     # process-level table parallelism, README.md:97-101)
     parallel_tables: int = 1

@@ -25,8 +25,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sslr_spark.functions.hashing import h60
+from sslr_spark.functions.hashing import h60, h64_fast
 from sslr_spark.functions.text import words
+
+# ------------------------------------------------------------------
+# cache registry
+#
+# The pair generators persist their shingle inverted index (it feeds
+# 2-3 consumers). A bare .persist() leaks: caches accumulate across
+# queries in one long-lived session — at 100 TB a leaked shingle cache
+# is an executor OOM. Every persist goes through _persist(); each
+# top-level pair generator releases the PREVIOUS call's caches on
+# entry (callers may also release_caches() explicitly once results
+# are materialized).
+# ------------------------------------------------------------------
+
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every cache created by this module's pair generators."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
+
+
+def _cap_hot_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Drop shingles appearing in >= max_doc_freq documents before any
+    inverted-index join. One boilerplate stop-shingle ("terms of
+    service…") otherwise fans the join out quadratically — the known
+    production failure mode of shingle joins. Dropping ubiquitous
+    shingles is standard MinHash practice (they carry ~zero Jaccard
+    signal: docs sharing only boilerplate are not near-dups)."""
+    if not max_doc_freq:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= max_doc_freq)
+        .select("shingle")
+    )
+    # hot set is tiny by construction — broadcast anti-join, no shuffle
+    # of the full index
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 # ------------------------------------------------------------------
@@ -68,16 +114,25 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.15
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.15,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
     Inverted-index join: pairs form only where a shingle is shared.
-    Hot shingles fan out quadratically — at scale, drop top-frequency
-    shingles first (stopword-shingle pruning), which is also standard
-    MinHash practice.
+    ``max_shingle_doc_freq`` prunes hot shingles before the join (see
+    :func:`_cap_hot_shingles`) — set it in production; the default
+    keeps exact oracle parity. With pruning on, both intersections and
+    set sizes come from the pruned index, i.e. Jaccard over the
+    informative (non-boilerplate) shingle space.
     """
-    sh = shingles(df, text_col, n).persist()  # reused by sizes + both join sides
+    release_caches()  # previous pair-generation caches die here
+    sh = _persist(  # reused by sizes + both join sides
+        _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -104,48 +159,60 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------------
 
 def minhash_signatures(
-    sh: DataFrame, n_hashes: int = 16
+    sh: DataFrame, n_hashes: int = 16, hash_mode: str = "portable"
 ) -> DataFrame:
     """Wide MinHash signatures: (doc_id, mh0..mh{k-1}) — min over
-    shingles of k seeded 60-bit hashes, the classic k-permutation
+    shingles of k seeded hashes, the classic k-permutation
     approximation.
 
     All k hashes are computed as per-row expressions and aggregated
     with k element-wise ``min`` aggs — no seed explode, so the shuffle
     carries one row per (doc, shingle) instead of k. All map-side
-    combinable; at 100 TB this is k x less shuffle volume."""
-    hashed = sh.select(
-        "doc_id",
-        *[
+    combinable; at 100 TB this is k x less shuffle volume.
+
+    ``hash_mode``: 'portable' (md5-derived h60, DuckDB-reproducible —
+    the oracle path) or 'fast' (seeded xxhash64 JVM intrinsic — the
+    production path; k md5 digests per shingle dominated the pipeline
+    cost)."""
+    if hash_mode == "fast":
+        seeded = [
+            h64_fast(F.lit(i), F.col("shingle")).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        seeded = [
             h60(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}")
             for i in range(n_hashes)
-        ],
-    )
+        ]
+    hashed = sh.select("doc_id", *seeded)
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(n_hashes)]
     )
 
 
 def lsh_band_buckets(
-    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    hash_mode: str = "portable",
 ) -> DataFrame:
-    """(doc_id, band, sig): band signature = md5 of the band's minhash
-    values joined in seed order. Bands unpivot via a small array+explode
-    over the already-aggregated (1 row/doc) signatures — negligible."""
+    """(doc_id, band, sig): band signature = hash of the band's minhash
+    values joined in seed order (md5 string on the portable path,
+    xxhash64 on the fast path). Bands unpivot via a small
+    array+explode over the already-aggregated (1 row/doc) signatures —
+    negligible."""
+
+    def band_sig(b: int):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        if hash_mode == "fast":
+            return h64_fast(F.lit(b), *cols).cast("string")
+        return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("sig"),
-            )
+            F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
             for b in range(n_bands)
         ]
     )
@@ -161,17 +228,31 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     n_bands: int = 4,
     jaccard_threshold: float = 0.1,
+    hash_mode: str = "portable",
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded MinHash-LSH, verified with true
     shingle Jaccard. This is the 100 TB dedup path: candidates come
     from an equi-join on (band, sig) — never a cross join — and the
-    expensive exact Jaccard runs only on candidates."""
+    expensive exact Jaccard runs only on candidates.
+
+    Production knobs (defaults preserve exact oracle parity):
+    ``hash_mode='fast'`` switches the k seeded hashes from md5-derived
+    h60 to xxhash64 (identical pair semantics — any k min-stable hash
+    family works — at a fraction of the per-shingle cost);
+    ``max_shingle_doc_freq`` prunes boilerplate shingles before the
+    verification join (:func:`_cap_hot_shingles`)."""
+    release_caches()  # previous pair-generation caches die here
     # The shingle inverted index feeds three consumers (signatures,
     # both sides of the verification join) — persist it once instead
     # of recomputing the explode+distinct per consumer.
-    sh = shingles(df, text_col, shingle_n).persist()
-    sigs = minhash_signatures(sh, n_hashes)
-    buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands)
+    sh = _persist(
+        _cap_hot_shingles(
+            shingles(df, text_col, shingle_n), max_shingle_doc_freq
+        )
+    )
+    sigs = minhash_signatures(sh, n_hashes, hash_mode)
+    buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands, hash_mode)
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -210,15 +291,24 @@ def minhash_lsh_pairs(
 # SimHash
 # ------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash: per word, a 60-bit hash contributes +freq/-freq
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 32,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """32-bit SimHash: per word, a word hash contributes +freq/-freq
     to each bit position; fingerprint sets bits with positive sums.
-    Two shuffles (word counts, bit sums) — fully map-side-combinable."""
+    Two shuffles (word counts, bit sums) — fully map-side-combinable.
+    ``hash_mode='fast'`` swaps the md5-derived word hash for xxhash64
+    (production path; 'portable' is the DuckDB-reproducible oracle
+    path)."""
+    word_hash = (
+        h64_fast(F.col("word")) if hash_mode == "fast" else h60(F.col("word"))
+    )
     wc = (
         df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("h", h60(F.col("word")))
+        .withColumn("h", word_hash)
     )
     # one aggregation with `bits` conditional sums — no bit explode, so
     # the shuffle carries (doc, word) rows once instead of `bits` times;
@@ -239,7 +329,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 4, bits: int = 32
+    df: DataFrame, text_col: str = "text", max_hamming: int = 4, bits: int = 32,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — pigeonhole-blocked.
 
@@ -253,7 +344,7 @@ def simhash_pairs(
     """
     n_seg = max_hamming + 1
     seg_w = (bits + n_seg - 1) // n_seg
-    s = simhash(df, text_col)
+    s = simhash(df, text_col, bits, hash_mode)
     segs = s.select(
         "doc_id",
         "simhash",

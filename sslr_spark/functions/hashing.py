@@ -47,8 +47,22 @@ def h60(col: Column) -> Column:
 
     md5 -> first 15 hex digits -> integer. Portable: DuckDB spells it
     ``cast(concat('0x', substring(md5(x),1,15)) as bigint)``.
+
+    This is the ORACLE-PARITY path (cross-checkable engine-to-engine).
+    Hot production paths should use :func:`h64_fast` — xxhash64 is a
+    single JVM intrinsic vs md5's digest + hex + base conversion,
+    which profiling showed dominating the minhash pipeline (~16 seeded
+    hashes per shingle).
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h64_fast(*cols: str | Column) -> Column:
+    """Production hash: xxhash64 over the given columns (seed its
+    first argument when seeding — ``h64_fast(F.lit(seed), col)``).
+    Full-range signed 64-bit; NOT oracle-portable (DuckDB has no
+    xxhash64), so driver-contract queries keep :func:`h60`."""
+    return F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols])
 
 
 def key_hash(cols: Sequence[str | Column]) -> Column:

@@ -139,7 +139,7 @@ def sync_deletes_partitioned(
     whole-table variant remains for unpartitioned targets.
     """
     src = filtered_source(source_df, where)
-    tgt = target.read(table)
+    tgt = target.read(table, with_meta=True)
 
     s_fp = (
         with_bucket(src, pk_cols, n_buckets)

@@ -59,6 +59,74 @@ def key_at_offset(
     return tuple(row) if row is not None else None
 
 
+_NUMERIC_TYPES = (
+    "byte", "short", "integer", "long", "float", "double", "date",
+)
+
+
+def key_at_offset_scalable(
+    df: DataFrame,
+    pk_cols: Sequence[str],
+    offset: int,
+    start_key: Sequence | None = None,
+    max_tail_rows: int = 10_000,
+) -> tuple | None:
+    """Scale path for :func:`key_at_offset` — same result, no global
+    single-reducer sort (an empty-partition Window over a 100 TB key
+    set is one straggler task doing all the work).
+
+    Strategy: ``approxQuantile`` on the leading key column finds a
+    pivot with ~``offset`` rows below it (error bounded so the
+    residual fits ``max_tail_rows``); one exact count below the pivot;
+    then only the residual gap is ordered — and that runs as a
+    distributed top-k (TakeOrderedAndProject: per-partition heaps
+    merged on the driver), never an Exchange SinglePartition.
+
+    Falls back to the window form when the leading key column is not
+    rangeable (approxQuantile needs numeric/date).
+    """
+    scoped = df.filter(range_predicate(pk_cols, start_key, None)).select(*pk_cols)
+    first = pk_cols[0]
+    if scoped.schema[first].dataType.typeName() not in _NUMERIC_TYPES:
+        return key_at_offset(df, pk_cols, offset, start_key)
+
+    n = scoped.count()
+    if n == 0:
+        return None
+    offset = min(offset, n)  # clamp at table end (reference :140-156)
+
+    rel_err = max(1e-6, min(0.001, max_tail_rows / (2.0 * n)))
+    pivot = scoped.stat.approxQuantile(first, [offset / n], rel_err)[0]
+    c = scoped.filter(F.col(first) < pivot).count()
+
+    if abs(offset - c) > 10 * max_tail_rows:
+        # heavy duplication on the leading key column defeated the
+        # quantile (ties sit on one side of the strict-< count) —
+        # fall back to the exact window form rather than collect an
+        # unbounded tail
+        return key_at_offset(df, pk_cols, offset, start_key)
+
+    order = [F.col(x).asc() for x in pk_cols]
+    if c < offset:
+        # target is in [pivot, ...): ascending top-k of the residual,
+        # positions c+1 .. offset
+        tail = (
+            scoped.filter(F.col(first) >= pivot).orderBy(*order)
+            .limit(offset - c).collect()
+        )
+        row = tail[-1] if tail else None
+    else:
+        # quantile overshot: target sits just below the pivot —
+        # descending top-k, positions c down to offset
+        tail = (
+            scoped.filter(F.col(first) < pivot)
+            .orderBy(*[F.col(x).desc() for x in pk_cols])
+            .limit(c - offset + 1).collect()
+        )
+        row = tail[-1] if tail else None
+    return tuple(row) if row is not None else None
+
+
 def min_key(df: DataFrame, pk_cols: Sequence[str]) -> tuple | None:
     """Smallest key in PK order plus nothing else (reference
     getPrimaryKeyRange's min-key probe, internal/deletes.go:271-323).

@@ -129,7 +129,7 @@ def merge_upsert_partitioned(
     affected = [int(r[0]) for r in upd.select(BUCKET_COL).distinct().collect()]
     if not affected:
         return
-    tgt = target.read(table)
+    tgt = target.read(table, with_meta=True)
     keys = upd.select(*pk_cols).distinct()
     kept = (
         tgt.filter(F.col(BUCKET_COL).isin(affected))  # partition pruning

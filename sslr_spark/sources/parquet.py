@@ -44,8 +44,19 @@ class ParquetDatabase:
         )
 
     # -- read ----------------------------------------------------------
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+    def read(self, table: str, with_meta: bool = False) -> DataFrame:
+        """Read a table. Engine-metadata columns (``__sslr*`` — e.g.
+        the bucket partition column of the default partitioned layout)
+        are stripped unless ``with_meta`` — a reader of the published
+        table sees exactly the replicated schema, like a reference
+        target table. Sync internals pass ``with_meta=True`` to prune
+        on the bucket column."""
+        df = self.spark.read.parquet(self.path(table))
+        if not with_meta:
+            meta = [c for c in df.columns if c.startswith("__sslr")]
+            if meta:
+                df = df.drop(*meta)
+        return df
 
     # -- write ---------------------------------------------------------
     def overwrite(self, table: str, df: DataFrame) -> None:

@@ -35,6 +35,7 @@ def stream_incremental_sync(
     version_col: str = "xmin",
     trigger_seconds: float | None = None,
     max_files_per_trigger: int | None = None,
+    n_buckets: int | None = 64,
 ):
     """Start a streaming sync: each micro-batch of newly arrived source
     files is merged (last-version-wins upsert) into the target table.
@@ -44,6 +45,11 @@ def stream_incremental_sync(
     - ``max_files_per_trigger`` is the rate cap (throttle analog, T5).
     - trigger: processingTime mirrors the reference's poll interval;
       None => availableNow semantics are up to the caller's stop.
+    - ``n_buckets`` (default on): maintain the target
+      bucket-partitioned and merge each micro-batch via pruned
+      dynamic-partition overwrite — per-trigger cost ∝ touched
+      buckets, not table size. ``None`` falls back to whole-table
+      read-merge-overwrite (small targets only).
 
     Returns the StreamingQuery.
     """
@@ -56,6 +62,19 @@ def stream_incremental_sync(
         if not batch_df.take(1):
             return
         updates = dedup_latest_version(batch_df, pk_cols, version_col)
+        if n_buckets:
+            from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+            from sslr_spark.operators.updates import merge_upsert_partitioned
+
+            if target.table_exists(table):
+                merge_upsert_partitioned(
+                    target, table, updates, pk_cols, n_buckets
+                )
+            else:
+                target.overwrite_partitioned(
+                    table, with_bucket(updates, pk_cols, n_buckets), BUCKET_COL
+                )
+            return
         if target.table_exists(table):
             merged = merge_upsert(target.read(table), updates, pk_cols)
         else:

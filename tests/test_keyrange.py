@@ -57,3 +57,43 @@ def test_min_key(spark):
 def test_sorted_pk_cols():
     assert sorted_pk_cols(["seq", "tenant"]) == ["seq", "tenant"]
     assert sorted_pk_cols(["tenant", "seq"]) == ["seq", "tenant"]
+
+
+def test_key_at_offset_scalable_equals_window(spark):
+    """The quantile+top-k scale path returns exactly the window
+    form's answer, offset by offset — including clamps and scoping."""
+    from sslr_spark.operators.keyrange import key_at_offset, key_at_offset_scalable
+
+    df = spark.createDataFrame(
+        [(i % 97, i) for i in range(2000)], "grp long, seq long"
+    ).repartition(8)
+    for off in (1, 2, 500, 1000, 1999, 2000, 50_000):
+        assert key_at_offset_scalable(df, ["grp", "seq"], off) == key_at_offset(
+            df, ["grp", "seq"], off
+        ), f"offset {off}"
+    # scoped lower bound
+    assert key_at_offset_scalable(
+        df, ["grp", "seq"], 5, start_key=(90, 0)
+    ) == key_at_offset(df, ["grp", "seq"], 5, start_key=(90, 0))
+    # non-numeric leading key falls back to the window form
+    sdf = spark.createDataFrame([(f"k{i:04d}", i) for i in range(100)], "k string, v long")
+    assert key_at_offset_scalable(sdf, ["k"], 42) == ("k0041",)
+
+
+def test_key_at_offset_scalable_no_single_partition_sort(spark):
+    """The ordered step must be a distributed top-k
+    (TakeOrderedAndProject), never a single-reducer global sort."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1000)], "a long, b long"
+    ).repartition(8)
+    plan = (
+        df.orderBy(F.col("a").asc(), F.col("b").asc())
+        .limit(17)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
