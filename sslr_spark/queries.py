@@ -239,7 +239,13 @@ group by 1
 def q_o2_pagination_window(spark, sf_dir):
     """O2: the reference's OFFSET/LIMIT chunk pagination
     (internal/updates.go:99-103) re-expressed as a row_number window —
-    rows 1001..1100 of the (event_id)-ordered stream."""
+    rows 501..600 of the (event_id)-ordered stream.
+
+    PARITY-ONLY: the global (unpartitioned) window is a single-reducer
+    sort, fine at oracle scale, a straggler at 100 TB. The engine never
+    paginates — it reads the whole watermark slice as one partitioned
+    job (SURVEY §2.5 O2); the scale analog of this probe is
+    ``operators.keyrange.key_at_offset_scalable``."""
     ev = read_events(spark, sf_dir)
     w = Window.orderBy("event_id")
     return (
@@ -260,7 +266,13 @@ select rn, event_id, event_type, user_id from (
 
 def q_o3_key_at_offset(spark, sf_dir):
     """O3: key-at-offset probe — the k-th key in PK order
-    (reference getKeyAtOffset, internal/deletes.go:91-164)."""
+    (reference getKeyAtOffset, internal/deletes.go:91-164).
+
+    PARITY-ONLY window form (exact oracle comparison). The production
+    probe is ``operators.keyrange.key_at_offset_scalable``:
+    approxQuantile pivot + distributed top-k residual, no
+    Exchange SinglePartition — equality-tested against this form in
+    tests/test_keyrange.py."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.orderBy(*LINEITEM_PK)
     return (

@@ -1,0 +1,123 @@
+"""Plan-shape regression tests: the scale-critical physical-plan
+properties the engine relies on at 100 TB, asserted at fixture scale.
+
+These catch silent plan regressions (a lost broadcast, a filter that
+stops pushing down, a partition filter that stops pruning) that
+row-count tests can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_join_star_broadcasts_dims(spark):
+    """Star join: every dim side must broadcast — a sort-merge join
+    against nation/region/customer at 100 TB fact scale shuffles the
+    fact table once per dim."""
+    from sslr_spark.queries_olap import q_x_join_star
+
+    p = plan_of(q_x_join_star(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_s1_scan_pushes_filter_and_prunes_columns(spark):
+    """S1 filtered scan: the user `where` must reach the parquet
+    reader (PushedFilters) and an explicit projection must shrink
+    ReadSchema — scans that read every column for a 2-column
+    projection are wrong at any scale."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") >= 30).select("l_orderkey", "l_quantity")
+    p = plan_of(df)
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual(l_quantity" in p
+    read_schema = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_partitioned_target_reads_prune_buckets(spark, target_db):
+    """The default merge path reads only affected buckets: a filter on
+    the bucket column must become a PartitionFilter (metadata prune),
+    not a row filter over the whole table."""
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    target_db.overwrite_partitioned(
+        "t", with_bucket(df, ["id"], 16), BUCKET_COL
+    )
+    scan = target_db.read("t", with_meta=True).filter(
+        F.col(BUCKET_COL).isin([3, 7])
+    )
+    p = plan_of(scan)
+    part_filters = p.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert BUCKET_COL in part_filters
+
+
+def test_fingerprint_agg_is_map_side_combined(spark):
+    """A4 bucket fingerprints: the per-bucket hash agg must run as
+    partial (map-side) + final HashAggregate, so the shuffle carries
+    n_buckets rows, not n_keys rows."""
+    from sslr_spark.operators.deletes import bucket_fingerprints
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    fp = bucket_fingerprints(
+        li, ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+        n_buckets=16,
+    )
+    p = plan_of(fp)
+    assert "partial_" in p  # partial aggregation before the exchange
+    assert "HashAggregate" in p
+
+
+def test_minhash_candidates_have_no_cross_join(spark):
+    """LSH candidate generation must stay an equi-join on (band, sig):
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the
+    pair pipeline."""
+    from sslr_spark.functions.dedup import minhash_lsh_pairs, release_caches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, hash_mode="fast")
+    p = plan_of(pairs)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    release_caches()
+
+
+def test_text_quality_stays_jvm_side_single_stage(spark):
+    """Text quality metrics are pure JVM column expressions — the
+    whole pipeline must be one narrow Project over the scan: no Python
+    evaluation (BatchEvalPython/ArrowEvalPython) and no shuffle."""
+    from sslr_spark.functions.text import quality_metrics
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(quality_metrics(docs))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+    assert "Project" in p and "Scan parquet" in p
+
+
+def test_watermark_filter_pushes_through_adapter_read(spark, source_db):
+    """S2/P5: the watermark predicate (the slice filter sync_updates
+    applies, updates.py) must push into the parquet scan THROUGH the
+    adapter's read() — whose metadata-column strip is a projection that
+    must not block pushdown. At 100 TB the slice read skips row groups
+    on xmin statistics rather than scan-and-discard."""
+    df = spark.range(5000).withColumn("xmin", F.col("id") % 50)
+    source_db.overwrite("t", df)
+    sliced = source_db.read("t").filter(F.col("xmin") >= F.lit(40))
+    p = plan_of(sliced)
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual(xmin,40)" in p
