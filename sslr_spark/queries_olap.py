@@ -294,6 +294,37 @@ from lineitem group by 1, 2
 """
 
 
+def q_x_cumulative_window(spark, sf_dir):
+    """Running-total window frame (rows unbounded-preceding..current):
+    cumulative customer spend over their order history — the one
+    window frame spec (cumulative) not exercised by the top-k /
+    lag-sessionize / funnel queries. Frame order is (date, orderkey),
+    unique per customer, so the floating accumulation order is
+    deterministic and both engines round identical prefix sums."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+SQL_CUMULATIVE = """
+select o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') as order_date,
+       round(sum(o_totalprice) over (
+         partition by o_custkey order by o_orderdate, o_orderkey
+         rows between unbounded preceding and current row), 2) as cum_spend
+from orders where o_custkey % 50 = 0
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_set_ops": q_x_set_ops,
     "x_date_rollup": q_x_date_rollup,
@@ -304,6 +335,7 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_pivot": q_x_pivot,
     "x_rollup": q_x_rollup,
     "x_funnel": q_x_funnel,
+    "x_cumulative_window": q_x_cumulative_window,
 }
 
 OLAP_ORACLES: dict[str, str] = {
@@ -316,4 +348,5 @@ OLAP_ORACLES: dict[str, str] = {
     "x_pivot": SQL_PIVOT,
     "x_rollup": SQL_ROLLUP,
     "x_funnel": SQL_FUNNEL,
+    "x_cumulative_window": SQL_CUMULATIVE,
 }
