@@ -288,7 +288,7 @@ def load_config(path_or_text: str) -> Config:
         wait_between_jobs_seconds=parse_duration(wait) if wait is not None else 5.0,
         shuffle_partitions=int(raw.get("shufflePartitions", 32)),
         state_table=raw.get("stateTable", "__sslr_state"),
-        target_buckets=int(raw.get("targetBuckets", 0)),
+        target_buckets=int(raw.get("targetBuckets", 64)),
         parallel_tables=int(raw.get("parallelTables", 1)),
     )
     cfg.validate()

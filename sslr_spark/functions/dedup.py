@@ -22,6 +22,8 @@ formula has an exact DuckDB spelling for oracle parity.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,19 +42,34 @@ from sslr_spark.functions.text import words
 # are materialized).
 # ------------------------------------------------------------------
 
-_ACTIVE_CACHES: list[DataFrame] = []
+_CACHES = threading.local()  # per-thread: concurrent pipelines never
+# evict each other's live caches
+
+
+def _active() -> list[DataFrame]:
+    if not hasattr(_CACHES, "dfs"):
+        _CACHES.dfs = []
+    return _CACHES.dfs
 
 
 def _persist(df: DataFrame) -> DataFrame:
     df = df.persist()
-    _ACTIVE_CACHES.append(df)
+    _active().append(df)
     return df
 
 
 def release_caches() -> None:
-    """Unpersist every cache created by this module's pair generators."""
-    while _ACTIVE_CACHES:
-        _ACTIVE_CACHES.pop().unpersist()
+    """Unpersist every cache created by THIS thread's pair generators.
+
+    The entry-release in each generator assumes the usual sequential
+    shape (generate pairs -> materialize -> generate next). If you
+    interleave instead — build pairs A, build pairs B, THEN collect A —
+    A's results stay correct but recompute without the cache; collect
+    (or call this) before starting the next generator to keep the
+    cache benefit."""
+    caches = _active()
+    while caches:
+        caches.pop().unpersist()
 
 
 def _cap_hot_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
@@ -411,6 +428,7 @@ def dup_clusters(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    changed = -1  # sentinel for the max_iterations<=0 warning path
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -440,8 +458,9 @@ def dup_clusters(
 
         warnings.warn(
             f"dup_clusters stopped after {max_iterations} iterations "
-            f"without converging ({changed} labels still changing); "
-            "raise max_iterations for deep chains",
+            "without converging"
+            + (f" ({changed} labels still changing)" if changed >= 0 else "")
+            + "; raise max_iterations for deep chains",
             RuntimeWarning,
             stacklevel=2,
         )

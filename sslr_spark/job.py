@@ -242,6 +242,18 @@ class Job:
     def _sync_deletes_phase(
         self, table, src, pks, where, n_buckets, result, throttle
     ) -> None:
+        from sslr_spark.operators.deletes import effective_buckets
+
+        # Runs after the update phase, so this sees the layout the
+        # update phase just wrote (a full copy may have migrated it).
+        n_buckets = effective_buckets(self.target, table, n_buckets)
+        if not self.target.table_exists(table):
+            # Nothing to reconcile (syncUpdates=false before the first
+            # copy ever ran): the delete phase would read a missing
+            # table. The reference hits the same ordering because it
+            # creates target DDL during validation; parquet tables
+            # exist only once data lands.
+            return
         if n_buckets:
             from sslr_spark.operators.deletes import sync_deletes_partitioned
 

@@ -43,6 +43,33 @@ class DeleteSyncStats:
     rows_rewritten: int
 
 
+def effective_buckets(target, table: str, n_buckets: int | None) -> int | None:
+    """Reconcile configured bucketing with the STORED layout.
+
+    Flipping ``targetBuckets`` in config does not migrate data: an
+    existing table written without the bucket partition column must
+    keep being merged/repaired with the unpartitioned operators (the
+    partitioned ones filter on ``__sslr_bucket`` and would fail on the
+    missing column). Returns the bucket count to use — ``None`` means
+    "run unpartitioned". Migration to the bucketed layout happens on
+    the next full copy, which rewrites the layout anyway.
+    """
+    if not n_buckets or not hasattr(target, "replace_partitions"):
+        return n_buckets or None
+    if not target.table_exists(table):
+        return n_buckets  # fresh table: created in the configured layout
+    if BUCKET_COL not in target.read(table, with_meta=True).columns:
+        import warnings
+
+        warnings.warn(
+            f"table {table!r} has no {BUCKET_COL} layout; running "
+            "unpartitioned merge/repair (a full copy migrates it)",
+            stacklevel=2,
+        )
+        return None
+    return n_buckets
+
+
 def bucket_fingerprints(
     df: DataFrame, pk_cols: list[str], n_buckets: int
 ) -> DataFrame:

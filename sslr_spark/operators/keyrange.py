@@ -60,7 +60,10 @@ def key_at_offset(
 
 
 _NUMERIC_TYPES = (
-    "byte", "short", "integer", "long", "float", "double", "date",
+    # approxQuantile supports NumericType only (DateType is rangeable
+    # but rejected by Spark's quantile sketch — such keys take the
+    # window fallback)
+    "byte", "short", "integer", "long", "float", "double",
 )
 
 

@@ -245,6 +245,13 @@ def sync_updates(
         state_store.set(TableState(table, rng.end_version, where or ""))
         return rows
 
+    # Incremental path: honor the STORED layout — an existing
+    # unpartitioned table merges unpartitioned even if config asks for
+    # buckets (the flip migrates on the next full copy, not here).
+    from sslr_spark.operators.deletes import effective_buckets
+
+    n_buckets = effective_buckets(target, table, n_buckets)
+
     slice_df = filtered_source(source_df, where).filter(
         F.col(version_col) >= F.lit(rng.start_version)
     )

@@ -30,9 +30,32 @@ database exists in this container; see tests/test_jdbc_job.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 from sslr_spark.sources import ddl as D
+
+
+def sql_literal(v) -> str:
+    """Render one key value as a SQL literal for the chunked DELETE
+    path. Strings escape quotes; floats guard inf/nan (their repr()s
+    are not SQL — rendered as the cast form, and a 'NaN' never equals
+    a stored NaN under IN, same as SQL's own semantics); bytes render
+    as a bytea hex literal."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isfinite(v):
+            return repr(v)
+        return f"cast('{v}' as double precision)"
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return f"'\\x{bytes(v).hex()}'::bytea"
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 class JdbcDatabase:
@@ -207,15 +230,7 @@ class JdbcDatabase:
         """Chunked composite-key DELETEs (reference deleteRows,
         internal/deletes.go:207-235: ``delete ... where (k1,k2) in
         (...)`` per chunk)."""
-        def lit(v) -> str:
-            if v is None:
-                return "null"
-            if isinstance(v, bool):
-                return "true" if v else "false"
-            if isinstance(v, (int, float)):
-                return repr(v)
-            return "'" + str(v).replace("'", "''") + "'"
-
+        lit = sql_literal
         cols = "(" + ",".join(pk_cols) + ")"
         for i in range(0, len(key_rows), self.delete_key_chunk):
             chunk = key_rows[i : i + self.delete_key_chunk]
@@ -243,11 +258,22 @@ class JdbcDatabase:
     def apply_upsert(
         self, table: str, updates: DataFrame, pk_cols: list[str]
     ) -> None:
-        """The reference's chunk transaction (internal/updates.go:171-222):
+        """The reference's chunk apply (internal/updates.go:171-222):
         DELETE the updated keys, INSERT the new rows. Executors batch
         the inserts (reWriteBatchedInserts); only the keys visit the
         driver. Cost ∝ update-slice size — the in-place alternative to
-        read-merge-overwrite for mutable stores."""
+        read-merge-overwrite for mutable stores.
+
+        DOCUMENTED DEVIATION from the reference's single-connection
+        BEGIN..DELETE..COPY..COMMIT: Spark's executor-side JDBC writes
+        commit per partition, so delete and insert are NOT one
+        transaction. Durability still holds — the watermark commits
+        only after the apply, so a crash between the phases re-applies
+        the same slice idempotently on restart — but a concurrent
+        reader can observe the deleted-not-yet-reinserted window.
+        Point the target at a staging schema if readers need snapshot
+        isolation (or use a lakehouse target, where the partitioned
+        merge path is atomic per partition swap)."""
         updates = updates.persist()
         try:
             self.delete_keys(table, updates, pk_cols)

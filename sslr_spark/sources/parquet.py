@@ -20,6 +20,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetDatabase:
@@ -86,6 +87,7 @@ class ParquetDatabase:
         final = self.path(table)
         stage = os.path.join(self.root, f".stage-{table}-{uuid.uuid4().hex}")
         old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
+        df = self._cluster_by_partition(df, partition_col)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
         try:
             if os.path.exists(final):
@@ -111,11 +113,24 @@ class ParquetDatabase:
         mix); safe here because every caller re-applies idempotently
         until the watermark/state commit succeeds."""
         (
-            df.write.mode("overwrite")
+            self._cluster_by_partition(df, partition_col)
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(self.path(table))
         )
+
+    @staticmethod
+    def _cluster_by_partition(df: DataFrame, partition_col: str) -> DataFrame:
+        """Repartition on the partition column before a partitionBy
+        write. Without this, EVERY write task opens a file in EVERY
+        partition dir — P partitions x T tasks files. Measured at 10x
+        sf0.1 (6M rows, 640 buckets x 32 tasks): ~20k tiny files made
+        the scattered-update merge superlinear (19x time for 10x
+        rows). Clustering first caps output at ~one file per
+        partition and turns the later pruned reads back into
+        few-file scans."""
+        return df.repartition(F.col(partition_col))
 
     def drop_partitions(
         self, table: str, partition_col: str, values: list

@@ -72,8 +72,28 @@ class StateStore:
             return self._read_all().get(table, TableState(table))
 
     def set(self, state: TableState) -> None:
-        """Upsert one table's state (reference internal/state.go:64-70)."""
+        """Upsert one table's state (reference internal/state.go:64-70).
+
+        In-place-capable targets (JDBC) upsert JUST this table's row —
+        a whole-table overwrite through Spark's JDBC writer is
+        truncate+insert in separate transactions, so a crash there
+        would zero EVERY table's watermark (full resync of the world).
+        The per-row path bounds the damage to one table, and the data-
+        before-state commit order makes its re-apply idempotent.
+        Parquet targets keep the whole-table overwrite: the staged
+        rename is atomic."""
         with self._lock:
+            row_df = self.target.spark.createDataFrame(
+                [(state.table_name, int(state.last_seen_version), state.where_clause)],
+                schema=STATE_SCHEMA,
+            )
+            if hasattr(self.target, "apply_upsert") and self.target.table_exists(
+                self.state_table
+            ):
+                self.target.apply_upsert(
+                    self.state_table, row_df, ["table_name"]
+                )
+                return
             all_states = self._read_all()
             all_states[state.table_name] = state
             df = self.target.spark.createDataFrame(

@@ -1,0 +1,125 @@
+"""Scale-shift stress probe: run the headline sync ops at K x sf0.1
+(default 10x ~= sf1, ~6M lineitem rows) and print per-op seconds.
+
+Usage: python tools/stress_scale.py [K]
+
+The input is sf0.1 lineitem unioned K times with disjoint l_orderkey
+ranges (key space grows with volume, as it would in production). The
+point is the SCALING SHAPE, not the absolute numbers: each op should
+grow ~linearly in rows; anything superlinear (or any driver-side
+collect that grows with table size) is a scale bug this probe exists
+to catch before a real cluster does.
+
+Temp data goes under .bench_tmp/stress (gitignored), removed after.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TMP = os.path.join(REPO, ".bench_tmp", "stress")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.deletes import (
+        BUCKET_COL,
+        sync_deletes_partitioned,
+        with_bucket,
+    )
+    from sslr_spark.operators.updates import sync_updates
+    from sslr_spark.session import get_spark
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.state import StateStore, TableState
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+    spark = get_spark(app_name="sslr_stress")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+
+            def __exit__(self, *exc):
+                timings[name] = round(time.perf_counter() - self.t0, 2)
+
+        return _T()
+
+    base = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    key_span = base.agg(F.max("l_orderkey")).first()[0] + 1
+    scaled = None
+    for i in range(k):
+        part = base.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * key_span)
+        )
+        scaled = part if scaled is None else scaled.unionByName(part)
+    pk = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    versioned = scaled.withColumn(
+        "xmin",
+        F.when(F.col("l_orderkey") % 100 == 0, F.lit(200)).otherwise(F.lit(100)),
+    )
+
+    # buckets scale with volume, as Config.choose would on a cluster
+    n_buckets = 64 * k
+    src = ParquetDatabase(spark, os.path.join(TMP, "src"))
+    src.overwrite("lineitem", versioned)
+    n_rows = src.read("lineitem").count()
+    print(f"scaled input: {n_rows} rows, {n_buckets} buckets", file=sys.stderr)
+
+    tgt = ParquetDatabase(spark, os.path.join(TMP, "tgt"))
+    with timed("stage_partitioned_target"):
+        tgt.overwrite_partitioned(
+            "lineitem",
+            with_bucket(
+                src.read("lineitem").withColumn("xmin", F.lit(100)),
+                pk, n_buckets,
+            ),
+            BUCKET_COL,
+        )
+    store = StateStore(tgt)
+    store.set(TableState("lineitem", 100, ""))
+
+    # scattered 1% update (worst case: touches most buckets)
+    with timed("incr_update_scattered"):
+        sync_updates(
+            src.read("lineitem"), tgt, store, "lineitem", pk,
+            n_buckets=n_buckets,
+        )
+
+    # clustered small update (~typical CDC trigger)
+    upd = versioned.filter(F.col("l_orderkey") % (30011 * k) == 0).withColumn(
+        "xmin", F.lit(300)
+    )
+    from sslr_spark.operators.updates import merge_upsert_partitioned
+
+    with timed("incr_update_clustered"):
+        merge_upsert_partitioned(tgt, "lineitem", upd, pk, n_buckets)
+
+    # 0.1% deletes: bucket diff + pruned repair
+    src.overwrite(
+        "lineitem_del", versioned.filter(F.col("l_orderkey") % 997 != 0)
+    )
+    with timed("delete_diff_partitioned"):
+        sync_deletes_partitioned(
+            src.read("lineitem_del"), tgt, "lineitem", pk, n_buckets
+        )
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    print(json.dumps({"k": k, "rows": n_rows, "timings": timings}))
+
+
+if __name__ == "__main__":
+    main()
