@@ -91,6 +91,7 @@ def main() -> None:
         "lineitem",
         with_bucket(versioned.withColumn("xmin", F.lit(100)), pk, N_BUCKETS),
         BUCKET_COL,
+        n_buckets=N_BUCKETS,
     )
     store = StateStore(tgt2)
     store.set(TableState("lineitem", 100, ""))
@@ -115,7 +116,8 @@ def main() -> None:
     # merges/repairs rewrite only the touched partitions --------------
     tgt4 = ParquetDatabase(spark, os.path.join(TMP, "target4"))
     tgt4.overwrite_partitioned(
-        "lineitem", with_bucket(versioned, pk, N_BUCKETS), BUCKET_COL
+        "lineitem", with_bucket(versioned, pk, N_BUCKETS), BUCKET_COL,
+        n_buckets=N_BUCKETS,
     )
     # small update batch (~20 keys) — the typical per-trigger CDC slice;
     # only those keys' buckets are read+rewritten

@@ -18,6 +18,8 @@ spec would hang.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from enum import Enum
 
@@ -64,16 +66,30 @@ def schemas_equal(
     for parquet round-trips, so it is ignored by default.
     ``ignore_cols`` excludes engine metadata (the version column is
     not stored in stripped targets — reference targets never hold
-    xmin, internal/updates.go:117-124)."""
+    xmin, internal/updates.go:117-124).
+
+    Types are compared up to JDBC round-trip equivalence: Postgres has
+    no tinyint (stored as smallint, read back as short) and one
+    timestamp-without-tz type — without collapsing those classes, a
+    byte or timestamp_ntz source column would pass validation on the
+    run that CREATEs the target and then raise SchemaMismatch on every
+    later run though nothing drifted."""
     skip = ignore_cols or set()
+    equiv = {"tinyint": "smallint", "timestamp_ntz": "timestamp"}
+
+    def canon(dt: T.DataType) -> str:
+        s = dt.simpleString()
+        for frm, to in equiv.items():
+            s = re.sub(rf"\b{frm}\b", to, s)
+        return s
 
     def norm(s: T.StructType):
         fields = [
             f for f in s.fields
             if not f.name.startswith("__sslr") and f.name not in skip
         ]
-        return [(f.name, f.dataType.simpleString()) for f in fields] if ignore_nullability \
-            else [(f.name, f.dataType.simpleString(), f.nullable) for f in fields]
+        return [(f.name, canon(f.dataType)) for f in fields] if ignore_nullability \
+            else [(f.name, canon(f.dataType), f.nullable) for f in fields]
 
     return norm(a) == norm(b)
 

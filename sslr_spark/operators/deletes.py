@@ -46,28 +46,50 @@ class DeleteSyncStats:
 def effective_buckets(target, table: str, n_buckets: int | None) -> int | None:
     """Reconcile configured bucketing with the STORED layout.
 
-    Flipping ``targetBuckets`` in config does not migrate data: an
-    existing table written without the bucket partition column must
-    keep being merged/repaired with the unpartitioned operators (the
-    partitioned ones filter on ``__sslr_bucket`` and would fail on the
-    missing column). Returns the bucket count to use — ``None`` means
-    "run unpartitioned". Migration to the bucketed layout happens on
-    the next full copy, which rewrites the layout anyway.
+    Flipping ``targetBuckets`` in config does not migrate data, and
+    merging with a bucket count DIFFERENT from the one the table was
+    written with is silent corruption (a key's new row lands in a
+    different partition than its old row — duplicates). So:
+
+    - table stored unpartitioned -> ``None`` (unpartitioned operators;
+      the next full copy migrates the layout);
+    - table stored with a recorded bucket count -> THAT count, with a
+      warning if config disagrees (a full copy re-buckets);
+    - bucket column present but no layout marker (pre-marker layout)
+      -> ``None``, safe fallback;
+    - fresh table -> the configured count.
     """
+    import warnings
+
     if not n_buckets or not hasattr(target, "replace_partitions"):
         return n_buckets or None
     if not target.table_exists(table):
         return n_buckets  # fresh table: created in the configured layout
     if BUCKET_COL not in target.read(table, with_meta=True).columns:
-        import warnings
-
         warnings.warn(
             f"table {table!r} has no {BUCKET_COL} layout; running "
             "unpartitioned merge/repair (a full copy migrates it)",
             stacklevel=2,
         )
         return None
-    return n_buckets
+    meta = target.layout_meta(table) if hasattr(target, "layout_meta") else None
+    stored = (meta or {}).get("n_buckets")
+    if not stored:
+        warnings.warn(
+            f"table {table!r} is bucket-partitioned but has no layout "
+            "marker (pre-marker layout); running unpartitioned "
+            "merge/repair (a full copy re-buckets it)",
+            stacklevel=2,
+        )
+        return None
+    if stored != n_buckets:
+        warnings.warn(
+            f"table {table!r} stored with {stored} buckets; config asks "
+            f"for {n_buckets} — using the stored count (a full copy "
+            "re-buckets)",
+            stacklevel=2,
+        )
+    return int(stored)
 
 
 def bucket_fingerprints(
@@ -232,7 +254,14 @@ def sync_deletes(
     as the reference's key-list fingerprints.
     """
     src = filtered_source(source_df, where)
-    tgt = target.read(table)
+    if hasattr(target, "read_auto_partitioned"):
+        # JDBC target: the fingerprint pass reads every target key —
+        # through ONE connection unless the scan is range-partitioned
+        # on the leading PK, same as source reads (at scale a single-
+        # socket key scan dwarfs the diff itself)
+        tgt = target.read_auto_partitioned(table, pk_cols[0])
+    else:
+        tgt = target.read(table)
     if throttle is None:
         from sslr_spark.throttle import Throttle
 

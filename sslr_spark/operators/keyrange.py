@@ -88,6 +88,10 @@ def key_at_offset_scalable(
     Falls back to the window form when the leading key column is not
     rangeable (approxQuantile needs numeric/date).
     """
+    if offset <= 0:
+        # degenerate input: keep exact parity with the window form's
+        # clamp semantics rather than replicate them here
+        return key_at_offset(df, pk_cols, offset, start_key)
     scoped = df.filter(range_predicate(pk_cols, start_key, None)).select(*pk_cols)
     first = pk_cols[0]
     if scoped.schema[first].dataType.typeName() not in _NUMERIC_TYPES:

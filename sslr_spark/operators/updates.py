@@ -236,7 +236,16 @@ def sync_updates(
             from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
 
             df = with_bucket(_fs(source_df, where), pk_cols, n_buckets)
-            target.overwrite_partitioned(table, df, BUCKET_COL)
+            # salt the initial copy if the bucket count is below the
+            # session's task slots, so the big write uses the cluster
+            sp = int(
+                target.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            target.overwrite_partitioned(
+                table, df, BUCKET_COL,
+                n_buckets=n_buckets,
+                files_per_bucket=max(1, sp // n_buckets),
+            )
             rows = target.read(table).count()
         else:
             rows = copy_full_table(

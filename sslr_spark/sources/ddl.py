@@ -123,13 +123,23 @@ group by relname
 def index_extract_sql(table: str) -> str:
     """The reference's S6/A6 index-extraction query
     (internal/schemas.go:148-173); key columns are array_agg'd then
-    flattened to a comma-joined string for JDBC scanning."""
+    flattened to a comma-joined string for JDBC scanning.
+
+    Deviation (improvement): the reference's plain ``array_agg``
+    leaves composite-index column order unspecified, so an index on
+    (b, a) could be replayed as (a, b) — changing prefix usability on
+    the target. We order by the column's position in ``indkey``, the
+    index's actual key order."""
     ns, rel = split_table_path(table)
     return f"""
 select
     i.relname as index_name,
     ix.indisprimary as is_primary,
-    array_to_string(array_agg(a.attname), ',') as columns
+    array_to_string(
+        array_agg(a.attname
+                  order by array_position(ix.indkey::int2[], a.attnum)),
+        ','
+    ) as columns
 from
     pg_class t,
     pg_class i,

@@ -182,6 +182,14 @@ class JdbcDatabase:
         if not partition_column:
             return self.read(table)
         try:
+            # decide numeric-ness by the column's TYPE, not its values:
+            # a varchar key holding digit strings would pass an int()
+            # probe but Spark rejects non-numeric partitionColumns
+            ftype = self.schema(table)[partition_column].dataType.typeName()
+            if ftype not in (
+                "byte", "short", "integer", "long", "float", "double", "decimal",
+            ):
+                return self.read(table)
             row = self._load(
                 {
                     "url": self.url,
@@ -194,7 +202,7 @@ class JdbcDatabase:
             ).first()
             lo, hi = (row["lo"], row["hi"]) if row else (None, None)
             lo, hi = int(lo), int(hi)  # non-numeric keys raise here
-        except (TypeError, ValueError):
+        except (TypeError, ValueError, KeyError):
             return self.read(table)
         if hi <= lo:
             return self.read(table)

@@ -79,16 +79,40 @@ class ParquetDatabase:
         shutil.rmtree(old, ignore_errors=True)
 
     def overwrite_partitioned(
-        self, table: str, df: DataFrame, partition_col: str
+        self,
+        table: str,
+        df: DataFrame,
+        partition_col: str,
+        n_buckets: int | None = None,
+        files_per_bucket: int = 1,
     ) -> None:
         """Full overwrite of a partitioned table layout
         (``<table>.parquet/<partition_col>=v/...``). Reads of the table
-        recover ``partition_col`` as an ordinary column."""
+        recover ``partition_col`` as an ordinary column.
+
+        ``n_buckets`` is recorded in a ``_sslr_layout.json`` marker in
+        the table root (Spark ignores ``_``-prefixed files): merges and
+        repairs MUST reuse the stored bucket count — mixing counts
+        writes a key's new row to a different partition than its old
+        row lives in, i.e. silent duplication. ``files_per_bucket > 1``
+        salts the write clustering to raise write parallelism when the
+        bucket count is below the cluster's task slots (at the cost of
+        that many files per bucket)."""
         final = self.path(table)
         stage = os.path.join(self.root, f".stage-{table}-{uuid.uuid4().hex}")
         old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
-        df = self._cluster_by_partition(df, partition_col)
+        df = self._cluster_by_partition(
+            df, partition_col, files_per_bucket, n_buckets
+        )
         df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        if n_buckets:
+            import json
+
+            with open(os.path.join(stage, "_sslr_layout.json"), "w") as fh:
+                json.dump(
+                    {"partition_col": partition_col, "n_buckets": int(n_buckets)},
+                    fh,
+                )
         try:
             if os.path.exists(final):
                 os.rename(final, old)
@@ -121,16 +145,51 @@ class ParquetDatabase:
         )
 
     @staticmethod
-    def _cluster_by_partition(df: DataFrame, partition_col: str) -> DataFrame:
+    def _cluster_by_partition(
+        df: DataFrame,
+        partition_col: str,
+        files_per_bucket: int = 1,
+        n_buckets: int | None = None,
+    ) -> DataFrame:
         """Repartition on the partition column before a partitionBy
         write. Without this, EVERY write task opens a file in EVERY
         partition dir — P partitions x T tasks files. Measured at 10x
         sf0.1 (6M rows, 640 buckets x 32 tasks): ~20k tiny files made
         the scattered-update merge superlinear (19x time for 10x
-        rows). Clustering first caps output at ~one file per
-        partition and turns the later pruned reads back into
-        few-file scans."""
+        rows). Clustering first caps output at ``files_per_bucket``
+        files per partition and turns the later pruned reads back into
+        few-file scans.
+
+        Plain clustering caps write parallelism at the number of
+        distinct buckets; when that is below the cluster's task slots
+        (big initial copy, small bucket count), pass
+        ``files_per_bucket > 1`` — a deterministic row-hash salt
+        splits each bucket across that many writers (shuffled into
+        bucket x salt partitions so the salt groups actually land in
+        distinct tasks)."""
+        if files_per_bucket > 1:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_bucket),
+            )
+            if n_buckets:
+                return df.repartition(
+                    n_buckets * files_per_bucket, F.col(partition_col), salt
+                )
+            return df.repartition(F.col(partition_col), salt)
         return df.repartition(F.col(partition_col))
+
+    def layout_meta(self, table: str) -> dict | None:
+        """The ``_sslr_layout.json`` marker written by
+        :meth:`overwrite_partitioned` (None for unpartitioned or
+        pre-marker layouts)."""
+        import json
+
+        p = os.path.join(self.path(table), "_sslr_layout.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
 
     def drop_partitions(
         self, table: str, partition_col: str, values: list

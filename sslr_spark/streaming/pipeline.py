@@ -62,17 +62,26 @@ def stream_incremental_sync(
         if not batch_df.take(1):
             return
         updates = dedup_latest_version(batch_df, pk_cols, version_col)
-        if n_buckets:
-            from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
-            from sslr_spark.operators.updates import merge_upsert_partitioned
+        from sslr_spark.operators.deletes import (
+            BUCKET_COL,
+            effective_buckets,
+            with_bucket,
+        )
+        from sslr_spark.operators.updates import merge_upsert_partitioned
 
+        # Honor the STORED layout (same guard as the batch path): a
+        # pre-existing unpartitioned target merges unpartitioned; a
+        # target bucketed with a different count keeps its own count.
+        eff = effective_buckets(target, table, n_buckets)
+        if eff:
             if target.table_exists(table):
                 merge_upsert_partitioned(
-                    target, table, updates, pk_cols, n_buckets
+                    target, table, updates, pk_cols, eff
                 )
             else:
                 target.overwrite_partitioned(
-                    table, with_bucket(updates, pk_cols, n_buckets), BUCKET_COL
+                    table, with_bucket(updates, pk_cols, eff), BUCKET_COL,
+                    n_buckets=eff,
                 )
             return
         if target.table_exists(table):

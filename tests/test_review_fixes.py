@@ -130,3 +130,104 @@ def test_state_store_parquet_unaffected_by_upsert_path(spark, target_db):
     store.set(TableState("a", 9, ""))
     assert store.get("a").last_seen_version == 9
     assert store.get("b").last_seen_version == 7
+
+
+def test_layout_marker_roundtrip_and_count_mismatch(spark, source_db, target_db):
+    """The layout marker records the bucket count; a config flip to a
+    DIFFERENT count must merge with the STORED count (mixing counts
+    writes a key's new row into a different partition than its old
+    row — silent duplication)."""
+    from sslr_spark.operators.deletes import (
+        BUCKET_COL,
+        effective_buckets,
+        with_bucket,
+    )
+    from sslr_spark.operators.updates import sync_updates
+    from sslr_spark.state import StateStore, TableState
+
+    df = spark.createDataFrame(
+        [(i, i * 10, 1) for i in range(500)], "id long, v long, xmin long"
+    )
+    source_db.overwrite("t", df)
+    target_db.overwrite_partitioned(
+        "t", with_bucket(df, ["id"], 16), BUCKET_COL, n_buckets=16
+    )
+    assert target_db.layout_meta("t") == {
+        "partition_col": BUCKET_COL, "n_buckets": 16,
+    }
+    store = StateStore(target_db)
+    store.set(TableState("t", 1, ""))
+
+    upd = df.withColumn(
+        "xmin", F.when(F.col("id") < 20, F.lit(5)).otherwise(F.lit(1))
+    ).withColumn(
+        "v", F.when(F.col("id") < 20, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    source_db.overwrite("t", upd)
+    # config now asks for 64 buckets; stored layout has 16
+    with pytest.warns(UserWarning, match="stored with 16 buckets"):
+        assert effective_buckets(target_db, "t", 64) == 16
+    with pytest.warns(UserWarning, match="stored with 16 buckets"):
+        sync_updates(
+            source_db.read("t"), target_db, store, "t", ["id"], n_buckets=64
+        )
+    got = target_db.read("t").collect()
+    assert len(got) == 500  # no duplicated keys
+    vals = {r.id: r.v for r in got}
+    assert vals[0] == 1 and vals[19] == 191 and vals[20] == 200
+
+
+def test_files_per_bucket_salting(spark, target_db):
+    """files_per_bucket > 1 raises write parallelism: each bucket dir
+    gets up to that many files, and reads stay correct."""
+    import glob as g
+    import os as o
+
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+    df = spark.range(4000).withColumn("v", F.col("id"))
+    target_db.overwrite_partitioned(
+        "t", with_bucket(df, ["id"], 4), BUCKET_COL,
+        n_buckets=4, files_per_bucket=3,
+    )
+    counts = []
+    for d in g.glob(o.path.join(target_db.path("t"), f"{BUCKET_COL}=*")):
+        counts.append(
+            len([f for f in o.listdir(d) if f.endswith(".parquet")])
+        )
+    assert sum(counts) > 4  # more writers than buckets
+    assert max(counts) <= 3
+    assert target_db.read("t").count() == 4000
+
+
+def test_schemas_equal_jdbc_roundtrip_classes(spark):
+    """byte<->short and timestamp_ntz<->timestamp compare equal (the
+    Postgres round-trip classes); a genuine drift still differs."""
+    from pyspark.sql import types as T
+
+    from sslr_spark.catalog import schemas_equal
+
+    a = T.StructType([
+        T.StructField("b", T.ByteType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ])
+    b = T.StructType([
+        T.StructField("b", T.ShortType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    assert schemas_equal(a, b)
+    c = T.StructType([
+        T.StructField("b", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    assert not schemas_equal(a, c)
+
+
+def test_key_at_offset_scalable_nonpositive_offset_parity(spark):
+    from sslr_spark.operators.keyrange import key_at_offset, key_at_offset_scalable
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    for off in (0, -3):
+        assert key_at_offset_scalable(df, ["k"], off) == key_at_offset(
+            df, ["k"], off
+        )

@@ -88,6 +88,7 @@ def main() -> None:
                 pk, n_buckets,
             ),
             BUCKET_COL,
+            n_buckets=n_buckets,
         )
     store = StateStore(tgt)
     store.set(TableState("lineitem", 100, ""))
