@@ -1,0 +1,108 @@
+"""Deterministic dataset splitting and sampling for training-corpus
+pipelines.
+
+Every operator here is hash-deterministic — no RNG state, no
+``rand()``: the split a document lands in is a pure function of its
+key and the seed string. That is the property corpus pipelines
+actually need at 100 TB: re-runs, backfills, and incremental appends
+must route each document to the SAME split (a rand()-based sample
+reshuffles the corpus every run and leaks val into train). Pure JVM
+column expressions — codegen'd, no shuffle for the assignment itself —
+and portable to the DuckDB oracle via the md5-derived h60 hash
+(functions/hashing.py).
+
+Beyond-reference surface (the reference syncs tables; these feed the
+training-data use cases mandated for the rebuild).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sslr_spark.functions.hashing import h60
+
+_RESOLUTION = 1_000_000
+
+
+def split_bucket(key: Column, seed: str = "split") -> Column:
+    """Uniform bucket in [0, 1e6) from a key column and a seed string.
+    Deterministic across runs/engines; changing the seed re-deals the
+    corpus."""
+    return F.pmod(
+        h60(F.concat_ws(":", F.lit(seed), key.cast("string"))),
+        F.lit(_RESOLUTION),
+    )
+
+
+def split_bucket_sql(key_expr: str, seed: str = "split") -> str:
+    """DuckDB spelling of :func:`split_bucket`."""
+    from sslr_spark.functions.hashing import h60_sql
+
+    h = h60_sql(f"concat('{seed}', ':', cast({key_expr} as varchar))")
+    return f"{h} % {_RESOLUTION}"
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Assign every row a split label ('train'/'val'/'test'/...) by
+    hash-bucketing the key against cumulative weight thresholds.
+
+    Weights need not sum to 1; they are normalized. Assignment is a
+    row-local expression (no shuffle, no action) and stable under
+    appends: new documents join their split without disturbing old
+    ones — the property rand()-based splits lack."""
+    total = sum(weights.values())
+    b = split_bucket(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w / total
+        cond = b < int(acc * _RESOLUTION)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key hash. The
+    kept set is a fixed subset: running at 1% then 10% yields nested
+    samples (the 1% is contained in the 10%), which is what iterative
+    corpus experiments want."""
+    return df.filter(
+        split_bucket(F.col(key_col), seed) < int(fraction * _RESOLUTION)
+    )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fraction: float,
+    seed: str = "strat",
+) -> DataFrame:
+    """EXACT per-stratum sampling: ceil(fraction * stratum_size) rows
+    from each stratum, chosen by hash order (deterministic, no RNG).
+
+    One shuffle (window by stratum). Use for balanced eval sets where
+    per-language/per-source proportions must hold exactly; use
+    :func:`hash_sample` when ~fraction is good enough and no shuffle
+    is affordable. Hash order ties are broken by the key itself, so
+    the selection is total and reproducible."""
+    b = split_bucket(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(b.asc(), F.col(key_col).asc())
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )

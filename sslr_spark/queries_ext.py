@@ -18,6 +18,7 @@ from sslr_spark.functions import multimodal as M
 from sslr_spark.functions import similarity as S
 from sslr_spark.functions import text as X
 from sslr_spark.functions.hashing import h60_sql
+from sslr_spark.functions.sampling import split_bucket_sql
 
 
 def _docs(spark, sf_dir):
@@ -500,7 +501,66 @@ def q_mm_frame_sample(spark, sf_dir):
     return M.sample_frames(M.with_binary_payload(_docs(spark, sf_dir)), every_n=2)
 
 
+def q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by key hash (90/5/5):
+    per-(split, lang) document counts. The assignment is a pure
+    function of (seed, doc_id) — append-stable, engine-portable."""
+    from sslr_spark.functions.sampling import hash_split
+
+    from pyspark.sql import functions as F
+
+    split = hash_split(
+        _docs(spark, sf_dir), "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_SAMPLE_HASH_SPLIT = f"""
+with b as (
+  select lang,
+         {split_bucket_sql('doc_id')} as bkt
+  from documents
+)
+select case when bkt < 900000 then 'train'
+            when bkt < 950000 then 'val'
+            else 'test' end as split,
+       lang, count(*) as n_docs
+from b group by 1, 2
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exact per-stratum sample: 2% of each language by hash order —
+    returns the selected doc_ids (deterministic set)."""
+    from sslr_spark.functions.sampling import stratified_exact_sample
+
+    return stratified_exact_sample(
+        _docs(spark, sf_dir), "lang", "doc_id", 0.02
+    ).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+with b as (
+  select doc_id, lang,
+         {split_bucket_sql('doc_id', 'strat')} as bkt,
+         count(*) over (partition by lang) as n
+  from documents
+), r as (
+  select doc_id, lang, n,
+         row_number() over (partition by lang order by bkt, doc_id) as rn
+  from b
+)
+select doc_id, lang from r where rn <= ceil(n * 0.02)
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_hash_split": q_sample_hash_split,
+    "sample_stratified": q_sample_stratified,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -523,6 +583,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,

@@ -190,3 +190,48 @@ def test_dedup_caches_released(spark, docs):
     assert n_cached() <= after_first
     release_caches()
     assert n_cached() <= base
+
+
+def test_hash_split_deterministic_and_append_stable(spark, docs):
+    """The same doc lands in the same split on re-run AND when the
+    corpus grows — the property rand() splits lack."""
+    from sslr_spark.functions.sampling import hash_split
+
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    full = {r.doc_id: r.split for r in hash_split(docs, "doc_id", w).collect()}
+    again = {r.doc_id: r.split for r in hash_split(docs, "doc_id", w).collect()}
+    assert full == again
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = {r.doc_id: r.split for r in hash_split(half, "doc_id", w).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    # proportions roughly hold
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert c["train"] > 0.8 * len(full)
+    assert 0 < c["val"] < 0.15 * len(full)
+
+
+def test_hash_sample_nested(spark, docs):
+    """Smaller fractions are subsets of larger ones (nested samples)."""
+    from sslr_spark.functions.sampling import hash_sample
+
+    s1 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.01).collect()}
+    s10 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.10).collect()}
+    assert s1 <= s10
+    assert len(s10) < 0.2 * docs.count()
+
+
+def test_stratified_exact_sample_counts(spark, docs):
+    """Each stratum contributes exactly ceil(fraction * size) rows."""
+    import math
+
+    from sslr_spark.functions.sampling import stratified_exact_sample
+
+    frac = 0.1
+    sizes = {r.lang: r.n for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = stratified_exact_sample(docs, "lang", "doc_id", frac)
+    counts = {r.lang: r.n for r in
+              got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {k: math.ceil(v * frac) for k, v in sizes.items()}
