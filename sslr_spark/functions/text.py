@@ -130,3 +130,47 @@ def fingerprints(df: DataFrame, text_col: str = "text", prefix_len: int = 100) -
         F.md5(F.substring(norm, 1, prefix_len)).alias("prefix_fp"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition analysis + collapse — the standard
+    corpus-quality signal (token runs like "batch batch batch" mark
+    low-quality/templated text; heavy repetition also skews n-gram
+    stats downstream).
+
+    Per doc: token count, immediate-repeat count (positions where
+    w[i] == w[i-1]), repetition ratio, and the md5 fingerprint of the
+    run-collapsed text (each run reduced to one token). All built-in
+    array/lambda expressions over the materialized token array — one
+    narrow projection, no shuffle, no Python.
+    """
+    tok = df.select("doc_id", words(F.col(text_col)).alias("__w"))
+    w = F.col("__w")
+    n = F.size(w)
+    rep = F.when(n <= 1, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(w, i) == F.element_at(w, i - 1),
+        )
+    )
+    keep = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) | (F.element_at(w, i) != F.element_at(w, i - 1)),
+        )
+    )
+    collapsed = F.concat_ws(
+        " ", F.transform(keep, lambda i: F.element_at(w, i))
+    )
+    return tok.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(rep).cast("long").alias("n_repeats"),
+        F.round(
+            F.when(n == 0, F.lit(0.0)).otherwise(
+                F.size(rep).cast("double") / n
+            ),
+            6,
+        ).alias("rep_ratio"),
+        F.md5(collapsed).alias("collapsed_fp"),
+    )

@@ -501,6 +501,35 @@ def q_mm_frame_sample(spark, sf_dir):
     return M.sample_frames(M.with_binary_payload(_docs(spark, sf_dir)), every_n=2)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Intra-doc repetition: immediate-repeat ratio + run-collapsed
+    text fingerprint (corpus-quality signal)."""
+    return X.repetition_metrics(_docs(spark, sf_dir))
+
+
+SQL_TEXT_REPETITION = f"""
+with t as (select doc_id, {W_SQL} as w from documents),
+m as (
+  select doc_id, w, len(w) as n,
+    case when len(w) <= 1 then []
+         else list_filter(generate_series(2, len(w)), i -> w[i] = w[i-1]) end
+      as rep,
+    case when len(w) = 0 then []
+         else list_filter(generate_series(1, len(w)),
+                          i -> i = 1 or w[i] != w[i-1]) end
+      as keep
+  from t
+)
+select doc_id,
+       cast(n as bigint) as n_tokens,
+       cast(len(rep) as bigint) as n_repeats,
+       round(case when n = 0 then 0.0
+                  else cast(len(rep) as double) / n end, 6) as rep_ratio,
+       md5(array_to_string(list_transform(keep, i -> w[i]), ' ')) as collapsed_fp
+from m
+"""
+
+
 def q_sample_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by key hash (90/5/5):
     per-(split, lang) document counts. The assignment is a pure
@@ -561,6 +590,7 @@ select doc_id, lang from r where rn <= ceil(n * 0.02)
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified": q_sample_stratified,
+    "text_repetition": q_text_repetition,
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -585,6 +615,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "text_repetition": SQL_TEXT_REPETITION,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality": SQL_TEXT_QUALITY,
     "text_lang_id": SQL_TEXT_LANG_ID,

@@ -235,3 +235,26 @@ def test_stratified_exact_sample_counts(spark, docs):
     counts = {r.lang: r.n for r in
               got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {k: math.ceil(v * frac) for k, v in sizes.items()}
+
+
+def test_repetition_metrics_known_values(spark):
+    from sslr_spark.functions.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "batch batch batch stream"),
+            (2, "a b c"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert rows[1].n_tokens == 4 and rows[1].n_repeats == 2
+    assert abs(rows[1].rep_ratio - 0.5) < 1e-9
+    assert rows[2].n_repeats == 0
+    assert rows[3].n_tokens == 0 and rows[3].rep_ratio == 0.0
+    # collapsed fingerprints: doc1 collapses to "batch stream"
+    import hashlib
+
+    assert rows[1].collapsed_fp == hashlib.md5(b"batch stream").hexdigest()
+    assert rows[2].collapsed_fp == hashlib.md5(b"a b c").hexdigest()
