@@ -499,3 +499,52 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------
+# eval-set contamination
+# ------------------------------------------------------------------
+
+def contamination_rates(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-corpus-doc n-gram overlap against an eval set — the
+    decontamination scan every training pipeline runs before a corpus
+    ships (eval examples leaking into train inflate benchmarks).
+
+    (doc_id, n_shingles, n_contaminated, contamination) where
+    ``contamination`` is the fraction of the doc's distinct n-gram
+    shingles that appear ANYWHERE in the eval set.
+
+    Shape at 100 TB: the eval side is tiny (benchmarks are thousands
+    of examples, not billions) — its distinct shingle set broadcasts,
+    so the corpus-side cost is one shingle pass + a broadcast semi
+    probe + one map-side-combinable count agg. No shuffle of corpus
+    text, ever. Left-anti of eval against corpus (the reverse check)
+    reuses the same inverted shape.
+    """
+    c_sh = shingles(corpus, text_col, n)
+    e_sh = shingles(eval_df, text_col, n).select("shingle").distinct()
+    hits = c_sh.join(F.broadcast(e_sh), "shingle", "left_semi")
+    totals = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    contaminated = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        totals.join(contaminated, "doc_id", "left")
+        .na.fill(0, ["n_contaminated"])
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_contaminated").cast("double") / F.col("n_shingles")
+                ),
+                6,
+            ).alias("contamination"),
+        )
+    )

@@ -530,6 +530,55 @@ from m
 """
 
 
+def q_dedup_contamination(spark, sf_dir):
+    """Eval-set decontamination scan: fraction of each corpus doc's
+    distinct 5-gram shingles appearing anywhere in the eval set. The
+    eval set is itself derived deterministically (2% hash sample), so
+    the whole query is engine-portable."""
+    from sslr_spark.functions.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir)
+    eval_df = hash_sample(docs, "doc_id", 0.02, seed="evalset")
+    return D.contamination_rates(docs, eval_df, n=5)
+
+
+def _eval_sql() -> str:
+    bkt = split_bucket_sql("doc_id", "evalset")
+    return f"select * from documents where {bkt} < 20000"
+
+
+SQL_DEDUP_CONTAMINATION = f"""
+with ev as ({_eval_sql()}),
+csh as (
+  select distinct doc_id, unnest(
+    list_transform(generate_series(1, len({W_SQL}) - 4),
+                   i -> array_to_string(({W_SQL})[i:i+4], ' '))
+  ) as shingle
+  from documents
+),
+esh as (
+  select distinct unnest(
+    list_transform(generate_series(1, len({W_SQL}) - 4),
+                   i -> array_to_string(({W_SQL})[i:i+4], ' '))
+  ) as shingle
+  from ev
+),
+tot as (select doc_id, count(*) as n_shingles from csh group by 1),
+hit as (
+  select doc_id, count(*) as n_contaminated
+  from csh where shingle in (select shingle from esh)
+  group by 1
+)
+select t.doc_id,
+       t.n_shingles,
+       coalesce(h.n_contaminated, 0) as n_contaminated,
+       round(case when t.n_shingles = 0 then 0.0
+                  else cast(coalesce(h.n_contaminated, 0) as double)
+                       / t.n_shingles end, 6) as contamination
+from tot t left join hit h on t.doc_id = h.doc_id
+"""
+
+
 def q_sample_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by key hash (90/5/5):
     per-(split, lang) document counts. The assignment is a pure
@@ -602,6 +651,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_contamination": q_dedup_contamination,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_topk_lsh": q_sim_topk_lsh,
     "sim_ivf_ann": q_sim_ivf_ann,
@@ -627,6 +677,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_embedding_cosine": SQL_DEDUP_EMB,
+    "dedup_contamination": SQL_DEDUP_CONTAMINATION,
     "sim_topk_bruteforce": SQL_SIM_TOPK,
     "sim_topk_lsh": SQL_SIM_LSH,
     "sim_knn_blocked": SQL_SIM_KNN,

@@ -258,3 +258,28 @@ def test_repetition_metrics_known_values(spark):
 
     assert rows[1].collapsed_fp == hashlib.md5(b"batch stream").hexdigest()
     assert rows[2].collapsed_fp == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_contamination_rates_known_values(spark):
+    """A doc identical to an eval doc is fully contaminated; a
+    disjoint-vocabulary doc is clean; partial overlap is fractional."""
+    from sslr_spark.functions.dedup import contamination_rates
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),      # == eval doc
+            (2, "one two three four five six seven"),        # disjoint
+            (3, "alpha beta gamma delta unrelated words x"), # partial
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in
+            contamination_rates(corpus, eval_df, n=4).collect()}
+    assert rows[1].contamination == 1.0
+    assert rows[2].contamination == 0.0
+    assert rows[3].n_contaminated == 1  # only "alpha beta gamma delta"
+    assert 0 < rows[3].contamination < 1
