@@ -548,3 +548,99 @@ def contamination_rates(
             ).alias("contamination"),
         )
     )
+
+
+def dup_clusters_star(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star —
+    O(log n) rounds regardless of component diameter (the published
+    MapReduce CC recurrence; min-label propagation needs O(diameter)
+    joins, which a 10k-long near-dup chain turns into 10k shuffles).
+
+    Same output contract as :func:`dup_clusters`: (doc_id, cluster_id)
+    with cluster_id = the component's smallest doc_id.
+
+    Each round:
+    - large-star: every node u links its LARGER neighbors to the
+      minimum of its closed neighborhood;
+    - small-star: every node u links its smaller-or-equal neighbors
+      (and itself) to that minimum.
+    The edge set monotonically contracts to stars centered at
+    component minima; convergence is detected by the edge multiset
+    hash going stable. localCheckpoint per round keeps the plan flat.
+    """
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # closed-neighborhood minimum per node
+        mins = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("nmin"))
+            .select("src", F.least(F.col("src"), F.col("nmin")).alias("m"))
+        )
+        j = e.join(mins, "src")
+        if large:
+            out = j.filter(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+        else:
+            out = j.filter(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            ).unionByName(
+                mins.select(F.col("src"), F.col("m").alias("dst"))
+            )
+        return out.filter(F.col("src") != F.col("dst")).distinct()
+
+    def sig(e: DataFrame):
+        # bit_xor: commutative AND overflow-free (ANSI mode errors on
+        # summing 64-bit hashes)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    edges = sym(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select("src").distinct()
+
+    prev = None
+    for _ in range(max_rounds):
+        # each star consumes the UNDIRECTED graph: re-symmetrize the
+        # previous phase's (directed, child->parent) output first
+        edges = star(sym(edges), large=True)
+        edges = star(sym(edges), large=False).localCheckpoint(eager=True)
+        cur = sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters_star did not stabilize in {max_rounds} rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    # edges now form stars: src -> component min. Nodes that ended up
+    # as centers map to themselves.
+    labels = (
+        nodes.join(
+            edges.groupBy("src").agg(F.min("dst").alias("m")), "src", "left"
+        )
+        .select(
+            F.col("src").alias("doc_id"),
+            F.coalesce(F.col("m"), F.col("src")).alias("cluster_id"),
+        )
+    )
+    return labels

@@ -262,10 +262,12 @@ where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.02
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the 3-gram-Jaccard
     pair graph; cluster_id = smallest member (the keeper). Spark runs
-    iterative min-label propagation; the oracle is a recursive CTE —
-    an iterative algorithm with a full value-hash check."""
+    alternating large-star/small-star (O(log n) rounds — the scale
+    path; min-label propagation, O(diameter), remains as
+    dup_clusters); the oracle is a recursive CTE — an iterative
+    algorithm with a full value-hash check."""
     pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
-    return D.dup_clusters(pairs)
+    return D.dup_clusters_star(pairs)
 
 
 SQL_DEDUP_CLUSTERS = (

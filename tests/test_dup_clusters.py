@@ -36,3 +36,41 @@ def test_keeper_is_min_id(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 9)], "doc_a long, doc_b long")
     got = dict((r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect())
     assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_star_equals_propagation(spark):
+    """large-star/small-star yields exactly the same clusters as
+    min-label propagation on assorted graph shapes."""
+    import random
+
+    from sslr_spark.functions.dedup import dup_clusters, dup_clusters_star
+
+    rng = random.Random(7)
+    edges = set()
+    # several components: a clique, a chain, a star, random trees
+    for base in (0, 100, 200, 300):
+        nodes = list(range(base, base + 20))
+        for i in range(1, 20):
+            edges.add((nodes[rng.randrange(i)], nodes[i]))
+    edges.add((0, 5))  # extra cycles
+    edges.add((101, 115))
+    pairs = spark.createDataFrame(
+        sorted(edges), "doc_a long, doc_b long"
+    )
+    a = {(r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()}
+    b = {(r.doc_id, r.cluster_id) for r in dup_clusters_star(pairs).collect()}
+    assert a == b
+
+
+def test_star_handles_deep_chain_in_few_rounds(spark):
+    """A 120-node chain: propagation needs 120 iterations (and warns
+    at its default 20); star converges logarithmically and labels the
+    whole chain with its minimum."""
+    from sslr_spark.functions.dedup import dup_clusters_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    out = dup_clusters_star(pairs).collect()
+    assert len(out) == 121
+    assert all(r.cluster_id == 0 for r in out)
