@@ -526,10 +526,25 @@ def contamination_rates(
     text, ever. Left-anti of eval against corpus (the reverse check)
     reuses the same inverted shape.
     """
-    c_sh = shingles(corpus, text_col, n)
+    release_caches()  # previous pair-generation caches die here
+    # the corpus shingle index feeds two consumers (hit probe, totals)
+    c_sh = _persist(shingles(corpus, text_col, n))
     e_sh = shingles(eval_df, text_col, n).select("shingle").distinct()
     hits = c_sh.join(F.broadcast(e_sh), "shingle", "left_semi")
-    totals = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # totals start from the CORPUS doc list, not the shingle index:
+    # a doc shorter than n tokens has zero shingles and must still
+    # surface (contamination 0.0) or the per-doc report silently
+    # drops rows relative to the corpus
+    totals = (
+        corpus.select("doc_id")
+        .distinct()
+        .join(
+            c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles")),
+            "doc_id",
+            "left",
+        )
+        .na.fill(0, ["n_shingles"])
+    )
     contaminated = hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_contaminated")
     )
@@ -608,21 +623,24 @@ def dup_clusters_star(
         ).first()
         return (row["n"], row["h"])
 
-    edges = sym(
+    edges_sym = sym(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     ).localCheckpoint(eager=True)
-    nodes = edges.select("src").distinct()
+    nodes = edges_sym.select("src").distinct()
 
     prev = None
+    edges = edges_sym
     for _ in range(max_rounds):
-        # each star consumes the UNDIRECTED graph: re-symmetrize the
-        # previous phase's (directed, child->parent) output first
-        edges = star(sym(edges), large=True)
-        edges = star(sym(edges), large=False).localCheckpoint(eager=True)
+        # each star consumes the UNDIRECTED graph; the directed
+        # (child -> parent) outputs re-symmetrize between phases. The
+        # initial set enters already symmetric — no wasted first sym.
+        large = star(edges_sym, large=True)
+        edges = star(sym(large), large=False).localCheckpoint(eager=True)
         cur = sig(edges)
         if cur == prev:
             break
         prev = cur
+        edges_sym = sym(edges)
     else:
         import warnings
 

@@ -28,9 +28,13 @@ _RESOLUTION = 1_000_000
 def split_bucket(key: Column, seed: str = "split") -> Column:
     """Uniform bucket in [0, 1e6) from a key column and a seed string.
     Deterministic across runs/engines; changing the seed re-deals the
-    corpus."""
+    corpus. Null keys coalesce to a sentinel BEFORE hashing — Spark's
+    concat_ws silently drops nulls while DuckDB's concat keeps the
+    separator, so an un-coalesced null key would bucket differently
+    per engine (hashing.key_string's convention)."""
+    safe = F.coalesce(key.cast("string"), F.lit("\x00"))
     return F.pmod(
-        h60(F.concat_ws(":", F.lit(seed), key.cast("string"))),
+        h60(F.concat_ws(":", F.lit(seed), safe)),
         F.lit(_RESOLUTION),
     )
 
@@ -39,7 +43,9 @@ def split_bucket_sql(key_expr: str, seed: str = "split") -> str:
     """DuckDB spelling of :func:`split_bucket`."""
     from sslr_spark.functions.hashing import h60_sql
 
-    h = h60_sql(f"concat('{seed}', ':', cast({key_expr} as varchar))")
+    h = h60_sql(
+        f"concat('{seed}', ':', coalesce(cast({key_expr} as varchar), chr(0)))"
+    )
     return f"{h} % {_RESOLUTION}"
 
 
@@ -56,7 +62,13 @@ def hash_split(
     row-local expression (no shuffle, no action) and stable under
     appends: new documents join their split without disturbing old
     ones — the property rand()-based splits lack."""
+    if not weights:
+        raise ValueError("hash_split: weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("hash_split: weights must be non-negative")
     total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("hash_split: weights must sum to > 0")
     b = split_bucket(F.col(key_col), seed)
     expr = None
     acc = 0.0
@@ -95,8 +107,11 @@ def stratified_exact_sample(
     One shuffle (window by stratum). Use for balanced eval sets where
     per-language/per-source proportions must hold exactly; use
     :func:`hash_sample` when ~fraction is good enough and no shuffle
-    is affordable. Hash order ties are broken by the key itself, so
-    the selection is total and reproducible."""
+    is affordable. Hash-order ties are broken by the key itself, so
+    the selection is total and reproducible PROVIDED ``key_col`` is
+    unique per row (it is a key); with duplicate key values the
+    per-stratum counts stay exact but which physical duplicate lands
+    inside the cutoff is partition-order dependent."""
     b = split_bucket(F.col(key_col), seed)
     w = Window.partitionBy(strata_col).orderBy(b.asc(), F.col(key_col).asc())
     wc = Window.partitionBy(strata_col)

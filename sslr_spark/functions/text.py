@@ -144,7 +144,13 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     array/lambda expressions over the materialized token array — one
     narrow projection, no shuffle, no Python.
     """
-    tok = df.select("doc_id", words(F.col(text_col)).alias("__w"))
+    # null text counts as empty — Spark's concat_ws would otherwise
+    # turn a null token array into md5('') while the DuckDB oracle
+    # yields NULL (engine divergence on the fingerprint column)
+    tok = df.select(
+        "doc_id",
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+    )
     w = F.col("__w")
     n = F.size(w)
     rep = F.when(n <= 1, F.array().cast("array<int>")).otherwise(

@@ -510,7 +510,10 @@ def q_text_repetition(spark, sf_dir):
 
 
 SQL_TEXT_REPETITION = f"""
-with t as (select doc_id, {W_SQL} as w from documents),
+with t as (
+  select doc_id, {W_SQL} as w
+  from (select doc_id, coalesce(text, '') as text from documents)
+),
 m as (
   select doc_id, w, len(w) as n,
     case when len(w) <= 1 then []
@@ -565,7 +568,12 @@ esh as (
   ) as shingle
   from ev
 ),
-tot as (select doc_id, count(*) as n_shingles from csh group by 1),
+cnt as (select doc_id, count(*) as n_shingles from csh group by 1),
+tot as (
+  select d.doc_id, coalesce(c.n_shingles, 0) as n_shingles
+  from (select distinct doc_id from documents) d
+  left join cnt c on d.doc_id = c.doc_id
+),
 hit as (
   select doc_id, count(*) as n_contaminated
   from csh where shingle in (select shingle from esh)

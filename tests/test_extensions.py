@@ -283,3 +283,36 @@ def test_contamination_rates_known_values(spark):
     assert rows[2].contamination == 0.0
     assert rows[3].n_contaminated == 1  # only "alpha beta gamma delta"
     assert 0 < rows[3].contamination < 1
+
+
+def test_contamination_includes_short_docs(spark):
+    """Docs with fewer than n tokens still surface (contamination 0.0)
+    instead of silently dropping from the per-doc report."""
+    from sslr_spark.functions.dedup import contamination_rates
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "too short")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in
+            contamination_rates(corpus, eval_df, n=4).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].n_shingles == 0 and rows[2].contamination == 0.0
+    assert rows[1].contamination == 1.0
+
+
+def test_hash_split_rejects_degenerate_weights(spark):
+    import pytest as pt
+
+    from sslr_spark.functions.sampling import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pt.raises(ValueError, match="non-empty"):
+        hash_split(df, "doc_id", {})
+    with pt.raises(ValueError, match="sum to > 0"):
+        hash_split(df, "doc_id", {"a": 0.0, "b": 0.0})
+    with pt.raises(ValueError, match="non-negative"):
+        hash_split(df, "doc_id", {"a": 1.0, "b": -0.5})
