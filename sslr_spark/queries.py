@@ -33,17 +33,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table's parquet carries TIMESTAMP(NANOS), which Spark
-    rejects by default; read nanos as long and downcast to microsecond
-    timestamps (matching DuckDB's ns->us truncation)."""
+    """Read the events table, normalizing its timestamp column across
+    the physical types the generator has used: TIMESTAMP(NANOS) (read
+    as long via the legacy conf, downcast to micros — matching DuckDB's
+    ns->us truncation), TIMESTAMP_NTZ (micros, tz-free), or TIMESTAMP.
+
+    ts_us: epoch microseconds — used instead of rendered timestamps in
+    query outputs so results are independent of the (driver-controlled,
+    unknown) session timezone. For NTZ the wall-clock value is
+    interpreted as UTC, the same convention DuckDB's
+    ``epoch_us(cast(ts as timestamp))`` applies."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        # ts_us: epoch microseconds — used instead of rendered
-        # timestamps in query outputs so results are independent of the
-        # (driver-controlled, unknown) session timezone
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw long
         ev = ev.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # unix_micros() rejects NTZ; diff against the NTZ epoch is
+        # timezone-free and exact
+        ev = ev.withColumn(
+            "ts_us",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " timestamp_ntz '1970-01-01 00:00:00', ts)"
+            ),
         )
     else:
         ev = ev.withColumn("ts_us", F.unix_micros("ts"))

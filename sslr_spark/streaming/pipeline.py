@@ -24,6 +24,16 @@ from sslr_spark.operators.updates import dedup_latest_version, merge_upsert
 from sslr_spark.sources.parquet import ParquetDatabase
 
 
+def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """withWatermark requires TIMESTAMP; testdata parquet may carry
+    TIMESTAMP_NTZ. Cast NTZ wall-clock to session-tz TIMESTAMP — window
+    boundaries stay wall-clock aligned, so batch/stream parity holds as
+    long as both paths go through the same cast."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_incremental_sync(
     spark: SparkSession,
     source_path: str,
@@ -110,7 +120,8 @@ def windowed_event_aggregate(
     watermark — works on both a streaming and a batch DataFrame
     (identical code path; T9 upgrade over the reference)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -178,7 +189,8 @@ def sessionized_stream(
     """Session-window aggregation (dynamic-gap session_window) — the
     streaming-native version of the batch sessionize query."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
