@@ -183,12 +183,19 @@ _DURATION_UNITS = {
 }
 
 
-def parse_duration(value: Any) -> float:
-    """waitBetweenJobs -> seconds. Accepts a number (seconds) or a
-    Go-style duration string like "5s" / "1m30s" / "500ms" (the
-    reference field is a time.Duration, internal/config.go:31)."""
+def parse_duration(value: Any, number_unit_seconds: float = 1.0) -> float:
+    """Duration -> seconds. Accepts a Go-style duration string like
+    "5s" / "1m30s" / "500ms", or a bare number scaled by
+    ``number_unit_seconds``.
+
+    The reference's field is a plain time.Duration
+    (internal/config.go:31), which encoding/json unmarshals from a
+    JSON number as NANOSECONDS — so the canonical ``waitBetweenJobs``
+    key passes ``number_unit_seconds=1e-9`` (a reference config's
+    5000000000 means 5 s here too, not 158 years). The
+    ``waitBetweenJobsSeconds`` alias keeps bare numbers as seconds."""
     if isinstance(value, (int, float)):
-        return float(value)
+        return float(value) * number_unit_seconds
     s = str(value).strip()
     if not s:
         raise ConfigError("empty duration")
@@ -269,7 +276,19 @@ def load_config(path_or_text: str) -> Config:
             where=where, uses=list(spec.get("uses", []))
         )
 
-    wait = _alias(raw, "waitBetweenJobs", "waitBetweenJobsSeconds")
+    # canonical key: bare numbers are Go time.Duration nanoseconds;
+    # the *Seconds alias keeps bare numbers as seconds (see
+    # parse_duration)
+    if "waitBetweenJobs" in raw and "waitBetweenJobsSeconds" in raw:
+        raise ConfigError(
+            "cannot set both 'waitBetweenJobs' and 'waitBetweenJobsSeconds'"
+        )
+    if "waitBetweenJobs" in raw:
+        wait = parse_duration(raw["waitBetweenJobs"], number_unit_seconds=1e-9)
+    elif "waitBetweenJobsSeconds" in raw:
+        wait = parse_duration(raw["waitBetweenJobsSeconds"])
+    else:
+        wait = None
     cfg = Config(
         source=raw.get("source", ""),
         target=raw.get("target", ""),
@@ -285,7 +304,7 @@ def load_config(path_or_text: str) -> Config:
         sync_updates=bool(raw.get("syncUpdates", True)),
         sync_deletes=bool(raw.get("syncDeletes", True)),
         resync_on_schema_change=bool(raw.get("resyncOnSchemaChange", False)),
-        wait_between_jobs_seconds=parse_duration(wait) if wait is not None else 5.0,
+        wait_between_jobs_seconds=wait if wait is not None else 5.0,
         shuffle_partitions=int(raw.get("shufflePartitions", 32)),
         state_table=raw.get("stateTable", "__sslr_state"),
         target_buckets=int(raw.get("targetBuckets", 64)),

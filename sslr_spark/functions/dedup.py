@@ -64,12 +64,50 @@ def release_caches() -> None:
     The entry-release in each generator assumes the usual sequential
     shape (generate pairs -> materialize -> generate next). If you
     interleave instead — build pairs A, build pairs B, THEN collect A —
-    A's results stay correct but recompute without the cache; collect
-    (or call this) before starting the next generator to keep the
-    cache benefit."""
+    A's results stay correct but recompute without the cache; wrap
+    each build in :func:`cache_scope` (or collect before starting the
+    next generator) to keep the cache benefit."""
     caches = _active()
     while caches:
         caches.pop().unpersist()
+
+
+def cache_scope():
+    """Context manager scoping pair-generator caches to a block, for
+    interleaved pipelines::
+
+        with cache_scope():
+            pairs_a = minhash_lsh_pairs(corpus_a)
+            pairs_b = ngram_jaccard_pairs(corpus_b)  # no entry-release
+            a = pairs_a.collect()   # cache still live
+            b = pairs_b.collect()
+        # both calls' caches released here
+
+    Inside the scope the generators' entry-release is suspended, so an
+    earlier call's not-yet-materialized result keeps its shingle-index
+    cache; everything persists until scope exit, then is released in
+    one sweep. Without a scope the default sequential entry-release
+    behavior applies unchanged."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        _CACHES.suspended = getattr(_CACHES, "suspended", 0) + 1
+        try:
+            yield
+        finally:
+            _CACHES.suspended -= 1
+            if _CACHES.suspended == 0:
+                release_caches()
+
+    return _scope()
+
+
+def _entry_release() -> None:
+    """Called by each top-level pair generator on entry: release the
+    previous call's caches — unless a cache_scope() suspends it."""
+    if not getattr(_CACHES, "suspended", 0):
+        release_caches()
 
 
 def _cap_hot_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
@@ -87,9 +125,14 @@ def _cap_hot_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
         .filter(F.col("df") >= max_doc_freq)
         .select("shingle")
     )
-    # hot set is tiny by construction — broadcast anti-join, no shuffle
-    # of the full index
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # Usually tiny (a handful of boilerplate shingles) — but a small
+    # max_doc_freq or a heavily templated corpus can make the >=df set
+    # big, and a FORCED broadcast of a big set OOMs the driver. Leave
+    # the strategy to AQE: it broadcasts the build side when its
+    # runtime size is under the threshold and falls back to a shuffled
+    # anti-join when it isn't — exactly the guard, with no extra
+    # driver-side count job.
+    return sh.join(hot, "shingle", "left_anti")
 
 
 # ------------------------------------------------------------------
@@ -151,7 +194,7 @@ def ngram_jaccard_pairs(
     set sizes come from the pruned index, i.e. Jaccard over the
     informative (non-boilerplate) shingle space.
     """
-    release_caches()  # previous pair-generation caches die here
+    _entry_release()  # previous pair-generation caches die here
     sh = _persist(  # reused by sizes + both join sides
         _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
     )
@@ -264,7 +307,7 @@ def minhash_lsh_pairs(
     family works — at a fraction of the per-shingle cost);
     ``max_shingle_doc_freq`` prunes boilerplate shingles before the
     verification join (:func:`_cap_hot_shingles`)."""
-    release_caches()  # previous pair-generation caches die here
+    _entry_release()  # previous pair-generation caches die here
     # The shingle inverted index feeds three consumers (signatures,
     # both sides of the verification join) — persist it once instead
     # of recomputing the explode+distinct per consumer.
@@ -478,12 +521,20 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.9,
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine similarity, blocked on
     ``block_col`` (a cluster/label/LSH-bucket column) so the pair space
-    stays linear-ish. Dot products are JVM array expressions."""
-    from sslr_spark.functions.similarity import cosine_expr
+    stays linear-ish. Dot products are JVM array expressions. Blocks
+    over ``max_block_size`` are excluded with a warning
+    (similarity.guard_oversize_blocks) — one runaway block must not
+    turn the scan quadratic silently."""
+    from sslr_spark.functions.similarity import cosine_expr, guard_oversize_blocks
 
+    if max_block_size is not None:
+        df = guard_oversize_blocks(
+            df, block_col, max_block_size, "embedding_near_dup_pairs"
+        )
     a, b = df.alias("a"), df.alias("b")
     cos = cosine_expr(f"a.{vec_col}", f"b.{vec_col}")
     return (
@@ -526,7 +577,7 @@ def contamination_rates(
     text, ever. Left-anti of eval against corpus (the reverse check)
     reuses the same inverted shape.
     """
-    release_caches()  # previous pair-generation caches die here
+    _entry_release()  # previous pair-generation caches die here
     # the corpus shingle index feeds two consumers (hit probe, totals)
     c_sh = _persist(shingles(corpus, text_col, n))
     e_sh = shingles(eval_df, text_col, n).select("shingle").distinct()

@@ -104,20 +104,67 @@ def stratified_exact_sample(
     """EXACT per-stratum sampling: ceil(fraction * stratum_size) rows
     from each stratum, chosen by hash order (deterministic, no RNG).
 
-    One shuffle (window by stratum). Use for balanced eval sets where
-    per-language/per-source proportions must hold exactly; use
-    :func:`hash_sample` when ~fraction is good enough and no shuffle
-    is affordable. Hash-order ties are broken by the key itself, so
-    the selection is total and reproducible PROVIDED ``key_col`` is
-    unique per row (it is a key); with duplicate key values the
-    per-stratum counts stay exact but which physical duplicate lands
-    inside the cutoff is partition-order dependent."""
+    Selection rule: the ceil(fraction * n) smallest rows of each
+    stratum by (hash bucket, key). Hash-order ties are broken by the
+    key itself, so the selection is total and reproducible PROVIDED
+    ``key_col`` is unique per row (it is a key); with duplicate key
+    values the per-stratum counts stay exact but which physical
+    duplicate lands inside the cutoff is partition-order dependent.
+
+    Scale shape (two-phase, no per-stratum sort of raw rows — a naive
+    ``row_number`` over ``partitionBy(strata)`` puts an 80%-language
+    stratum of a real corpus into ONE task): phase 1 aggregates a
+    per-(stratum, bucket) histogram (map-side combined; at most
+    n_strata * 1e6 small rows) and derives, per stratum, the boundary
+    bucket B* where the cumulative count crosses the take size plus
+    how many rows to keep from B*. Phase 2 joins that tiny per-stratum
+    bound back (broadcast — n_strata rows), keeps every row below B*
+    outright, and sorts ONLY the boundary-bucket rows (expected
+    stratum_size / 1e6 rows) with a window. Use :func:`hash_sample`
+    when ~fraction is good enough and even the histogram shuffle is
+    unaffordable."""
     b = split_bucket(F.col(key_col), seed)
-    w = Window.partitionBy(strata_col).orderBy(b.asc(), F.col(key_col).asc())
-    wc = Window.partitionBy(strata_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
-        .drop("__rn", "__n")
+    rows = df.withColumn("__b", b)
+    hist = rows.groupBy(strata_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.partitionBy(strata_col).orderBy("__b")
+    cum = hist.withColumn("__cum", F.sum("__c").over(wcum))
+    take = (
+        hist.groupBy(strata_col)
+        .agg(F.sum("__c").alias("__n"))
+        .withColumn(
+            "__take",
+            F.least(F.ceil(F.col("__n") * F.lit(fraction)), F.col("__n")),
+        )
+        .withColumnRenamed(strata_col, "__strat_t")
+    )
+    bound = (
+        cum.join(
+            take, F.col(strata_col).eqNullSafe(F.col("__strat_t")), "inner"
+        )
+        .filter(F.col("__cum") >= F.col("__take"))
+        .groupBy(strata_col)
+        .agg(F.min(F.struct("__b", "__cum", "__c", "__take")).alias("__m"))
+        .select(
+            F.col(strata_col).alias("__strat"),
+            F.col("__m.__b").alias("__bstar"),
+            # rows still needed from the boundary bucket itself
+            (
+                F.col("__m.__take")
+                - (F.col("__m.__cum") - F.col("__m.__c"))
+            ).alias("__rem"),
+        )
+    )
+    sel = rows.join(
+        F.broadcast(bound), F.col(strata_col).eqNullSafe(F.col("__strat"))
+    )
+    below = sel.filter(F.col("__b") < F.col("__bstar"))
+    wb = Window.partitionBy(strata_col).orderBy(F.col(key_col).asc())
+    at_boundary = (
+        sel.filter(F.col("__b") == F.col("__bstar"))
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= F.col("__rem"))
+        .drop("__rn")
+    )
+    return below.unionByName(at_boundary).drop(
+        "__b", "__strat", "__bstar", "__rem"
     )

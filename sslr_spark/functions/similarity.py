@@ -174,19 +174,146 @@ def ivf_search(
     )
 
 
+def ivf_index_fixed(
+    df: DataFrame,
+    centroid_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF coarse quantizer: centroids are the embeddings
+    of caller-fixed row ids — no iterative training, so assignment is
+    fully SQL-reproducible and the correctness oracle can replay it in
+    DuckDB. ``ivf_index`` (distributed KMeans) stays the production
+    trainer; this variant pins the quantizer for verification and for
+    incremental re-indexing (frozen centroids, append-stable cells).
+
+    Assignment = argmax cosine(vec, centroid) (spherical-IVF
+    convention), ties broken by cell id. Scale shape: the centroid side
+    is n_cells rows (broadcast); the argmax is a per-vector window over
+    n_cells candidate rows — bounded work per vector, parallel across
+    the corpus, no global shuffle beyond the hash on ``id_col``.
+    Returns (indexed with __cell, centroids(cell, centroid)).
+    """
+    from pyspark.sql import Window
+
+    cents = df.filter(F.col(id_col).isin(list(centroid_ids))).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("centroid")
+    )
+    # cell numbering = rank of centroid id: engine-portable, n_cells rows
+    cw = Window.orderBy("__cid")
+    cents = cents.select(
+        (F.row_number().over(cw) - 1).cast("int").alias("cell"), "centroid"
+    )
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", F.round(cosine_expr(vec_col, "centroid"), 9)
+    )
+    vw = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
+    indexed = (
+        scored.withColumn("__rn", F.row_number().over(vw))
+        .filter(F.col("__rn") == 1)
+        .withColumnRenamed("cell", "__cell")
+        .drop("__sim", "__rn", "centroid")
+    )
+    return indexed, cents
+
+
+def ivf_ann_fixed(
+    df: DataFrame,
+    centroid_ids: list[int],
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with the fixed quantizer, end-to-end declarative (no
+    driver-side collect): rank cells by centroid-vs-query cosine, scan
+    the top ``n_probe`` cells, exact cosine within. With
+    ``n_probe == len(centroid_ids)`` this equals ``topk_bruteforce``
+    (property-tested)."""
+    from pyspark.sql import Window
+
+    indexed, cents = ivf_index_fixed(df, centroid_ids, vec_col, id_col)
+    q = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec")
+    )
+    pw = Window.orderBy(F.col("__qsim").desc(), F.col("cell"))  # n_cells rows
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", F.round(cosine_expr("centroid", "__qvec"), 9))
+        .withColumn("__prn", F.row_number().over(pw))
+        .filter(F.col("__prn") <= n_probe)
+        .select(F.col("cell").alias("__probe_cell"))
+    )
+    return (
+        indexed.join(
+            F.broadcast(probe), F.col("__cell") == F.col("__probe_cell")
+        )
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(cosine_expr(vec_col, "__qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def guard_oversize_blocks(
+    df: DataFrame, block_col: str, max_block_size: int, op_name: str
+) -> DataFrame:
+    """Pair-space guard for block-joined operators: any self-join on a
+    block column is quadratic IN THE BLOCK — one runaway block (an
+    empty-string label, a null-ish bucket, a templated-corpus mega
+    cluster) silently turns a linear job into n² work. This counts
+    block sizes (one map-side-combined aggregate over distinct blocks)
+    and EXCLUDES blocks larger than ``max_block_size`` from pair
+    generation, warning loudly with the offending block values — a
+    bounded, visible failure instead of a stuck stage. Callers that
+    truly want quadratic blocks pass ``max_block_size=None`` at the
+    call site."""
+    import warnings
+
+    sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__bn"))
+    big = sizes.filter(F.col("__bn") > max_block_size)
+    # bounded: at most n / max_block_size oversize blocks exist
+    sample = big.limit(20).collect()
+    if not sample:
+        return df
+    shown = ", ".join(f"{r[block_col]!r}({r['__bn']})" for r in sample)
+    warnings.warn(
+        f"{op_name}: excluding block(s) over max_block_size="
+        f"{max_block_size} from pair generation: {shown}"
+        + (", ..." if len(sample) == 20 else "")
+        + " — split these blocks (finer LSH/clustering) or raise"
+        " max_block_size explicitly",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return df.join(big.select(block_col), on=block_col, how="left_anti")
+
+
 def all_pairs_topk_blocked(
     df: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str = "label",
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """k-NN graph restricted to blocks: per vector, top-k neighbors
     within its block (label / coarse-quantizer cell). The IVF pattern:
     an equi-join on the block column keeps the pair space linear in
-    block size; a window takes top-k per query vector."""
+    block size; a window takes top-k per query vector. Blocks over
+    ``max_block_size`` are excluded with a warning (see
+    :func:`guard_oversize_blocks`)."""
     from pyspark.sql import Window
 
+    if max_block_size is not None:
+        df = guard_oversize_blocks(
+            df, block_col, max_block_size, "all_pairs_topk_blocked"
+        )
     a, b = df.alias("a"), df.alias("b")
     scored = (
         a.join(

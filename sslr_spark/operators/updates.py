@@ -117,12 +117,23 @@ def merge_upsert_partitioned(
     updates: DataFrame,
     pk_cols: list[str],
     n_buckets: int,
+    full_rewrite_fraction: float = 0.5,
 ) -> None:
     """Partition-pruned merge against a bucket-partitioned target:
     only the partitions containing updated keys are read (pruned scan)
     and rewritten (dynamic partition overwrite) — the plain-parquet
     equivalent of MERGE INTO with file pruning. Cost ∝ touched
-    buckets, not table size."""
+    buckets, not table size.
+
+    Scattered-update guard: when the batch touches more than
+    ``full_rewrite_fraction`` of the buckets, pruning buys nothing —
+    the merge would rewrite most of the table anyway, plus pay the
+    dynamic-overwrite bookkeeping per partition. That case falls
+    through to a plain whole-table merge + salted partitioned
+    overwrite (same result, one clean write). The design point
+    remains CDC batches clustered on key ranges (measured sublinear
+    at the 100x probe); this guard keeps the pathological
+    scattered-keys case no worse than a full copy."""
     from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
 
     upd = with_bucket(updates, pk_cols, n_buckets)
@@ -131,6 +142,16 @@ def merge_upsert_partitioned(
         return
     tgt = target.read(table, with_meta=True)
     keys = upd.select(*pk_cols).distinct()
+    if len(affected) > full_rewrite_fraction * n_buckets:
+        kept = tgt.drop(BUCKET_COL).join(keys, on=pk_cols, how="left_anti")
+        out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
+        sp = int(target.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        target.overwrite_partitioned(
+            table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL,
+            n_buckets=n_buckets,
+            files_per_bucket=max(1, sp // n_buckets),
+        )
+        return
     kept = (
         tgt.filter(F.col(BUCKET_COL).isin(affected))  # partition pruning
         .drop(BUCKET_COL)
@@ -235,6 +256,23 @@ def sync_updates(
             from sslr_spark.operators.copy import filtered_source as _fs
             from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
 
+            # layout migration is loud: a resync of a table stored
+            # unpartitioned rewrites it into the bucket-partitioned
+            # directory layout (default targetBuckets=64 — external
+            # parquet readers see __sslr_bucket=N dirs after this)
+            if (
+                target.table_exists(table)
+                and hasattr(target, "layout_meta")
+                and (target.layout_meta(table) or {}).get("n_buckets")
+                != n_buckets
+            ):
+                import logging
+
+                logging.getLogger("sslr_spark").warning(
+                    "full copy migrates target %r to the bucket-"
+                    "partitioned layout (%d buckets, %s=N directories)",
+                    table, n_buckets, BUCKET_COL,
+                )
             df = with_bucket(_fs(source_df, where), pk_cols, n_buckets)
             # salt the initial copy if the bucket count is below the
             # session's task slots, so the big write uses the cluster

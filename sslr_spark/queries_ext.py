@@ -408,16 +408,54 @@ limit 10
 """
 
 
+_IVF_CENT_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
 def q_sim_ivf_ann(spark, sf_dir):
-    """IVF ANN: KMeans coarse quantizer (8 cells), probe the 4 closest
-    cells, exact cosine within. Rows-only: KMeans training is not
-    SQL-expressible (iterative ML)."""
-    emb = _emb(spark, sf_dir)
-    indexed, centroids = S.ivf_index(emb, n_cells=8)
-    query = emb.filter("vec_id = 0").first().embedding
-    return S.ivf_search(
-        indexed, centroids, list(query), k=10, n_probe=4, exclude_id=0
+    """IVF ANN with a deterministic fixed quantizer (centroids = the
+    embeddings of vec_ids 1..8), probe the 3 closest cells, exact
+    cosine within — hash-checked against a DuckDB replay of the full
+    assignment + probe + ranking. The iterative KMeans trainer
+    (S.ivf_index) remains the production path (unit-tested); this
+    query pins the quantizer so the result is SQL-reproducible."""
+    return S.ivf_ann_fixed(
+        _emb(spark, sf_dir), _IVF_CENT_IDS, query_vec_id=0, k=10, n_probe=3
     )
+
+
+SQL_SIM_IVF = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings where vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+q as (select embedding as qvec from embeddings where vec_id = 0),
+assigned as (
+  select vec_id, embedding, cell from (
+    select e.vec_id, e.embedding, c.cell,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+probe as (
+  select cell from (
+    select c.cell,
+           row_number() over (
+             order by round({_cos_sql('c.centroid', 'qvec')}, 9) desc, c.cell
+           ) as prn
+    from cents c cross join q
+  ) where prn <= 3
+)
+select a.vec_id, round({_cos_sql('a.embedding', 'qvec')}, 6) as cos_sim
+from assigned a join probe using (cell) cross join q
+where a.vec_id != 0
+order by cos_sim desc, a.vec_id
+limit 10
+"""
 
 
 def q_sim_knn_blocked(spark, sf_dir):
@@ -690,6 +728,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_contamination": SQL_DEDUP_CONTAMINATION,
     "sim_topk_bruteforce": SQL_SIM_TOPK,
     "sim_topk_lsh": SQL_SIM_LSH,
+    "sim_ivf_ann": SQL_SIM_IVF,
     "sim_knn_blocked": SQL_SIM_KNN,
     "mm_binary_meta": SQL_MM_META,
     "mm_extract_features": SQL_MM_FEATURES,

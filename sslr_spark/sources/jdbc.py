@@ -37,12 +37,20 @@ from pyspark.sql import DataFrame, SparkSession
 from sslr_spark.sources import ddl as D
 
 
-def sql_literal(v) -> str:
+def sql_literal(v, backslash_escapes: bool = False) -> str:
     """Render one key value as a SQL literal for the chunked DELETE
     path. Strings escape quotes; floats guard inf/nan (their repr()s
     are not SQL — rendered as the cast form, and a 'NaN' never equals
     a stored NaN under IN, same as SQL's own semantics); bytes render
-    as a bytea hex literal."""
+    as a bytea hex literal.
+
+    ``backslash_escapes``: set for backends where backslash is an
+    escape character inside '' literals (MySQL's default sql_mode) —
+    backslashes in data-controlled keys are then doubled. Leave unset
+    for standard-conforming backends (PostgreSQL with
+    standard_conforming_strings — the default since 9.1 — treats
+    backslash literally; doubling would corrupt values there). The
+    adapter wires this from its ``BACKSLASH_ESCAPES`` attribute."""
     if v is None:
         return "null"
     if isinstance(v, bool):
@@ -55,7 +63,10 @@ def sql_literal(v) -> str:
         return repr(v)
     if isinstance(v, (bytes, bytearray)):
         return f"'\\x{bytes(v).hex()}'::bytea"
-    return "'" + str(v).replace("'", "''") + "'"
+    s = str(v)
+    if backslash_escapes:
+        s = s.replace("\\", "\\\\")
+    return "'" + s.replace("'", "''") + "'"
 
 
 class JdbcDatabase:
@@ -80,6 +91,10 @@ class JdbcDatabase:
         # keys per DELETE statement (reference applies deletions in
         # minDeleteChunkSize batches, internal/deletes.go:166-205)
         self.delete_key_chunk = delete_key_chunk
+        # backends where backslash escapes inside '' literals (MySQL
+        # default sql_mode) need doubling in rendered key literals;
+        # standard-conforming backends (PostgreSQL) must NOT double
+        self.backslash_escapes = "mysql" in url.lower()
 
     # -- option assembly (unit-testable without a server) --------------
     def read_options(
@@ -238,7 +253,9 @@ class JdbcDatabase:
         """Chunked composite-key DELETEs (reference deleteRows,
         internal/deletes.go:207-235: ``delete ... where (k1,k2) in
         (...)`` per chunk)."""
-        lit = sql_literal
+        def lit(v):
+            return sql_literal(v, backslash_escapes=self.backslash_escapes)
+
         cols = "(" + ",".join(pk_cols) + ")"
         for i in range(0, len(key_rows), self.delete_key_chunk):
             chunk = key_rows[i : i + self.delete_key_chunk]

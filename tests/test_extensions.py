@@ -192,6 +192,32 @@ def test_dedup_caches_released(spark, docs):
     assert n_cached() <= base
 
 
+def test_cache_scope_keeps_interleaved_caches_live(spark, docs):
+    """Inside cache_scope() a later generator call must NOT release an
+    earlier call's caches (interleaved pipelines keep their shingle
+    index); scope exit releases everything."""
+    from sslr_spark.functions.dedup import (
+        cache_scope,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    with cache_scope():
+        a = minhash_lsh_pairs(docs)
+        assert a.count() >= 0  # materializes a's shingle-index cache
+        after_a = n_cached()
+        assert after_a > base
+        b = ngram_jaccard_pairs(docs, threshold=0.5)
+        assert b.count() >= 0
+        # b's entry did NOT evict a's still-live caches
+        assert n_cached() >= after_a
+    assert n_cached() <= base
+
+
 def test_hash_split_deterministic_and_append_stable(spark, docs):
     """The same doc lands in the same split on re-run AND when the
     corpus grows — the property rand() splits lack."""
@@ -235,6 +261,61 @@ def test_stratified_exact_sample_counts(spark, docs):
     counts = {r.lang: r.n for r in
               got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == {k: math.ceil(v * frac) for k, v in sizes.items()}
+
+
+def _legacy_stratified(df, strata_col, key_col, fraction, seed="strat"):
+    """The pre-de-skew reference implementation (one window per
+    stratum over all rows) — kept here as the selection-set oracle for
+    the two-phase version."""
+    from pyspark.sql import Window
+
+    from sslr_spark.functions.sampling import split_bucket
+
+    b = split_bucket(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(b.asc(), F.col(key_col).asc())
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(fraction)))
+        .drop("__rn", "__n")
+    )
+
+
+def test_stratified_two_phase_equals_legacy_window(spark, docs):
+    """The de-skewed two-phase selection must pick EXACTLY the rows
+    the single-window formulation picked, at every fraction."""
+    from sslr_spark.functions.sampling import stratified_exact_sample
+
+    for frac in (0.0, 0.02, 0.37, 1.0):
+        want = {(r.doc_id, r.lang) for r in
+                _legacy_stratified(docs, "lang", "doc_id", frac)
+                .select("doc_id", "lang").collect()}
+        got = {(r.doc_id, r.lang) for r in
+               stratified_exact_sample(docs, "lang", "doc_id", frac)
+               .select("doc_id", "lang").collect()}
+        assert got == want, f"fraction {frac}: {len(got)} vs {len(want)}"
+
+
+def test_stratified_sample_null_stratum_and_skew(spark):
+    """Null strata sample like any other stratum; a 90%-skewed stratum
+    still yields exact counts."""
+    import math
+
+    from sslr_spark.functions.sampling import stratified_exact_sample
+
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 < 9, F.lit("big"))
+        .when(F.col("id") % 10 == 9, F.lit(None))
+        .alias("s"),
+    )
+    got = stratified_exact_sample(df, "s", "k", 0.1)
+    counts = {r.s: r.n for r in
+              got.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"big": math.ceil(0.9 * n * 0.1),
+                      None: math.ceil(0.1 * n * 0.1)}
 
 
 def test_repetition_metrics_known_values(spark):

@@ -265,6 +265,26 @@ def test_duration_forms():
         parse_duration("5 parsecs")
 
 
+def test_wait_between_jobs_number_units():
+    """Canonical waitBetweenJobs: a bare JSON number is Go
+    time.Duration NANOSECONDS (encoding/json into time.Duration —
+    reference internal/config.go:31), so a reference config's
+    5000000000 means 5 s. Duration strings and the *Seconds alias
+    (bare number = seconds) are unambiguous. Both keys together is an
+    error."""
+    base = '{"source": "/s", "target": "/t", "tables": ["a"], "primaryKeys": {"a": ["id"]},'
+    cfg = load_config(base + ' "waitBetweenJobs": 5000000000}')
+    assert cfg.wait_between_jobs_seconds == 5.0
+    cfg = load_config(base + ' "waitBetweenJobs": "5s"}')
+    assert cfg.wait_between_jobs_seconds == 5.0
+    cfg = load_config(base + ' "waitBetweenJobsSeconds": 5}')
+    assert cfg.wait_between_jobs_seconds == 5.0
+    with pytest.raises(ConfigError, match="cannot set both"):
+        load_config(
+            base + ' "waitBetweenJobs": "5s", "waitBetweenJobsSeconds": 5}'
+        )
+
+
 def test_sync_toggles_thread_through_job(spark, tmp_path):
     """syncUpdates=false leaves new source rows unapplied; the delete
     phase still repairs key-set divergence (reference

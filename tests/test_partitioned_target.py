@@ -80,6 +80,38 @@ def test_partitioned_merge_touches_only_affected_partitions(spark, tmp_path):
     assert _logical(job2.target.read("t1")) == _logical(src2)
 
 
+def test_partitioned_scattered_merge_falls_back_to_full_rewrite(
+    spark, tmp_path
+):
+    """When a batch touches most buckets, the pruned-merge machinery
+    buys nothing — the guard must take the plain whole-table merge +
+    partitioned overwrite and still converge to the same logical
+    state."""
+    import datetime
+
+    job = _mk_job(spark, tmp_path)
+    src = make_timestamps(spark, 1000)
+    job.source.overwrite("t1", src)
+    job.run()
+
+    # touch ~every bucket: update every 3rd key
+    touched = list(range(0, 1000, 3))
+    upd = spark.createDataFrame(
+        [(i, datetime.datetime(2030, 1, 1), 500) for i in touched],
+        "id long, ts timestamp, xmin long",
+    )
+    src2 = src.filter(~F.col("id").isin(touched)).unionByName(upd)
+    job.source.overwrite("t1", src2)
+    job2 = _mk_job(spark, tmp_path)
+    job2.run()
+
+    assert _logical(job2.target.read("t1")) == _logical(src2)
+    # layout survives the fallback write: still one dir per bucket
+    table_dir = job2.target.path("t1")
+    parts = [d for d in os.listdir(table_dir) if d.startswith(f"{BUCKET_COL}=")]
+    assert len(parts) == 16
+
+
 def test_partitioned_delete_repair_selective(spark, tmp_path):
     job = _mk_job(spark, tmp_path)
     src = make_timestamps(spark, 2000)

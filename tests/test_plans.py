@@ -121,3 +121,22 @@ def test_watermark_filter_pushes_through_adapter_read(spark, source_db):
     p = plan_of(sliced)
     assert "PushedFilters: [" in p
     assert "GreaterThanOrEqual(xmin,40)" in p
+
+
+def test_stratified_sample_windows_never_sort_full_strata(spark):
+    """De-skewed stratified sampling: no window may sort whole strata
+    of raw rows by the hash bucket (the old plan put an 80%-language
+    stratum into one task). The two-phase plan instead (a) aggregates
+    a per-(stratum, bucket) histogram — cumulated by a window over
+    aggregated rows — and (b) row_numbers only the boundary-bucket
+    rows. Pin: no window sort spec contains the bucket hash (pmod),
+    and the boundary filter (__bstar) exists."""
+    from sslr_spark.functions.sampling import stratified_exact_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(stratified_exact_sample(docs, "lang", "doc_id", 0.02))
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "pmod" not in line, f"bucket-ordered raw window: {line}"
+    assert "__bstar" in p
+    assert "row_number" in p

@@ -35,3 +35,50 @@ def test_two_stage_distinct_count(spark):
         for r in two_stage_distinct_count(ev, ["k"], "v").collect()
     }
     assert staged == naive
+
+
+def test_oversize_block_guard_excludes_and_warns(spark):
+    """Blocked pair generators: a runaway block (90% of rows in one
+    label) must be excluded from the pair space with a RuntimeWarning,
+    not ground through quadratically; normal blocks are unaffected."""
+    import warnings
+
+    from sslr_spark.functions.dedup import embedding_near_dup_pairs
+    from sslr_spark.functions.similarity import all_pairs_topk_blocked
+
+    rows = [
+        (i, [float(i % 7), 1.0], "mega" if i % 10 else f"b{i % 5}")
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        pairs = embedding_near_dup_pairs(
+            df, threshold=0.0, max_block_size=200
+        ).collect()
+    assert any("mega" in str(w.message) for w in rec)
+    blocks = {r[0] for r in df.join(
+        spark.createDataFrame([(r.vec_a,) for r in pairs], "vec_id long"),
+        "vec_id").select("label").distinct().collect()}
+    assert "mega" not in blocks and len(pairs) > 0
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        knn = all_pairs_topk_blocked(df, k=2, max_block_size=200).collect()
+    assert any("mega" in str(w.message) for w in rec)
+    assert len(knn) > 0
+
+    # under the limit: no warning, identical results to guard disabled
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        small = df.filter(F.col("label") != "mega")
+        a = {(r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(
+            small, threshold=0.0, max_block_size=200).collect()}
+        b = {(r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(
+            small, threshold=0.0, max_block_size=None).collect()}
+    # only guard warnings matter here — Spark may emit unrelated ones
+    assert not any("max_block_size" in str(w.message) for w in rec)
+    assert a == b
