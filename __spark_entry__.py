@@ -68,6 +68,9 @@ _HEAD_KEYS = [
     "x_rollup",
     # upgraded this round (rows-only -> hash-checked):
     "sim_ivf_ann",
+    # new this round:
+    "mix_allocation",
+    "text_topk_ngrams",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

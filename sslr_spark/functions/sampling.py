@@ -168,3 +168,43 @@ def stratified_exact_sample(
     return below.unionByName(at_boundary).drop(
         "__b", "__strat", "__bstar", "__rem"
     )
+
+
+def mix_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    weight_col: str,
+    budget: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Training-mix budgeting: how many tokens of ``budget`` each
+    domain (lang x source x ...) contributes, with temperature-scaled
+    weights — ``share_i = w_i^alpha / sum_j w_j^alpha`` where ``w_i``
+    is the domain's total weight (token count). ``alpha=1`` samples
+    proportionally; ``alpha<1`` upweights small domains (the standard
+    multilingual-mix temperature trick); ``alpha=0`` is uniform.
+
+    Scale shape: one map-side-combined aggregate over the corpus, then
+    a global window over the AGGREGATED rows only — n_domains rows
+    (hundreds, not corpus-sized), so the single-partition normalization
+    is bounded by construction. ``share`` is rounded to 6dp for
+    engine-portable comparison; ``allocation`` floors the rounded
+    share so domain allocations never oversubscribe the budget.
+    """
+    tot = df.groupBy(*strata_cols).agg(
+        F.sum(F.col(weight_col)).alias("domain_weight")
+    )
+    w = Window.partitionBy()  # n_domains aggregated rows — bounded
+    return (
+        tot.withColumn(
+            "__p", F.pow(F.col("domain_weight").cast("double"), F.lit(alpha))
+        )
+        .withColumn(
+            "share", F.round(F.col("__p") / F.sum("__p").over(w), 6)
+        )
+        .withColumn(
+            "allocation",
+            F.floor(F.col("share") * F.lit(float(budget))).cast("long"),
+        )
+        .drop("__p")
+    )

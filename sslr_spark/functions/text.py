@@ -180,3 +180,35 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("rep_ratio"),
         F.md5(collapsed).alias("collapsed_fp"),
     )
+
+
+def topk_ngrams(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus-level top-k word bigrams with counts — the vocabulary /
+    boilerplate probe of corpus curation (the most frequent n-grams
+    surface templated text long before per-doc dedup does).
+
+    Scale shape: explode to one row per bigram, one hash aggregate
+    (map-side combined — the heavy lifting happens before the
+    shuffle), then a bounded global top-k: the ORDER BY + LIMIT plan
+    is Spark's TakeOrderedAndProject, which take-orders k rows per
+    partition and merges k x n_partitions rows on the driver — no
+    global sort materializes. Ties break on the bigram text for
+    engine-stable output."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    grams = F.expr(
+        "transform(sequence(0, size(__toks) - 2), i -> "
+        "concat(__toks[i], ' ', __toks[i + 1]))"
+    )
+    return (
+        df.select(toks.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -239,8 +239,13 @@ def sync_updates(
     # Per-operation throttle wrapping only source-reading steps (range
     # probe, slice scan), sleeping after each apply — the reference's
     # shape (internal/updates.go:69,87,145,154: fresh throttle,
-    # start/end around fetch, wait after apply). Full copy is
-    # unthrottled, also like the reference.
+    # start/end around fetch, wait after apply). Unlike the reference
+    # (which documents its unthrottled full copy as a known gap,
+    # README.md:203), the full-copy branch here IS throttled: the copy
+    # is one read->write Spark job, so the whole job counts as source
+    # time (conservative — over-counts the write half, so it sleeps
+    # MORE than strictly needed, never less) and the adaptive sleep
+    # runs after it, padding the next poll round in continuous mode.
     throttle = throttle or Throttle(100)  # 100% = measuring no-op
     state = state_store.get(table)
     with throttle:
@@ -279,16 +284,18 @@ def sync_updates(
             sp = int(
                 target.spark.conf.get("spark.sql.shuffle.partitions", "200")
             )
-            target.overwrite_partitioned(
-                table, df, BUCKET_COL,
-                n_buckets=n_buckets,
-                files_per_bucket=max(1, sp // n_buckets),
-            )
+            with throttle:  # the copy job reads the source end-to-end
+                target.overwrite_partitioned(
+                    table, df, BUCKET_COL,
+                    n_buckets=n_buckets,
+                    files_per_bucket=max(1, sp // n_buckets),
+                )
             rows = target.read(table).count()
         else:
-            rows = copy_full_table(
-                source_df, target, table, where, drop_version=drop_col
-            )
+            with throttle:  # the copy job reads the source end-to-end
+                rows = copy_full_table(
+                    source_df, target, table, where, drop_version=drop_col
+                )
         state_store.set(TableState(table, rng.end_version, where or ""))
         return rows
 

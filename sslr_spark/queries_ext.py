@@ -684,7 +684,61 @@ select doc_id, lang from r where rn <= ceil(n * 0.02)
 """
 
 
+def q_mix_allocation(spark, sf_dir):
+    """Training-mix budgeting: temperature-scaled (alpha=0.7) token
+    budget per (lang, source) domain — the data-mixing step of corpus
+    curation (functions/sampling.py:mix_allocation)."""
+    from sslr_spark.functions.sampling import mix_allocation
+
+    return mix_allocation(
+        _docs(spark, sf_dir), ["lang", "source"], "n_chars",
+        budget=1_000_000, alpha=0.7,
+    )
+
+
+SQL_MIX_ALLOCATION = """
+with tot as (
+  select lang, source, cast(sum(n_chars) as bigint) as domain_weight
+  from documents group by lang, source
+),
+p as (
+  select *, pow(cast(domain_weight as double), 0.7) as pp from tot
+)
+select lang, source, domain_weight,
+       round(pp / sum(pp) over (), 6) as share,
+       cast(floor(round(pp / sum(pp) over (), 6) * 1000000.0) as bigint)
+         as allocation
+from p
+"""
+
+
+def q_text_topk_ngrams(spark, sf_dir):
+    """Corpus-level top-20 word bigrams (boilerplate / vocabulary
+    probe; functions/text.py:topk_ngrams)."""
+    return X.topk_ngrams(_docs(spark, sf_dir), k=20)
+
+
+SQL_TOPK_NGRAMS = """
+with toks as (
+  select list_filter(string_split(lower(text), ' '), t -> t != '') as tk
+  from documents
+),
+grams as (
+  select unnest(list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])) as ngram
+  from toks where len(tk) >= 2
+)
+select ngram, cast(count(*) as bigint) as cnt
+from grams
+group by ngram
+order by cnt desc, ngram
+limit 20
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mix_allocation": q_mix_allocation,
+    "text_topk_ngrams": q_text_topk_ngrams,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified": q_sample_stratified,
     "text_repetition": q_text_repetition,
@@ -711,6 +765,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "mix_allocation": SQL_MIX_ALLOCATION,
+    "text_topk_ngrams": SQL_TOPK_NGRAMS,
     "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "text_repetition": SQL_TEXT_REPETITION,

@@ -10,6 +10,8 @@ adapter:
   and query parameters carried into connection properties, so a
   config written for the reference connects unchanged;
 - ``jdbc:...`` URLs pass through verbatim (any JDBC-capable store);
+- ``delta:<dir>`` selects the Delta Lake adapter (MERGE-based
+  in-place apply, atomic replaceWhere repairs — sources/delta.py);
 - anything else is a parquet database directory.
 """
 
@@ -77,4 +79,10 @@ def open_database(
             num_partitions=num_partitions,
             expose_xmin=(role == "source" and version_column == "xmin"),
         )
+    if location.startswith("delta:"):
+        # transactional-lakehouse target: MERGE-based in-place apply,
+        # replaceWhere partition repair (sources/delta.py)
+        from sslr_spark.sources.delta import DeltaDatabase
+
+        return DeltaDatabase(spark, location[len("delta:"):])
     return ParquetDatabase(spark, location)

@@ -397,3 +397,39 @@ def test_hash_split_rejects_degenerate_weights(spark):
         hash_split(df, "doc_id", {"a": 0.0, "b": 0.0})
     with pt.raises(ValueError, match="non-negative"):
         hash_split(df, "doc_id", {"a": 1.0, "b": -0.5})
+
+
+def test_mix_allocation_invariants(spark):
+    """Temperature math: alpha=0 is uniform, alpha=1 proportional;
+    allocations never oversubscribe the budget."""
+    from sslr_spark.functions.sampling import mix_allocation
+
+    df = spark.createDataFrame(
+        [("en", 900), ("de", 90), ("fr", 10)], "lang string, w long"
+    )
+    uni = mix_allocation(df, ["lang"], "w", budget=1000, alpha=0.0).collect()
+    assert {round(r.share, 4) for r in uni} == {round(1 / 3, 4)}
+    prop = {r.lang: r for r in
+            mix_allocation(df, ["lang"], "w", budget=1000, alpha=1.0).collect()}
+    assert prop["en"].share == 0.9 and prop["en"].allocation == 900
+    assert prop["fr"].share == 0.01
+    for alpha in (0.0, 0.5, 1.0):
+        rows = mix_allocation(df, ["lang"], "w", 1000, alpha).collect()
+        assert sum(r.allocation for r in rows) <= 1000
+    # temperature <1 upweights the small domain
+    warm = {r.lang: r.share for r in
+            mix_allocation(df, ["lang"], "w", 1000, 0.5).collect()}
+    assert warm["fr"] > prop["fr"].share
+
+
+def test_topk_ngrams_known_counts(spark):
+    from sslr_spark.functions.text import topk_ngrams
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b",), ("  a  ",), (None,), ("solo",)],
+        "text string",
+    )
+    got = [(r.ngram, r.cnt) for r in topk_ngrams(df, k=3).collect()]
+    # 'a b' appears 2x in doc1 + 1x in doc2; 'b a' once; short/null
+    # docs contribute nothing
+    assert got == [("a b", 3), ("b a", 1)]

@@ -123,3 +123,34 @@ def test_watermark_never_rewinds_on_drained_source(spark, tmp_path):
     empty = spark.createDataFrame([], "id long, v long, xmin long")
     sync_updates(empty, target, state, "t", ["id"])
     assert state.get("t").last_seen_version == 5  # not rewound to 0
+
+
+def test_full_copy_is_throttled(spark, source_db, target_db):
+    """The full-copy branch must count the copy job as source time and
+    sleep afterwards when over the utilization level — the reference
+    documents its unthrottled full copy as a known gap (reference
+    README.md:203); here the copy is covered. Both branches: bucketed
+    and flat."""
+    from sslr_spark.throttle import Throttle
+
+    src = make_timestamps(spark, 200)
+    source_db.overwrite("timestamps", src)
+
+    def run(n_buckets):
+        sleeps = []
+        th = Throttle(50, sleep=sleeps.append)
+        store = StateStore(target_db)
+        rows = sync_updates(
+            source_db.read("timestamps"), target_db, store, "timestamps",
+            ["id"], n_buckets=n_buckets, throttle=th,
+        )
+        assert rows == 200
+        # the copy dominated wall time -> utilization way over 50% ->
+        # an adaptive sleep fired, and source time was accounted
+        assert th._source_time > 0
+        assert sleeps and sleeps[0] > 0
+        target_db.drop("timestamps")
+        store.clear("timestamps")
+
+    run(None)
+    run(4)
