@@ -118,6 +118,8 @@ def merge_upsert_partitioned(
     pk_cols: list[str],
     n_buckets: int,
     full_rewrite_fraction: float = 0.5,
+    broadcast_key_limit: int = 1_000_000,
+    aligned_rewrite_bytes: int = 2 << 30,
 ) -> None:
     """Partition-pruned merge against a bucket-partitioned target:
     only the partitions containing updated keys are read (pruned scan)
@@ -128,39 +130,90 @@ def merge_upsert_partitioned(
     Scattered-update guard: when the batch touches more than
     ``full_rewrite_fraction`` of the buckets, pruning buys nothing —
     the merge would rewrite most of the table anyway, plus pay the
-    dynamic-overwrite bookkeeping per partition. That case falls
-    through to a plain whole-table merge + salted partitioned
-    overwrite (same result, one clean write). The design point
-    remains CDC batches clustered on key ranges (measured sublinear
-    at the 100x probe); this guard keeps the pathological
-    scattered-keys case no worse than a full copy."""
+    dynamic-overwrite bookkeeping per partition. That case rewrites
+    the whole table instead, and HOW is size-gated: tables over
+    ``aligned_rewrite_bytes`` with at most ``broadcast_key_limit``
+    update keys use the shuffle-avoiding aligned write (a broadcast
+    anti-join keeps the target read's bucket alignment —
+    overwrite_partitioned_aligned) because at cluster scale moving
+    the whole table through a shuffle is the dominant cost; smaller
+    tables (and giant key batches) take the one-shot clustered
+    rewrite, which measures faster locally. The design point remains
+    CDC batches clustered on key ranges (measured sublinear at the
+    100x probe); the guard keeps the pathological scattered-keys
+    case near full-copy cost."""
     from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
 
-    upd = with_bucket(updates, pk_cols, n_buckets)
-    affected = [int(r[0]) for r in upd.select(BUCKET_COL).distinct().collect()]
-    if not affected:
-        return
-    tgt = target.read(table, with_meta=True)
-    keys = upd.select(*pk_cols).distinct()
-    if len(affected) > full_rewrite_fraction * n_buckets:
-        kept = tgt.drop(BUCKET_COL).join(keys, on=pk_cols, how="left_anti")
-        out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
-        sp = int(target.spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        target.overwrite_partitioned(
-            table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL,
-            n_buckets=n_buckets,
-            files_per_bucket=max(1, sp // n_buckets),
+    # The slice feeds 3-4 consumers (affected-bucket probe, key set,
+    # write union); without a persist each one re-reads and re-filters
+    # the source (measured ~0.4 s/scan at sf0.1 — half the merge time
+    # for a scattered batch).
+    upd = with_bucket(updates, pk_cols, n_buckets).persist()
+    try:
+        affected = [
+            int(r[0]) for r in upd.select(BUCKET_COL).distinct().collect()
+        ]
+        if not affected:
+            return
+        tgt = target.read(table, with_meta=True)
+        keys = upd.select(*pk_cols).distinct()
+        if len(affected) > full_rewrite_fraction * n_buckets:
+            n_keys = keys.count()  # cheap: slice is persisted
+            big_table = (
+                hasattr(target, "table_bytes")
+                and target.table_bytes(table) >= aligned_rewrite_bytes
+            )
+            if (
+                big_table
+                and n_keys <= broadcast_key_limit
+                and hasattr(target, "overwrite_partitioned_aligned")
+            ):
+                # Shuffle-avoiding path for BIG tables: a BROADCAST
+                # anti-join is narrow, so the kept rows retain the
+                # bucket alignment of the partitioned-dir read and
+                # the rewrite needs no full-table shuffle — at
+                # cluster scale, moving the whole table over the
+                # network is the dominant cost. Alignment is the
+                # correctness condition — a shuffled anti-join would
+                # scatter buckets across tasks and explode the file
+                # count — hence the hard broadcast. Below the byte
+                # threshold the one-shot clustered rewrite wins
+                # instead (interleaved A/B at sf0.1: 1.4-2.9 s vs
+                # 1.9-4.2 s — local shuffles are memory-speed, so the
+                # aligned path's second write job costs more than the
+                # shuffle it saves).
+                kept = tgt.join(
+                    F.broadcast(keys), on=pk_cols, how="left_anti"
+                )
+                target.overwrite_partitioned_aligned(
+                    table, kept, upd.select(*kept.columns), BUCKET_COL,
+                    n_buckets=n_buckets,
+                )
+                return
+            # Giant scattered batch (keys too big to broadcast): pay
+            # the shuffled anti-join + one clean clustered rewrite.
+            kept = tgt.drop(BUCKET_COL).join(keys, on=pk_cols, how="left_anti")
+            out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
+            sp = int(
+                target.spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            target.overwrite_partitioned(
+                table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL,
+                n_buckets=n_buckets,
+                files_per_bucket=max(1, sp // n_buckets),
+            )
+            return
+        kept = (
+            tgt.filter(F.col(BUCKET_COL).isin(affected))  # partition pruning
+            .drop(BUCKET_COL)
+            .join(keys, on=pk_cols, how="left_anti")
         )
-        return
-    kept = (
-        tgt.filter(F.col(BUCKET_COL).isin(affected))  # partition pruning
-        .drop(BUCKET_COL)
-        .join(keys, on=pk_cols, how="left_anti")
-    )
-    out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
-    target.replace_partitions(
-        table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL
-    )
+        out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
+        target.replace_partitions(
+            table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL
+        )
+    finally:
+        upd.unpersist()
 
 
 def plan_version_batches(

@@ -124,6 +124,55 @@ class ParquetDatabase:
             raise
         shutil.rmtree(old, ignore_errors=True)
 
+    def overwrite_partitioned_aligned(
+        self,
+        table: str,
+        aligned_df: DataFrame,
+        extra_df: DataFrame,
+        partition_col: str,
+        n_buckets: int | None = None,
+    ) -> None:
+        """Atomic partitioned overwrite skipping the full-table
+        shuffle, for the scattered-merge fallback: ``aligned_df`` must
+        come from a partition-dir-aligned read of this table, filtered
+        only by NARROW ops (broadcast anti-join, filter) — its tasks
+        then hold rows of few buckets each, so a ``partitionBy`` write
+        WITHOUT re-clustering opens few files per task (measured ~2-4
+        files/bucket vs the tasks x buckets explosion an unaligned
+        frame would produce). The small ``extra_df`` (the update
+        slice) appends clustered. Two passes into one stage dir, one
+        atomic swap."""
+        final = self.path(table)
+        stage = os.path.join(self.root, f".stage-{table}-{uuid.uuid4().hex}")
+        old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
+        aligned_df.write.partitionBy(partition_col).parquet(stage)
+        (
+            extra_df.repartition(
+                max(8, (n_buckets or 64) // 8), F.col(partition_col)
+            )
+            .write.mode("append")
+            .partitionBy(partition_col)
+            .parquet(stage)
+        )
+        if n_buckets:
+            import json
+
+            with open(os.path.join(stage, "_sslr_layout.json"), "w") as fh:
+                json.dump(
+                    {"partition_col": partition_col, "n_buckets": int(n_buckets)},
+                    fh,
+                )
+        try:
+            if os.path.exists(final):
+                os.rename(final, old)
+            os.rename(stage, final)
+        except BaseException:
+            if not os.path.exists(final) and os.path.exists(old):
+                os.rename(old, final)
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+
     def replace_partitions(
         self, table: str, df: DataFrame, partition_col: str
     ) -> None:
@@ -178,6 +227,17 @@ class ParquetDatabase:
                 )
             return df.repartition(F.col(partition_col), salt)
         return df.repartition(F.col(partition_col))
+
+    def table_bytes(self, table: str) -> int:
+        """On-disk size of a table (data files only) — a free cost
+        signal for plan choices (e.g. shuffle-avoiding vs one-shot
+        rewrites in merge_upsert_partitioned)."""
+        total = 0
+        for dirpath, _, files in os.walk(self.path(table)):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        return total
 
     def layout_meta(self, table: str) -> dict | None:
         """The ``_sslr_layout.json`` marker written by
