@@ -140,3 +140,32 @@ def test_stratified_sample_windows_never_sort_full_strata(spark):
             assert "pmod" not in line, f"bucket-ordered raw window: {line}"
     assert "__bstar" in p
     assert "row_number" in p
+
+
+def test_topk_ngrams_take_ordered_not_global_sort(spark):
+    """Corpus top-k: the final k must come from TakeOrderedAndProject
+    (per-partition top-k + driver merge of k x partitions rows), never
+    a full global Sort of the n-gram counts."""
+    from sslr_spark.functions.text import topk_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(topk_ngrams(docs, k=20))
+    assert "TakeOrderedAndProject" in p
+    # partial aggregation before the shuffle (map-side combine)
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_mix_allocation_window_only_over_aggregates(spark):
+    """The share-normalization global window must sit ABOVE the
+    domain aggregate (n_domains rows), never over corpus rows: the
+    plan's window input comes from an aggregate, and the corpus scan
+    feeds a hash aggregate first."""
+    from sslr_spark.functions.sampling import mix_allocation
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = mix_allocation(docs, ["lang", "source"], "n_chars", 1_000_000, 0.7)
+    p = plan_of(df)
+    i_win = p.index("Window")
+    i_agg = p.index("HashAggregate")
+    # physical plans print top-down: Window above the aggregate
+    assert i_win < i_agg, "window not above the aggregate"

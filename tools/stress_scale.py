@@ -118,6 +118,22 @@ def main() -> None:
             src.read("lineitem_del"), tgt, "lineitem", pk, n_buckets
         )
 
+    # skewed stratified sampling: one stratum holds ~90% of rows — the
+    # shape that put the old single-window plan into ONE task. The
+    # two-phase plan's heavy stages are per-(stratum, bucket) hash
+    # aggregates; only the boundary bucket (~rows/1e6 per stratum)
+    # ever hits a window sort.
+    from sslr_spark.functions.sampling import stratified_exact_sample
+
+    skewed = src.read("lineitem").withColumn(
+        "strat",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit("mega")).otherwise(
+            F.pmod(F.col("l_orderkey"), F.lit(10)).cast("string")
+        ),
+    ).select("l_orderkey", "l_linenumber", "strat")
+    with timed("stratified_sample_skewed"):
+        stratified_exact_sample(skewed, "strat", "l_orderkey", 0.01).count()
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "timings": timings}))
 
