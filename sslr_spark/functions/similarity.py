@@ -188,33 +188,65 @@ def ivf_index_fixed(
     incremental re-indexing (frozen centroids, append-stable cells).
 
     Assignment = argmax cosine(vec, centroid) (spherical-IVF
-    convention), ties broken by cell id. Scale shape: the centroid side
-    is n_cells rows (broadcast); the argmax is a per-vector window over
-    n_cells candidate rows — bounded work per vector, parallel across
-    the corpus, no global shuffle beyond the hash on ``id_col``.
+    convention), ties broken by the LOWER cell id. Scale shape: the
+    centroids are collected once (n_cells rows — bounded by
+    construction) and inlined as LITERAL arrays, so assignment is a
+    pure per-row map expression — zero shuffle, zero row
+    amplification. (The previous formulation cross-joined every
+    vector with every centroid and ran a per-vector window: an
+    n_cells× row blowup plus a full shuffle on ``id_col`` that this
+    plan simply doesn't have.)
     Returns (indexed with __cell, centroids(cell, centroid)).
     """
-    from pyspark.sql import Window
-
-    cents = df.filter(F.col(id_col).isin(list(centroid_ids))).select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("centroid")
+    rows = (
+        df.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
+        .collect()  # bounded: n_cells rows
     )
-    # cell numbering = rank of centroid id: engine-portable, n_cells rows
-    cw = Window.orderBy("__cid")
-    cents = cents.select(
-        (F.row_number().over(cw) - 1).cast("int").alias("cell"), "centroid"
+    rows.sort(key=lambda r: r.cid)  # cell = rank of centroid id
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(r.centroid)) for i, r in enumerate(rows)],
+        f"cell int, centroid {df.schema[vec_col].dataType.simpleString()}",
     )
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", F.round(cosine_expr(vec_col, "centroid"), 9)
-    )
-    vw = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
+    # argmax over literal centroids: max of struct(sim, -cell) makes
+    # ties prefer the lower cell under struct ordering
+    scored = [
+        F.struct(
+            F.round(
+                dot_expr(vec_col, f"__c{i}")
+                / (norm_expr(vec_col) * F.lit(_l2(r.centroid))),
+                9,
+            ).alias("s"),
+            F.lit(-i).alias("nc"),
+        )
+        for i, r in enumerate(rows)
+    ]
+    with_lits = df
+    for i, r in enumerate(rows):
+        with_lits = with_lits.withColumn(
+            f"__c{i}", F.lit([float(x) for x in r.centroid])
+        )
     indexed = (
-        scored.withColumn("__rn", F.row_number().over(vw))
-        .filter(F.col("__rn") == 1)
-        .withColumnRenamed("cell", "__cell")
-        .drop("__sim", "__rn", "centroid")
+        with_lits.withColumn(
+            "__cell", (-F.array_max(F.array(*scored))["nc"]).cast("int")
+        )
+        .drop(*[f"__c{i}" for i in range(len(rows))])
     )
     return indexed, cents
+
+
+def _l2(vec) -> float:
+    """Driver-side L2 norm of one collected centroid (Python floats
+    are IEEE doubles and math.sqrt is correctly rounded — the same
+    arithmetic the JVM norm_expr fold runs, in the same index order,
+    so the literal stays bit-identical to a JVM/DuckDB evaluation)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def ivf_ann_fixed(

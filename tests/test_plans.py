@@ -169,3 +169,17 @@ def test_mix_allocation_window_only_over_aggregates(spark):
     i_agg = p.index("HashAggregate")
     # physical plans print top-down: Window above the aggregate
     assert i_win < i_agg, "window not above the aggregate"
+
+
+def test_ivf_fixed_assignment_has_no_shuffle(spark):
+    """Fixed-quantizer IVF assignment must stay a pure map: literal
+    centroids, argmax over an array expression — no Exchange, no
+    Window, no row amplification (the cross-join + per-vector window
+    formulation this replaced had all three)."""
+    from sslr_spark.functions.similarity import ivf_index_fixed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    indexed, _ = ivf_index_fixed(emb, [1, 2, 3, 4])
+    p = plan_of(indexed)
+    assert "Exchange" not in p
+    assert "Window" not in p
