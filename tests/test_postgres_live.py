@@ -315,3 +315,88 @@ def test_job_parquet_to_postgres_in_place_apply(pg_db, spark, tmp_path):
     r2 = job2.run()
     assert r2.updated_rows == 8 and not r2.full_copies
     assert_df_equal(tgt.read("timestamps"), data2.drop("xmin"), ["id"])
+
+
+def test_job_postgres_to_postgres_live(pg_db, spark):
+    """The reference's actual deployment shape — Postgres source AND
+    Postgres target on one server (separate databases via separate
+    schemas is the docker harness's layout; here two databases): real
+    xmin CDC on the source, mirrored DDL + in-place DELETE+COPY apply
+    on the target (reference internal/job.go:81-92)."""
+    from sslr_spark.job import Job
+
+    src = pg_db(expose_xmin=True)
+    src._execute(
+        "create table timestamps (id bigint primary key, ts timestamp)"
+    )
+    src._execute(
+        "insert into timestamps select g, timestamp '2024-01-01' + "
+        "g * interval '1 hour' from generate_series(0, 49) g"
+    )
+    # target = second database on the same server
+    tgt = pg_db(expose_xmin=False)
+    tgt_name = tgt.dbname + "_tgt"
+    import subprocess
+
+    subprocess.run(
+        ["psql", "-h", tgt.host, "-p", str(tgt.port), "-U", tgt.user,
+         "-d", "postgres", "-c", f"create database {tgt_name}"],
+        capture_output=True, text=True,
+    )
+    from sslr_spark.sources.pgcli import PsqlDatabase
+
+    tgt = PsqlDatabase(
+        spark, tgt.host, tgt_name, port=tgt.port, user=tgt.user
+    )
+    cfg = _cfg("postgres://live/src", "postgres://live/tgt")
+    job = Job(spark, cfg, source_db=src, target_db=tgt)
+    r1 = job.run()
+    assert r1.updated_rows == 50
+    # DDL mirroring carried the key index across (as an index, same
+    # as the reference's applyIndices — primary-KEY-ness itself
+    # travels only when the extracted create-table DDL carries it)
+    idx = tgt.extract_table_indices("timestamps")
+    assert any(i.columns == ["id"] for i in idx), idx
+
+    src._execute("update timestamps set ts = timestamp '2031-01-01' where id in (7, 9)")
+    src._execute("delete from timestamps where id = 11")
+    job2 = Job(spark, cfg, source_db=pg_db(expose_xmin=True), target_db=tgt)
+    r2 = job2.run()
+    assert 0 < r2.updated_rows <= 2 and not r2.full_copies
+    assert_df_equal(
+        tgt.read("timestamps"), src.read("timestamps").drop("xmin"), ["id"]
+    )
+
+
+def test_job_live_schema_drift_resync(pg_db, spark, tmp_path):
+    """Live drift: a column added on the Postgres source must abort by
+    default (SchemaMismatch) and, with resyncOnSchemaChange, drop +
+    recreate the target and force a full resync (reference
+    internal/schemas.go:227-239, job.go validation)."""
+    import pytest as _pytest
+
+    from sslr_spark.catalog import SchemaMismatch
+    from sslr_spark.job import Job
+
+    src = pg_db(expose_xmin=True)
+    src._execute("create table timestamps (id bigint primary key, ts timestamp)")
+    src._execute(
+        "insert into timestamps select g, timestamp '2024-01-01' from "
+        "generate_series(0, 19) g"
+    )
+    cfg = _cfg("postgres://live/src", str(tmp_path), target_buckets=0)
+    Job(spark, cfg, source_db=src, target_db=None).run()
+
+    src._execute("alter table timestamps add column note text default 'x'")
+    with _pytest.raises(SchemaMismatch):
+        Job(spark, cfg, source_db=pg_db(expose_xmin=True), target_db=None).run()
+
+    cfg2 = _cfg(
+        "postgres://live/src", str(tmp_path), target_buckets=0,
+        resync_on_schema_change=True,
+    )
+    job3 = Job(spark, cfg2, source_db=pg_db(expose_xmin=True), target_db=None)
+    r = job3.run()
+    assert r.full_copies == ["timestamps"]
+    got = job3.target.read("timestamps")
+    assert "note" in got.columns and got.count() == 20
