@@ -22,6 +22,7 @@ formula has an exact DuckDB spelling for oracle parity.
 
 from __future__ import annotations
 
+import contextlib
 import threading
 
 from pyspark.sql import DataFrame
@@ -58,6 +59,11 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
+# public alias for sibling pair generators (functions/similarity.py)
+# that want their inputs in the same thread-scoped release registry
+register_cache = _persist
+
+
 def release_caches() -> None:
     """Unpersist every cache created by THIS thread's pair generators.
 
@@ -72,6 +78,7 @@ def release_caches() -> None:
         caches.pop().unpersist()
 
 
+@contextlib.contextmanager
 def cache_scope():
     """Context manager scoping pair-generator caches to a block, for
     interleaved pipelines::
@@ -88,19 +95,13 @@ def cache_scope():
     cache; everything persists until scope exit, then is released in
     one sweep. Without a scope the default sequential entry-release
     behavior applies unchanged."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def _scope():
-        _CACHES.suspended = getattr(_CACHES, "suspended", 0) + 1
-        try:
-            yield
-        finally:
-            _CACHES.suspended -= 1
-            if _CACHES.suspended == 0:
-                release_caches()
-
-    return _scope()
+    _CACHES.suspended = getattr(_CACHES, "suspended", 0) + 1
+    try:
+        yield
+    finally:
+        _CACHES.suspended -= 1
+        if _CACHES.suspended == 0:
+            release_caches()
 
 
 def _entry_release() -> None:
@@ -531,6 +532,10 @@ def embedding_near_dup_pairs(
     turn the scan quadratic silently."""
     from sslr_spark.functions.similarity import cosine_expr, guard_oversize_blocks
 
+    _entry_release()
+    # one cached input feeds the guard's size scan AND both join
+    # sides — without it the guard costs a third full read
+    df = _persist(df)
     if max_block_size is not None:
         df = guard_oversize_blocks(
             df, block_col, max_block_size, "embedding_near_dup_pairs"

@@ -187,9 +187,12 @@ def mix_allocation(
     Scale shape: one map-side-combined aggregate over the corpus, then
     a global window over the AGGREGATED rows only — n_domains rows
     (hundreds, not corpus-sized), so the single-partition normalization
-    is bounded by construction. ``share`` is rounded to 6dp for
-    engine-portable comparison; ``allocation`` floors the rounded
-    share so domain allocations never oversubscribe the budget.
+    is bounded by construction. ``share`` is TRUNCATED to 6dp (not
+    rounded): truncated shares sum to <= 1, so the floored
+    ``allocation`` provably never oversubscribes the budget — a
+    half-up rounding could push the share sum to 1.000001 and the
+    allocations past the budget by a few tokens. 6dp also keeps the
+    value engine-portable for the oracle comparison.
     """
     tot = df.groupBy(*strata_cols).agg(
         F.sum(F.col(weight_col)).alias("domain_weight")
@@ -200,7 +203,8 @@ def mix_allocation(
             "__p", F.pow(F.col("domain_weight").cast("double"), F.lit(alpha))
         )
         .withColumn(
-            "share", F.round(F.col("__p") / F.sum("__p").over(w), 6)
+            "share",
+            F.floor(F.col("__p") / F.sum("__p").over(w) * F.lit(1e6)) / F.lit(1e6),
         )
         .withColumn(
             "allocation",

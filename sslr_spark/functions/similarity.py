@@ -342,6 +342,13 @@ def all_pairs_topk_blocked(
     :func:`guard_oversize_blocks`)."""
     from pyspark.sql import Window
 
+    from sslr_spark.functions.dedup import _entry_release, register_cache
+
+    _entry_release()
+    # one cached input feeds the guard's size scan AND both join
+    # sides; released at the next pair-generator entry (dedup.py
+    # cache registry / cache_scope)
+    df = register_cache(df)
     if max_block_size is not None:
         df = guard_oversize_blocks(
             df, block_col, max_block_size, "all_pairs_topk_blocked"

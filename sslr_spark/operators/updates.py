@@ -118,7 +118,7 @@ def merge_upsert_partitioned(
     pk_cols: list[str],
     n_buckets: int,
     full_rewrite_fraction: float = 0.5,
-    broadcast_key_limit: int = 1_000_000,
+    broadcast_key_bytes: int = 64 << 20,
     aligned_rewrite_bytes: int = 2 << 30,
 ) -> None:
     """Partition-pruned merge against a bucket-partitioned target:
@@ -132,8 +132,9 @@ def merge_upsert_partitioned(
     the merge would rewrite most of the table anyway, plus pay the
     dynamic-overwrite bookkeeping per partition. That case rewrites
     the whole table instead, and HOW is size-gated: tables over
-    ``aligned_rewrite_bytes`` with at most ``broadcast_key_limit``
-    update keys use the shuffle-avoiding aligned write (a broadcast
+    ``aligned_rewrite_bytes`` whose key set fits under
+    ``broadcast_key_bytes`` (estimated from a sampled max row width)
+    use the shuffle-avoiding aligned write (a broadcast
     anti-join keeps the target read's bucket alignment —
     overwrite_partitioned_aligned) because at cluster scale moving
     the whole table through a shuffle is the dominant cost; smaller
@@ -158,14 +159,25 @@ def merge_upsert_partitioned(
         tgt = target.read(table, with_meta=True)
         keys = upd.select(*pk_cols).distinct()
         if len(affected) > full_rewrite_fraction * n_buckets:
+            # Gate the FORCED broadcast on estimated bytes, not row
+            # count: a 1M-key set of ~1KB composite string PKs is a
+            # gigabyte — row count alone would wave it through and
+            # OOM the driver. Width is sampled from the persisted
+            # slice (bounded collect).
             n_keys = keys.count()  # cheap: slice is persisted
+            sample = keys.limit(100).collect()
+            row_bytes = max(  # conservative: max sampled width
+                (sum(len(str(v)) for v in r) + 16 for r in sample),
+                default=16,
+            )
+            key_bytes = n_keys * row_bytes
             big_table = (
                 hasattr(target, "table_bytes")
                 and target.table_bytes(table) >= aligned_rewrite_bytes
             )
             if (
                 big_table
-                and n_keys <= broadcast_key_limit
+                and key_bytes <= broadcast_key_bytes
                 and hasattr(target, "overwrite_partitioned_aligned")
             ):
                 # Shuffle-avoiding path for BIG tables: a BROADCAST

@@ -705,9 +705,9 @@ p as (
   select *, pow(cast(domain_weight as double), 0.7) as pp from tot
 )
 select lang, source, domain_weight,
-       round(pp / sum(pp) over (), 6) as share,
-       cast(floor(round(pp / sum(pp) over (), 6) * 1000000.0) as bigint)
-         as allocation
+       floor(pp / sum(pp) over () * 1000000.0) / 1000000.0 as share,
+       cast(floor(floor(pp / sum(pp) over () * 1000000.0) / 1000000.0
+                  * 1000000.0) as bigint) as allocation
 from p
 """
 

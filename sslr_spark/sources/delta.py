@@ -18,10 +18,15 @@ transactional equivalents:
 - delete-by-keyset                 -> ``MERGE ... WHEN MATCHED THEN
   DELETE`` (reference internal/deletes.go:166-235)
 
-Because the adapter exposes ``apply_upsert``/``delete_keys``, the Job
-layer treats Delta targets as in-place-capable: incremental slices
-apply as MERGEs (never table rewrites) and the version column is
-stripped exactly like a JDBC target.
+Two incremental modes, chosen by config exactly like parquet targets:
+with ``targetBuckets`` set (the default), the Job maintains the
+bucket-partitioned layout and incremental slices go through the
+partition-pruned merge (`replaceWhere` repairs, atomic here unlike
+the parquet dynamic overwrite); with ``"targetBuckets": 0`` the
+adapter's ``apply_upsert``/``delete_keys`` MERGEs apply in place with
+no synthetic partitioning — Delta's data skipping prunes on the PK
+ranges instead. In both modes the version column is stripped exactly
+like a JDBC target (the adapter is in-place-capable).
 
 Scale: MERGE shuffles only the update slice against the matched files
 (Delta file-skips on the PK ranges); ``replaceWhere`` rewrites only
@@ -44,8 +49,6 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sslr_spark.sources.jdbc import sql_literal
-
 
 def merge_condition(pk_cols: list[str], target_alias: str = "t",
                     source_alias: str = "s") -> str:
@@ -57,10 +60,30 @@ def merge_condition(pk_cols: list[str], target_alias: str = "t",
     )
 
 
+def spark_sql_literal(v) -> str:
+    """Render one partition value for a predicate SPARK SQL parses —
+    not the JDBC dialect: Spark's default parser treats backslash as
+    an escape inside ``'...'``, so backslashes must double and quotes
+    escape as ``\\'`` (the Postgres renderer's ``''`` doubling would
+    be wrong here, and its ``::bytea`` casts unparseable)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        raise ValueError(
+            "binary partition values are not supported in replaceWhere"
+        )
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
 def replace_where_predicate(partition_col: str, values: list) -> str:
     """``replaceWhere`` predicate for a bounded partition list (the
     mismatched-bucket set — capped upstream, deletes.py)."""
-    lits = ", ".join(sql_literal(v) for v in values)
+    lits = ", ".join(spark_sql_literal(v) for v in values)
     return f"`{partition_col}` in ({lits})"
 
 

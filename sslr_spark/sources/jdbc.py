@@ -93,8 +93,14 @@ class JdbcDatabase:
         self.delete_key_chunk = delete_key_chunk
         # backends where backslash escapes inside '' literals (MySQL
         # default sql_mode) need doubling in rendered key literals;
-        # standard-conforming backends (PostgreSQL) must NOT double
-        self.backslash_escapes = "mysql" in url.lower()
+        # standard-conforming backends (PostgreSQL) must NOT double.
+        # Match the SCHEME, never a substring — a Postgres host named
+        # e.g. mysql-migration.internal must not flip the dialect
+        # (doubled backslashes there would make chunked DELETEs match
+        # nothing and the sync silently diverge).
+        self.backslash_escapes = url.lower().startswith(
+            ("jdbc:mysql:", "jdbc:mariadb:")
+        )
 
     # -- option assembly (unit-testable without a server) --------------
     def read_options(

@@ -218,9 +218,15 @@ class PsqlDatabase(JdbcDatabase):
         schema = T.StructType(fields)
         raw = self._psql("-c", f"copy ({query}) to stdout")
         rows = []
-        for line in raw.split("\n"):
-            if not line:
-                continue
+        # Drop ONLY the trailing newline's empty element — an interior
+        # empty line is a real row (a single text column holding ''),
+        # so `if not line: continue` would silently lose rows. Not
+        # splitlines(): COPY passes U+0085/U+2028 through unescaped
+        # and splitlines would cut a row at them.
+        lines = raw.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        for line in lines:
             parts = line.split("\t")
             rows.append(
                 tuple(

@@ -35,11 +35,15 @@ def test_replace_where_predicate_literals():
         replace_where_predicate("__sslr_bucket", [0, 3, 9])
         == "`__sslr_bucket` in (0, 3, 9)"
     )
-    # string partition values escape like the JDBC delete literals
+    # SPARK-dialect escaping, not JDBC: backslash doubles, quote
+    # escapes as \' (Spark's parser treats backslash as escape — the
+    # Postgres '' doubling would mis-parse here)
     assert (
-        replace_where_predicate("lang", ["en", "it's"])
-        == "`lang` in ('en', 'it''s')"
+        replace_where_predicate("lang", ["en", "it's", "a\\b"])
+        == "`lang` in ('en', 'it\\'s', 'a\\\\b')"
     )
+    with pytest.raises(ValueError):
+        replace_where_predicate("b", [b"\x01"])
 
 
 def test_factory_selects_delta(spark, tmp_path):

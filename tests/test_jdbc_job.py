@@ -356,3 +356,15 @@ def test_jdbc_schema_drift_recreates_with_resync(spark, tmp_path, fake_target):
     assert "drop table t" in fake_target.statements
     assert "extra" in fake_target.tables["t"].columns
     assert fake_target.tables["t"].count() == 10
+
+
+def test_backslash_dialect_matches_scheme_not_substring(spark):
+    """The MySQL backslash-escaping dialect must key on the URL
+    SCHEME: a Postgres host merely NAMED mysql-something must not
+    flip it (doubled backslashes under standard_conforming_strings
+    would make chunked DELETEs silently match nothing)."""
+    pg = JdbcDatabase(spark, "jdbc:postgresql://mysql-migration.internal/app")
+    assert not pg.backslash_escapes
+    my = JdbcDatabase(spark, "jdbc:mysql://db.internal/app")
+    assert my.backslash_escapes
+    assert JdbcDatabase(spark, "jdbc:mariadb://h/db").backslash_escapes

@@ -400,3 +400,17 @@ def test_job_live_schema_drift_resync(pg_db, spark, tmp_path):
     assert r.full_copies == ["timestamps"]
     got = job3.target.read("timestamps")
     assert "note" in got.columns and got.count() == 20
+
+
+def test_copy_roundtrip_empty_string_rows(pg_db, spark):
+    """A single-text-column row holding '' comes back as an EMPTY
+    LINE in COPY output — the reader must keep it (a naive
+    skip-empty-lines loop silently drops such rows)."""
+    db = pg_db()
+    df = spark.createDataFrame([("",), ("x",), (None,)], "s string")
+    db.overwrite("t_empty", df)
+    got = sorted(
+        (r.s for r in db.read("t_empty").collect()),
+        key=lambda v: (v is None, v),
+    )
+    assert got == ["", "x", None]
