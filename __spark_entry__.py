@@ -71,6 +71,7 @@ _HEAD_KEYS = [
     # new this round:
     "mix_allocation",
     "text_topk_ngrams",
+    "text_length_stats",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

@@ -212,3 +212,37 @@ def topk_ngrams(
         .orderBy(F.col("cnt").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def length_stats(
+    df: DataFrame, strata_col: str = "lang", len_col: str = "n_chars"
+) -> DataFrame:
+    """Per-domain document-length distribution: count, mean, and
+    exact interpolated p50/p95/p99 — the numbers length-filter
+    thresholds are read off of in corpus curation.
+
+    Scale shape: one hash aggregate per domain; Spark's exact
+    ``percentile`` gathers the per-group values, which is bounded by
+    the largest domain's document COUNT (scalars, not documents) —
+    use approx_percentile in the library call sites where domains
+    reach billions of rows. Linear interpolation matches DuckDB's
+    quantile_cont for the oracle."""
+    pcts = F.expr(
+        f"percentile({len_col}, array(0.5D, 0.95D, 0.99D))"
+    )
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col(len_col)), 6).alias("mean_len"),
+            pcts.alias("__p"),
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "mean_len",
+            F.round(F.col("__p")[0], 6).alias("p50"),
+            F.round(F.col("__p")[1], 6).alias("p95"),
+            F.round(F.col("__p")[2], 6).alias("p99"),
+        )
+    )

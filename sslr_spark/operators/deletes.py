@@ -61,8 +61,15 @@ def effective_buckets(target, table: str, n_buckets: int | None) -> int | None:
     """
     import warnings
 
-    if not n_buckets or not hasattr(target, "replace_partitions"):
-        return n_buckets or None
+    if not hasattr(target, "replace_partitions"):
+        # bucket-partitioned layout is a lake/parquet concept; an
+        # in-place (JDBC) target can never take the bucketed branch —
+        # returning the configured count here would send callers that
+        # don't pre-zero it (e.g. streaming) into overwrite_partitioned
+        # on an adapter without one
+        return None
+    if not n_buckets:
+        return None
     if not target.table_exists(table):
         return n_buckets  # fresh table: created in the configured layout
     if BUCKET_COL not in target.read(table, with_meta=True).columns:

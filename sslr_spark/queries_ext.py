@@ -712,6 +712,25 @@ from p
 """
 
 
+def q_text_length_stats(spark, sf_dir):
+    """Per-language length distribution (count / mean / exact
+    p50-p95-p99) — the basis of corpus length-filter thresholds
+    (functions/text.py:length_stats)."""
+    return X.length_stats(_docs(spark, sf_dir))
+
+
+SQL_LENGTH_STATS = """
+select lang,
+       cast(count(*) as bigint) as n_docs,
+       round(avg(n_chars), 6) as mean_len,
+       round(quantile_cont(n_chars, 0.5), 6) as p50,
+       round(quantile_cont(n_chars, 0.95), 6) as p95,
+       round(quantile_cont(n_chars, 0.99), 6) as p99
+from documents
+group by lang
+"""
+
+
 def q_text_topk_ngrams(spark, sf_dir):
     """Corpus-level top-20 word bigrams (boilerplate / vocabulary
     probe; functions/text.py:topk_ngrams)."""
@@ -739,6 +758,7 @@ limit 20
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_allocation": q_mix_allocation,
     "text_topk_ngrams": q_text_topk_ngrams,
+    "text_length_stats": q_text_length_stats,
     "sample_hash_split": q_sample_hash_split,
     "sample_stratified": q_sample_stratified,
     "text_repetition": q_text_repetition,
@@ -767,6 +787,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "mix_allocation": SQL_MIX_ALLOCATION,
     "text_topk_ngrams": SQL_TOPK_NGRAMS,
+    "text_length_stats": SQL_LENGTH_STATS,
     "sample_hash_split": SQL_SAMPLE_HASH_SPLIT,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "text_repetition": SQL_TEXT_REPETITION,

@@ -94,6 +94,22 @@ def stream_incremental_sync(
                     n_buckets=eff,
                 )
             return
+        if hasattr(target, "apply_upsert"):
+            # in-place target (JDBC / Delta without buckets): apply the
+            # micro-batch as DELETE+INSERT / MERGE — never a per-trigger
+            # whole-table rewrite. Version ids never land in in-place
+            # targets (same as the batch path's strip_version).
+            applied = (
+                updates.drop(version_col)
+                if version_col in updates.columns
+                else updates
+            )
+            if not target.table_exists(table) and hasattr(
+                target, "create_table"
+            ):
+                target.create_table(table, applied.schema)
+            target.apply_upsert(table, applied, pk_cols)
+            return
         if target.table_exists(table):
             merged = merge_upsert(target.read(table), updates, pk_cols)
         else:

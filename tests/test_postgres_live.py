@@ -414,3 +414,51 @@ def test_copy_roundtrip_empty_string_rows(pg_db, spark):
         key=lambda v: (v is None, v),
     )
     assert got == ["", "x", None]
+
+
+def test_streaming_sync_into_live_postgres(pg_db, spark, tmp_path):
+    """Structured Streaming micro-batches applied IN-PLACE to a live
+    Postgres target via foreachBatch + DELETE/COPY — the streaming
+    analog of the reference's poll loop, with the stream checkpoint
+    playing the watermark's role (T1/T6)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from sslr_spark.streaming.pipeline import stream_incremental_sync
+
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("xmin", T.LongType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(50)], schema
+    ).write.parquet(str(src_dir / "batch1"))
+
+    tgt = pg_db()
+    q = stream_incremental_sync(
+        spark, str(src_dir / "*"), schema, tgt, "stream_t", ["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=None,
+    )
+    q.awaitTermination(120)  # availableNow: drains and stops
+    assert {r.id for r in tgt.read("stream_t").collect()} == set(range(50))
+    assert "xmin" not in tgt.read("stream_t").columns
+
+    # second batch: 5 updates + 5 inserts, re-run availableNow
+    spark.createDataFrame(
+        [(i, "upd", 2) for i in range(5)]
+        + [(i, f"v{i}", 2) for i in range(50, 55)],
+        schema,
+    ).write.parquet(str(src_dir / "batch2"))
+    q2 = stream_incremental_sync(
+        spark, str(src_dir / "*"), schema, tgt, "stream_t", ["id"],
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=None,
+    )
+    q2.awaitTermination(120)
+    got = {r.id: r.v for r in tgt.read("stream_t").collect()}
+    assert len(got) == 55 and got[0] == "upd" and got[54] == "v54"
