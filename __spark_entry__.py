@@ -80,6 +80,7 @@ _TAIL_KEYS = [
     "mm_decode_stub",
     "mm_frame_sample",
     # hash-green in both r01 and r02, code unchanged:
+    "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",
     "text_token_count",
