@@ -389,17 +389,29 @@ def sync_updates(
         updates = dedup_latest_version(batch, pk_cols, version_col)
         if drop_col and drop_col in updates.columns:
             updates = updates.drop(drop_col)
-        with throttle:  # the count scans the source slice
-            n = updates.count()
-        if n:
-            if n_buckets:
-                merge_upsert_partitioned(target, table, updates, pk_cols, n_buckets)
-            elif in_place:
-                target.apply_upsert(table, updates, pk_cols)
-            else:
-                merged = merge_upsert(target.read(table), updates, pk_cols)
-                target.overwrite(table, merged)
-            total += n
+        # Persist across the count AND the merge: the dedup window
+        # re-scans the source slice, and without the cache the merge
+        # recomputes it from the parquet scan (measured ~2 s/batch at
+        # sf0.1 — the count and the merge each paid the full
+        # slice-scan + window). The merge's own with_bucket persist is
+        # a narrow child of this cache, so it fills from memory.
+        updates = updates.persist()
+        try:
+            with throttle:  # the count scans the source slice
+                n = updates.count()
+            if n:
+                if n_buckets:
+                    merge_upsert_partitioned(
+                        target, table, updates, pk_cols, n_buckets
+                    )
+                elif in_place:
+                    target.apply_upsert(table, updates, pk_cols)
+                else:
+                    merged = merge_upsert(target.read(table), updates, pk_cols)
+                    target.overwrite(table, merged)
+                total += n
+        finally:
+            updates.unpersist()
         # watermark advances to the end of the fully applied batch (T2)
         state_store.set(TableState(table, hi, where or ""))
     if not batches:
