@@ -72,6 +72,10 @@ _HEAD_KEYS = [
     "mix_allocation",
     "text_topk_ngrams",
     "text_length_stats",
+    "text_chunk",
+    "pack_token_budget",
+    "filter_funnel",
+    "text_pii_scrub",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -85,6 +89,10 @@ _TAIL_KEYS = [
     "x_scalar_functions",
     "text_token_count",
     "text_fingerprint",
+    "a2_table_length",
+    "a3_min_key_probe",
+    "o2_pagination_window",
+    "x_asof_join",
 ]
 
 

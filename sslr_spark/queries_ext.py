@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sslr_spark.functions import dedup as D
 from sslr_spark.functions import multimodal as M
@@ -755,7 +756,172 @@ limit 20
 """
 
 
+def q_text_chunk(spark, sf_dir):
+    """Overlapping fixed-window chunking (128 chars, 32 overlap) — the
+    long-document -> training-chunk step
+    (functions/chunking.py:chunk_text). Embarrassingly parallel:
+    per-row sequence + explode, no shuffle."""
+    from sslr_spark.functions.chunking import chunk_text
+
+    return chunk_text(_docs(spark, sf_dir), chunk_chars=128, overlap=32)
+
+
+SQL_TEXT_CHUNK = """
+with c as (
+  select doc_id, text, length(text) as n from documents
+  where text is not null and length(text) > 0
+)
+select doc_id, cast(s / 96 as bigint) as chunk_idx,
+       substr(text, cast(s + 1 as bigint), 128) as chunk,
+       cast(least(128, n - s) as bigint) as chunk_len
+from c, lateral unnest(generate_series(0, cast(n - 1 as bigint), 96)) as t(s)
+"""
+
+
+def q_pack_token_budget(spark, sf_dir):
+    """Greedy concat-packing of documents into 512-token training
+    batches across 8 hash shards
+    (functions/chunking.py:pack_token_budget). The running-sum window
+    is per-shard — never a global single-partition sort."""
+    from sslr_spark.functions.chunking import pack_token_budget
+
+    return pack_token_budget(
+        _docs(spark, sf_dir), budget=512, n_shards=8
+    )
+
+
+SQL_PACK_TOKEN_BUDGET = f"""
+with t as (
+  select doc_id, doc_id % 8 as shard,
+         cast(len({W_SQL}) as bigint) as n_tokens
+  from documents
+), r as (
+  select *,
+         sum(n_tokens) over (partition by shard order by doc_id
+           rows between unbounded preceding and current row) - n_tokens
+           as st
+  from t
+)
+select doc_id, cast(shard as bigint) as shard, n_tokens,
+       cast(floor(st / 512.0) as bigint) as batch_id,
+       cast(st % 512 as bigint) as batch_off
+from r
+"""
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel report — surviving/dropped counts per
+    filter stage, one scan with conditional partial aggregation
+    (functions/chunking.py:filter_funnel)."""
+    from sslr_spark.functions.chunking import filter_funnel
+    from sslr_spark.functions.text import mean_word_len, token_count
+
+    t = F.col("text")
+    mwl = mean_word_len(t)
+    return filter_funnel(
+        _docs(spark, sf_dir),
+        [
+            ("min_chars", F.col("n_chars") >= 120),
+            ("lang_known", F.col("lang").isin("de", "en", "es", "fr")),
+            ("min_tokens", token_count(t) >= 25),
+            ("word_shape", (mwl >= 2.0) & (mwl <= 12.0)),
+        ],
+    )
+
+
+SQL_FILTER_FUNNEL = f"""
+with m as (
+  select n_chars, lang, {W_SQL} as w from documents
+), c as (
+  select coalesce(n_chars >= 120, false) as c1,
+         coalesce(lang in ('de','en','es','fr'), false) as c2,
+         coalesce(len(w) >= 25, false) as c3,
+         coalesce((case when len(w) = 0 then 0.0
+            else cast(list_sum(list_transform(w, x -> cast(length(x) as double)))
+                      as double) / len(w) end) between 2.0 and 12.0,
+           false) as c4
+  from m
+), a as (
+  select cast(count(*) as bigint) as s0,
+         cast(sum(case when c1 then 1 else 0 end) as bigint) as s1,
+         cast(sum(case when c1 and c2 then 1 else 0 end) as bigint) as s2,
+         cast(sum(case when c1 and c2 and c3 then 1 else 0 end) as bigint) as s3,
+         cast(sum(case when c1 and c2 and c3 and c4 then 1 else 0 end) as bigint) as s4
+  from c
+)
+select cast(0 as bigint) as stage, 'input' as stage_name,
+       s0 as n_in, s0 as n_out, cast(0 as bigint) as n_dropped from a
+union all select 1, 'min_chars',  s0, s1, s0 - s1 from a
+union all select 2, 'lang_known', s1, s2, s1 - s2 from a
+union all select 3, 'min_tokens', s2, s3, s2 - s3 from a
+union all select 4, 'word_shape', s3, s4, s3 - s4 from a
+"""
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (email / phone / IPv4 regex scrub with per-kind
+    counts; functions/chunking.py:pii_scrub). The corpus carries no
+    natural PII, so the query injects one deterministic synthetic
+    email+phone+IP per document to exercise the scrubber end-to-end;
+    counts are computed on the progressively-scrubbed text."""
+    from sslr_spark.functions.chunking import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), doc.cast("string"), F.lit("@example.com"),
+        F.lit(" or +1 415 555 0"),
+        F.lpad((doc % 100).cast("string"), 3, "0"),
+        F.lit(" from 10.0."), (doc % 256).cast("string"),
+        F.lit("."), ((doc * 7) % 256).cast("string"), F.lit(" end"),
+    )
+    return pii_scrub(d.withColumn("text", synth)).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "scrubbed"
+    )
+
+
+SQL_TEXT_PII_SCRUB = """
+with s as (
+  select doc_id,
+         text || ' contact user' || cast(doc_id as varchar)
+              || '@example.com or +1 415 555 0'
+              || lpad(cast(doc_id % 100 as varchar), 3, '0')
+              || ' from 10.0.' || cast(doc_id % 256 as varchar)
+              || '.' || cast((doc_id * 7) % 256 as varchar) || ' end'
+           as text
+  from documents
+), e as (
+  select doc_id,
+         cast(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) as bigint)
+           as n_email,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') as text
+  from s
+), p as (
+  select doc_id, n_email,
+         cast(len(regexp_extract_all(text,
+           '\\+?[0-9][0-9() -]{6,}[0-9]')) as bigint) as n_phone,
+         regexp_replace(text, '\\+?[0-9][0-9() -]{6,}[0-9]',
+           '<PHONE>', 'g') as text
+  from e
+)
+select doc_id, n_email, n_phone,
+       cast(len(regexp_extract_all(text,
+         '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) as bigint) as n_ipv4,
+       regexp_replace(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+         '<IP>', 'g') as scrubbed
+from p
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_chunk": q_text_chunk,
+    "pack_token_budget": q_pack_token_budget,
+    "filter_funnel": q_filter_funnel,
+    "text_pii_scrub": q_text_pii_scrub,
     "mix_allocation": q_mix_allocation,
     "text_topk_ngrams": q_text_topk_ngrams,
     "text_length_stats": q_text_length_stats,
@@ -785,6 +951,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "text_chunk": SQL_TEXT_CHUNK,
+    "pack_token_budget": SQL_PACK_TOKEN_BUDGET,
+    "filter_funnel": SQL_FILTER_FUNNEL,
+    "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "mix_allocation": SQL_MIX_ALLOCATION,
     "text_topk_ngrams": SQL_TOPK_NGRAMS,
     "text_length_stats": SQL_LENGTH_STATS,

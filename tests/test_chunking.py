@@ -1,0 +1,139 @@
+"""Chunking / packing / funnel / PII-scrub operator behavior
+(functions/chunking.py — LLM-pipeline additions beyond the reference
+surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sslr_spark.functions.chunking import (
+    PII_PATTERNS,
+    chunk_text,
+    filter_funnel,
+    pack_token_budget,
+    pii_scrub,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_covers_text_exactly(spark):
+    df = _docs(spark, [(1, "abcdefghij")])  # 10 chars
+    out = chunk_text(df, chunk_chars=4, overlap=1).orderBy("chunk_idx")
+    rows = out.collect()
+    # step 3: starts 0,3,6,9 -> abcd, defg, ghij, j
+    assert [r.chunk for r in rows] == ["abcd", "defg", "ghij", "j"]
+    assert [r.chunk_len for r in rows] == [4, 4, 4, 1]
+    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    # overlap=1: consecutive chunks share their boundary char
+    assert rows[0].chunk[-1] == rows[1].chunk[0]
+
+
+def test_chunk_no_overlap_reassembles(spark):
+    text = "x" * 10 + "yz" * 45  # 100 chars
+    df = _docs(spark, [(7, text)])
+    out = chunk_text(df, chunk_chars=16, overlap=0).orderBy("chunk_idx")
+    assert "".join(r.chunk for r in out.collect()) == text
+
+
+def test_chunk_skips_null_and_empty(spark):
+    df = _docs(spark, [(1, None), (2, ""), (3, "ab")])
+    out = chunk_text(df, chunk_chars=8)
+    assert [r.doc_id for r in out.collect()] == [3]
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = _docs(spark, [(1, "abc")])
+    with pytest.raises(ValueError):
+        chunk_text(df, chunk_chars=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_text(df, chunk_chars=4, overlap=-1)
+
+
+def test_pack_budget_invariants(spark):
+    # 40 docs, ~7 tokens each, budget 16 -> docs pack back-to-back
+    rows = [(i, " ".join(["w"] * (3 + i % 5))) for i in range(40)]
+    out = pack_token_budget(
+        _docs(spark, rows), budget=16, n_shards=4
+    ).collect()
+    assert len(out) == 40
+    by_shard: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for rs in by_shard.values():
+        run = 0
+        for r in rs:
+            # doc starts at the running offset of its shard stream
+            assert r.batch_id == run // 16
+            assert r.batch_off == run % 16
+            run += r.n_tokens
+
+
+def test_pack_window_is_sharded_not_global(spark):
+    rows = [(i, "a b c") for i in range(100)]
+    plan = pack_token_budget(
+        _docs(spark, rows), budget=8, n_shards=8
+    )._jdf.queryExecution().executedPlan().toString()
+    # the running-sum window must partition by shard — a global window
+    # would serialize the corpus through one task
+    assert "Window" in plan
+    assert "partitionBy" not in plan or "shard" in plan
+    import re
+
+    m = re.search(r"Window \[.*windowspecdefinition\(([^,]+),", plan)
+    assert m and "shard" in m.group(1), plan
+
+
+def test_filter_funnel_counts(spark):
+    rows = [
+        (1, "the " * 30),          # long, survives all
+        (2, "hi"),                  # dropped at min_len
+        (3, "the " * 30),          # survives
+        (4, None),                  # null text -> dropped (coalesce False)
+    ]
+    df = _docs(spark, rows)
+    out = filter_funnel(
+        df,
+        [
+            ("min_len", F.length("text") >= 20),
+            ("has_the", F.col("text").contains("the")),
+        ],
+    ).orderBy("stage")
+    got = [(r.stage, r.stage_name, r.n_in, r.n_out, r.n_dropped) for r in out.collect()]
+    assert got == [
+        (0, "input", 4, 4, 0),
+        (1, "min_len", 4, 2, 2),
+        (2, "has_the", 2, 2, 0),
+    ]
+
+
+def test_filter_funnel_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        filter_funnel(_docs(spark, [(1, "x")]), [])
+
+
+def test_pii_scrub_counts_and_order(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail a.b@x.org and b@y.co end"),
+            (2, "call +1 415 555 0123 or (030) 1234-567"),
+            (3, "host 10.0.3.217 up"),
+            # an email's digits must not double-count as a phone
+            (4, "x 12345678@example.com y"),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].n_email == 2 and "<EMAIL>" in out[1].scrubbed
+    assert "@" not in out[1].scrubbed
+    assert out[2].n_phone == 2 and "<PHONE>" in out[2].scrubbed
+    assert out[3].n_ipv4 == 1 and out[3].scrubbed == "host <IP> up"
+    assert out[4].n_email == 1 and out[4].n_phone == 0
+
+
+def test_pii_patterns_are_ordered_email_first(spark):
+    assert [n for n, _, _ in PII_PATTERNS][:2] == ["email", "phone"]
