@@ -183,3 +183,32 @@ def test_ivf_fixed_assignment_has_no_shuffle(spark):
     p = plan_of(indexed)
     assert "Exchange" not in p
     assert "Window" not in p
+
+
+def test_chunk_text_is_narrow_no_shuffle(spark):
+    """Chunking is per-row sequence+explode — any Exchange in the plan
+    means a needless full-corpus shuffle at 100 TB."""
+    from sslr_spark.functions.chunking import chunk_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(chunk_text(docs, chunk_chars=128, overlap=32))
+    assert "Exchange" not in p
+    assert "Generate explode" in p
+
+
+def test_filter_funnel_single_scan_partial_agg(spark):
+    """The funnel report must be ONE scan with map-side partial
+    aggregation — one scan per stage would read the corpus k times."""
+    from sslr_spark.functions.chunking import filter_funnel
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = filter_funnel(
+        docs,
+        [
+            ("min_chars", F.col("n_chars") >= 120),
+            ("lang_en", F.col("lang") == "en"),
+        ],
+    )
+    p = plan_of(df)
+    assert p.count("Scan parquet") == 1
+    assert "partial" in p  # HashAggregate(..., partial_...)
