@@ -109,7 +109,7 @@ def main() -> None:
     with timed("delete_diff"):
         sync_deletes(
             src_db.read("lineitem_del"), tgt3, "lineitem", pk,
-            rows_per_bucket=1000, version_col=None,
+            rows_per_bucket=1000, version_col=None, hash_mode="fast",
         )
 
     # ---- partitioned-target scale path: clustered small batches, so
@@ -134,7 +134,8 @@ def main() -> None:
     )
     with timed("delete_diff_partitioned"):
         sync_deletes_partitioned(
-            src_db.read("lineitem_del_small"), tgt4, "lineitem", pk, N_BUCKETS
+            src_db.read("lineitem_del_small"), tgt4, "lineitem", pk,
+            N_BUCKETS, hash_mode="fast",
         )
 
     # ---- extension pipelines ----------------------------------------

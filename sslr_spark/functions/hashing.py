@@ -70,6 +70,24 @@ def key_hash(cols: Sequence[str | Column]) -> Column:
     return h60(key_string(cols))
 
 
+def key_hash_fast(cols: Sequence[str | Column]) -> Column:
+    """Production key hash: xxhash64 straight over the key columns —
+    no string concat, no md5. NOT oracle-portable; both sides of a
+    diff must use the same mode."""
+    return h64_fast(*cols)
+
+
+def bucket_id_fast(cols: Sequence[str | Column], n_buckets: int) -> Column:
+    """Fast ephemeral bucket assignment, independent of
+    :func:`key_hash_fast` via a seed column. Only for diffs computed
+    on both sides in one run — STORED bucket layouts keep the
+    portable :func:`bucket_id` so files stay readable across engine
+    versions and configs."""
+    return F.pmod(h64_fast(F.lit(0x5B5), *cols), F.lit(n_buckets)).alias(
+        "bucket"
+    )
+
+
 def bucket_id(cols: Sequence[str | Column], n_buckets: int) -> Column:
     """Stable hash-bucket assignment of a key tuple into [0, n_buckets).
 

@@ -31,9 +31,29 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sslr_spark.functions.hashing import bucket_id, key_hash
+from sslr_spark.functions.hashing import (
+    bucket_id,
+    bucket_id_fast,
+    key_hash,
+    key_hash_fast,
+)
+
+
 from sslr_spark.operators.copy import filtered_source
 from sslr_spark.sources.parquet import ParquetDatabase
+
+
+def _hash_fns(hash_mode: str):
+    """(bucket_id, key_hash) pair for a diff pass. 'portable' = md5
+    (oracle-checkable, the driver-contract default); 'fast' = xxhash64
+    (single JVM intrinsic — the production path, like dedup's
+    hash_mode). Both sides of one diff MUST use the same mode; stored
+    partition layouts always use the portable bucket_id."""
+    if hash_mode == "fast":
+        return bucket_id_fast, key_hash_fast
+    if hash_mode == "portable":
+        return bucket_id, key_hash
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
 @dataclass
@@ -100,17 +120,19 @@ def effective_buckets(target, table: str, n_buckets: int | None) -> int | None:
 
 
 def bucket_fingerprints(
-    df: DataFrame, pk_cols: list[str], n_buckets: int
+    df: DataFrame, pk_cols: list[str], n_buckets: int,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Per-bucket (count, fingerprint) over the key columns only.
 
     Equal key multisets => equal fingerprints; commutative aggregation
     keeps the whole computation map-side-combinable.
     """
+    _bucket, _kh = _hash_fns(hash_mode)
     return (
         df.select(
-            bucket_id(pk_cols, n_buckets).alias("bucket"),
-            key_hash(pk_cols).alias("kh"),
+            _bucket(pk_cols, n_buckets).alias("bucket"),
+            _kh(pk_cols).alias("kh"),
         )
         .groupBy("bucket")
         .agg(
@@ -121,12 +143,13 @@ def bucket_fingerprints(
 
 
 def mismatched_buckets(
-    source_df: DataFrame, target_df: DataFrame, pk_cols: list[str], n_buckets: int
+    source_df: DataFrame, target_df: DataFrame, pk_cols: list[str],
+    n_buckets: int, hash_mode: str = "portable",
 ) -> DataFrame:
     """Bucket ids whose key multiset differs between source and target
     (J4: the source/target hash comparison as an equi-join)."""
-    s = bucket_fingerprints(source_df, pk_cols, n_buckets)
-    t = bucket_fingerprints(target_df, pk_cols, n_buckets)
+    s = bucket_fingerprints(source_df, pk_cols, n_buckets, hash_mode)
+    t = bucket_fingerprints(target_df, pk_cols, n_buckets, hash_mode)
     joined = s.withColumnsRenamed({"cnt": "s_cnt", "fp": "s_fp"}).join(
         t.withColumnsRenamed({"cnt": "t_cnt", "fp": "t_fp"}),
         on="bucket",
@@ -145,14 +168,17 @@ def repair_buckets(
     pk_cols: list[str],
     n_buckets: int,
     bad_buckets: DataFrame,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Replace the mismatched buckets' rows in the target with the
     source's rows for those buckets (range repair J3, hash-bucket
     flavor). ``bad_buckets`` is small — broadcast both membership
-    joins."""
+    joins. ``hash_mode`` must match the diff that produced
+    ``bad_buckets``."""
+    _bucket, _ = _hash_fns(hash_mode)
     bad = F.broadcast(bad_buckets)
-    tgt_b = target_df.withColumn("__b", bucket_id(pk_cols, n_buckets))
-    src_b = source_df.withColumn("__b", bucket_id(pk_cols, n_buckets))
+    tgt_b = target_df.withColumn("__b", _bucket(pk_cols, n_buckets))
+    src_b = source_df.withColumn("__b", _bucket(pk_cols, n_buckets))
     kept = tgt_b.join(bad, tgt_b["__b"] == bad["bucket"], "left_anti").drop("__b")
     replaced = src_b.join(bad, src_b["__b"] == bad["bucket"], "left_semi").drop("__b")
     return kept.unionByName(replaced.select(*kept.columns))
@@ -186,6 +212,7 @@ def sync_deletes_partitioned(
     n_buckets: int,
     where: str | None = None,
     throttle=None,
+    hash_mode: str = "portable",
 ) -> DeleteSyncStats:
     """Delete sync against a bucket-partitioned target
     (``<table>.parquet/__sslr_bucket=N/``): identical diff protocol to
@@ -197,9 +224,12 @@ def sync_deletes_partitioned(
     src = filtered_source(source_df, where)
     tgt = target.read(table, with_meta=True)
 
+    # bucket assignment must match the STORED layout (portable md5) on
+    # both sides; only the ephemeral fingerprint hash follows hash_mode
+    _, _kh = _hash_fns(hash_mode)
     s_fp = (
         with_bucket(src, pk_cols, n_buckets)
-        .select(F.col(BUCKET_COL).alias("bucket"), key_hash(pk_cols).alias("kh"))
+        .select(F.col(BUCKET_COL).alias("bucket"), _kh(pk_cols).alias("kh"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(kh)").alias("fp"))
     )
@@ -207,7 +237,7 @@ def sync_deletes_partitioned(
     t_fp = (
         tgt.select(
             F.col(BUCKET_COL).cast("long").alias("bucket"),
-            key_hash(pk_cols).alias("kh"),
+            _kh(pk_cols).alias("kh"),
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(kh)").alias("fp"))
@@ -251,9 +281,15 @@ def sync_deletes(
     rows_per_bucket: int = 1000,
     version_col: str | None = "xmin",
     throttle=None,
+    hash_mode: str = "portable",
 ) -> DeleteSyncStats:
     """Detect and repair rows present in the target but gone from the
     (filtered) source — and any other key-set divergence.
+
+    ``hash_mode='fast'`` switches the ephemeral diff hashes (bucket
+    assignment + fingerprint) to xxhash64 — the production path, like
+    dedup's ``hash_mode``; the default stays md5-portable so the
+    driver-contract queries remain DuckDB-checkable.
 
     Runs after the update phase, like the reference's SyncDeletes
     (internal/job.go:246-292). Payload differences with identical keys
@@ -281,7 +317,7 @@ def sync_deletes(
         n_rows = src.count()
     n_buckets = choose_bucket_count(n_rows, rows_per_bucket)
 
-    bad = mismatched_buckets(src, tgt, pk_cols, n_buckets)
+    bad = mismatched_buckets(src, tgt, pk_cols, n_buckets, hash_mode)
     with throttle:
         bad_rows = bad.collect()  # at most n_buckets ids; typically ~0
     if not bad_rows:
@@ -295,18 +331,21 @@ def sync_deletes(
         # transaction, internal/deletes.go:166-235). Cost ∝ divergent
         # buckets, never a table rewrite.
         bcast = F.broadcast(bad_df)
-        tgt_b = tgt.withColumn("__b", bucket_id(pk_cols, n_buckets))
+        _bucket, _ = _hash_fns(hash_mode)
+        tgt_b = tgt.withColumn("__b", _bucket(pk_cols, n_buckets))
         doomed = tgt_b.join(
             bcast, tgt_b["__b"] == bcast["bucket"], "left_semi"
         ).select(*pk_cols)
         target.delete_keys(table, doomed, pk_cols)
-        src_b = src.withColumn("__b", bucket_id(pk_cols, n_buckets))
+        src_b = src.withColumn("__b", _bucket(pk_cols, n_buckets))
         repl = src_b.join(
             bcast, src_b["__b"] == bcast["bucket"], "left_semi"
         ).select(*tgt.columns)  # align to target schema (drops xmin etc.)
         target.append(table, repl)
     else:
-        repaired = repair_buckets(src, tgt, pk_cols, n_buckets, bad_df)
+        repaired = repair_buckets(
+            src, tgt, pk_cols, n_buckets, bad_df, hash_mode
+        )
         target.overwrite(table, repaired)
     rows = len(bad_rows)  # buckets; row count reported by caller if needed
     return DeleteSyncStats(n_buckets, len(bad_rows), rows)

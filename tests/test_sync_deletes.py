@@ -97,3 +97,55 @@ def test_property_random_divergence_repaired(
 
     sync_deletes(src_db.read("t"), tgt_db, "t", ["id"], rows_per_bucket=bucket_rows)
     assert_df_equal(tgt_db.read("t"), src, ["id"])
+
+
+def test_fast_hash_mode_matches_portable(spark, source_db, target_db):
+    """hash_mode='fast' (xxhash64) must find and repair exactly the
+    same divergence as the portable md5 mode."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.deletes import sync_deletes
+
+    rows = [(i, i % 7, f"v{i}") for i in range(3000)]
+    src_full = spark.createDataFrame(rows, "k long, g long, v string")
+    # target has extra rows (deletes to detect) and is missing some
+    src = src_full.filter((F.col("k") % 613 != 0) & (F.col("k") % 401 != 0))
+    for mode, tname in (("portable", "t_port"), ("fast", "t_fast")):
+        source_db.overwrite("s", src)
+        target_db.overwrite(tname, src_full)
+        stats = sync_deletes(
+            source_db.read("s"), target_db, tname, ["k"],
+            rows_per_bucket=100, version_col=None, hash_mode=mode,
+        )
+        assert stats.mismatched_buckets > 0
+    port = {r.k for r in target_db.read("t_port").collect()}
+    fast = {r.k for r in target_db.read("t_fast").collect()}
+    expected = {r.k for r in src.collect()}
+    assert port == expected
+    assert fast == expected
+
+
+def test_partitioned_fast_mode_matches_portable(spark, source_db, target_db):
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.deletes import (
+        BUCKET_COL,
+        sync_deletes_partitioned,
+        with_bucket,
+    )
+
+    rows = [(i, f"v{i}") for i in range(2000)]
+    full = spark.createDataFrame(rows, "k long, v string")
+    src = full.filter(F.col("k") % 251 != 0)
+    for mode, tname in (("portable", "p_port"), ("fast", "p_fast")):
+        source_db.overwrite("s2", src)
+        target_db.overwrite_partitioned(
+            tname, with_bucket(full, ["k"], 16), BUCKET_COL, n_buckets=16
+        )
+        stats = sync_deletes_partitioned(
+            source_db.read("s2"), target_db, tname, ["k"], 16,
+            hash_mode=mode,
+        )
+        assert stats.mismatched_buckets > 0
+        got = {r.k for r in target_db.read(tname).collect()}
+        assert got == {r.k for r in src.collect()}
