@@ -89,9 +89,12 @@ def main() -> None:
     tgt2 = ParquetDatabase(spark, os.path.join(TMP, "target2"))
     tgt2.overwrite_partitioned(
         "lineitem",
-        with_bucket(versioned.withColumn("xmin", F.lit(100)), pk, N_BUCKETS),
+        with_bucket(
+            versioned.withColumn("xmin", F.lit(100)), pk, N_BUCKETS, "fast"
+        ),
         BUCKET_COL,
         n_buckets=N_BUCKETS,
+        bucket_hash="fast",
     )
     store = StateStore(tgt2)
     store.set(TableState("lineitem", 100, ""))
@@ -116,8 +119,9 @@ def main() -> None:
     # merges/repairs rewrite only the touched partitions --------------
     tgt4 = ParquetDatabase(spark, os.path.join(TMP, "target4"))
     tgt4.overwrite_partitioned(
-        "lineitem", with_bucket(versioned, pk, N_BUCKETS), BUCKET_COL,
+        "lineitem", with_bucket(versioned, pk, N_BUCKETS, "fast"), BUCKET_COL,
         n_buckets=N_BUCKETS,
+        bucket_hash="fast",
     )
     # small update batch (~20 keys) — the typical per-trigger CDC slice;
     # only those keys' buckets are read+rewritten

@@ -66,6 +66,11 @@ class Config:
     # (plain single-dataset layout). Ignored by in-place (JDBC)
     # targets, which repair per-key.
     target_buckets: int = 64
+    # bucket-assignment hash for NEW partitioned layouts: 'portable'
+    # (md5 — cross-engine checkable) or 'fast' (xxhash64 — the
+    # production mode; ~3x cheaper per row). Existing tables keep the
+    # mode recorded in their layout marker until the next full copy.
+    bucket_hash: str = "portable"
     # tables synced concurrently per pass (the reference only offers
     # process-level table parallelism, README.md:97-101)
     parallel_tables: int = 1
@@ -88,6 +93,8 @@ class Config:
             raise ConfigError(f"table(s) configured twice: {sorted(dupes)}")
         if not (1 <= self.throttle_percentage <= 100):
             raise ConfigError("throttle_percentage must be in [1, 100]")
+        if self.bucket_hash not in ("portable", "fast"):
+            raise ConfigError("bucketHash must be 'portable' or 'fast'")
         if self.min_delete_chunk_size > self.delete_chunk_size:
             raise ConfigError("min_delete_chunk_size > delete_chunk_size")
         for table, ft in self.filtered_source_tables.items():
@@ -170,6 +177,7 @@ _KNOWN_TOP = {
     "shufflePartitions",
     "stateTable",
     "targetBuckets",
+    "bucketHash",
     "parallelTables",
 }
 _KNOWN_FILTERED = {"where", "wheres", "uses"}
@@ -308,6 +316,7 @@ def load_config(path_or_text: str) -> Config:
         shuffle_partitions=int(raw.get("shufflePartitions", 32)),
         state_table=raw.get("stateTable", "__sslr_state"),
         target_buckets=int(raw.get("targetBuckets", 64)),
+        bucket_hash=str(raw.get("bucketHash", "portable")),
         parallel_tables=int(raw.get("parallelTables", 1)),
     )
     cfg.validate()

@@ -225,6 +225,7 @@ class Job:
             n_buckets=n_buckets,
             strip_version=self._strip_version(),
             throttle=throttle or Throttle(pct),
+            bucket_hash=self.config.bucket_hash,
         )
         result.updated_rows += rows
         if table in self.force_full:
@@ -259,7 +260,7 @@ class Job:
 
             stats = sync_deletes_partitioned(
                 src, self.target, table, pks, n_buckets, where=where,
-                throttle=throttle,
+                throttle=throttle, hash_mode=self.config.bucket_hash,
             )
         else:
             stats = sync_deletes(
@@ -271,6 +272,7 @@ class Job:
                 rows_per_bucket=self.config.min_delete_chunk_size,
                 version_col=self.config.version_column,
                 throttle=throttle,
+                hash_mode=self.config.bucket_hash,
             )
         result.repaired_buckets += stats.mismatched_buckets
 

@@ -200,8 +200,22 @@ def choose_bucket_count(row_count: int, rows_per_bucket: int) -> int:
 BUCKET_COL = "__sslr_bucket"
 
 
-def with_bucket(df: DataFrame, pk_cols: list[str], n_buckets: int) -> DataFrame:
-    return df.withColumn(BUCKET_COL, bucket_id(pk_cols, n_buckets))
+def with_bucket(
+    df: DataFrame, pk_cols: list[str], n_buckets: int,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    _bucket, _ = _hash_fns(hash_mode)
+    return df.withColumn(BUCKET_COL, _bucket(pk_cols, n_buckets))
+
+
+def stored_bucket_hash(target, table: str) -> str:
+    """The hash mode a table's bucket-partitioned layout was written
+    with ('portable' for pre-bucket_hash markers). Partitioned merges
+    and repairs MUST assign buckets with this mode — mixing modes
+    writes a key's new row into a different partition than its old
+    row (silent duplication), exactly like mixing bucket counts."""
+    meta = target.layout_meta(table) if hasattr(target, "layout_meta") else None
+    return (meta or {}).get("bucket_hash", "portable")
 
 
 def sync_deletes_partitioned(
@@ -224,11 +238,12 @@ def sync_deletes_partitioned(
     src = filtered_source(source_df, where)
     tgt = target.read(table, with_meta=True)
 
-    # bucket assignment must match the STORED layout (portable md5) on
+    # bucket assignment must match the STORED layout's hash mode on
     # both sides; only the ephemeral fingerprint hash follows hash_mode
+    bmode = stored_bucket_hash(target, table)
     _, _kh = _hash_fns(hash_mode)
     s_fp = (
-        with_bucket(src, pk_cols, n_buckets)
+        with_bucket(src, pk_cols, n_buckets, bmode)
         .select(F.col(BUCKET_COL).alias("bucket"), _kh(pk_cols).alias("kh"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"), F.expr("bit_xor(kh)").alias("fp"))
@@ -263,7 +278,7 @@ def sync_deletes_partitioned(
     nonempty = [int(r.bucket) for r in bad_rows if r.s_cnt]
     empty = [int(r.bucket) for r in bad_rows if not r.s_cnt]
     if nonempty:
-        repl = with_bucket(src, pk_cols, n_buckets).filter(
+        repl = with_bucket(src, pk_cols, n_buckets, bmode).filter(
             F.col(BUCKET_COL).isin(nonempty)
         )
         target.replace_partitions(table, repl, BUCKET_COL)

@@ -143,13 +143,21 @@ def merge_upsert_partitioned(
     CDC batches clustered on key ranges (measured sublinear at the
     100x probe); the guard keeps the pathological scattered-keys
     case near full-copy cost."""
-    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+    from sslr_spark.operators.deletes import (
+        BUCKET_COL,
+        stored_bucket_hash,
+        with_bucket,
+    )
 
+    # bucket assignment must match the STORED layout's hash mode —
+    # mixing modes scatters a key's new row into a different partition
+    # than its old row (same failure as mixing bucket counts)
+    bmode = stored_bucket_hash(target, table)
     # The slice feeds 3-4 consumers (affected-bucket probe, key set,
     # write union); without a persist each one re-reads and re-filters
     # the source (measured ~0.4 s/scan at sf0.1 — half the merge time
     # for a scattered batch).
-    upd = with_bucket(updates, pk_cols, n_buckets).persist()
+    upd = with_bucket(updates, pk_cols, n_buckets, bmode).persist()
     try:
         affected = [
             int(r[0]) for r in upd.select(BUCKET_COL).distinct().collect()
@@ -199,7 +207,7 @@ def merge_upsert_partitioned(
                 )
                 target.overwrite_partitioned_aligned(
                     table, kept, upd.select(*kept.columns), BUCKET_COL,
-                    n_buckets=n_buckets,
+                    n_buckets=n_buckets, bucket_hash=bmode,
                 )
                 return
             # Giant scattered batch (keys too big to broadcast): pay
@@ -210,9 +218,10 @@ def merge_upsert_partitioned(
                 target.spark.conf.get("spark.sql.shuffle.partitions", "200")
             )
             target.overwrite_partitioned(
-                table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL,
+                table, with_bucket(out, pk_cols, n_buckets, bmode), BUCKET_COL,
                 n_buckets=n_buckets,
                 files_per_bucket=max(1, sp // n_buckets),
+                bucket_hash=bmode,
             )
             return
         kept = (
@@ -222,7 +231,7 @@ def merge_upsert_partitioned(
         )
         out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
         target.replace_partitions(
-            table, with_bucket(out, pk_cols, n_buckets), BUCKET_COL
+            table, with_bucket(out, pk_cols, n_buckets, bmode), BUCKET_COL
         )
     finally:
         upd.unpersist()
@@ -282,8 +291,14 @@ def sync_updates(
     n_buckets: int | None = None,
     strip_version: bool = False,
     throttle=None,
+    bucket_hash: str = "portable",
 ) -> int:
     """Run the update phase for one table; returns rows written.
+
+    ``bucket_hash`` ('portable' md5 | 'fast' xxhash64) selects the
+    bucket-assignment hash for NEW partitioned layouts written by the
+    full-copy branch; incremental merges always follow the layout the
+    table was stored with (see stored_bucket_hash).
 
     Data commit precedes state commit (idempotent re-apply on crash —
     see state.py). With ``rows_per_batch`` set, the slice is applied in
@@ -343,7 +358,9 @@ def sync_updates(
                     "partitioned layout (%d buckets, %s=N directories)",
                     table, n_buckets, BUCKET_COL,
                 )
-            df = with_bucket(_fs(source_df, where), pk_cols, n_buckets)
+            df = with_bucket(
+                _fs(source_df, where), pk_cols, n_buckets, bucket_hash
+            )
             # salt the initial copy if the bucket count is below the
             # session's task slots, so the big write uses the cluster
             sp = int(
@@ -354,6 +371,7 @@ def sync_updates(
                     table, df, BUCKET_COL,
                     n_buckets=n_buckets,
                     files_per_bucket=max(1, sp // n_buckets),
+                    bucket_hash=bucket_hash,
                 )
             rows = target.read(table).count()
         else:

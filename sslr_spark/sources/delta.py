@@ -141,6 +141,7 @@ class DeltaDatabase:
         partition_col: str,
         n_buckets: int | None = None,
         files_per_bucket: int = 1,
+        bucket_hash: str | None = None,
     ) -> None:
         from sslr_spark.sources.parquet import ParquetDatabase
 
@@ -162,7 +163,8 @@ class DeltaDatabase:
             ) as fh:
                 json.dump(
                     {"partition_col": partition_col,
-                     "n_buckets": int(n_buckets)},
+                     "n_buckets": int(n_buckets),
+                     "bucket_hash": bucket_hash or "portable"},
                     fh,
                 )
 

@@ -85,6 +85,7 @@ class ParquetDatabase:
         partition_col: str,
         n_buckets: int | None = None,
         files_per_bucket: int = 1,
+        bucket_hash: str | None = None,
     ) -> None:
         """Full overwrite of a partitioned table layout
         (``<table>.parquet/<partition_col>=v/...``). Reads of the table
@@ -110,7 +111,11 @@ class ParquetDatabase:
 
             with open(os.path.join(stage, "_sslr_layout.json"), "w") as fh:
                 json.dump(
-                    {"partition_col": partition_col, "n_buckets": int(n_buckets)},
+                    {
+                        "partition_col": partition_col,
+                        "n_buckets": int(n_buckets),
+                        "bucket_hash": bucket_hash or "portable",
+                    },
                     fh,
                 )
         try:
@@ -131,6 +136,7 @@ class ParquetDatabase:
         extra_df: DataFrame,
         partition_col: str,
         n_buckets: int | None = None,
+        bucket_hash: str | None = None,
     ) -> None:
         """Atomic partitioned overwrite skipping the full-table
         shuffle, for the scattered-merge fallback: ``aligned_df`` must
@@ -159,7 +165,11 @@ class ParquetDatabase:
 
             with open(os.path.join(stage, "_sslr_layout.json"), "w") as fh:
                 json.dump(
-                    {"partition_col": partition_col, "n_buckets": int(n_buckets)},
+                    {
+                        "partition_col": partition_col,
+                        "n_buckets": int(n_buckets),
+                        "bucket_hash": bucket_hash or "portable",
+                    },
                     fh,
                 )
         try:

@@ -216,3 +216,60 @@ def test_partitioned_bucket_emptied_entirely(spark, tmp_path):
     job2 = _mk_job(spark, tmp_path, target_buckets=4)
     job2.run()
     assert _logical(job2.target.read("t1")) == _logical(src2)
+
+
+def test_fast_bucket_layout_end_to_end(spark, source_db, target_db):
+    """A table written with bucket_hash='fast' must merge and repair
+    with xxhash bucket assignment automatically (from the stored
+    marker), and never mix modes: after a merge + delete sync, the
+    table equals the source and every row sits in its fast-bucket
+    partition."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.functions.hashing import bucket_id_fast
+    from sslr_spark.operators.deletes import (
+        BUCKET_COL,
+        stored_bucket_hash,
+        sync_deletes_partitioned,
+        with_bucket,
+    )
+    from sslr_spark.operators.updates import merge_upsert_partitioned
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(2000)], "id long, v long"
+    )
+    target_db.overwrite_partitioned(
+        "t", with_bucket(df, ["id"], 16, "fast"), BUCKET_COL,
+        n_buckets=16, bucket_hash="fast",
+    )
+    assert stored_bucket_hash(target_db, "t") == "fast"
+
+    # clustered update batch
+    upd = df.filter(F.col("id") % 97 == 0).withColumn("v", F.col("v") + 1)
+    merge_upsert_partitioned(target_db, "t", upd, ["id"], 16)
+    got = target_db.read("t")
+    assert got.count() == 2000
+    assert got.filter(F.col("id") % 97 == 0).filter(
+        F.col("v") != F.col("id") * 10 + 1
+    ).count() == 0
+    # no row drifted out of its fast-hash partition (mode mixing would
+    # duplicate keys across partitions)
+    misplaced = (
+        target_db.read("t", with_meta=True)
+        .withColumn("__expect", bucket_id_fast(["id"], 16))
+        .filter(F.col(BUCKET_COL).cast("long") != F.col("__expect"))
+    )
+    assert misplaced.count() == 0
+
+    # delete sync with source missing some keys
+    src = df.filter(F.col("id") % 251 != 0).withColumn(
+        "v", F.when(F.col("id") % 97 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    source_db.overwrite("s", src)
+    stats = sync_deletes_partitioned(
+        source_db.read("s"), target_db, "t", ["id"], 16, hash_mode="fast"
+    )
+    assert stats.mismatched_buckets > 0
+    assert {r.id for r in target_db.read("t").collect()} == {
+        r.id for r in src.collect()
+    }

@@ -154,6 +154,7 @@ def test_layout_marker_roundtrip_and_count_mismatch(spark, source_db, target_db)
     )
     assert target_db.layout_meta("t") == {
         "partition_col": BUCKET_COL, "n_buckets": 16,
+        "bucket_hash": "portable",
     }
     store = StateStore(target_db)
     store.set(TableState("t", 1, ""))
