@@ -85,10 +85,11 @@ def main() -> None:
             "lineitem",
             with_bucket(
                 src.read("lineitem").withColumn("xmin", F.lit(100)),
-                pk, n_buckets,
+                pk, n_buckets, "fast",
             ),
             BUCKET_COL,
             n_buckets=n_buckets,
+            bucket_hash="fast",  # the production mode bench measures
         )
     store = StateStore(tgt)
     store.set(TableState("lineitem", 100, ""))
@@ -115,7 +116,8 @@ def main() -> None:
     )
     with timed("delete_diff_partitioned"):
         sync_deletes_partitioned(
-            src.read("lineitem_del"), tgt, "lineitem", pk, n_buckets
+            src.read("lineitem_del"), tgt, "lineitem", pk, n_buckets,
+            hash_mode="fast",
         )
 
     # skewed stratified sampling: one stratum holds ~90% of rows — the
