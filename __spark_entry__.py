@@ -76,6 +76,8 @@ _HEAD_KEYS = [
     "pack_token_budget",
     "filter_funnel",
     "text_pii_scrub",
+    "x_window_suite",
+    "x_cube",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -93,6 +95,8 @@ _TAIL_KEYS = [
     "a3_min_key_probe",
     "o2_pagination_window",
     "x_asof_join",
+    "text_lang_id",
+    "text_quality",
 ]
 
 

@@ -325,7 +325,65 @@ from orders where o_custkey % 50 = 0
 """
 
 
+def q_x_window_suite(spark, sf_dir):
+    """The remaining ranking/navigation window functions in one query:
+    lag/lead, rank/dense_rank, ntile, percent_rank/cume_dist over each
+    customer's order history. Order (date, orderkey) is unique per
+    partition, so every function is deterministic; fractional ranks
+    are rounded for float parity."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+SQL_WINDOW_SUITE = """
+select o_custkey, o_orderkey,
+       round(lag(o_totalprice) over w, 2) as prev_price,
+       round(lead(o_totalprice) over w, 2) as next_price,
+       cast(rank() over w as bigint) as rnk,
+       cast(dense_rank() over w as bigint) as drnk,
+       cast(ntile(4) over w as bigint) as quartile,
+       round(percent_rank() over w, 6) as pct_rank,
+       round(cume_dist() over w, 6) as cdist
+from orders where o_custkey % 100 = 0
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+"""
+
+
+def q_x_cube(spark, sf_dir):
+    """CUBE aggregation: all four grouping levels of
+    (returnflag, linestatus) with grouping ids — the one grouping-set
+    shape x_rollup's hierarchy doesn't produce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+SQL_CUBE = """
+select l_returnflag, l_linestatus, count(*) as n,
+       round(sum(l_quantity), 2) as sum_qty,
+       cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as bigint)
+         as gid
+from lineitem group by cube(l_returnflag, l_linestatus)
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_window_suite": q_x_window_suite,
+    "x_cube": q_x_cube,
     "x_set_ops": q_x_set_ops,
     "x_date_rollup": q_x_date_rollup,
     "x_join_star": q_x_join_star,
@@ -339,6 +397,8 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 OLAP_ORACLES: dict[str, str] = {
+    "x_window_suite": SQL_WINDOW_SUITE,
+    "x_cube": SQL_CUBE,
     "x_set_ops": SQL_SET_OPS,
     "x_date_rollup": SQL_DATE_ROLLUP,
     "x_join_star": SQL_JOIN_STAR,
