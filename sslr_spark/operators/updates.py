@@ -86,13 +86,24 @@ def dedup_latest_version(
     updates: DataFrame, pk_cols: list[str], version_col: str = "xmin"
 ) -> DataFrame:
     """Keep only the newest version of each key within a slice
-    (last-writer-wins before the merge)."""
-    w = Window.partitionBy(*pk_cols).orderBy(F.col(version_col).desc())
-    return (
-        updates.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    (last-writer-wins before the merge).
+
+    Expressed as a hash aggregation — max of a (version, payload...)
+    struct per key — rather than a row_number window: the aggregate
+    combines map-side and never sorts the slice, where the window
+    form sorts every partition (at 100 TB the slice can be huge on a
+    catch-up run). Struct comparison is lexicographic, so version
+    ties break deterministically on the payload columns (the window
+    form's tie-break was arbitrary)."""
+    payload = [c for c in updates.columns if c not in pk_cols]
+    rest = [c for c in payload if c != version_col]
+    packed = F.max(
+        F.struct(F.col(version_col), *[F.col(c) for c in rest])
+    ).alias("__m")
+    out = updates.groupBy(*pk_cols).agg(packed).select(
+        *pk_cols, *[F.col(f"__m.{c}").alias(c) for c in [version_col, *rest]]
     )
+    return out.select(*updates.columns)  # original column order
 
 
 def merge_upsert(

@@ -154,3 +154,29 @@ def test_full_copy_is_throttled(spark, source_db, target_db):
 
     run(None)
     run(4)
+
+
+def test_dedup_latest_version_no_sort_deterministic_ties(spark):
+    """dedup_latest_version must (a) keep the max-version row per key,
+    (b) break version TIES deterministically (lexicographic payload),
+    and (c) plan as a partial hash aggregation, not a window sort."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.updates import dedup_latest_version
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "old"), (1, 20, "new"),
+            (2, 5, "only"),
+            # version tie: lexicographically larger payload must win
+            (3, 7, "aaa"), (3, 7, "zzz"),
+        ],
+        "k long, xmin long, v string",
+    )
+    out = {r.k: (r.xmin, r.v) for r in dedup_latest_version(df, ["k"]).collect()}
+    assert out == {1: (20, "new"), 2: (5, "only"), 3: (7, "zzz")}
+
+    plan = dedup_latest_version(df, ["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
