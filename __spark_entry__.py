@@ -78,6 +78,7 @@ _HEAD_KEYS = [
     "text_pii_scrub",
     "x_window_suite",
     "x_cube",
+    "x_distinct_stats",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -97,6 +98,7 @@ _TAIL_KEYS = [
     "x_asof_join",
     "text_lang_id",
     "text_quality",
+    "t3_staleness_check",
 ]
 
 

@@ -381,9 +381,31 @@ from lineitem group by cube(l_returnflag, l_linestatus)
 """
 
 
+def q_x_distinct_stats(spark, sf_dir):
+    """Per-priority customer cardinality of orders — the exact
+    (oracle-parity) path of functions/sketches.py:distinct_stats; the
+    HLL++ ``exact=False`` variant is the production plan for groups
+    with billions of distinct values (error-bound-tested in
+    tests/test_sketches.py)."""
+    from sslr_spark.functions.sketches import distinct_stats
+
+    return distinct_stats(
+        _t(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+    )
+
+
+SQL_DISTINCT_STATS = """
+select o_orderpriority,
+       cast(count(*) as bigint) as n_rows,
+       cast(count(distinct o_custkey) as bigint) as n_distinct
+from orders group by o_orderpriority
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_window_suite": q_x_window_suite,
     "x_cube": q_x_cube,
+    "x_distinct_stats": q_x_distinct_stats,
     "x_set_ops": q_x_set_ops,
     "x_date_rollup": q_x_date_rollup,
     "x_join_star": q_x_join_star,
@@ -399,6 +421,7 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OLAP_ORACLES: dict[str, str] = {
     "x_window_suite": SQL_WINDOW_SUITE,
     "x_cube": SQL_CUBE,
+    "x_distinct_stats": SQL_DISTINCT_STATS,
     "x_set_ops": SQL_SET_OPS,
     "x_date_rollup": SQL_DATE_ROLLUP,
     "x_join_star": SQL_JOIN_STAR,

@@ -1,0 +1,42 @@
+"""Distinct-count stats: exact vs HLL++ sketch (functions/sketches.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sslr_spark.functions.sketches import distinct_stats
+
+
+def test_exact_distinct_counts(spark):
+    df = spark.createDataFrame(
+        [(g, v % 7) for g in ("a", "b") for v in range(50)],
+        "g string, v long",
+    )
+    out = {r.g: (r.n_rows, r.n_distinct) for r in
+           distinct_stats(df, ["g"], "v").collect()}
+    assert out == {"a": (50, 7), "b": (50, 7)}
+
+
+def test_hll_within_error_bound(spark):
+    # 20k distinct values per group; HLL++ rsd=0.05 -> 3 sigma = 15%
+    df = spark.range(0, 40000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+    )
+    exact = {r.g: r.n_distinct for r in
+             distinct_stats(df, ["g"], "v").collect()}
+    approx = {r.g: r.n_distinct for r in
+              distinct_stats(df, ["g"], "v", exact=False, rsd=0.05).collect()}
+    for g, e in exact.items():
+        assert abs(approx[g] - e) / e <= 0.15
+
+
+def test_hll_plan_is_single_pass(spark):
+    """The sketch path must NOT expand to the two-phase distinct
+    aggregate: one partial/final pair, no expand, no second shuffle."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    plan = distinct_stats(df, ["g"], "v", exact=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert plan.count("Exchange") == 1
