@@ -40,3 +40,34 @@ def test_hll_plan_is_single_pass(spark):
         .queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_quantile_exact_vs_approx(spark):
+    df = spark.range(0, 10000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    from sslr_spark.functions.sketches import quantile_stats
+
+    exact = {r.g: (r.q_50, r.q_95) for r in
+             quantile_stats(df, ["g"], "v", [0.5, 0.95]).collect()}
+    approx = {r.g: (r.q_50, r.q_95) for r in
+              quantile_stats(df, ["g"], "v", [0.5, 0.95],
+                             exact=False, accuracy=10000).collect()}
+    for g in exact:
+        for e, a in zip(exact[g], approx[g]):
+            # rank error <= 1/accuracy => value error tiny on a uniform
+            # 0..10k ramp; allow 1% of the range
+            assert abs(a - e) <= 100, (g, e, a)
+
+
+def test_heavy_hitters_exact_and_sketch(spark):
+    rows = (["hot"] * 500) + (["warm"] * 100) + [f"cold{i}" for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in rows], "v string")
+    from sslr_spark.functions.sketches import heavy_hitters
+
+    top = heavy_hitters(df, "v", k=2).collect()
+    assert [(r.value, r.cnt) for r in top] == [("hot", 500), ("warm", 100)]
+    # sketch: superset of true frequent values, never misses one
+    sketch_vals = {r.value for r in
+                   heavy_hitters(df, "v", exact=False, support=0.09).collect()}
+    assert {"hot", "warm"} <= sketch_vals
