@@ -281,7 +281,7 @@ def sync_deletes_partitioned(
         repl = with_bucket(src, pk_cols, n_buckets, bmode).filter(
             F.col(BUCKET_COL).isin(nonempty)
         )
-        target.replace_partitions(table, repl, BUCKET_COL)
+        target.replace_partitions(table, repl, BUCKET_COL, sort_cols=pk_cols)
     if empty:
         target.drop_partitions(table, BUCKET_COL, empty)
     return DeleteSyncStats(n_buckets, len(bad_rows), len(bad_rows))

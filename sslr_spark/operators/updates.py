@@ -233,6 +233,7 @@ def merge_upsert_partitioned(
                 n_buckets=n_buckets,
                 files_per_bucket=max(1, sp // n_buckets),
                 bucket_hash=bmode,
+                sort_cols=pk_cols,
             )
             return
         kept = (
@@ -242,7 +243,8 @@ def merge_upsert_partitioned(
         )
         out = kept.unionByName(upd.drop(BUCKET_COL).select(*kept.columns))
         target.replace_partitions(
-            table, with_bucket(out, pk_cols, n_buckets, bmode), BUCKET_COL
+            table, with_bucket(out, pk_cols, n_buckets, bmode), BUCKET_COL,
+            sort_cols=pk_cols,
         )
     finally:
         upd.unpersist()
@@ -383,6 +385,7 @@ def sync_updates(
                     n_buckets=n_buckets,
                     files_per_bucket=max(1, sp // n_buckets),
                     bucket_hash=bucket_hash,
+                    sort_cols=pk_cols,
                 )
             rows = target.read(table).count()
         else:

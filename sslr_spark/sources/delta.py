@@ -48,6 +48,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def merge_condition(pk_cols: list[str], target_alias: str = "t",
@@ -142,11 +143,12 @@ class DeltaDatabase:
         n_buckets: int | None = None,
         files_per_bucket: int = 1,
         bucket_hash: str | None = None,
+        sort_cols: list[str] | None = None,
     ) -> None:
         from sslr_spark.sources.parquet import ParquetDatabase
 
         df = ParquetDatabase._cluster_by_partition(
-            df, partition_col, files_per_bucket, n_buckets
+            df, partition_col, files_per_bucket, n_buckets, sort_cols
         )
         (
             df.write.format("delta").mode("overwrite")
@@ -169,7 +171,8 @@ class DeltaDatabase:
                 )
 
     def replace_partitions(
-        self, table: str, df: DataFrame, partition_col: str
+        self, table: str, df: DataFrame, partition_col: str,
+        sort_cols: list[str] | None = None,
     ) -> None:
         """Atomic bounded-partition replacement: Delta's native
         ``replaceWhere`` — the operation the parquet adapter's dynamic
@@ -179,6 +182,10 @@ class DeltaDatabase:
         ]  # bounded: callers pass the mismatched-bucket slice
         if not values:
             return
+        if sort_cols:
+            df = df.repartition(F.col(partition_col)).sortWithinPartitions(
+                *sort_cols
+            )
         (
             df.write.format("delta").mode("overwrite")
             .option(

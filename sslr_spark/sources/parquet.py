@@ -86,6 +86,7 @@ class ParquetDatabase:
         n_buckets: int | None = None,
         files_per_bucket: int = 1,
         bucket_hash: str | None = None,
+        sort_cols: list[str] | None = None,
     ) -> None:
         """Full overwrite of a partitioned table layout
         (``<table>.parquet/<partition_col>=v/...``). Reads of the table
@@ -103,7 +104,7 @@ class ParquetDatabase:
         stage = os.path.join(self.root, f".stage-{table}-{uuid.uuid4().hex}")
         old = os.path.join(self.root, f".old-{table}-{uuid.uuid4().hex}")
         df = self._cluster_by_partition(
-            df, partition_col, files_per_bucket, n_buckets
+            df, partition_col, files_per_bucket, n_buckets, sort_cols
         )
         df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
         if n_buckets:
@@ -184,7 +185,8 @@ class ParquetDatabase:
         shutil.rmtree(old, ignore_errors=True)
 
     def replace_partitions(
-        self, table: str, df: DataFrame, partition_col: str
+        self, table: str, df: DataFrame, partition_col: str,
+        sort_cols: list[str] | None = None,
     ) -> None:
         """Dynamic partition overwrite: only the partitions present in
         ``df`` are replaced; all others are untouched. This is the
@@ -196,7 +198,7 @@ class ParquetDatabase:
         mix); safe here because every caller re-applies idempotently
         until the watermark/state commit succeeds."""
         (
-            self._cluster_by_partition(df, partition_col)
+            self._cluster_by_partition(df, partition_col, sort_cols=sort_cols)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
@@ -209,6 +211,7 @@ class ParquetDatabase:
         partition_col: str,
         files_per_bucket: int = 1,
         n_buckets: int | None = None,
+        sort_cols: list[str] | None = None,
     ) -> DataFrame:
         """Repartition on the partition column before a partitionBy
         write. Without this, EVERY write task opens a file in EVERY
@@ -232,11 +235,22 @@ class ParquetDatabase:
                 F.lit(files_per_bucket),
             )
             if n_buckets:
-                return df.repartition(
+                out = df.repartition(
                     n_buckets * files_per_bucket, F.col(partition_col), salt
                 )
-            return df.repartition(F.col(partition_col), salt)
-        return df.repartition(F.col(partition_col))
+            else:
+                out = df.repartition(F.col(partition_col), salt)
+        else:
+            out = df.repartition(F.col(partition_col))
+        if sort_cols:
+            # Key-clustered row groups: sorting each write task by the
+            # PK gives every parquet row group a tight min/max span on
+            # the key columns, so range predicates (P6 scans, repair
+            # reads) skip row groups instead of scanning the bucket.
+            # The sort happens post-shuffle on one bucket's slice —
+            # O(rows/bucket log rows/bucket) per task, no extra pass.
+            out = out.sortWithinPartitions(*sort_cols)
+        return out
 
     def table_bytes(self, table: str) -> int:
         """On-disk size of a table (data files only) — a free cost

@@ -92,6 +92,7 @@ def stream_incremental_sync(
                 target.overwrite_partitioned(
                     table, with_bucket(updates, pk_cols, eff), BUCKET_COL,
                     n_buckets=eff,
+                    sort_cols=pk_cols,
                 )
             return
         if hasattr(target, "apply_upsert"):

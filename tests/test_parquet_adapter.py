@@ -39,3 +39,55 @@ def test_schema_probe(spark, source_db):
     source_db.overwrite("t", make_timestamps(spark, 3))
     names = [f.name for f in source_db.schema("t").fields]
     assert names == ["id", "ts", "xmin"]
+
+
+def test_sorted_writes_give_tight_row_group_key_ranges(spark, target_db):
+    """sort_cols clusters each bucket's parquet row groups by key:
+    row-group min/max spans must be narrow and non-overlapping, so a
+    key-range predicate (P6) skips row groups instead of scanning the
+    whole bucket."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+    df = spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    target_db.overwrite_partitioned(
+        "t", with_bucket(df, ["k"], 4), BUCKET_COL, n_buckets=4,
+        sort_cols=["k"],
+    )
+    root = target_db.path("t")
+    spans = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            meta = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            file_spans = []
+            for rg in range(meta.num_row_groups):
+                col = next(
+                    meta.row_group(rg).column(i)
+                    for i in range(meta.row_group(rg).num_columns)
+                    if meta.row_group(rg).column(i).path_in_schema == "k"
+                )
+                st = col.statistics
+                file_spans.append((st.min, st.max))
+            # within a sorted file, row groups must not overlap
+            for (a_min, a_max), (b_min, b_max) in zip(
+                file_spans, file_spans[1:]
+            ):
+                assert a_max <= b_min
+            spans.extend(file_spans)
+    assert spans, "no parquet files written"
+    # each row group's span must be far below the full key range: with
+    # 4 hash buckets a sorted bucket still covers the whole range, but
+    # each row group covers only its slice of the sorted order — allow
+    # 2x slack over the ideal rows-per-group fraction
+    total = 200_000
+    n_groups = len(spans)
+    for mn, mx in spans:
+        assert (mx - mn) <= 2 * 4 * total / n_groups, (mn, mx, n_groups)
