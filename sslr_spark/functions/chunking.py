@@ -45,7 +45,12 @@ def chunk_text(
     c = df.filter(t.isNotNull() & (F.length(t) > 0)).withColumn(
         "__n", F.length(t)
     )
-    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))
+    # cap starts at n-1-overlap: once a chunk reaches the end of the
+    # document, a further start would yield a chunk fully contained in
+    # it (pure duplicate training text). greatest(0, ...) keeps one
+    # chunk for documents shorter than the overlap.
+    last = F.greatest(F.lit(0), F.col("__n") - 1 - overlap)
+    starts = F.sequence(F.lit(0), last, F.lit(step))
     return c.select(
         *id_cols, text_col, "__n", F.explode(starts).alias("__s")
     ).select(
@@ -86,7 +91,21 @@ def pack_token_budget(
     size it to the cluster, not to 8.
     """
     toks = tokens if tokens is not None else token_count(F.col("text"))
-    sh = shard if shard is not None else F.col(id_col) % n_shards
+    if shard is None:
+        dtype = dict(df.dtypes).get(id_col, "")
+        if dtype not in (
+            "tinyint", "smallint", "int", "bigint", "long", "decimal",
+        ) and not dtype.startswith("decimal"):
+            # id % n on a string id is a NULL (or ANSI error) shard —
+            # which silently collapses every document into ONE window
+            # partition, the exact single-task sort sharding prevents
+            raise ValueError(
+                f"default shard needs a numeric {id_col!r} (got "
+                f"{dtype or 'missing'}); pass shard=, e.g. "
+                "F.pmod(F.xxhash64(id), n_shards)"
+            )
+        shard = F.col(id_col) % n_shards
+    sh = shard
     base = df.select(
         F.col(id_col),
         sh.cast("long").alias("shard"),
@@ -131,11 +150,19 @@ def filter_funnel(
     for i, (_, cond) in enumerate(stages, start=1):
         c = F.coalesce(cond, F.lit(False))
         conj = c if conj is None else (conj & c)
-        aggs.append(F.sum(conj.cast("long")).alias(f"__s{i}"))
+        # empty input: sum() is NULL — report 0 survivors, not null
+        aggs.append(
+            F.coalesce(F.sum(conj.cast("long")), F.lit(0)).alias(f"__s{i}")
+        )
     row = df.agg(*aggs)
     names = ["input"] + [name for name, _ in stages]
+
+    def _q(name: str) -> str:
+        # stage names land inside a stack() expression string
+        return name.replace("\\", "\\\\").replace("'", "\\'")
+
     pairs = ", ".join(
-        f"{i}, '{name}', __s{i}" for i, name in enumerate(names)
+        f"{i}, '{_q(name)}', __s{i}" for i, name in enumerate(names)
     )
     stacked = row.select(
         F.expr(

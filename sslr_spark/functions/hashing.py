@@ -70,11 +70,28 @@ def key_hash(cols: Sequence[str | Column]) -> Column:
     return h60(key_string(cols))
 
 
+def _null_tagged(cols: Sequence[str | Column]) -> list[Column]:
+    """Interleave per-column null flags with the key columns.
+
+    xxhash64 SKIPS null inputs, so without the flags composite keys
+    that differ only in WHICH column is null — (NULL, 'x') vs
+    ('x', NULL) — would hash identically and a real divergence would
+    fingerprint as clean. The boolean flags are never null, so the
+    hashed stream always differs. (The portable path is immune:
+    key_string() coalesces nulls to a sentinel between separators.)"""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    out: list[Column] = []
+    for c in cs:
+        out.append(c.isNull())
+        out.append(c)
+    return out
+
+
 def key_hash_fast(cols: Sequence[str | Column]) -> Column:
-    """Production key hash: xxhash64 straight over the key columns —
-    no string concat, no md5. NOT oracle-portable; both sides of a
-    diff must use the same mode."""
-    return h64_fast(*cols)
+    """Production key hash: xxhash64 straight over the (null-tagged)
+    key columns — no string concat, no md5. NOT oracle-portable; both
+    sides of a diff must use the same mode."""
+    return h64_fast(*_null_tagged(cols))
 
 
 def bucket_id_fast(cols: Sequence[str | Column], n_buckets: int) -> Column:
@@ -83,9 +100,9 @@ def bucket_id_fast(cols: Sequence[str | Column], n_buckets: int) -> Column:
     on both sides in one run — STORED bucket layouts keep the
     portable :func:`bucket_id` so files stay readable across engine
     versions and configs."""
-    return F.pmod(h64_fast(F.lit(0x5B5), *cols), F.lit(n_buckets)).alias(
-        "bucket"
-    )
+    return F.pmod(
+        h64_fast(F.lit(0x5B5), *_null_tagged(cols)), F.lit(n_buckets)
+    ).alias("bucket")
 
 
 def bucket_id(cols: Sequence[str | Column], n_buckets: int) -> Column:

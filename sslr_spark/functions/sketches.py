@@ -70,7 +70,9 @@ def quantile_stats(
         if exact
         else F.percentile_approx(v, qarr, F.lit(accuracy))
     )
-    names = [f"q_{str(q).replace('0.', '').ljust(2, '0')}" for q in quantiles]
+    # permille-based names are unambiguous for any quantile:
+    # 0.5 -> q_500, 0.95 -> q_950, 0.125 -> q_125, 1.0 -> q_1000
+    names = [f"q_{int(round(q * 1000))}" for q in quantiles]
     out = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"), agg.alias("__q")
     )
@@ -110,7 +112,11 @@ def heavy_hitters(
             .limit(k)
         )
     row = df.select(value_col).stat.freqItems([value_col], support).first()
-    vals = sorted(row[f"{value_col}_freqItems"])
+    # the sketch can surface a frequent NULL — sort it last instead of
+    # crashing sorted() on a None comparison
+    vals = sorted(
+        row[f"{value_col}_freqItems"], key=lambda v: (v is None, v)
+    )
     return df.sparkSession.createDataFrame(
         [(v,) for v in vals], f"value {dict(df.dtypes)[value_col]}"
     )

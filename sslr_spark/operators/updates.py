@@ -88,17 +88,21 @@ def dedup_latest_version(
     """Keep only the newest version of each key within a slice
     (last-writer-wins before the merge).
 
-    Expressed as a hash aggregation — max of a (version, payload...)
-    struct per key — rather than a row_number window: the aggregate
-    combines map-side and never sorts the slice, where the window
-    form sorts every partition (at 100 TB the slice can be huge on a
-    catch-up run). Struct comparison is lexicographic, so version
-    ties break deterministically on the payload columns (the window
-    form's tie-break was arbitrary)."""
+    Expressed as a hash aggregation — max_by of the payload struct
+    keyed on (version, orderable payload) — rather than a row_number
+    window: the aggregate combines map-side and never sorts the
+    slice, where the window form sorts every partition (at 100 TB
+    the slice can be huge on a catch-up run). Version ties break
+    deterministically on the ORDERABLE payload columns; non-orderable
+    payload types (maps) ride along in the max_by value without ever
+    being compared, so they don't regress vs the old window form."""
     payload = [c for c in updates.columns if c not in pk_cols]
     rest = [c for c in payload if c != version_col]
-    packed = F.max(
-        F.struct(F.col(version_col), *[F.col(c) for c in rest])
+    dtypes = dict(updates.dtypes)
+    orderable = [c for c in rest if not dtypes[c].startswith("map<")]
+    key = F.struct(F.col(version_col), *[F.col(c) for c in orderable])
+    packed = F.max_by(
+        F.struct(*[F.col(c) for c in [version_col, *rest]]), key
     ).alias("__m")
     out = updates.groupBy(*pk_cols).agg(packed).select(
         *pk_cols, *[F.col(f"__m.{c}").alias(c) for c in [version_col, *rest]]

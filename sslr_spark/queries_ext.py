@@ -774,7 +774,9 @@ with c as (
 select doc_id, cast(s / 96 as bigint) as chunk_idx,
        substr(text, cast(s + 1 as bigint), 128) as chunk,
        cast(least(128, n - s) as bigint) as chunk_len
-from c, lateral unnest(generate_series(0, cast(n - 1 as bigint), 96)) as t(s)
+from c, lateral unnest(
+  generate_series(0, cast(greatest(0, n - 1 - 32) as bigint), 96)
+) as t(s)
 """
 
 

@@ -184,7 +184,7 @@ class DeltaDatabase:
             return
         if sort_cols:
             df = df.repartition(F.col(partition_col)).sortWithinPartitions(
-                *sort_cols
+                partition_col, *sort_cols
             )
         (
             df.write.format("delta").mode("overwrite")

@@ -243,13 +243,16 @@ class ParquetDatabase:
         else:
             out = df.repartition(F.col(partition_col))
         if sort_cols:
-            # Key-clustered row groups: sorting each write task by the
-            # PK gives every parquet row group a tight min/max span on
-            # the key columns, so range predicates (P6 scans, repair
-            # reads) skip row groups instead of scanning the bucket.
-            # The sort happens post-shuffle on one bucket's slice —
-            # O(rows/bucket log rows/bucket) per task, no extra pass.
-            out = out.sortWithinPartitions(*sort_cols)
+            # Key-clustered row groups: sorting each write task by
+            # (partition_col, PK) gives every parquet row group a tight
+            # min/max span on the key columns, so range predicates (P6
+            # scans, repair reads) skip row groups instead of scanning
+            # the bucket. Leading with partition_col satisfies the
+            # partitionBy writer's required ordering — otherwise
+            # FileFormatWriter inserts a SECOND per-task sort on the
+            # partition column and the PK clustering would rest on that
+            # sort being stable. One post-shuffle sort per task total.
+            out = out.sortWithinPartitions(partition_col, *sort_cols)
         return out
 
     def table_bytes(self, table: str) -> int:

@@ -46,6 +46,7 @@ def stream_incremental_sync(
     trigger_seconds: float | None = None,
     max_files_per_trigger: int | None = None,
     n_buckets: int | None = 64,
+    bucket_hash: str = "portable",
 ):
     """Start a streaming sync: each micro-batch of newly arrived source
     files is merged (last-version-wins upsert) into the target table.
@@ -89,9 +90,16 @@ def stream_incremental_sync(
                     target, table, updates, pk_cols, eff
                 )
             else:
+                # fresh table: create it in the CONFIGURED hash mode,
+                # same as the batch full-copy path (existing tables
+                # merge under their stored mode via
+                # merge_upsert_partitioned)
                 target.overwrite_partitioned(
-                    table, with_bucket(updates, pk_cols, eff), BUCKET_COL,
+                    table,
+                    with_bucket(updates, pk_cols, eff, bucket_hash),
+                    BUCKET_COL,
                     n_buckets=eff,
+                    bucket_hash=bucket_hash,
                     sort_cols=pk_cols,
                 )
             return

@@ -24,10 +24,11 @@ def test_chunk_covers_text_exactly(spark):
     df = _docs(spark, [(1, "abcdefghij")])  # 10 chars
     out = chunk_text(df, chunk_chars=4, overlap=1).orderBy("chunk_idx")
     rows = out.collect()
-    # step 3: starts 0,3,6,9 -> abcd, defg, ghij, j
-    assert [r.chunk for r in rows] == ["abcd", "defg", "ghij", "j"]
-    assert [r.chunk_len for r in rows] == [4, 4, 4, 1]
-    assert [r.chunk_idx for r in rows] == [0, 1, 2, 3]
+    # step 3: starts 0,3,6 -> abcd, defg, ghij; start 9 is suppressed
+    # because chunk "j" would be fully contained in "ghij" (duplicate)
+    assert [r.chunk for r in rows] == ["abcd", "defg", "ghij"]
+    assert [r.chunk_len for r in rows] == [4, 4, 4]
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
     # overlap=1: consecutive chunks share their boundary char
     assert rows[0].chunk[-1] == rows[1].chunk[0]
 
@@ -137,3 +138,49 @@ def test_pii_scrub_counts_and_order(spark):
 
 def test_pii_patterns_are_ordered_email_first(spark):
     assert [n for n, _, _ in PII_PATTERNS][:2] == ["email", "phone"]
+
+
+def test_chunk_short_doc_still_chunks(spark):
+    # doc shorter than the overlap must still produce its one chunk
+    df = _docs(spark, [(1, "ab")])
+    rows = chunk_text(df, chunk_chars=10, overlap=5).collect()
+    assert [(r.chunk, r.chunk_len) for r in rows] == [("ab", 2)]
+
+
+def test_filter_funnel_empty_input_reports_zeros(spark):
+    df = _docs(spark, []).filter(F.lit(False))
+    out = filter_funnel(df, [("any", F.lit(True))]).orderBy("stage").collect()
+    assert [(r.n_in, r.n_out, r.n_dropped) for r in out] == [(0, 0, 0), (0, 0, 0)]
+
+
+def test_filter_funnel_quoted_stage_name(spark):
+    df = _docs(spark, [(1, "xx")])
+    out = filter_funnel(
+        df, [("don't count 'ws'", F.length("text") >= 1)]
+    ).orderBy("stage").collect()
+    assert out[1].stage_name == "don't count 'ws'"
+    assert out[1].n_out == 1
+
+
+def test_pack_rejects_string_id_without_shard(spark):
+    df = spark.createDataFrame([("doc-1", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="numeric"):
+        pack_token_budget(df)
+    # explicit shard works for string ids
+    out = pack_token_budget(
+        df, shard=F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    ).collect()
+    assert len(out) == 1
+
+
+def test_dedup_latest_version_handles_map_payload(spark):
+    """Non-orderable payload types (maps) must not break the dedup
+    aggregation (they ride in the max_by value, never compared)."""
+    from sslr_spark.operators.updates import dedup_latest_version
+
+    df = spark.createDataFrame(
+        [(1, 1, {"a": "1"}), (1, 2, {"b": "2"})],
+        "k long, xmin long, attrs map<string,string>",
+    )
+    rows = dedup_latest_version(df, ["k"]).collect()
+    assert len(rows) == 1 and rows[0].xmin == 2 and rows[0].attrs == {"b": "2"}

@@ -48,9 +48,9 @@ def test_quantile_exact_vs_approx(spark):
     )
     from sslr_spark.functions.sketches import quantile_stats
 
-    exact = {r.g: (r.q_50, r.q_95) for r in
+    exact = {r.g: (r.q_500, r.q_950) for r in
              quantile_stats(df, ["g"], "v", [0.5, 0.95]).collect()}
-    approx = {r.g: (r.q_50, r.q_95) for r in
+    approx = {r.g: (r.q_500, r.q_950) for r in
               quantile_stats(df, ["g"], "v", [0.5, 0.95],
                              exact=False, accuracy=10000).collect()}
     for g in exact:

@@ -149,3 +149,18 @@ def test_partitioned_fast_mode_matches_portable(spark, source_db, target_db):
         assert stats.mismatched_buckets > 0
         got = {r.k for r in target_db.read(tname).collect()}
         assert got == {r.k for r in src.collect()}
+
+
+def test_fast_hash_distinguishes_null_column_positions(spark):
+    """xxhash64 skips nulls, so (NULL,'x') vs ('x',NULL) would collide
+    without null tagging — the fast fingerprints must differ."""
+    from sslr_spark.functions.hashing import bucket_id_fast, key_hash_fast
+
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None)], "a string, b string"
+    )
+    r = df.select(
+        key_hash_fast(["a", "b"]).alias("kh"),
+        bucket_id_fast(["a", "b"], 1 << 20).alias("bk"),
+    ).collect()
+    assert r[0].kh != r[1].kh
