@@ -79,6 +79,7 @@ _HEAD_KEYS = [
     "x_window_suite",
     "x_cube",
     "x_distinct_stats",
+    "x_heavy_hitters",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -99,6 +100,7 @@ _TAIL_KEYS = [
     "text_lang_id",
     "text_quality",
     "t3_staleness_check",
+    "t6_event_window_agg",
 ]
 
 

@@ -402,10 +402,31 @@ from orders group by o_orderpriority
 """
 
 
+def q_x_heavy_hitters(spark, sf_dir):
+    """Exact top-10 heavy hitters of lineitem quantities — the
+    oracle-parity path of functions/sketches.py:heavy_hitters (global
+    top-k via TakeOrdered, no full sort); the ``exact=False``
+    freqItems sketch is the superset-guarantee production path for
+    value domains too large to aggregate (tested in
+    tests/test_sketches.py)."""
+    from sslr_spark.functions.sketches import heavy_hitters
+
+    out = heavy_hitters(_t(spark, sf_dir, "lineitem"), "l_quantity", k=10)
+    return out.select(F.col("value").cast("long").alias("value"), "cnt")
+
+
+SQL_HEAVY_HITTERS = """
+select cast(l_quantity as bigint) as value, count(*) as cnt
+from lineitem group by l_quantity
+order by cnt desc, l_quantity limit 10
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_window_suite": q_x_window_suite,
     "x_cube": q_x_cube,
     "x_distinct_stats": q_x_distinct_stats,
+    "x_heavy_hitters": q_x_heavy_hitters,
     "x_set_ops": q_x_set_ops,
     "x_date_rollup": q_x_date_rollup,
     "x_join_star": q_x_join_star,
@@ -422,6 +443,7 @@ OLAP_ORACLES: dict[str, str] = {
     "x_window_suite": SQL_WINDOW_SUITE,
     "x_cube": SQL_CUBE,
     "x_distinct_stats": SQL_DISTINCT_STATS,
+    "x_heavy_hitters": SQL_HEAVY_HITTERS,
     "x_set_ops": SQL_SET_OPS,
     "x_date_rollup": SQL_DATE_ROLLUP,
     "x_join_star": SQL_JOIN_STAR,
