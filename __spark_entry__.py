@@ -80,6 +80,7 @@ _HEAD_KEYS = [
     "x_cube",
     "x_distinct_stats",
     "x_heavy_hitters",
+    "x_correlated_subquery",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -101,6 +102,7 @@ _TAIL_KEYS = [
     "text_quality",
     "t3_staleness_check",
     "t6_event_window_agg",
+    "o1_event_sessionize",
 ]
 
 

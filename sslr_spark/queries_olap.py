@@ -422,11 +422,41 @@ order by cnt desc, l_quantity limit 10
 """
 
 
+def q_x_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery: orders priced above their own
+    customer's average — Catalyst decorrelates the per-row subquery
+    into one aggregate + join (no nested-loop re-execution), which is
+    the only plan that survives at 100 TB. Expressed in SQL on temp
+    views; the DataFrame spelling of the same plan is the groupBy+join
+    the optimizer produces."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        select o_orderkey, o_custkey, round(o_totalprice, 2) as price
+        from orders_v o
+        where o_totalprice > 1.5 * (
+          select avg(o2.o_totalprice) from orders_v o2
+          where o2.o_custkey = o.o_custkey
+        )
+    """)
+
+
+SQL_CORRELATED = """
+select o_orderkey, o_custkey, round(o_totalprice, 2) as price
+from orders o
+where o_totalprice > 1.5 * (
+  select avg(o2.o_totalprice) from orders o2
+  where o2.o_custkey = o.o_custkey
+)
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_window_suite": q_x_window_suite,
     "x_cube": q_x_cube,
     "x_distinct_stats": q_x_distinct_stats,
     "x_heavy_hitters": q_x_heavy_hitters,
+    "x_correlated_subquery": q_x_correlated_subquery,
     "x_set_ops": q_x_set_ops,
     "x_date_rollup": q_x_date_rollup,
     "x_join_star": q_x_join_star,
@@ -444,6 +474,7 @@ OLAP_ORACLES: dict[str, str] = {
     "x_cube": SQL_CUBE,
     "x_distinct_stats": SQL_DISTINCT_STATS,
     "x_heavy_hitters": SQL_HEAVY_HITTERS,
+    "x_correlated_subquery": SQL_CORRELATED,
     "x_set_ops": SQL_SET_OPS,
     "x_date_rollup": SQL_DATE_ROLLUP,
     "x_join_star": SQL_JOIN_STAR,

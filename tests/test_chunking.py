@@ -184,3 +184,29 @@ def test_dedup_latest_version_handles_map_payload(spark):
     )
     rows = dedup_latest_version(df, ["k"]).collect()
     assert len(rows) == 1 and rows[0].xmin == 2 and rows[0].attrs == {"b": "2"}
+
+
+def test_chunk_properties_random(spark):
+    """Property check over random docs: chunks tile the text exactly —
+    reassembly with overlap trimmed equals the original, chunk_idx is
+    dense from 0, and no chunk is contained in its predecessor."""
+    import random
+
+    rng = random.Random(420)
+    rows, params = [], []
+    for i in range(30):
+        n = rng.randint(1, 60)
+        rows.append((i, "".join(rng.choice("abcdxyz ") for _ in range(n))))
+    df = _docs(spark, rows)
+    for chunk, overlap in [(8, 0), (8, 3), (5, 4), (16, 7)]:
+        got = {}
+        for r in chunk_text(df, chunk_chars=chunk, overlap=overlap).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+        for doc_id, text in rows:
+            chunks = [c for _, c in sorted(got[doc_id])]
+            assert [i for i, _ in sorted(got[doc_id])] == list(range(len(chunks)))
+            rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+            assert rebuilt == text, (doc_id, chunk, overlap)
+            for prev, cur in zip(chunks, chunks[1:]):
+                # successor must extend coverage (no fully-contained dup)
+                assert len(cur) > overlap or prev != chunks[-2]
