@@ -81,6 +81,7 @@ _HEAD_KEYS = [
     "x_distinct_stats",
     "x_heavy_hitters",
     "x_correlated_subquery",
+    "text_unigram_logprob",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -103,6 +104,7 @@ _TAIL_KEYS = [
     "t3_staleness_check",
     "t6_event_window_agg",
     "o1_event_sessionize",
+    "x_json_extract",
 ]
 
 

@@ -246,3 +246,58 @@ def length_stats(
             F.round(F.col("__p")[2], 6).alias("p99"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the statistical
+    perplexity proxy of corpus quality filtering (docs whose token
+    distribution diverges from the corpus score low; gibberish and
+    boilerplate both surface).
+
+    Two passes, both scale-shaped: (1) token frequencies via one
+    map-side-combined hash aggregate, truncated to the top
+    ``vocab_size`` tokens (TakeOrdered, ties on token text — the
+    deterministic cutoff); (2) explode + equi-join tokens against the
+    vocabulary (the vocab side is bounded => Spark broadcasts it) and
+    aggregate per document. OOV tokens score at the floor
+    ``ln(0.5 / total)`` — half a count, strictly below any in-vocab
+    token. Empty docs score 0 with n_tokens = 0.
+
+    Output: ``id_col, n_tokens, n_oov, round(mean_logprob, 6)``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt")).first()[0] or 1
+    vocab = freq.orderBy(F.col("cnt").desc(), F.col("tok")).limit(vocab_size)
+    floor = float(-__import__("math").log(2.0 * total))  # ln(0.5/total)
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.log(F.col("cnt").cast("double") / total), F.lit(floor)
+            ).alias("lp"),
+            F.col("cnt").isNull().cast("long").alias("oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        )
+    )
+    # keep empty/null-text docs in the report (left join restores them)
+    base = df.select(id_col)
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
+    )

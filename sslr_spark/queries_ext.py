@@ -919,7 +919,44 @@ from p
 """
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean unigram log-prob
+    against a top-30 corpus vocabulary (functions/text.py:
+    unigram_logprob) — the small vocab forces the OOV floor path the
+    production 50k-vocab run rarely hits."""
+    return X.unigram_logprob(_docs(spark, sf_dir), vocab_size=30)
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+with toks as (
+  select doc_id, unnest({W_SQL}) as tok from documents
+),
+freq as (select tok, count(*) as cnt from toks group by tok),
+tot as (select cast(sum(cnt) as double) as total from freq),
+vocab as (select tok, cnt from freq order by cnt desc, tok limit 30),
+scored as (
+  select t.doc_id,
+         coalesce(ln(cast(v.cnt as double) / (select total from tot)),
+                  ln(0.5 / (select total from tot))) as lp,
+         case when v.cnt is null then 1 else 0 end as oov
+  from toks t left join vocab v using (tok)
+),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_tokens,
+         cast(sum(oov) as bigint) as n_oov,
+         round(avg(lp), 6) as mean_logprob
+  from scored group by doc_id
+)
+select d.doc_id,
+       coalesce(a.n_tokens, 0) as n_tokens,
+       coalesce(a.n_oov, 0) as n_oov,
+       coalesce(a.mean_logprob, 0.0) as mean_logprob
+from documents d left join agg a using (doc_id)
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
     "filter_funnel": q_filter_funnel,
@@ -953,6 +990,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,
     "filter_funnel": SQL_FILTER_FUNNEL,

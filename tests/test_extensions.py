@@ -433,3 +433,28 @@ def test_topk_ngrams_known_counts(spark):
     # 'a b' appears 2x in doc1 + 1x in doc2; 'b a' once; short/null
     # docs contribute nothing
     assert got == [("a b", 3), ("b a", 1)]
+
+
+def test_unigram_logprob_oov_floor_and_empty_docs(spark):
+    """OOV tokens score strictly below every in-vocab token; empty and
+    null docs stay in the report with zeros."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.functions.text import unigram_logprob
+
+    rows = [
+        (1, "the the the cat"),
+        (2, ""),
+        (3, None),
+        (4, "zzz"),  # OOV once vocab is capped below 3 tokens? no:
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           unigram_logprob(df, vocab_size=2).collect()}
+    # vocab = top-2 tokens (the, cat); zzz is OOV
+    assert out[1].n_oov == 0 and out[1].n_tokens == 4
+    assert out[2].n_tokens == 0 and out[2].mean_logprob == 0.0
+    assert out[3].n_tokens == 0
+    assert out[4].n_oov == 1
+    # floor below the rarest in-vocab logprob
+    assert out[4].mean_logprob < out[1].mean_logprob
