@@ -1,0 +1,116 @@
+"""End-to-end LLM training-corpus pipeline on the sslr_spark operators.
+
+Composes the extension operators into the standard curation flow:
+
+  quality funnel -> exact + MinHash dedup -> decontamination ->
+  perplexity-proxy scoring -> stratified mix -> chunk -> pack
+
+Run:  python examples/llm_corpus_pipeline.py [sf_dir]
+(default sf_dir /root/testdata/sf0.01; prints per-stage counts and
+writes nothing outside .bench_tmp/).
+
+Every stage is a pure DataFrame transform — at cluster scale the same
+script runs unchanged; only the session builder and paths move.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sslr_spark.functions.chunking import (  # noqa: E402
+    chunk_text,
+    filter_funnel,
+    pack_token_budget,
+)
+from sslr_spark.functions.dedup import (  # noqa: E402
+    contamination_rates,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+)
+from sslr_spark.functions.text import (  # noqa: E402
+    mean_word_len,
+    token_count,
+    unigram_logprob,
+)
+from sslr_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="llm_corpus_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. Quality funnel — one scan, per-stage survivor report
+    t = F.col("text")
+    funnel = filter_funnel(
+        docs,
+        [
+            ("min_chars", F.col("n_chars") >= 120),
+            ("min_tokens", token_count(t) >= 25),
+            ("word_shape", (mean_word_len(t) >= 2.0) & (mean_word_len(t) <= 12.0)),
+        ],
+    )
+    print("== funnel ==")
+    for r in funnel.collect():
+        print(f"  {r.stage} {r.stage_name:<12} in={r.n_in:<6} out={r.n_out:<6} dropped={r.n_dropped}")
+    kept = docs.filter(
+        (F.col("n_chars") >= 120)
+        & (token_count(t) >= 25)
+        & (mean_word_len(t) >= 2.0)
+        & (mean_word_len(t) <= 12.0)
+    )
+
+    # 2. Exact dedup (hash groups -> keeper rows)
+    keepers = exact_dedup_groups(kept).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = kept.join(F.broadcast(keepers), "doc_id", "left_semi")
+
+    # 3. Near-dup pairs via MinHash+LSH; drop the higher doc_id of
+    #    each verified pair (min-keeper policy)
+    pairs = minhash_lsh_pairs(kept, jaccard_threshold=0.5)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = kept.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    # 4. Eval-set decontamination: drop docs overlapping a (here:
+    #    simulated) eval set above 80% 8-gram overlap
+    eval_set = docs.orderBy("doc_id").limit(5).select("doc_id", "text")
+    rates = contamination_rates(kept, eval_set)
+    dirty = rates.filter(F.col("contamination") > 0.8).select("doc_id")
+    kept = kept.join(F.broadcast(dirty), "doc_id", "left_anti")
+
+    # 5. Perplexity-proxy scoring: drop the bottom decile
+    scored = unigram_logprob(kept)
+    cutoff = scored.approxQuantile("mean_logprob", [0.1], 0.01)[0]
+    good_ids = scored.filter(F.col("mean_logprob") >= cutoff).select("doc_id")
+    kept = kept.join(good_ids, "doc_id", "left_semi")
+
+    # 6. Chunk long documents, then pack into token-budget batches
+    chunks = chunk_text(kept, chunk_chars=512, overlap=64)
+    packed = pack_token_budget(
+        chunks.withColumn("text", F.col("chunk")),
+        id_col="doc_id",
+        tokens=token_count(F.col("chunk")),
+        budget=256,
+        n_shards=8,
+        shard=F.pmod(F.xxhash64("doc_id", "chunk_idx"), F.lit(8)),
+    )
+
+    print("== pipeline ==")
+    print(f"  input docs        {docs.count()}")
+    print(f"  after funnel+dedup+decontam+score {kept.count()}")
+    print(f"  training chunks   {chunks.count()}")
+    batches = packed.select("shard", "batch_id").distinct().count()
+    print(f"  packed batches    {batches}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
