@@ -98,6 +98,26 @@ def main() -> None:
     )
     store = StateStore(tgt2)
     store.set(TableState("lineitem", 100, ""))
+    # JIT warm-up (outside the timer): run the same merge path against
+    # a 1k-row throwaway table so whole-stage codegen for the
+    # window/anti-join/dynamic-overwrite operators is compiled before
+    # the measurement — first-run compilation was adding a
+    # non-representative ~3-6 s to whichever section hit it first.
+    warm_src = versioned.limit(1000)
+    warm_db = ParquetDatabase(spark, os.path.join(TMP, "warm"))
+    warm_db.overwrite("lineitem", warm_src)
+    warm_tgt = ParquetDatabase(spark, os.path.join(TMP, "warm_tgt"))
+    warm_tgt.overwrite_partitioned(
+        "lineitem",
+        with_bucket(warm_src.withColumn("xmin", F.lit(100)), pk, 4, "fast"),
+        BUCKET_COL, n_buckets=4, bucket_hash="fast",
+    )
+    warm_store = StateStore(warm_tgt)
+    warm_store.set(TableState("lineitem", 100, ""))
+    sync_updates(
+        warm_db.read("lineitem"), warm_tgt, warm_store, "lineitem", pk,
+        n_buckets=4,
+    )
     with timed("incr_update"):
         sync_updates(
             src_db.read("lineitem"), tgt2, store, "lineitem", pk,
