@@ -91,3 +91,34 @@ def test_session_window_stream(spark, tmp_path):
     # sessions are per-user, non-overlapping, end after start
     assert all(r.session_end > r.session_start for r in sess)
     assert sum(r.n_events for r in sess) == events.count()
+
+
+def test_chunk_and_scrub_work_on_streams(spark, tmp_path):
+    """chunk_text and pii_scrub are stateless narrow transforms — the
+    exact same call must run unmodified over a streaming DataFrame
+    and produce the batch result."""
+    from sslr_spark.functions.chunking import chunk_text, pii_scrub
+
+    docs = spark.createDataFrame(
+        [(i, ("tok%d " % i) * 40 + "mail a@b.co") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in chunk_text(docs, chunk_chars=64, overlap=16).collect()
+    }
+    src_dir = str(tmp_path / "docs")
+    docs.write.parquet(src_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    out = chunk_text(pii_scrub(stream, out_col="text2"), chunk_chars=64,
+                     overlap=16)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("chunks").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in spark.sql("select * from chunks").collect()
+    }
+    assert streamed == batch
