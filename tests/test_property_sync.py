@@ -16,7 +16,7 @@ from sslr_spark.job import Job
 from tests.conftest import assert_df_equal
 
 
-def _mk_job(spark, tmp, pks):
+def _mk_job(spark, tmp, pks, bucket_hash="portable"):
     return Job(
         spark,
         Config(
@@ -25,6 +25,7 @@ def _mk_job(spark, tmp, pks):
             source_tables=["t1"],
             primary_keys={"t1": pks},
             min_delete_chunk_size=50,
+            bucket_hash=bucket_hash,
         ),
     )
 
@@ -92,3 +93,41 @@ def test_random_workload_composite_string_pk(spark, tmp_path_factory, deletes):
     job2 = _mk_job(spark, tmp, ["seq", "tenant"])
     job2.run()
     assert_df_equal(job2.target.read("t1"), src2, ["tenant", "seq"])
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    deletes=st.sets(st.integers(0, 299), max_size=40),
+    updates=st.sets(st.integers(0, 299), max_size=40),
+)
+def test_random_workload_fast_bucket_hash(
+    spark, tmp_path_factory, deletes, updates
+):
+    """Same target==source invariant with the production fast bucket
+    hash end-to-end: full copy writes a fast layout, merges and delete
+    repairs follow the stored mode."""
+    tmp = tmp_path_factory.mktemp("wlf")
+    job = _mk_job(spark, tmp, ["id"], bucket_hash="fast")
+    base_rows = [
+        (i, datetime.datetime(2024, 1, 1), 10 + i // 20) for i in range(300)
+    ]
+    base = spark.createDataFrame(base_rows, "id long, ts timestamp, xmin long")
+    job.source.overwrite("t1", base)
+    job.run()
+    assert (job.target.layout_meta("t1") or {}).get("bucket_hash") == "fast"
+
+    v = 1000
+    mutated = [
+        (i, datetime.datetime(2025, 6, 1), v) if i in updates else r
+        for i, r in enumerate(base_rows)
+        if i not in deletes
+    ]
+    src2 = spark.createDataFrame(mutated, "id long, ts timestamp, xmin long")
+    job.source.overwrite("t1", src2)
+    job2 = _mk_job(spark, tmp, ["id"], bucket_hash="fast")
+    job2.run()
+    assert_df_equal(job2.target.read("t1"), src2, ["id"])
