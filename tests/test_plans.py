@@ -212,3 +212,17 @@ def test_filter_funnel_single_scan_partial_agg(spark):
     p = plan_of(df)
     assert p.count("Scan parquet") == 1
     assert "partial" in p  # HashAggregate(..., partial_...)
+
+
+def test_window_suite_partitions_by_customer(spark):
+    """The ranking-window query must partition by o_custkey — a
+    global (unpartitioned) window serializes the table through one
+    task at any scale."""
+    from sslr_spark.queries_olap import q_x_window_suite
+
+    p = plan_of(q_x_window_suite(spark, SF))
+    assert "Window" in p
+    import re
+
+    m = re.search(r"windowspecdefinition\((\w+)", p)
+    assert m and "o_custkey" in m.group(1), p
