@@ -82,6 +82,10 @@ _HEAD_KEYS = [
     "x_heavy_hitters",
     "x_correlated_subquery",
     "text_unigram_logprob",
+    # new in the round-3 continuation session:
+    "dedup_ngram_coverage",
+    "dedup_semantic",
+    "x_bloom_membership",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -90,6 +94,9 @@ _TAIL_KEYS = [
     "mm_decode_stub",
     "mm_frame_sample",
     # hash-green in both r01 and r02, code unchanged:
+    "x_set_ops",
+    "mm_binary_meta",
+    "sim_knn_blocked",
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",

@@ -621,6 +621,121 @@ def contamination_rates(
     )
 
 
+def dup_ngram_coverage(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document duplicate n-gram coverage — the corpus-health
+    quality signal (the "fraction of duplicated n-grams" family used
+    by web-corpus curation pipelines): for each doc, the fraction of
+    its DISTINCT word n-grams that also occur in at least one OTHER
+    document corpus-wide.
+
+    (doc_id, n_shingles, n_dup, dup_coverage)
+
+    This is the cheap scan you run BEFORE committing to pairwise dedup
+    (MinHash/Jaccard): it tells you how duplicated the corpus is and
+    which docs are mostly boilerplate, with no pair materialization.
+
+    Scale shape at 100 TB: one shingle pass (explode + per-doc
+    distinct), one map-side-combined doc-frequency agg shuffled on the
+    shingle, then a semi probe of the index against the df>=2 set —
+    deliberately NOT broadcast (boilerplate makes the duplicated-
+    shingle set huge at crawl scale); both sides of the semi join come
+    out of the same shingle-hash exchange, so the probe is
+    co-partitioned. Per-doc totals aggregate map-side. Nothing here is
+    ever pairwise.
+    """
+    _entry_release()  # previous pair-generation caches die here
+    # the shingle index feeds three consumers: doc-frequency, the
+    # probe's left side, and per-doc totals
+    c_sh = _persist(shingles(corpus, text_col, n))
+    dup_sh = (
+        c_sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle")
+    )
+    hits = c_sh.join(dup_sh, "shingle", "left_semi")
+    # totals start from the corpus doc list (a doc shorter than n
+    # tokens has zero shingles and must still surface with 0.0)
+    totals = (
+        corpus.select("doc_id")
+        .distinct()
+        .join(
+            c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles")),
+            "doc_id",
+            "left",
+        )
+        .na.fill(0, ["n_shingles"])
+    )
+    dups = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup"))
+    return (
+        totals.join(dups, "doc_id", "left")
+        .na.fill(0, ["n_dup"])
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.round(
+                F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_dup").cast("double") / F.col("n_shingles")
+                ),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroid_ids: list[int],
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    max_block_size: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the fixed IVF coarse
+    quantizer (similarity.ivf_index_fixed — literal centroids, pure
+    per-row argmax, zero shuffle), then inside each cluster mark every
+    vector whose cosine similarity to a LOWER-id vector of the same
+    cluster reaches ``threshold`` as a semantic duplicate. The lowest
+    id in each near-dup neighborhood is the keeper.
+
+    Returns one row per input vector: (vec_id, cell, is_dup).
+
+    Scale shape: SemDeDup's whole point is that clustering bounds the
+    pair space — with n_cells sized so clusters hold ~1e3-1e5 vectors,
+    the within-cell pair join (embedding_near_dup_pairs, blocked on
+    the cell and guarded by ``max_block_size``) is linear-ish in
+    corpus size, never all-pairs. The production quantizer is the
+    distributed-KMeans ivf_index; the fixed variant keeps the whole
+    operator SQL-reproducible for the oracle."""
+    from sslr_spark.functions.similarity import ivf_index_fixed
+
+    indexed, _ = ivf_index_fixed(df, centroid_ids, vec_col=vec_col)
+    pairs = embedding_near_dup_pairs(
+        indexed,
+        vec_col=vec_col,
+        block_col="__cell",
+        threshold=threshold,
+        max_block_size=max_block_size,
+    )
+    dup_ids = (
+        pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+        .withColumn("__d", F.lit(True))
+    )
+    return (
+        indexed.join(dup_ids, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("__cell").alias("cell"),
+            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def dup_clusters_star(
     pairs: DataFrame,
     id_a: str = "doc_a",

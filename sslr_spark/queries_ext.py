@@ -955,7 +955,172 @@ from documents d left join agg a using (doc_id)
 """
 
 
+# ------------------------------------------------------------------
+# duplicate n-gram coverage / semantic dedup / bloom membership
+# ------------------------------------------------------------------
+
+def q_dedup_ngram_coverage(spark, sf_dir):
+    """Per-doc duplicate 5-gram coverage: fraction of each doc's
+    distinct 5-gram shingles that appear in at least one OTHER
+    document — the corpus-health scan run before pairwise dedup."""
+    return D.dup_ngram_coverage(_docs(spark, sf_dir), n=5)
+
+
+SQL_DEDUP_NGRAM_COVERAGE = f"""
+with csh as (
+  select distinct doc_id, unnest(
+    list_transform(generate_series(1, len({W_SQL}) - 4),
+                   i -> array_to_string(({W_SQL})[i:i+4], ' '))
+  ) as shingle
+  from documents
+),
+dsh as (
+  select shingle from csh group by shingle having count(*) >= 2
+),
+cnt as (select doc_id, count(*) as n_shingles from csh group by 1),
+tot as (
+  select d.doc_id, coalesce(c.n_shingles, 0) as n_shingles
+  from (select distinct doc_id from documents) d
+  left join cnt c on d.doc_id = c.doc_id
+),
+hit as (
+  select doc_id, count(*) as n_dup
+  from csh where shingle in (select shingle from dsh)
+  group by 1
+)
+select t.doc_id,
+       t.n_shingles,
+       coalesce(h.n_dup, 0) as n_dup,
+       round(case when t.n_shingles = 0 then 0.0
+                  else cast(coalesce(h.n_dup, 0) as double)
+                       / t.n_shingles end, 6) as dup_coverage
+from tot t left join hit h on t.doc_id = h.doc_id
+"""
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the fixed 8-cell quantizer,
+    cosine threshold 0.35 (the synthetic embeddings' within-cell
+    cosine tops out near 0.47, so a production-style 0.9+ would flag
+    nothing and test nothing)."""
+    return D.semantic_dedup(
+        _emb(spark, sf_dir), _IVF_CENT_IDS, threshold=0.35
+    )
+
+
+SQL_DEDUP_SEMANTIC = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings where vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+assigned as (
+  select vec_id, embedding, cell from (
+    select e.vec_id, e.embedding, c.cell,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+dups as (
+  select distinct b.vec_id
+  from assigned a join assigned b
+    on a.cell = b.cell and a.vec_id < b.vec_id
+  where round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+)
+select a.vec_id, a.cell,
+       (a.vec_id in (select vec_id from dups)) as is_dup
+from assigned a
+"""
+
+
+_BLOOM_M, _BLOOM_K = 16384, 3
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Cross-corpus Bloom membership: build a Bloom filter over the
+    distinct 3-gram shingles of the src0 slice ("the previous crawl"),
+    probe every other doc's shingles against it, and report the
+    per-doc member fraction. False positives are part of the operator
+    (the oracle replays the exact same bit arithmetic, not exact
+    membership)."""
+    from sslr_spark.functions import membership as B
+
+    docs = _docs(spark, sf_dir)
+    ref_sh = (
+        D.shingles(docs.filter(F.col("source") == "src0"), n=3)
+        .select("shingle")
+        .distinct()
+    )
+    bits = B.bloom_build(ref_sh, "shingle", _BLOOM_M, _BLOOM_K, seed="crawl")
+    probe_sh = D.shingles(docs.filter(F.col("source") != "src0"), n=3)
+    flagged = B.bloom_probe(
+        probe_sh, bits, "shingle", _BLOOM_M, _BLOOM_K, seed="crawl"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("bloom_member"), 1).otherwise(0)
+            ).alias("n_member"),
+        )
+        .withColumn(
+            "member_rate",
+            F.round(F.col("n_member").cast("double") / F.col("n_keys"), 6),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    from sslr_spark.functions.membership import bloom_positions_sql
+
+    ps = bloom_positions_sql("shingle", _BLOOM_M, _BLOOM_K, seed="crawl")
+    arr = "[" + ", ".join(ps) + "]"
+    return f"""
+with sh as (
+  select distinct doc_id, source, unnest(
+    list_transform(generate_series(1, len({W_SQL}) - 2),
+                   i -> array_to_string(({W_SQL})[i:i+2], ' '))
+  ) as shingle
+  from documents
+),
+ref as (select distinct shingle from sh where source = 'src0'),
+bits as (select distinct unnest({arr}) as pos from ref),
+probe as (select distinct doc_id, shingle from sh where source <> 'src0'),
+ppos as (
+  select doc_id, shingle, list_distinct({arr}) as ps from probe
+),
+ex as (
+  select doc_id, shingle, unnest(ps) as pos from ppos
+),
+hits as (
+  select doc_id, shingle, count(*) as h
+  from ex join bits using (pos) group by 1, 2
+),
+flag as (
+  select p.doc_id, coalesce(h.h, 0) = len(p.ps) as member
+  from ppos p left join hits h using (doc_id, shingle)
+)
+select doc_id,
+       count(*) as n_keys,
+       sum(case when member then 1 else 0 end) as n_member,
+       round(cast(sum(case when member then 1 else 0 end) as double)
+             / count(*), 6) as member_rate
+from flag group by doc_id
+"""
+
+
+SQL_BLOOM_MEMBERSHIP = _bloom_sql()
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_ngram_coverage": q_dedup_ngram_coverage,
+    "dedup_semantic": q_dedup_semantic,
+    "x_bloom_membership": q_bloom_membership,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -990,6 +1155,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
+    "dedup_semantic": SQL_DEDUP_SEMANTIC,
+    "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

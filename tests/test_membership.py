@@ -1,0 +1,103 @@
+"""Bloom-filter membership + duplicate-n-gram coverage + semantic
+dedup behavior tests (functions/membership.py, functions/dedup.py
+round-3 additions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sslr_spark.functions import dedup as D
+from sslr_spark.functions import membership as B
+
+M, K = 2048, 3
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k string")
+
+
+def test_bloom_no_false_negatives(spark):
+    """Classic Bloom guarantee: every inserted key probes member."""
+    built = _keys(spark, [f"key{i}" for i in range(200)])
+    bits = B.bloom_build(built, "k", M, K)
+    probed = B.bloom_probe(built, bits, "k", M, K)
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_bloom_rejects_most_nonmembers(spark):
+    """With ~10 bits/key the FP rate is a few percent, not ~100%."""
+    built = _keys(spark, [f"key{i}" for i in range(200)])
+    bits = B.bloom_build(built, "k", M, K)
+    other = _keys(spark, [f"other{i}" for i in range(500)])
+    fp = B.bloom_probe(other, bits, "k", M, K).filter("bloom_member").count()
+    assert fp < 100  # expected ~ (1 - e^(-K*200/M))^K * 500 ≈ 10
+
+
+def test_bloom_build_bounded_and_deterministic(spark):
+    built = _keys(spark, [f"key{i}" for i in range(200)])
+    bits = B.bloom_build(built, "k", M, K)
+    n = bits.count()
+    assert n <= min(M, 200 * K)
+    assert bits.agg(F.min("pos"), F.max("pos")).first() >= (0,)
+    assert bits.first() is not None
+    # deterministic: same build twice -> identical bit sets
+    again = B.bloom_build(built, "k", M, K)
+    assert bits.exceptAll(again).count() == 0
+    assert again.exceptAll(bits).count() == 0
+
+
+def test_bloom_null_and_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), ("b",)], "k string"
+    )
+    bits = B.bloom_build(df, "k", M, K)
+    probed = B.bloom_probe(df, bits, "k", M, K)
+    # every input row (incl. the null key and both duplicate rows)
+    # keeps exactly one flag, and all are members of their own build
+    assert probed.count() == 4
+    assert probed.filter(~F.col("bloom_member")).count() == 0
+
+
+def test_bloom_probe_seed_isolation(spark):
+    """A filter built under one seed says nothing under another."""
+    built = _keys(spark, [f"key{i}" for i in range(50)])
+    bits = B.bloom_build(built, "k", M, K, seed="s1")
+    probed = B.bloom_probe(built, bits, "k", M, K, seed="s2")
+    # under the wrong seed the member rate collapses to the FP rate
+    assert probed.filter("bloom_member").count() < 25
+
+
+def test_dup_ngram_coverage_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),        # shares the 3-gram run with doc 2
+            (2, "a b c d x y"),
+            (3, "p q r s t u"),        # unique content
+            (4, "a b"),                # shorter than n -> zero shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.dup_ngram_coverage(docs, n=3).collect()
+    }
+    assert out[4]["n_shingles"] == 0 and out[4]["dup_coverage"] == 0.0
+    assert out[3]["n_dup"] == 0
+    # docs 1 and 2 share exactly the shingles 'a b c' and 'b c d'
+    assert out[1]["n_dup"] == 2 and out[2]["n_dup"] == 2
+    assert abs(out[1]["dup_coverage"] - 2 / 4) < 1e-9
+
+
+def test_semantic_dedup_invariants(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = D.semantic_dedup(emb, [1, 2, 3, 4], threshold=0.3)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # one verdict per vector
+    # per cell, the minimum id is never a duplicate (it has no
+    # lower-id neighbor to be a duplicate OF)
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        keeper = min(members, key=lambda r: r["vec_id"])
+        assert not keeper["is_dup"]

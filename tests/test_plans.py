@@ -226,3 +226,30 @@ def test_window_suite_partitions_by_customer(spark):
 
     m = re.search(r"windowspecdefinition\((\w+)", p)
     assert m and "o_custkey" in m.group(1), p
+
+
+def test_bloom_probe_broadcasts_bits_never_probe(spark):
+    """Bloom probe: the m-bounded bit table must be the broadcast
+    side; the (huge) probe side must never cartesian or broadcast —
+    at crawl scale the probe is the corpus."""
+    from sslr_spark.functions import membership as B
+
+    probe = spark.range(0, 1000).selectExpr("cast(id as string) as k")
+    built = spark.range(0, 100).selectExpr("cast(id as string) as k")
+    bits = B.bloom_build(built, "k", 2048, 3)
+    p = plan_of(B.bloom_probe(probe, bits, "k", 2048, 3))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # bits side
+
+
+def test_dup_ngram_coverage_no_pairwise_join(spark):
+    """Duplicate-coverage is a per-doc scan; its plan must contain
+    only shingle-keyed joins — no doc-x-doc pair materialization."""
+    from sslr_spark.functions.dedup import dup_ngram_coverage, release_caches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(dup_ngram_coverage(docs, n=5))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    release_caches()
