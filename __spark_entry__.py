@@ -86,6 +86,7 @@ _HEAD_KEYS = [
     "dedup_ngram_coverage",
     "dedup_semantic",
     "x_bloom_membership",
+    "dedup_incremental",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -97,6 +98,7 @@ _TAIL_KEYS = [
     "x_set_ops",
     "mm_binary_meta",
     "sim_knn_blocked",
+    "sim_topk_lsh",
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",

@@ -736,6 +736,57 @@ def semantic_dedup(
     )
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    m: int = 1 << 20,
+    k: int = 3,
+    seed: str = "corpus",
+    bits: DataFrame | None = None,
+) -> DataFrame:
+    """Flag batch documents whose exact content already exists in the
+    corpus — the per-ingest dedup every growing corpus runs (dedup the
+    NEW crawl against everything already accepted, without re-running
+    corpus-wide dedup).
+
+    Returns the batch with an ``in_corpus`` boolean appended. The
+    result is EXACT: the Bloom filter only PRUNES (no false negatives,
+    so bloom-negative rows are definitively new and skip the join;
+    bloom-positive candidates are verified with an exact hash join, so
+    false positives never leak into the output).
+
+    Scale shape at 100 TB: the corpus is scanned for content hashes
+    once to build the m-bounded bit table (``bits`` — pass a persisted
+    one to amortize across batches; filters for successive ingests
+    union cheaply since the bit table is just a position set), then
+    once more column-pruned for the verify scan, where the candidate
+    hash set (tiny: bloom survivors of a small batch) is broadcast —
+    the corpus itself is never shuffled and never broadcast. Batch
+    rows ruled out by the bloom pay zero join cost.
+    """
+    from sslr_spark.functions.membership import bloom_build, bloom_probe
+
+    content = F.md5(F.col(text_col))
+    corpus_h = corpus.select(content.alias("__h"))
+    if bits is None:
+        bits = bloom_build(corpus_h, "__h", m, k, seed)
+    probed = bloom_probe(
+        batch.withColumn("__h", content), bits, "__h", m, k, seed
+    )
+    cand = probed.filter(F.col("bloom_member")).select("__h").distinct()
+    confirmed = (
+        corpus_h.join(F.broadcast(cand), "__h", "left_semi")
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        probed.join(confirmed, "__h", "left")
+        .withColumn("in_corpus", F.coalesce(F.col("__dup"), F.lit(False)))
+        .drop("__h", "__dup", "bloom_member")
+    )
+
+
 def dup_clusters_star(
     pairs: DataFrame,
     id_a: str = "doc_a",

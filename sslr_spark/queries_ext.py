@@ -1117,10 +1117,41 @@ from flag group by doc_id
 SQL_BLOOM_MEMBERSHIP = _bloom_sql()
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Per-ingest exact dedup: corpus = 80% of documents by ingest
+    hash, batch = the 40% slice overlapping it — flag batch docs whose
+    content hash already exists in the corpus. The Bloom prefilter is
+    an internal pruning step only (no false negatives + exact verify
+    of bloom survivors), so the result equals the plain exact
+    semi-join the oracle runs."""
+    from sslr_spark.functions.sampling import split_bucket
+
+    docs = _docs(spark, sf_dir)
+    b = split_bucket(F.col("doc_id"), "ingest")
+    corpus = docs.filter(b < 800_000)
+    batch = docs.filter(b >= 600_000)
+    return D.incremental_exact_dedup(batch, corpus).select(
+        "doc_id", "in_corpus"
+    )
+
+
+_INGEST_B = split_bucket_sql("doc_id", "ingest")
+
+SQL_DEDUP_INCREMENTAL = f"""
+with corpus as (select * from documents where {_INGEST_B} < 800000),
+batch as (select * from documents where {_INGEST_B} >= 600000),
+ch as (select distinct md5(text) as h from corpus)
+select b.doc_id,
+       coalesce(md5(b.text) in (select h from ch), false) as in_corpus
+from batch b
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
+    "dedup_incremental": q_dedup_incremental,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -1158,6 +1189,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

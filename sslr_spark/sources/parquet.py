@@ -289,6 +289,72 @@ class ParquetDatabase:
                 ignore_errors=True,
             )
 
+    def partition_file_counts(self, table: str) -> dict[str, int]:
+        """Data-file count per partition dir of a partitioned layout
+        (one local/object-store LIST per partition — the metadata scan
+        every lakehouse maintenance job starts with)."""
+        meta = self.layout_meta(table)
+        if not meta:
+            return {}
+        pcol = meta["partition_col"]
+        root = self.path(table)
+        out: dict[str, int] = {}
+        for d in os.listdir(root):
+            if not d.startswith(f"{pcol}="):
+                continue
+            full = os.path.join(root, d)
+            if not os.path.isdir(full):
+                continue
+            out[d.split("=", 1)[1]] = sum(
+                1
+                for f in os.listdir(full)
+                if not f.startswith((".", "_")) and not f.endswith(".crc")
+            )
+        return out
+
+    def compact_partitions(
+        self,
+        table: str,
+        max_files_per_partition: int = 4,
+        sort_cols: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction for the bucket-partitioned layout:
+        rewrite ONLY the partitions whose data-file count exceeds the
+        cap, one clustered (and optionally PK-sorted) file each.
+
+        Incremental merges and aligned scattered rewrites accumulate
+        2-4 files per touched bucket per sync; after many syncs the
+        pruned reads the layout exists for degrade into many-small-file
+        scans. This is the plain-parquet VACUUM/OPTIMIZE analog: cost
+        ∝ oversize partitions only (partition-pruned read + dynamic
+        partition overwrite), never the table; untouched buckets keep
+        their files byte-identical. Same idempotent-rewrite safety
+        story as :meth:`replace_partitions`.
+
+        Returns {"compacted": n, "skipped": n, "values": [...]}."""
+        meta = self.layout_meta(table)
+        if not meta:
+            return {"compacted": 0, "skipped": 0, "values": []}
+        pcol = meta["partition_col"]
+        counts = self.partition_file_counts(table)
+        over = sorted(
+            v for v, n in counts.items() if n > max_files_per_partition
+        )
+        if not over:
+            return {"compacted": 0, "skipped": len(counts), "values": []}
+        df = self.read(table, with_meta=True)
+        # partition values parse back through the column's own type
+        vals = [int(v) for v in over] if dict(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ).get(pcol, "string") in ("int", "bigint", "long") else over
+        oversize = df.filter(F.col(pcol).isin(vals))  # partition pruning
+        self.replace_partitions(table, oversize, pcol, sort_cols=sort_cols)
+        return {
+            "compacted": len(over),
+            "skipped": len(counts) - len(over),
+            "values": vals,
+        }
+
     def append(self, table: str, df: DataFrame) -> None:
         """Append rows (bulk-load sink, reference COPY protocol analog,
         internal/copy.go:47). Not atomic with respect to concurrent

@@ -101,3 +101,39 @@ def test_semantic_dedup_invariants(spark):
     for cell, members in by_cell.items():
         keeper = min(members, key=lambda r: r["vec_id"])
         assert not keeper["is_dup"]
+
+
+def test_incremental_exact_dedup_is_exact(spark):
+    """Bloom prefilter must only prune: result equals the plain exact
+    semi-join, including under a deliberately tiny (FP-heavy) m."""
+    corpus = spark.createDataFrame(
+        [(i, f"text {i % 30}") for i in range(100)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(200 + i, f"text {i}") for i in range(60)], "doc_id long, text string"
+    )
+    # m=64 forces lots of bloom false positives; exactness must hold
+    out = D.incremental_exact_dedup(batch, corpus, m=64, k=3)
+    got = {r["doc_id"]: r["in_corpus"] for r in out.collect()}
+    assert len(got) == 60
+    for i in range(60):
+        assert got[200 + i] == (i < 30), i
+    assert set(out.columns) == {"doc_id", "text", "in_corpus"}
+
+
+def test_incremental_exact_dedup_reuses_prebuilt_bits(spark):
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    bits = B.bloom_build(
+        corpus.select(F.md5("text").alias("__h")), "__h", M, K, seed="corpus"
+    ).persist()
+    batch = spark.createDataFrame(
+        [(100, "doc 7"), (101, "brand new")], "doc_id long, text string"
+    )
+    out = D.incremental_exact_dedup(batch, corpus, m=M, k=K, bits=bits)
+    got = {r["doc_id"]: r["in_corpus"] for r in out.collect()}
+    assert got == {100: True, 101: False}
+    bits.unpersist()

@@ -91,3 +91,49 @@ def test_sorted_writes_give_tight_row_group_key_ranges(spark, target_db):
     n_groups = len(spans)
     for mn, mx in spans:
         assert (mx - mn) <= 2 * 4 * total / n_groups, (mn, mx, n_groups)
+
+
+def test_compact_partitions_rewrites_only_oversize_buckets(spark, target_db):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+    df = with_bucket(
+        spark.range(0, 2000).selectExpr("id", "id * 2 as v"), ["id"], 8
+    )
+    target_db.overwrite_partitioned(
+        "t", df, BUCKET_COL, n_buckets=8, sort_cols=["id"]
+    )
+    # fragment bucket partitions with three tiny appends each
+    frag = df.filter(F.col(BUCKET_COL).isin([0, 3]))
+    for _ in range(3):
+        frag.write.mode("append").partitionBy(BUCKET_COL).parquet(
+            target_db.path("t")
+        )
+    counts = target_db.partition_file_counts("t")
+    assert counts["0"] > 4 and counts["3"] > 4
+    before = target_db.read("t", with_meta=True)
+    expect = sorted(
+        (r["id"], r["v"]) for r in before.select("id", "v").collect()
+    )
+    untouched_dir = os.path.join(target_db.path("t"), f"{BUCKET_COL}=1")
+    untouched = sorted(os.listdir(untouched_dir))
+
+    stats = target_db.compact_partitions(
+        "t", max_files_per_partition=4, sort_cols=["id"]
+    )
+    assert stats["compacted"] == 2 and set(stats["values"]) == {0, 3}
+    after_counts = target_db.partition_file_counts("t")
+    assert after_counts["0"] == 1 and after_counts["3"] == 1
+    # rows survive exactly; untouched partitions keep their files
+    got = sorted(
+        (r["id"], r["v"])
+        for r in target_db.read("t").select("id", "v").collect()
+    )
+    assert got == expect
+    assert sorted(os.listdir(untouched_dir)) == untouched
+    # idempotent: second run is a no-op
+    again = target_db.compact_partitions("t", max_files_per_partition=4)
+    assert again["compacted"] == 0
