@@ -74,6 +74,11 @@ class Config:
     # tables synced concurrently per pass (the reference only offers
     # process-level table parallelism, README.md:97-101)
     parallel_tables: int = 1
+    # >0: after each sync pass, compact bucket partitions whose data-
+    # file count exceeds this cap (incremental merges leave 2-4 files
+    # per touched bucket per pass; without maintenance pruned reads
+    # degrade into many-small-file scans). 0 = no maintenance.
+    compact_files_per_bucket: int = 0
 
     def all_tables(self) -> list[str]:
         return list(self.source_tables) + list(self.filtered_source_tables)
@@ -179,6 +184,7 @@ _KNOWN_TOP = {
     "targetBuckets",
     "bucketHash",
     "parallelTables",
+    "compactFilesPerBucket",
 }
 _KNOWN_FILTERED = {"where", "wheres", "uses"}
 
@@ -318,6 +324,7 @@ def load_config(path_or_text: str) -> Config:
         target_buckets=int(raw.get("targetBuckets", 64)),
         bucket_hash=str(raw.get("bucketHash", "portable")),
         parallel_tables=int(raw.get("parallelTables", 1)),
+        compact_files_per_bucket=int(raw.get("compactFilesPerBucket", 0)),
     )
     cfg.validate()
     return cfg

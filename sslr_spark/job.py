@@ -42,6 +42,7 @@ class DependencyLoop(Exception):
 class JobResult:
     updated_rows: int = 0
     repaired_buckets: int = 0
+    compacted_partitions: int = 0
     full_copies: list[str] = field(default_factory=list)
     validated: list[str] = field(default_factory=list)
 
@@ -205,6 +206,7 @@ class Job:
                     table, src, pks, where, n_buckets, result,
                     throttle or Throttle(pct),
                 )
+            self._maintenance(table, result)
             return
         rows = sync_updates(
             src,
@@ -239,6 +241,24 @@ class Job:
                 table, src, pks, where, n_buckets, result,
                 throttle or Throttle(self.config.throttle_percentage),
             )
+        self._maintenance(table, result)
+
+    def _maintenance(self, table: str, result: JobResult) -> None:
+        """Post-sync small-file compaction (compactFilesPerBucket > 0,
+        partitioned lake targets only): rewrite just the bucket
+        partitions whose file count exceeds the cap, PK-sorted so the
+        compacted files regain row-group skipping. Runs after the
+        watermark/state commits — a crash mid-compaction loses no sync
+        progress, only maintenance (the next pass redoes it)."""
+        cap = self.config.compact_files_per_bucket
+        if cap <= 0 or not hasattr(self.target, "compact_partitions"):
+            return
+        stats = self.target.compact_partitions(
+            table,
+            max_files_per_partition=cap,
+            sort_cols=self.primary_keys.get(table),
+        )
+        result.compacted_partitions += stats["compacted"]
 
     def _sync_deletes_phase(
         self, table, src, pks, where, n_buckets, result, throttle
@@ -306,6 +326,7 @@ class Job:
             with res_lock:
                 result.updated_rows += local.updated_rows
                 result.repaired_buckets += local.repaired_buckets
+                result.compacted_partitions += local.compacted_partitions
                 result.full_copies.extend(local.full_copies)
 
         with concurrent.futures.ThreadPoolExecutor(max_workers=n_par) as ex:

@@ -329,3 +329,53 @@ def test_sync_toggles_thread_through_job(spark, tmp_path):
     job3.update_table("t", r3, Throttle(100))
     assert r3.updated_rows == 0 and r3.repaired_buckets == 0
     assert job3.target.read("t").count() == 105  # unchanged
+
+
+def test_compaction_knob_runs_after_sync(spark, tmp_path):
+    """compactFilesPerBucket > 0: after the sync pass, fragmented
+    bucket partitions are rewritten down to one file; sync results
+    and target contents are unaffected."""
+    job = make_job(
+        spark, tmp_path, target_buckets=8, compact_files_per_bucket=2
+    )
+    src = make_timestamps(spark, 500)
+    job.source.overwrite("timestamps", src)
+    job.run()  # initial full copy (clustered: 1 file/bucket)
+
+    from sslr_spark.operators.deletes import BUCKET_COL
+
+    # fragment one bucket WITHOUT changing its rows (so delete-sync
+    # sees clean fingerprints and only maintenance defragments):
+    # rewrite bucket 0's rows as several files
+    frag = (
+        job.target.read("timestamps", with_meta=True)
+        .filter(F.col(BUCKET_COL) == 0)
+        .repartition(5)
+        .persist()
+    )
+    frag.count()  # materialize before the source dir is dropped
+    job.target.drop_partitions("timestamps", BUCKET_COL, [0])
+    frag.write.mode("append").partitionBy(BUCKET_COL).parquet(
+        job.target.path("timestamps")
+    )
+    frag.unpersist()
+    assert job.target.partition_file_counts("timestamps")["0"] > 2
+    res = JobResult()
+    job.update_table("timestamps", res)
+    counts = job.target.partition_file_counts("timestamps")
+    assert all(n <= 2 for n in counts.values()), counts
+    assert res.compacted_partitions >= 1
+    assert_df_equal(job.target.read("timestamps"), src, ["id"])
+
+
+def test_compaction_off_by_default(spark, tmp_path):
+    cfg = load_config(
+        '{"source": "/s", "target": "/t", "sourceTables": ["a"],'
+        ' "primaryKeys": {"a": ["id"]}}'
+    )
+    assert cfg.compact_files_per_bucket == 0
+    cfg2 = load_config(
+        '{"source": "/s", "target": "/t", "sourceTables": ["a"],'
+        ' "primaryKeys": {"a": ["id"]}, "compactFilesPerBucket": 4}'
+    )
+    assert cfg2.compact_files_per_bucket == 4
