@@ -87,6 +87,8 @@ _HEAD_KEYS = [
     "dedup_semantic",
     "x_bloom_membership",
     "dedup_incremental",
+    "x_grouping_sets",
+    "x_quantile_stats",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -99,6 +101,8 @@ _TAIL_KEYS = [
     "mm_binary_meta",
     "sim_knn_blocked",
     "sim_topk_lsh",
+    "sim_topk_bruteforce",
+    "dedup_embedding_cosine",
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",

@@ -451,7 +451,67 @@ where o_totalprice > 1.5 * (
 """
 
 
+def q_x_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the non-hierarchical subset cube and
+    rollup can't express: per-returnflag totals and per-linestatus
+    totals in one pass (Expand operator), without the all-pairs level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+SQL_GROUPING_SETS = """
+select l_returnflag, l_linestatus, count(*) as n,
+       round(sum(l_quantity), 2) as sum_qty,
+       cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) as bigint)
+         as gid
+from lineitem
+group by grouping sets ((l_returnflag), (l_linestatus))
+"""
+
+
+def q_x_quantile_stats(spark, sf_dir):
+    """Per-group exact quantiles (p50/p95/p99 of extended price by
+    return flag) — the oracle-parity path of
+    functions/sketches.py:quantile_stats; ``exact=False`` switches to
+    the Greenwald-Khanna approx_percentile sketch (map-side
+    combinable, bounded memory) for groups too big to sort
+    (error-bound-tested in tests/test_sketches.py)."""
+    from sslr_spark.functions.sketches import quantile_stats
+
+    out = quantile_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice"
+    )
+    return out.select(
+        "l_returnflag",
+        "n_rows",
+        *[F.round(F.col(c), 4).alias(c) for c in ("q_500", "q_950", "q_990")],
+    )
+
+
+SQL_QUANTILE_STATS = """
+select l_returnflag,
+       cast(count(*) as bigint) as n_rows,
+       round(quantile_cont(l_extendedprice, 0.5), 4) as q_500,
+       round(quantile_cont(l_extendedprice, 0.95), 4) as q_950,
+       round(quantile_cont(l_extendedprice, 0.99), 4) as q_990
+from lineitem group by l_returnflag
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_grouping_sets": q_x_grouping_sets,
+    "x_quantile_stats": q_x_quantile_stats,
     "x_window_suite": q_x_window_suite,
     "x_cube": q_x_cube,
     "x_distinct_stats": q_x_distinct_stats,
@@ -470,6 +530,8 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 OLAP_ORACLES: dict[str, str] = {
+    "x_grouping_sets": SQL_GROUPING_SETS,
+    "x_quantile_stats": SQL_QUANTILE_STATS,
     "x_window_suite": SQL_WINDOW_SUITE,
     "x_cube": SQL_CUBE,
     "x_distinct_stats": SQL_DISTINCT_STATS,
