@@ -2,8 +2,9 @@
 
 Composes the extension operators into the standard curation flow:
 
-  quality funnel -> exact + MinHash dedup -> decontamination ->
-  perplexity-proxy scoring -> stratified mix -> chunk -> pack
+  duplicate-coverage health scan -> quality funnel ->
+  exact + MinHash dedup -> incremental dedup vs the accepted corpus ->
+  decontamination -> perplexity-proxy scoring -> chunk -> pack
 
 Run:  python examples/llm_corpus_pipeline.py [sf_dir]
 (default sf_dir /root/testdata/sf0.01; prints per-stage counts and
@@ -47,6 +48,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
+    # 0. Corpus-health scan: how duplicated is this crawl? (cheap
+    #    per-doc signal, no pairwise work — decides whether the
+    #    MinHash stage below is even worth running)
+    from sslr_spark.functions.dedup import dup_ngram_coverage
+
+    cov = dup_ngram_coverage(docs, n=5)
+    health = cov.agg(
+        F.round(F.avg("dup_coverage"), 4).alias("mean_cov"),
+        F.sum((F.col("dup_coverage") > 0.5).cast("int")).alias("mostly_dup"),
+    ).first()
+    print(f"== health == mean dup-5gram coverage {health['mean_cov']}, "
+          f"docs >50% duplicated {health['mostly_dup']}")
+
     # 1. Quality funnel — one scan, per-stage survivor report
     t = F.col("text")
     funnel = filter_funnel(
@@ -78,6 +92,17 @@ def main() -> None:
     pairs = minhash_lsh_pairs(kept, jaccard_threshold=0.5)
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = kept.join(F.broadcast(losers), "doc_id", "left_anti")
+
+    # 3b. Incremental dedup against the already-accepted corpus
+    #     (simulated: src0 plays the prior crawl) — Bloom prefilter,
+    #     exact verify; new ingests skip everything already shipped
+    from sslr_spark.functions.dedup import incremental_exact_dedup
+
+    prior = docs.filter(F.col("source") == "src0")
+    flagged = incremental_exact_dedup(
+        kept.filter(F.col("source") != "src0"), prior
+    )
+    kept = flagged.filter(~F.col("in_corpus")).drop("in_corpus")
 
     # 4. Eval-set decontamination: drop docs overlapping a (here:
     #    simulated) eval set above 80% 8-gram overlap
