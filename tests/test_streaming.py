@@ -122,3 +122,50 @@ def test_chunk_and_scrub_work_on_streams(spark, tmp_path):
         for r in spark.sql("select * from chunks").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_ingest_dedup_against_static_corpus(spark, tmp_path):
+    """foreachBatch composition: each arriving micro-batch is deduped
+    against the accepted corpus with the Bloom-prefiltered exact path
+    (bits built once, reused across batches) before landing."""
+    from sslr_spark.functions.dedup import incremental_exact_dedup
+    from sslr_spark.functions.membership import bloom_build
+
+    corpus = spark.createDataFrame(
+        [(i, f"known {i}") for i in range(100)], "doc_id long, text string"
+    )
+    bits = bloom_build(
+        corpus.select(F.md5("text").alias("__h")), "__h", 4096, 3,
+        seed="corpus",
+    ).persist()
+    bits.count()
+
+    src_dir = str(tmp_path / "ingest_src")
+    os.makedirs(src_dir)
+    batch1 = spark.createDataFrame(
+        [(200, "known 7"), (201, "fresh a"), (202, "fresh b")],
+        "doc_id long, text string",
+    )
+    batch1.write.mode("append").parquet(src_dir)
+    target = ParquetDatabase(spark, str(tmp_path / "ingest_target"))
+
+    def apply_batch(bdf, epoch_id):
+        fresh = incremental_exact_dedup(
+            bdf, corpus, m=4096, k=3, seed="corpus", bits=bits
+        ).filter(~F.col("in_corpus")).drop("in_corpus")
+        if target.table_exists("accepted"):
+            target.append("accepted", fresh)
+        else:
+            target.overwrite("accepted", fresh)
+
+    stream = (
+        spark.readStream.schema(batch1.schema).parquet(src_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ingest_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    got = {r["doc_id"] for r in target.read("accepted").collect()}
+    assert got == {201, 202}  # the known-text doc never lands
+    bits.unpersist()
