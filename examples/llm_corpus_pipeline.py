@@ -46,7 +46,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="llm_corpus_pipeline")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # src0 plays the PRIOR crawl (already accepted and shipped): it is
+    # excluded from this ingest up front — running the funnel and the
+    # pairwise dedup over rows that can never land would be pure waste
+    prior = all_docs.filter(F.col("source") == "src0")
+    docs = all_docs.filter(F.col("source") != "src0")
 
     # 0. Corpus-health scan: how duplicated is this crawl? (cheap
     #    per-doc signal, no pairwise work — decides whether the
@@ -93,15 +98,12 @@ def main() -> None:
     losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = kept.join(F.broadcast(losers), "doc_id", "left_anti")
 
-    # 3b. Incremental dedup against the already-accepted corpus
-    #     (simulated: src0 plays the prior crawl) — Bloom prefilter,
-    #     exact verify; new ingests skip everything already shipped
+    # 3b. Incremental dedup against the already-accepted prior crawl:
+    #     Bloom prefilter, exact verify; this ingest skips every doc
+    #     whose content already shipped
     from sslr_spark.functions.dedup import incremental_exact_dedup
 
-    prior = docs.filter(F.col("source") == "src0")
-    flagged = incremental_exact_dedup(
-        kept.filter(F.col("source") != "src0"), prior
-    )
+    flagged = incremental_exact_dedup(kept, prior)
     kept = flagged.filter(~F.col("in_corpus")).drop("in_corpus")
 
     # 4. Eval-set decontamination: drop docs overlapping a (here:
@@ -129,7 +131,7 @@ def main() -> None:
     )
 
     print("== pipeline ==")
-    print(f"  input docs        {docs.count()}")
+    print(f"  ingest docs       {docs.count()} (+{prior.count()} prior-crawl, excluded)")
     print(f"  after funnel+dedup+decontam+score {kept.count()}")
     print(f"  training chunks   {chunks.count()}")
     batches = packed.select("shard", "batch_id").distinct().count()

@@ -107,9 +107,15 @@ def bloom_probe(
     probe side explodes its DEDUPED positions (two hashes may collide
     mod m — comparing raw hit counts to k would then over- or
     under-count, so both sides count DISTINCT positions), semi-joins
-    the broadcast, and aggregates hits per key. The probe table is
-    scanned once; nothing about it shuffles except the k-row-per-key
-    position stream, keyed on ``key_col`` with map-side combine."""
+    the broadcast, and aggregates hits per key. Honest cost
+    accounting: attaching the per-key flag back costs ONE hash
+    exchange of the probe rows (payload included) — the flag table has
+    one row per distinct key, so it only broadcasts when the key space
+    is small (AQE does this automatically). Callers that don't need
+    flags on arbitrary payload rows should probe a
+    ``select(key).distinct()`` projection and keep the join to
+    themselves; callers that immediately filter (the
+    incremental-dedup path) pay the exchange exactly once."""
     pos_arr = F.array_distinct(bloom_positions(F.col(key_col), m, k, seed))
     # internal null-safe key: plain equi-joins/groupBys drop null keys,
     # so all plumbing runs on the coalesced string form

@@ -31,6 +31,10 @@ def _scaled(col: Column, mn: float, mx: float, bits: int) -> Column:
     if mx <= mn:
         return F.lit(0).cast("long")
     frac = (col.cast("double") - F.lit(float(mn))) / F.lit(float(mx - mn))
+    # NaN values would otherwise poison the clamp (NaN compares
+    # greatest in Spark, so least(NaN, 1.0) = 1.0 silently pins the
+    # rank to top); send them to rank 0 with the nulls instead
+    frac = F.when(F.isnan(frac), F.lit(0.0)).otherwise(frac)
     clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
     return F.coalesce(
         F.floor(clamped * top).cast("long"), F.lit(0).cast("long")
@@ -52,9 +56,20 @@ def morton_code(
         raise ValueError("morton_code needs at least one column")
     if bits * n > 62:
         raise ValueError(f"bits * n_cols = {bits * n} exceeds long range")
+    # NaN-safe stats: Spark's max() ranks NaN above everything, so one
+    # NaN row would make mx = NaN and collapse the whole column's
+    # ranks to a constant. Exclude NaNs from the range for
+    # float/double columns (they rank 0 per _scaled's NaN clamp).
+    types = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+
+    def _clean(c: str) -> Column:
+        if types.get(c) in ("float", "double"):
+            return F.when(~F.isnan(F.col(c)), F.col(c))
+        return F.col(c)
+
     stats = df.agg(
-        *[F.min(c).alias(f"mn{i}") for i, c in enumerate(cols)],
-        *[F.max(c).alias(f"mx{i}") for i, c in enumerate(cols)],
+        *[F.min(_clean(c)).alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(_clean(c)).alias(f"mx{i}") for i, c in enumerate(cols)],
     ).first()  # bounded: 2 scalars per column
     code = F.lit(0).cast("long")
     for i, c in enumerate(cols):

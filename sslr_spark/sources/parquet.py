@@ -326,10 +326,23 @@ class ParquetDatabase:
         2-4 files per touched bucket per sync; after many syncs the
         pruned reads the layout exists for degrade into many-small-file
         scans. This is the plain-parquet VACUUM/OPTIMIZE analog: cost
-        ∝ oversize partitions only (partition-pruned read + dynamic
-        partition overwrite), never the table; untouched buckets keep
-        their files byte-identical. Same idempotent-rewrite safety
-        story as :meth:`replace_partitions`.
+        ∝ oversize partitions only, never the table; untouched buckets
+        keep their files byte-identical.
+
+        Crash safety differs from :meth:`replace_partitions` on
+        purpose: the repair path's dynamic overwrite is safe because
+        its callers re-derive the rewrite from the SOURCE, but here
+        the target itself is the only copy of the rows — a dynamic
+        overwrite's delete-then-commit window would lose a bucket
+        permanently on a crash. So compaction stages the rewritten
+        partitions to a side directory first, then swaps each bucket
+        dir with the same rename+rollback protocol as
+        :meth:`overwrite`. Worst crash case (between the two renames
+        of one bucket — no Spark job runs in that window): that
+        bucket's files are parked in a ``.old-`` dir instead of lost;
+        rolled back automatically on an in-process failure, rename
+        back by hand after a hard kill. Re-running compaction
+        converges.
 
         Returns {"compacted": n, "skipped": n, "values": [...]}."""
         meta = self.layout_meta(table)
@@ -348,7 +361,31 @@ class ParquetDatabase:
             (f.name, f.dataType.simpleString()) for f in df.schema.fields
         ).get(pcol, "string") in ("int", "bigint", "long") else over
         oversize = df.filter(F.col(pcol).isin(vals))  # partition pruning
-        self.replace_partitions(table, oversize, pcol, sort_cols=sort_cols)
+        stage = os.path.join(self.root, f".compact-{table}-{uuid.uuid4().hex}")
+        (
+            self._cluster_by_partition(oversize, pcol, sort_cols=sort_cols)
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(stage)
+        )
+        final = self.path(table)
+        try:
+            for v in over:
+                part = f"{pcol}={v}"
+                staged = os.path.join(stage, part)
+                dst = os.path.join(final, part)
+                old = os.path.join(self.root, f".old-{part}-{uuid.uuid4().hex}")
+                if not os.path.exists(staged):
+                    continue  # bucket vanished between list and read
+                os.rename(dst, old)
+                try:
+                    os.rename(staged, dst)
+                except BaseException:
+                    os.rename(old, dst)  # roll the bucket back
+                    raise
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         return {
             "compacted": len(over),
             "skipped": len(counts) - len(over),

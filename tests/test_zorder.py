@@ -86,3 +86,23 @@ def test_zorder_column_works_as_writer_sort(spark, target_db):
     got = target_db.read("t")
     assert got.count() == 2500
     assert set(got.columns) == {"id", "x", "y"}
+
+
+def test_morton_nan_rows_do_not_poison_the_range(spark):
+    """One NaN in a float column must neither become the max (which
+    would collapse every rank to the top constant) nor rank top
+    itself — NaNs go to rank 0 with the nulls."""
+    df = spark.createDataFrame(
+        [(float("nan"), 0), (0.0, 0), (50.0, 0), (100.0, 0)],
+        "x double, y int",
+    )
+    out = {r["x"]: r["z"] for r in df.withColumn(
+        "z", morton_code(df, ["x"], bits=8)
+    ).collect() if r["x"] == r["x"]}
+    nan_z = [r["z"] for r in df.withColumn(
+        "z", morton_code(df, ["x"], bits=8)
+    ).collect() if r["x"] != r["x"]][0]
+    # real values keep a discriminating range...
+    assert out[0.0] == 0 and out[100.0] == 255 and 0 < out[50.0] < 255
+    # ...and the NaN row sits at rank 0, not at the top
+    assert nan_z == 0
