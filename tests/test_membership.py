@@ -137,3 +137,68 @@ def test_incremental_exact_dedup_reuses_prebuilt_bits(spark):
     got = {r["doc_id"]: r["in_corpus"] for r in out.collect()}
     assert got == {100: True, 101: False}
     bits.unpersist()
+
+
+# -- property tests -------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_key_st = st.text(min_size=0, max_size=40)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    members=st.sets(_key_st, min_size=1, max_size=30),
+    probes=st.sets(_key_st, max_size=30),
+)
+def test_bloom_property_no_false_negatives_any_unicode(
+    spark, members, probes
+):
+    """For ANY unicode key set (quotes, separators, surrogate-adjacent
+    chars): every member probes true, and every probe verdict is
+    consistent with the classic guarantee (non-members may flip true,
+    members never flip false)."""
+    mdf = spark.createDataFrame([(m,) for m in members], "k string")
+    bits = B.bloom_build(mdf, "k", 512, 3)
+    both = spark.createDataFrame(
+        [(x,) for x in members | probes], "k string"
+    )
+    got = {
+        r["k"]: r["bloom_member"]
+        for r in B.bloom_probe(both, bits, "k", 512, 3).collect()
+    }
+    for m in members:
+        assert got[m] is True, repr(m)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus_texts=st.lists(_key_st, min_size=1, max_size=25),
+    batch_texts=st.lists(_key_st, min_size=1, max_size=25),
+)
+def test_incremental_dedup_property_matches_exact_join(
+    spark, corpus_texts, batch_texts
+):
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["in_corpus"]
+        for r in D.incremental_exact_dedup(batch, corpus, m=256, k=2).collect()
+    }
+    corpus_set = set(corpus_texts)
+    for i, t in enumerate(batch_texts):
+        assert got[1000 + i] == (t in corpus_set), repr(t)

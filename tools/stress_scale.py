@@ -136,8 +136,45 @@ def main() -> None:
     with timed("stratified_sample_skewed"):
         stratified_exact_sample(skewed, "strat", "l_orderkey", 0.01).count()
 
+    # curation ops over a K x documents corpus (doc_ids disjoint,
+    # per-replica text salt so the dup structure stays realistic
+    # instead of every doc having K exact copies)
+    from sslr_spark.functions.dedup import (
+        dup_ngram_coverage,
+        incremental_exact_dedup,
+        release_caches,
+    )
+
+    dbase = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dspan = dbase.agg(F.max("doc_id")).first()[0] + 1
+    docs_scaled = None
+    for i in range(k):
+        part = dbase.withColumn("doc_id", F.col("doc_id") + F.lit(i * dspan))
+        if i:
+            part = part.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" replica {i}"))
+            )
+        docs_scaled = part if docs_scaled is None else docs_scaled.unionByName(part)
+    docs_tbl = ParquetDatabase(spark, os.path.join(TMP, "docs"))
+    docs_tbl.overwrite("documents", docs_scaled)
+    docs_scaled = docs_tbl.read("documents")
+    n_docs = docs_scaled.count()
+    print(f"scaled corpus: {n_docs} docs", file=sys.stderr)
+
+    with timed("dup_ngram_coverage"):
+        dup_ngram_coverage(docs_scaled, n=5).groupBy().avg(
+            "dup_coverage"
+        ).collect()
+    release_caches()
+
+    with timed("incremental_dedup"):
+        batch = docs_scaled.filter(F.col("doc_id") % 100 == 0)
+        incremental_exact_dedup(
+            batch, docs_scaled, m=1 << 20, k=3
+        ).filter("in_corpus").count()
+
     shutil.rmtree(TMP, ignore_errors=True)
-    print(json.dumps({"k": k, "rows": n_rows, "timings": timings}))
+    print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
 
 if __name__ == "__main__":
