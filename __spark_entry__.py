@@ -89,6 +89,7 @@ _HEAD_KEYS = [
     "dedup_incremental",
     "x_grouping_sets",
     "x_quantile_stats",
+    "dedup_incremental_minhash",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -103,6 +104,7 @@ _TAIL_KEYS = [
     "sim_topk_lsh",
     "sim_topk_bruteforce",
     "dedup_embedding_cosine",
+    "dedup_simhash",
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",

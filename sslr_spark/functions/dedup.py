@@ -787,6 +787,115 @@ def incremental_exact_dedup(
     )
 
 
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.1,
+    hash_mode: str = "portable",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate flag for each batch document against the
+    accepted corpus — the MinHash sibling of
+    :func:`incremental_exact_dedup` (exact content match misses
+    rewrites; this catches "same doc, edited a bit" across crawls).
+
+    One row per batch doc: (doc_id, near_dup, match_id, jaccard) —
+    ``match_id``/``jaccard`` are the corpus doc with the highest
+    verified shingle Jaccard >= threshold (null when clean). A batch
+    doc whose content also sits in the corpus matches itself at 1.0.
+
+    Scale shape at 100 TB: corpus-side work (shingle index, MinHash
+    signatures, band buckets) is ONE pass over the corpus and is the
+    part a real pipeline persists across ingests; candidates come from
+    a batch-bands-vs-corpus-bands equi-join — the batch side is tiny,
+    so the join broadcasts it and the corpus is never shuffled against
+    itself (no corpus x corpus pair space, unlike full
+    :func:`minhash_lsh_pairs`). Exact-Jaccard verification touches
+    only candidate pairs' shingles. ``max_shingle_doc_freq`` caps
+    corpus boilerplate shingles; batch Jaccard is then measured
+    against the capped (informative) corpus sets, same convention as
+    the full pipeline."""
+    _entry_release()  # previous pair-generation caches die here
+    rows_per_band = n_hashes // n_bands
+    c_sh = _persist(
+        _cap_hot_shingles(
+            shingles(corpus, text_col, shingle_n), max_shingle_doc_freq
+        )
+    )
+    b_sh = _persist(shingles(batch, text_col, shingle_n))
+    c_buckets = lsh_band_buckets(
+        minhash_signatures(c_sh, n_hashes, hash_mode),
+        n_bands, rows_per_band, hash_mode,
+    )
+    b_buckets = lsh_band_buckets(
+        minhash_signatures(b_sh, n_hashes, hash_mode),
+        n_bands, rows_per_band, hash_mode,
+    )
+    cand = (
+        b_buckets.alias("b")
+        .join(
+            c_buckets.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.sig") == F.col("c.sig")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("c.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    bs = b_sh.select(F.col("doc_id").alias("batch_id"), "shingle")
+    cs = c_sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    inter = (
+        cand.join(bs, "batch_id")
+        .join(cs, ["corpus_id", "shingle"])
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    zb = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col("doc_id").alias("batch_id"), "nb"
+    )
+    zc = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc")).select(
+        F.col("doc_id").alias("corpus_id"), "nc"
+    )
+    jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
+    scored = (
+        inter.join(zb, "batch_id")
+        .join(zc, "corpus_id")
+        .select(
+            "batch_id", "corpus_id", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    from pyspark.sql import Window
+
+    # best match per batch doc; candidate sets are LSH-bounded, so the
+    # window partitions hold a handful of rows each
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_id")
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    return (
+        batch.select("doc_id")
+        .distinct()
+        .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.col("corpus_id").isNotNull().alias("near_dup"),
+            F.col("corpus_id").alias("match_id"),
+            "jaccard",
+        )
+    )
+
+
 def dup_clusters_star(
     pairs: DataFrame,
     id_a: str = "doc_a",

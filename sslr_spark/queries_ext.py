@@ -919,6 +919,93 @@ from p
 """
 
 
+_INGEST_B = split_bucket_sql("doc_id", "ingest")
+
+
+def q_dedup_incremental_minhash(spark, sf_dir):
+    """Near-dup flag of the ingest batch (40% slice) against the
+    accepted corpus (80% slice) — banded MinHash candidates from a
+    batch-vs-corpus equi-join only (no corpus x corpus pair space),
+    exact-Jaccard verified, best match per batch doc."""
+    from sslr_spark.functions.sampling import split_bucket
+
+    docs = _docs(spark, sf_dir)
+    b = split_bucket(F.col("doc_id"), "ingest")
+    return D.incremental_minhash_dedup(
+        docs.filter(b >= 600_000),
+        docs.filter(b < 800_000),
+        jaccard_threshold=0.02,
+    )
+
+
+def _minhash_side_sql(name: str, src: str) -> str:
+    sh = f"""
+{name}_sh as (
+  select distinct doc_id, unnest(
+    list_transform(generate_series(1, len({W_SQL}) - 2),
+                   i -> array_to_string(({W_SQL})[i:i+2], ' '))
+  ) as shingle
+  from {src}
+),"""
+    sigs = f"""
+{name}_sigs as (
+  select doc_id, seed,
+         min({h60_sql("concat(cast(seed as varchar), ':', shingle)")}) as minhash
+  from {name}_sh, seeds
+  group by doc_id, seed
+),
+{name}_buckets as (
+  select doc_id, cast(seed / 4 as int) as band,
+         md5(string_agg(cast(minhash as varchar), ',' order by seed)) as sig
+  from {name}_sigs group by doc_id, cast(seed / 4 as int)
+),"""
+    return sh + sigs
+
+
+SQL_DEDUP_INCREMENTAL_MINHASH = f"""
+with corpus as (select * from documents where {_INGEST_B} < 800000),
+batch as (select * from documents where {_INGEST_B} >= 600000),
+seeds as (select unnest(generate_series(0, 15)) as seed),
+{_minhash_side_sql('c', 'corpus')}
+{_minhash_side_sql('b', 'batch')}
+cand as (
+  select distinct b.doc_id as batch_id, c.doc_id as corpus_id
+  from b_buckets b
+  join c_buckets c on b.band = c.band and b.sig = c.sig
+),
+inter as (
+  select cd.batch_id, cd.corpus_id, count(*) as n_common
+  from cand cd
+  join b_sh bs on bs.doc_id = cd.batch_id
+  join c_sh cs on cs.doc_id = cd.corpus_id and cs.shingle = bs.shingle
+  group by 1, 2
+),
+zb as (select doc_id, count(*) as nb from b_sh group by 1),
+zc as (select doc_id, count(*) as nc from c_sh group by 1),
+scored as (
+  select i.batch_id, i.corpus_id,
+         round(n_common / (nb + nc - n_common), 6) as jaccard
+  from inter i
+  join zb on zb.doc_id = i.batch_id
+  join zc on zc.doc_id = i.corpus_id
+  where round(n_common / (nb + nc - n_common), 6) >= 0.02
+),
+best as (
+  select batch_id, corpus_id, jaccard from (
+    select s.*, row_number() over (
+      partition by batch_id order by jaccard desc, corpus_id
+    ) as rn from scored s
+  ) where rn = 1
+)
+select d.doc_id,
+       best.corpus_id is not null as near_dup,
+       best.corpus_id as match_id,
+       best.jaccard
+from (select distinct doc_id from batch) d
+left join best on d.doc_id = best.batch_id
+"""
+
+
 def q_text_unigram_logprob(spark, sf_dir):
     """Perplexity-proxy quality score: per-doc mean unigram log-prob
     against a top-30 corpus vocabulary (functions/text.py:
@@ -1135,8 +1222,6 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
-_INGEST_B = split_bucket_sql("doc_id", "ingest")
-
 SQL_DEDUP_INCREMENTAL = f"""
 with corpus as (select * from documents where {_INGEST_B} < 800000),
 batch as (select * from documents where {_INGEST_B} >= 600000),
@@ -1152,6 +1237,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -1190,6 +1276,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_incremental_minhash": SQL_DEDUP_INCREMENTAL_MINHASH,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

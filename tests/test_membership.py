@@ -202,3 +202,41 @@ def test_incremental_dedup_property_matches_exact_join(
     corpus_set = set(corpus_texts)
     for i, t in enumerate(batch_texts):
         assert got[1000 + i] == (t in corpus_set), repr(t)
+
+
+def test_incremental_minhash_dedup_catches_edits(spark):
+    """Exact dedup misses edited re-crawls; the MinHash sibling must
+    flag them with the right corpus match."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about spark and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # doc 1 with one word changed: near-dup, not exact
+            (10, "the quick brown fox leaps over the lazy dog today"),
+            # unrelated
+            (11, "nothing here resembles anything in the corpus at all"),
+            # exact copy of doc 2: self-evident near-dup at 1.0
+            (12, "completely different words about spark and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        # 16 bands x 1 row: collision prob 1-(1-J)^16, ~0.9999 at the
+        # edited doc's J=0.45 (the default 4x4 banding targets higher-J
+        # regimes and would legitimately miss it ~84% of the time)
+        for r in D.incremental_minhash_dedup(
+            batch, corpus, jaccard_threshold=0.1, n_bands=16
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[10]["near_dup"] and out[10]["match_id"] == 1
+    assert 0.1 <= out[10]["jaccard"] < 1.0
+    assert not out[11]["near_dup"] and out[11]["match_id"] is None
+    assert out[12]["near_dup"] and out[12]["match_id"] == 2
+    assert out[12]["jaccard"] == 1.0
