@@ -90,6 +90,7 @@ _HEAD_KEYS = [
     "x_grouping_sets",
     "x_quantile_stats",
     "dedup_incremental_minhash",
+    "x_range_join",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -105,6 +106,7 @@ _TAIL_KEYS = [
     "sim_topk_bruteforce",
     "dedup_embedding_cosine",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",

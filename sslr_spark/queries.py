@@ -598,6 +598,44 @@ asof left join (
 """
 
 
+def q_x_range_join(spark, sf_dir):
+    """Tolerance range join (error events paired with click events
+    within ±2 minutes, any user) — the join shape Spark compiles to a
+    nested-loop/cartesian plan when written naively; the bucketized
+    form (operators/rangejoin.py) makes it ONE equi-shuffle with a 3x
+    probe-side amplification. Oracle: DuckDB's plain inequality join —
+    semantic equality across two very different physical strategies."""
+    from sslr_spark.operators.rangejoin import tolerance_join
+
+    ev = read_events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts_us"
+    )
+    return tolerance_join(
+        errors, clicks, "ts_us", "ts_us", tolerance=120_000_000
+    ).select(
+        F.col("event_id").alias("err_id"),
+        F.col("r_event_id").alias("click_id"),
+        (F.col("r_ts_us") - F.col("ts_us")).alias("dt_us"),
+    )
+
+
+SQL_X_RANGE_JOIN = """
+with ev as (
+  select event_id, epoch_us(cast(ts as timestamp)) as ts_us, event_type
+  from events
+)
+select a.event_id as err_id, b.event_id as click_id,
+       b.ts_us - a.ts_us as dt_us
+from ev a join ev b
+  on a.event_type = 'error' and b.event_type = 'click'
+ and abs(b.ts_us - a.ts_us) <= 120000000
+"""
+
+
 def q_x_json_extract(spark, sf_dir):
     """JSON property extraction from the events props column (pipeline
     metadata columns are routinely JSON at ingest)."""
@@ -640,6 +678,7 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t3_staleness_check": q_t3_staleness_check,
     "t6_event_window_agg": q_t6_event_window_agg,
     "x_asof_join": q_x_asof_join,
+    "x_range_join": q_x_range_join,
     "x_json_extract": q_x_json_extract,
 }
 
@@ -664,5 +703,6 @@ CORE_ORACLES: dict[str, str] = {
     "t3_staleness_check": SQL_T3,
     "t6_event_window_agg": SQL_T6,
     "x_asof_join": SQL_X_ASOF,
+    "x_range_join": SQL_X_RANGE_JOIN,
     "x_json_extract": SQL_X_JSON,
 }
