@@ -91,6 +91,7 @@ _HEAD_KEYS = [
     "x_quantile_stats",
     "dedup_incremental_minhash",
     "x_range_join",
+    "text_entropy",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -107,6 +108,7 @@ _TAIL_KEYS = [
     "dedup_embedding_cosine",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_exact",
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",

@@ -301,3 +301,50 @@ def unigram_logprob(
         F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
         F.coalesce("mean_logprob", F.lit(0.0)).alias("mean_logprob"),
     )
+
+
+def word_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document word-distribution Shannon entropy (nats) — the
+    vocabulary-diversity quality signal (near-zero entropy = the doc
+    is a handful of tokens repeated; templated/boilerplate text scores
+    far below natural prose of the same length).
+
+    (doc_id, n_tokens, n_distinct, entropy) with
+    entropy = ln(n) - (sum c*ln(c))/n over per-word counts c — the
+    algebraic form both engines can sum in one aggregate.
+
+    Scale shape: one explode + two map-side-combined aggregates
+    ((doc, word) counts, then per-doc moments). Deliberately NOT the
+    shuffle-free array-lambda form (count-within-array is O(tokens^2)
+    per doc — fine at 100 tokens, hopeless at 100k); the (doc, word)
+    shuffle is linear in corpus tokens and AQE-coalesced."""
+    tok = df.select(
+        "doc_id",
+        F.explode(words(F.coalesce(F.col(text_col), F.lit("")))).alias("__w"),
+    )
+    counts = tok.groupBy("doc_id", "__w").agg(F.count(F.lit(1)).alias("__c"))
+    moments = counts.groupBy("doc_id").agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__s"),
+    )
+    return (
+        df.select("doc_id")
+        .distinct()
+        .join(moments, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias(
+                "n_distinct"
+            ),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("__n"), F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.log(F.col("__n")) - F.col("__s") / F.col("__n")
+                ),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -1006,6 +1006,32 @@ left join best on d.doc_id = best.batch_id
 """
 
 
+def q_text_entropy(spark, sf_dir):
+    """Per-doc word-distribution Shannon entropy (vocabulary-diversity
+    quality signal)."""
+    return X.word_entropy(_docs(spark, sf_dir))
+
+
+SQL_TEXT_ENTROPY = f"""
+with tok as (
+  select doc_id, unnest({W_SQL}) as w from documents
+),
+counts as (select doc_id, w, count(*) as c from tok group by 1, 2),
+m as (
+  select doc_id, sum(c) as n, count(*) as n_distinct,
+         sum(c * ln(c)) as s
+  from counts group by doc_id
+)
+select d.doc_id,
+       coalesce(m.n, 0) as n_tokens,
+       coalesce(m.n_distinct, 0) as n_distinct,
+       round(case when coalesce(m.n, 0) = 0 then 0.0
+                  else ln(m.n) - m.s / m.n end, 6) as entropy
+from (select distinct doc_id from documents) d
+left join m on d.doc_id = m.doc_id
+"""
+
+
 def q_text_unigram_logprob(spark, sf_dir):
     """Perplexity-proxy quality score: per-doc mean unigram log-prob
     against a top-30 corpus vocabulary (functions/text.py:
@@ -1238,6 +1264,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_bloom_membership": q_bloom_membership,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
+    "text_entropy": q_text_entropy,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -1277,6 +1304,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_incremental_minhash": SQL_DEDUP_INCREMENTAL_MINHASH,
+    "text_entropy": SQL_TEXT_ENTROPY,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

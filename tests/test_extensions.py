@@ -458,3 +458,27 @@ def test_unigram_logprob_oov_floor_and_empty_docs(spark):
     assert out[4].n_oov == 1
     # floor below the rarest in-vocab logprob
     assert out[4].mean_logprob < out[1].mean_logprob
+
+
+def test_word_entropy_known_values(spark):
+    import math
+
+    from sslr_spark.functions.text import word_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word repeated -> entropy 0
+            (2, "a b c d"),          # uniform -> ln(4)
+            (3, "a a b b"),          # 2x2 uniform -> ln(2)
+            (4, ""),                 # empty -> 0, zero tokens
+            (5, None),               # null text behaves like empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in word_entropy(docs).collect()}
+    assert len(out) == 5
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-6
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-6
+    assert out[4]["n_tokens"] == 0 and out[4]["entropy"] == 0.0
+    assert out[5]["n_tokens"] == 0 and out[5]["entropy"] == 0.0
