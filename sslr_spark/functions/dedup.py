@@ -787,9 +787,37 @@ def incremental_exact_dedup(
     )
 
 
+def minhash_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    hash_mode: str = "portable",
+    max_shingle_doc_freq: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side MinHash artifacts incremental dedup reuses
+    across ingests: ``(shingles, band_buckets)`` DataFrames. Write
+    them to parquet once per corpus version and hand them to
+    :func:`incremental_minhash_dedup` via ``corpus_index`` — each
+    ingest then costs only the (tiny) batch-side work plus the
+    candidate joins; the corpus is not rescanned at all. Appending a
+    new accepted slice = union the new slice's index rows (both
+    artifacts are row-per-(doc, shingle|band), so incremental index
+    maintenance is a plain append)."""
+    sh = _cap_hot_shingles(
+        shingles(corpus, text_col, shingle_n), max_shingle_doc_freq
+    )
+    buckets = lsh_band_buckets(
+        minhash_signatures(sh, n_hashes, hash_mode),
+        n_bands, n_hashes // n_bands, hash_mode,
+    )
+    return sh, buckets
+
+
 def incremental_minhash_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     text_col: str = "text",
     shingle_n: int = 3,
     n_hashes: int = 16,
@@ -797,6 +825,7 @@ def incremental_minhash_dedup(
     jaccard_threshold: float = 0.1,
     hash_mode: str = "portable",
     max_shingle_doc_freq: int | None = None,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicate flag for each batch document against the
     accepted corpus — the MinHash sibling of
@@ -818,19 +847,30 @@ def incremental_minhash_dedup(
     only candidate pairs' shingles. ``max_shingle_doc_freq`` caps
     corpus boilerplate shingles; batch Jaccard is then measured
     against the capped (informative) corpus sets, same convention as
-    the full pipeline."""
+    the full pipeline.
+
+    Pass ``corpus_index`` (from :func:`minhash_index`, typically
+    reloaded from parquet) to skip the corpus scan entirely —
+    ``corpus`` may then be None; the ingest pays only batch-side
+    hashing plus the candidate joins."""
     _entry_release()  # previous pair-generation caches die here
     rows_per_band = n_hashes // n_bands
-    c_sh = _persist(
-        _cap_hot_shingles(
-            shingles(corpus, text_col, shingle_n), max_shingle_doc_freq
+    if corpus_index is not None:
+        c_sh, c_buckets = corpus_index
+        c_sh = _persist(c_sh)
+    elif corpus is not None:
+        c_sh = _persist(
+            _cap_hot_shingles(
+                shingles(corpus, text_col, shingle_n), max_shingle_doc_freq
+            )
         )
-    )
+        c_buckets = lsh_band_buckets(
+            minhash_signatures(c_sh, n_hashes, hash_mode),
+            n_bands, rows_per_band, hash_mode,
+        )
+    else:
+        raise ValueError("pass either corpus or corpus_index")
     b_sh = _persist(shingles(batch, text_col, shingle_n))
-    c_buckets = lsh_band_buckets(
-        minhash_signatures(c_sh, n_hashes, hash_mode),
-        n_bands, rows_per_band, hash_mode,
-    )
     b_buckets = lsh_band_buckets(
         minhash_signatures(b_sh, n_hashes, hash_mode),
         n_bands, rows_per_band, hash_mode,

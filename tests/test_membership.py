@@ -240,3 +240,48 @@ def test_incremental_minhash_dedup_catches_edits(spark):
     assert not out[11]["near_dup"] and out[11]["match_id"] is None
     assert out[12]["near_dup"] and out[12]["match_id"] == 2
     assert out[12]["jaccard"] == 1.0
+
+
+def test_incremental_minhash_prebuilt_index_roundtrip(spark, tmp_path):
+    """The corpus index persists to parquet and reloads: results with
+    the reloaded index equal the direct-corpus computation, with no
+    corpus rescan in the ingest path."""
+    from sslr_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+    )
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta 7 epsilon zeta"),
+         (101, "totally unrelated content with different words here")],
+        "doc_id long, text string",
+    )
+    db = ParquetDatabase(spark, str(tmp_path / "idx"))
+    sh, buckets = minhash_index(corpus)
+    db.overwrite("c_sh", sh)
+    db.overwrite("c_buckets", buckets)
+
+    direct = sorted(
+        map(tuple, incremental_minhash_dedup(
+            batch, corpus, jaccard_threshold=0.3
+        ).collect())
+    )
+    via_index = sorted(
+        map(tuple, incremental_minhash_dedup(
+            batch,
+            jaccard_threshold=0.3,
+            corpus_index=(db.read("c_sh"), db.read("c_buckets")),
+        ).collect())
+    )
+    assert direct == via_index
+    assert any(r[0] == 100 and r[1] for r in direct)  # exact copy flagged
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus or corpus_index"):
+        incremental_minhash_dedup(batch)
