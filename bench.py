@@ -186,6 +186,19 @@ def main() -> None:
     with timed("text_quality"):
         q_text_quality(spark, SF_DIR).count()
 
+    # ---- incremental curation (round-3 continuation ops) ------------
+    from pyspark.sql import functions as FF
+
+    with timed("incremental_dedup"):
+        DD.incremental_exact_dedup(
+            docs.filter(FF.col("doc_id") % 10 == 0), docs, m=1 << 20
+        ).filter("in_corpus").count()
+
+    from sslr_spark.queries import q_x_range_join
+
+    with timed("range_join"):
+        q_x_range_join(spark, SF_DIR).count()
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 
