@@ -187,11 +187,9 @@ def main() -> None:
         q_text_quality(spark, SF_DIR).count()
 
     # ---- incremental curation (round-3 continuation ops) ------------
-    from pyspark.sql import functions as FF
-
     with timed("incremental_dedup"):
         DD.incremental_exact_dedup(
-            docs.filter(FF.col("doc_id") % 10 == 0), docs, m=1 << 20
+            docs.filter(F.col("doc_id") % 10 == 0), docs, m=1 << 20
         ).filter("in_corpus").count()
 
     from sslr_spark.queries import q_x_range_join

@@ -787,6 +787,20 @@ def incremental_exact_dedup(
     )
 
 
+def _hot_shingle_set(sh: DataFrame, max_doc_freq: int | None) -> DataFrame | None:
+    """The boilerplate shingle set (doc-frequency >= cap), or None
+    when capping is off — shared by corpus AND batch sides so both
+    measure Jaccard over the same informative shingle space."""
+    if not max_doc_freq:
+        return None
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= max_doc_freq)
+        .select("shingle")
+    )
+
+
 def minhash_index(
     corpus: DataFrame,
     text_col: str = "text",
@@ -795,24 +809,26 @@ def minhash_index(
     n_bands: int = 4,
     hash_mode: str = "portable",
     max_shingle_doc_freq: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """The corpus-side MinHash artifacts incremental dedup reuses
-    across ingests: ``(shingles, band_buckets)`` DataFrames. Write
-    them to parquet once per corpus version and hand them to
-    :func:`incremental_minhash_dedup` via ``corpus_index`` — each
-    ingest then costs only the (tiny) batch-side work plus the
-    candidate joins; the corpus is not rescanned at all. Appending a
-    new accepted slice = union the new slice's index rows (both
-    artifacts are row-per-(doc, shingle|band), so incremental index
-    maintenance is a plain append)."""
-    sh = _cap_hot_shingles(
-        shingles(corpus, text_col, shingle_n), max_shingle_doc_freq
-    )
+    across ingests: ``(shingles, band_buckets, hot_shingles)``
+    DataFrames (``hot_shingles`` is None when capping is off — persist
+    it too, so ingest batches are capped against the SAME boilerplate
+    set the corpus was). Write them to parquet once per corpus version
+    and hand them to :func:`incremental_minhash_dedup` via
+    ``corpus_index`` — each ingest then costs only the (tiny)
+    batch-side work plus the candidate joins; the corpus is not
+    rescanned at all. Appending a new accepted slice = union the new
+    slice's index rows (the artifacts are row-per-(doc, shingle|band),
+    so incremental index maintenance is a plain append)."""
+    raw = shingles(corpus, text_col, shingle_n)
+    hot = _hot_shingle_set(raw, max_shingle_doc_freq)
+    sh = raw.join(hot, "shingle", "left_anti") if hot is not None else raw
     buckets = lsh_band_buckets(
         minhash_signatures(sh, n_hashes, hash_mode),
         n_bands, n_hashes // n_bands, hash_mode,
     )
-    return sh, buckets
+    return sh, buckets, hot
 
 
 def incremental_minhash_dedup(
@@ -844,25 +860,30 @@ def incremental_minhash_dedup(
     so the join broadcasts it and the corpus is never shuffled against
     itself (no corpus x corpus pair space, unlike full
     :func:`minhash_lsh_pairs`). Exact-Jaccard verification touches
-    only candidate pairs' shingles. ``max_shingle_doc_freq`` caps
-    corpus boilerplate shingles; batch Jaccard is then measured
-    against the capped (informative) corpus sets, same convention as
-    the full pipeline.
+    only candidate pairs' shingles. ``max_shingle_doc_freq`` derives
+    the boilerplate shingle set from the CORPUS and drops it from BOTH
+    sides — capping only the corpus would deflate nb-side Jaccard and
+    silently miss near-dups whose shared content is partly boilerplate.
 
     Pass ``corpus_index`` (from :func:`minhash_index`, typically
-    reloaded from parquet) to skip the corpus scan entirely —
-    ``corpus`` may then be None; the ingest pays only batch-side
-    hashing plus the candidate joins."""
+    reloaded from parquet — a 3-tuple including the hot-shingle set)
+    to skip the corpus scan entirely — ``corpus`` may then be None;
+    the ingest pays only batch-side hashing plus the candidate
+    joins."""
     _entry_release()  # previous pair-generation caches die here
     rows_per_band = n_hashes // n_bands
     if corpus_index is not None:
-        c_sh, c_buckets = corpus_index
+        if len(corpus_index) == 3:
+            c_sh, c_buckets, hot = corpus_index
+        else:  # legacy 2-tuple: no hot-shingle capping recorded
+            c_sh, c_buckets = corpus_index
+            hot = None
         c_sh = _persist(c_sh)
     elif corpus is not None:
+        raw = shingles(corpus, text_col, shingle_n)
+        hot = _hot_shingle_set(raw, max_shingle_doc_freq)
         c_sh = _persist(
-            _cap_hot_shingles(
-                shingles(corpus, text_col, shingle_n), max_shingle_doc_freq
-            )
+            raw.join(hot, "shingle", "left_anti") if hot is not None else raw
         )
         c_buckets = lsh_band_buckets(
             minhash_signatures(c_sh, n_hashes, hash_mode),
@@ -870,7 +891,10 @@ def incremental_minhash_dedup(
         )
     else:
         raise ValueError("pass either corpus or corpus_index")
-    b_sh = _persist(shingles(batch, text_col, shingle_n))
+    b_sh = shingles(batch, text_col, shingle_n)
+    if hot is not None:
+        b_sh = b_sh.join(hot, "shingle", "left_anti")
+    b_sh = _persist(b_sh)
     b_buckets = lsh_band_buckets(
         minhash_signatures(b_sh, n_hashes, hash_mode),
         n_bands, rows_per_band, hash_mode,

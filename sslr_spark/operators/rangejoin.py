@@ -49,41 +49,62 @@ def tolerance_join(
     """
     if tolerance <= 0:
         raise ValueError("tolerance must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
     eq = list(equi_keys or [])
     lb = F.floor(F.col(left_on) / F.lit(tolerance)).cast("long")
     rb = F.floor(F.col(right_on) / F.lit(tolerance)).cast("long")
     lcols = left.columns
     rcols = right.columns
-    # row id keys the left-outer reconstruction (anti join on data
-    # columns would break on nulls and duplicate rows)
-    left = left.withColumn("__lid", F.monotonically_increasing_id())
-    lx = left.withColumn(
-        "__bucket",
-        F.explode(F.array(lb - 1, lb, lb + 1)),
-    )
     rx = right.withColumn("__bucket", rb).select(
-        "__bucket", *[F.col(c).alias(f"r_{c}") for c in rcols]
+        "__bucket", F.lit(1).alias("__rmark"),
+        *[F.col(c).alias(f"r_{c}") for c in rcols],
     )
     cond = (
         F.abs(F.col(left_on) - F.col(f"r_{right_on}")) <= F.lit(tolerance)
     )
-    joined = lx.join(
-        rx,
-        [lx["__bucket"] == rx["__bucket"]]
-        + [lx[k] == F.col(f"r_{k}") for k in eq],
-        "inner",
-    ).filter(cond)
     if how == "inner":
-        return joined.select(*lcols, *[f"r_{c}" for c in rcols])
-    if how == "left":
-        matched = joined.select("__lid", *lcols, *[f"r_{c}" for c in rcols])
-        unmatched = left.join(
-            matched.select("__lid").distinct(), "__lid", "left_anti"
+        lx = left.withColumn(
+            "__bucket", F.explode(F.array(lb - 1, lb, lb + 1))
         )
-        rtypes = dict(right.dtypes)
-        for c in rcols:
-            unmatched = unmatched.withColumn(
-                f"r_{c}", F.lit(None).cast(rtypes[c])
+        return (
+            lx.join(
+                rx,
+                [lx["__bucket"] == rx["__bucket"]]
+                + [lx[k] == F.col(f"r_{k}") for k in eq],
+                "inner",
             )
-        return matched.unionByName(unmatched).drop("__lid")
-    raise ValueError(f"unsupported how={how!r}")
+            .filter(cond)
+            .select(*lcols, *[f"r_{c}" for c in rcols])
+        )
+    # left outer: ONE plan evaluation end-to-end. A previous design
+    # keyed reconstruction on monotonically_increasing_id evaluated in
+    # two separate join branches — nondeterministic row ids between the
+    # evaluations can duplicate or drop rows. Here the row id is
+    # assigned once, the range predicate lives in the join ON clause
+    # (unmatched bucket copies get a null right side), and a window
+    # over the id picks matched rows or one representative null row.
+    from pyspark.sql import Window
+
+    lx = left.select(
+        F.monotonically_increasing_id().alias("__lid"), "*"
+    ).select(
+        "__lid", *lcols,
+        F.posexplode(F.array(lb - 1, lb, lb + 1)).alias("__pos", "__bucket"),
+    )
+    on = (
+        (lx["__bucket"] == rx["__bucket"])
+        & cond
+        & F.lit(True)
+    )
+    for k in eq:
+        on = on & (lx[k] == F.col(f"r_{k}"))
+    j = lx.join(rx, on, "left")
+    w = Window.partitionBy("__lid")
+    j = j.withColumn(
+        "__any", F.max(F.col("__rmark").isNotNull().cast("int")).over(w)
+    )
+    keep = F.col("__rmark").isNotNull() | (
+        (F.col("__any") == 0) & (F.col("__pos") == 0)
+    )
+    return j.filter(keep).select(*lcols, *[f"r_{c}" for c in rcols])

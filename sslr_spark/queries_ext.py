@@ -228,9 +228,9 @@ sigs as (
   group by doc_id, seed
 ),
 buckets as (
-  select doc_id, cast(seed / 4 as int) as band,
+  select doc_id, cast(floor(seed / 4) as int) as band,
          md5(string_agg(cast(minhash as varchar), ',' order by seed)) as sig
-  from sigs group by doc_id, cast(seed / 4 as int)
+  from sigs group by doc_id, cast(floor(seed / 4) as int)
 ),
 cand as (
   select distinct a.doc_id as doc_a, b.doc_id as doc_b
@@ -955,9 +955,9 @@ def _minhash_side_sql(name: str, src: str) -> str:
   group by doc_id, seed
 ),
 {name}_buckets as (
-  select doc_id, cast(seed / 4 as int) as band,
+  select doc_id, cast(floor(seed / 4) as int) as band,
          md5(string_agg(cast(minhash as varchar), ',' order by seed)) as sig
-  from {name}_sigs group by doc_id, cast(seed / 4 as int)
+  from {name}_sigs group by doc_id, cast(floor(seed / 4) as int)
 ),"""
     return sh + sigs
 
@@ -1115,9 +1115,13 @@ def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup over the fixed 8-cell quantizer,
     cosine threshold 0.35 (the synthetic embeddings' within-cell
     cosine tops out near 0.47, so a production-style 0.9+ would flag
-    nothing and test nothing)."""
+    nothing and test nothing). ``max_block_size=None`` on purpose:
+    the guard silently EXCLUDES oversize cells from pair generation,
+    which the SQL oracle does not model — the parity query must stay
+    guard-free (production callers keep the default guard)."""
     return D.semantic_dedup(
-        _emb(spark, sf_dir), _IVF_CENT_IDS, threshold=0.35
+        _emb(spark, sf_dir), _IVF_CENT_IDS, threshold=0.35,
+        max_block_size=None,
     )
 
 

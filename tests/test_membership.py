@@ -262,7 +262,8 @@ def test_incremental_minhash_prebuilt_index_roundtrip(spark, tmp_path):
         "doc_id long, text string",
     )
     db = ParquetDatabase(spark, str(tmp_path / "idx"))
-    sh, buckets = minhash_index(corpus)
+    sh, buckets, hot = minhash_index(corpus)
+    assert hot is None  # no cap requested
     db.overwrite("c_sh", sh)
     db.overwrite("c_buckets", buckets)
 
@@ -285,3 +286,26 @@ def test_incremental_minhash_prebuilt_index_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="corpus or corpus_index"):
         incremental_minhash_dedup(batch)
+
+
+def test_incremental_minhash_caps_both_sides(spark):
+    """The boilerplate cap derives from the corpus and drops hot
+    shingles from the BATCH too — corpus-only capping would deflate
+    the batch-side set size and miss near-dups."""
+    boiler = "terms of service apply to all content here"
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} unique body {i} alpha beta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, f"{boiler} unique body 7 alpha gamma")],
+        "doc_id long, text string",
+    )
+    out = D.incremental_minhash_dedup(
+        batch, corpus, jaccard_threshold=0.3, n_bands=16,
+        max_shingle_doc_freq=10,
+    ).collect()[0]
+    # shared informative content: 'unique body 7 alpha' shingles; with
+    # symmetric capping J is high enough to flag; corpus-only capping
+    # would dilute nb with ~8 boilerplate shingles and drop J below 0.3
+    assert out["near_dup"] and out["match_id"] == 7
