@@ -92,6 +92,7 @@ _HEAD_KEYS = [
     "dedup_incremental_minhash",
     "x_range_join",
     "text_entropy",
+    "x_retention",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -109,6 +110,7 @@ _TAIL_KEYS = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_exact",
+    "dedup_apply",
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",

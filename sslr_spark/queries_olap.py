@@ -509,9 +509,47 @@ from lineitem group by l_returnflag
 """
 
 
+def q_x_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week,
+    distinct active users per (cohort week, weeks-since-cohort) — the
+    standard product-analytics shape (two map-side-combined aggregates
+    + one join on user_id; the cohort side is per-user and tiny).
+    Integer day/week arithmetic on epoch-microsecond longs so both
+    engines bucket identically regardless of session timezone."""
+    ev = read_events(spark, sf_dir)
+    ue = ev.select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    )
+    first = ue.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    return (
+        ue.join(first, "user_id")
+        .groupBy(
+            F.expr("cohort div 7").alias("cohort_week"),
+            F.expr("(day - cohort) div 7").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_RETENTION = """
+with ue as (
+  select user_id,
+         epoch_us(cast(ts as timestamp)) // 86400000000 as day
+  from events
+),
+f as (select user_id, min(day) as cohort from ue group by 1)
+select cohort // 7 as cohort_week,
+       (day - cohort) // 7 as week_offset,
+       count(distinct ue.user_id) as n_users
+from ue join f using (user_id)
+group by 1, 2
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_grouping_sets": q_x_grouping_sets,
     "x_quantile_stats": q_x_quantile_stats,
+    "x_retention": q_x_retention,
     "x_window_suite": q_x_window_suite,
     "x_cube": q_x_cube,
     "x_distinct_stats": q_x_distinct_stats,
@@ -532,6 +570,7 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 OLAP_ORACLES: dict[str, str] = {
     "x_grouping_sets": SQL_GROUPING_SETS,
     "x_quantile_stats": SQL_QUANTILE_STATS,
+    "x_retention": SQL_RETENTION,
     "x_window_suite": SQL_WINDOW_SUITE,
     "x_cube": SQL_CUBE,
     "x_distinct_stats": SQL_DISTINCT_STATS,
