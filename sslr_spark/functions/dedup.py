@@ -118,21 +118,16 @@ def _cap_hot_shingles(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
     production failure mode of shingle joins. Dropping ubiquitous
     shingles is standard MinHash practice (they carry ~zero Jaccard
     signal: docs sharing only boilerplate are not near-dups)."""
-    if not max_doc_freq:
+    hot = _hot_shingle_set(sh, max_doc_freq)
+    if hot is None:
         return sh
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= max_doc_freq)
-        .select("shingle")
-    )
-    # Usually tiny (a handful of boilerplate shingles) — but a small
-    # max_doc_freq or a heavily templated corpus can make the >=df set
-    # big, and a FORCED broadcast of a big set OOMs the driver. Leave
-    # the strategy to AQE: it broadcasts the build side when its
-    # runtime size is under the threshold and falls back to a shuffled
-    # anti-join when it isn't — exactly the guard, with no extra
-    # driver-side count job.
+    # The hot set is usually tiny (a handful of boilerplate shingles)
+    # — but a small max_doc_freq or a heavily templated corpus can
+    # make it big, and a FORCED broadcast of a big set OOMs the
+    # driver. Leave the strategy to AQE: it broadcasts the build side
+    # when its runtime size is under the threshold and falls back to a
+    # shuffled anti-join when it isn't — exactly the guard, with no
+    # extra driver-side count job.
     return sh.join(hot, "shingle", "left_anti")
 
 
