@@ -25,6 +25,17 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="stop continuous mode after N passes (testing)",
     )
+    parser.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="analyze what the next pass would do (zero writes), "
+        "print a JSON plan, and exit",
+    )
+    parser.add_argument(
+        "--metrics-file",
+        default=None,
+        help="write the pass result as JSON to this path",
+    )
     args = parser.parse_args(argv)
 
     from sslr_spark.config import ConfigError, load_config
@@ -40,7 +51,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(shuffle_partitions=config.shuffle_partitions)
     job = Job(spark, config)
+    import json
+
     try:
+        if args.dry_run:
+            print(json.dumps(job.plan(), indent=2, sort_keys=True))
+            return 0
         if args.c:
             results = job.run_continuous(max_iterations=args.max_iterations)
             total = sum(r.updated_rows for r in results)
@@ -52,6 +68,18 @@ def main(argv: list[str] | None = None) -> int:
                 f"{result.repaired_buckets} buckets repaired, "
                 f"full copies: {result.full_copies or 'none'}"
             )
+            if args.metrics_file:
+                with open(args.metrics_file, "w") as fh:
+                    json.dump(
+                        {
+                            "updated_rows": result.updated_rows,
+                            "repaired_buckets": result.repaired_buckets,
+                            "compacted_partitions": result.compacted_partitions,
+                            "full_copies": result.full_copies,
+                            "validated": result.validated,
+                        },
+                        fh,
+                    )
     except KeyboardInterrupt:
         job.stop()
         return 2

@@ -296,6 +296,71 @@ class Job:
             )
         result.repaired_buckets += stats.mismatched_buckets
 
+    def plan(self) -> dict:
+        """Dry run: per-table sync analysis with ZERO writes and ZERO
+        state commits — what the next pass WOULD do. Composes the same
+        read-only probes the real pass starts with (A1 watermark probe,
+        staleness branch, bucket fingerprint diff), so the report is
+        the pass's actual decision, not an estimate. Safe to run
+        against production targets at any time; cost is two key-only
+        column-pruned scans per table."""
+        from sslr_spark.operators.deletes import (
+            effective_buckets,
+            mismatched_buckets,
+        )
+        from sslr_spark.operators.updates import (
+            filtered_source,
+            get_update_range,
+        )
+
+        out: dict[str, dict] = {}
+        vcol = self.config.version_column
+        for table in self.validate_tables():
+            pks = self.primary_keys[table]
+            where = self.config.where_for(table)
+            src = self.source_df(table)
+            st = self.state.get(table)
+            rng = get_update_range(
+                src, self.target, table, st,
+                where=where,
+                version_col=vcol,
+                full_copy_threshold=self.config.full_copy_threshold,
+                force_full=table in self.force_full,
+            )
+            fsrc = filtered_source(src, where)
+            entry: dict = {
+                "action": "full_copy" if rng.full_table else "incremental",
+                "start_version": rng.start_version,
+                "end_version": rng.end_version,
+                "last_seen_version": st.last_seen_version,
+            }
+            if not rng.full_table:
+                entry["pending_rows"] = fsrc.filter(
+                    F.col(vcol) > st.last_seen_version
+                ).count()
+                if self.config.sync_deletes and self.target.table_exists(
+                    table
+                ):
+                    from sslr_spark.operators.deletes import (
+                        choose_bucket_count,
+                    )
+
+                    n_buckets = effective_buckets(
+                        self.target, table,
+                        self.config.target_buckets or None,
+                    ) or choose_bucket_count(
+                        fsrc.count(), self.config.min_delete_chunk_size
+                    )
+                    entry["mismatched_buckets"] = mismatched_buckets(
+                        fsrc.select(pks),
+                        self.target.read(table).select(pks),
+                        pks,
+                        n_buckets,
+                        self.config.bucket_hash,
+                    ).count()
+            out[table] = entry
+        return out
+
     # -- entry points (reference main.go:38-82) ------------------------
     def run(self) -> JobResult:
         """One sync pass. With ``parallel_tables > 1``, independent

@@ -379,3 +379,79 @@ def test_compaction_off_by_default(spark, tmp_path):
         ' "primaryKeys": {"a": ["id"]}, "compactFilesPerBucket": 4}'
     )
     assert cfg2.compact_files_per_bucket == 4
+
+
+def test_plan_dry_run_reports_without_writing(spark, tmp_path):
+    """job.plan(): first pass says full_copy; after a sync + source
+    changes it reports pending rows and mismatched buckets — and the
+    target + state stay byte-untouched by planning."""
+    import os
+
+    job = make_job(spark, tmp_path, target_buckets=8)
+    src = make_timestamps(spark, 400)
+    job.source.overwrite("timestamps", src)
+
+    p1 = job.plan()
+    assert p1["timestamps"]["action"] == "full_copy"
+    assert not job.target.table_exists("timestamps")  # nothing written
+
+    job.run()
+    p2 = job.plan()
+    assert p2["timestamps"]["action"] == "incremental"
+    assert p2["timestamps"]["pending_rows"] == 0
+    assert p2["timestamps"]["mismatched_buckets"] == 0
+
+    # new + updated rows in the source; deletes too
+    import datetime
+
+    changed = spark.createDataFrame(
+        [(i, datetime.datetime(2032, 1, 1), 500) for i in range(390, 410)],
+        schema="id long, ts timestamp, xmin long",
+    )
+    newsrc = (
+        src.filter(F.col("id") < 380)  # 20 deletes
+        .unionByName(changed.filter(F.col("id") < 400))
+        .filter(F.col("id") >= 10)  # 10 more deletes
+        .unionByName(changed.filter(F.col("id") >= 400))
+    )
+    job.source.overwrite("timestamps", newsrc)
+
+    mtime = os.path.getmtime(job.target.path("timestamps"))
+    p3 = job.plan()
+    assert p3["timestamps"]["action"] == "incremental"
+    assert p3["timestamps"]["pending_rows"] == 20  # version 500 rows
+    assert p3["timestamps"]["mismatched_buckets"] > 0
+    assert os.path.getmtime(job.target.path("timestamps")) == mtime
+
+    # and the real pass then converges
+    job.update_table("timestamps", JobResult())
+    p4 = job.plan()
+    assert p4["timestamps"]["pending_rows"] == 0
+    assert p4["timestamps"]["mismatched_buckets"] == 0
+
+
+def test_cli_dry_run_and_metrics_file(spark, tmp_path):
+    import json
+    import os
+
+    from sslr_spark.__main__ import main as cli_main
+
+    src_dir, tgt_dir = str(tmp_path / "s"), str(tmp_path / "t")
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    ParquetDatabase(spark, src_dir).overwrite(
+        "timestamps", make_timestamps(spark, 100)
+    )
+    cfg = tmp_path / "cfg.json"
+    cfg.write_text(json.dumps({
+        "source": src_dir, "target": tgt_dir,
+        "sourceTables": ["timestamps"],
+        "primaryKeys": {"timestamps": ["id"]},
+    }))
+    assert cli_main(["-cfg", str(cfg), "--dry-run"]) == 0
+    assert not os.path.exists(os.path.join(tgt_dir, "timestamps.parquet"))
+
+    metrics = str(tmp_path / "m.json")
+    assert cli_main(["-cfg", str(cfg), "--metrics-file", metrics]) == 0
+    m = json.load(open(metrics))
+    assert m["updated_rows"] == 100 and m["validated"] == ["timestamps"]
