@@ -93,6 +93,7 @@ _HEAD_KEYS = [
     "x_range_join",
     "text_entropy",
     "x_retention",
+    "dedup_keep_best",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

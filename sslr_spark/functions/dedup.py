@@ -1052,3 +1052,55 @@ def dup_clusters_star(
         )
     )
     return labels
+
+
+# ------------------------------------------------------------------
+# canonical selection
+# ------------------------------------------------------------------
+
+def cluster_keep_best(
+    clusters: DataFrame,
+    docs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: one keeper per near-dup
+    cluster, chosen by a quality score instead of the min-id default
+    the cluster label itself encodes (curation pipelines keep the
+    *best* member of a duplicate cluster — longest, highest quality
+    score, most trusted source — not the numerically smallest id).
+
+    ``clusters``: (id_col, cluster_id) as produced by
+    :func:`dup_clusters` / :func:`dup_clusters_star`.
+    ``score``: a Column over ``docs`` columns; the keeper is the
+    member with the LARGEST score, ties broken by smallest id (fully
+    deterministic).
+
+    Scale shape: one inner join on ``id_col`` (cluster membership is
+    a tiny fraction of the corpus — AQE broadcasts the cluster side
+    once runtime stats are known), then ONE shuffle for a two-level
+    min-of-struct aggregation (Spark plans struct-min as partial +
+    final SortAggregate — still map-side combinable). No window —
+    nothing sorts a whole cluster in a single task, so a pathological
+    million-member boilerplate cluster costs a combiner-friendly
+    reduction, not a one-task sort.
+    """
+    scored = clusters.join(docs, id_col)
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(
+                F.struct(
+                    (-score).alias("neg_score"),
+                    F.col(id_col).alias("id"),
+                )
+            ).alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("_best.id").alias("keep_id"),
+        )
+    )
+    return best

@@ -271,8 +271,11 @@ def q_dedup_clusters(spark, sf_dir):
     return D.dup_clusters_star(pairs)
 
 
-SQL_DEDUP_CLUSTERS = (
-    "with " + _shingles_cte(3) + "," + """
+# Shared CTE chain: shingles -> Jaccard pairs -> symmetric edges ->
+# recursive reachability -> (doc_id, cluster_id) labels. Used by both
+# the cluster query and the keep-best canonical-selection query.
+_CLUSTERS_CTE = (
+    _shingles_cte(3) + "," + """
 sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
 inter as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
@@ -298,9 +301,44 @@ reach as (
     select r.src, e.dst from r join edges e on r.dst = e.src
   )
   select * from r
+),
+clusters as (
+  select src as doc_id, least(src, min(dst)) as cluster_id
+  from reach group by src
 )
-select src as doc_id, least(src, min(dst)) as cluster_id
-from reach group by src
+"""
+)
+
+SQL_DEDUP_CLUSTERS = (
+    "with " + _CLUSTERS_CTE + "\nselect doc_id, cluster_id from clusters"
+)
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection: per near-dup cluster keep
+    the member with the most characters (ties -> smallest doc_id) —
+    the keep-the-best-copy policy curation pipelines apply after
+    clustering, instead of the min-id default."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05)
+    clusters = D.dup_clusters_star(pairs)
+    return D.cluster_keep_best(clusters, docs, F.col("n_chars"))
+
+
+SQL_DEDUP_KEEP_BEST = (
+    "with " + _CLUSTERS_CTE + """,
+scored as (
+  select c.cluster_id, d.doc_id, d.n_chars
+  from clusters c join documents d on d.doc_id = c.doc_id
+),
+g as (
+  select cluster_id, count(*) as n_members, max(n_chars) as best_chars
+  from scored group by 1
+)
+select g.cluster_id, g.n_members, min(s.doc_id) as keep_id
+from g join scored s
+  on s.cluster_id = g.cluster_id and s.n_chars = g.best_chars
+group by 1, 2
 """
 )
 
@@ -1263,6 +1301,7 @@ from batch b
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_keep_best": q_dedup_keep_best,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1303,6 +1342,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,

@@ -74,3 +74,46 @@ def test_star_handles_deep_chain_in_few_rounds(spark):
     out = dup_clusters_star(pairs).collect()
     assert len(out) == 121
     assert all(r.cluster_id == 0 for r in out)
+
+
+def test_cluster_keep_best_prefers_score_then_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from sslr_spark.functions.dedup import cluster_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        (r.cluster_id, r.n_members, r.keep_id)
+        for r in cluster_keep_best(clusters, docs, F.col("n_chars")).collect()
+    }
+    # cluster 1: docs 2 and 3 tie on score 9 -> smallest id 2 wins;
+    # cluster 10: tie on 4 -> doc 10.
+    assert got == {(1, 3, 2), (10, 2, 10)}
+
+
+def test_cluster_keep_best_is_hash_agg_not_window(spark):
+    from pyspark.sql import functions as F
+
+    from sslr_spark.functions.dedup import cluster_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9)], "doc_id long, n_chars long"
+    )
+    plan = (
+        cluster_keep_best(clusters, docs, F.col("n_chars"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # no whole-cluster sort in one task
+    # min(struct) plans as a two-level SortAggregate: partial map-side
+    # combine, then final after the cluster_id shuffle.
+    assert "partial_min" in plan
