@@ -253,3 +253,25 @@ def test_dup_ngram_coverage_no_pairwise_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     release_caches()
+
+
+def test_range_join_is_bucketized_not_nested_loop(spark):
+    """Tolerance join must compile to an equi-join on time buckets —
+    the naive |a.ts - b.ts| <= tol predicate gives Spark a
+    BroadcastNestedLoopJoin, which is quadratic at 100 TB."""
+    from sslr_spark.queries import q_x_range_join
+
+    p = plan_of(q_x_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_retention_aggs_are_partial(spark):
+    """Cohort retention: both aggregations must map-side combine
+    (partial_min / partial count-distinct) — a straight shuffle of
+    raw events per (cohort, week) cell would move the full event log."""
+    from sslr_spark.queries_olap import q_x_retention
+
+    p = plan_of(q_x_retention(spark, SF))
+    assert "partial_min" in p
+    assert "Window" not in p  # no single-partition fallback
