@@ -94,6 +94,7 @@ _HEAD_KEYS = [
     "text_entropy",
     "x_retention",
     "dedup_keep_best",
+    "x_source_overlap",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

@@ -1104,3 +1104,68 @@ def cluster_keep_best(
         )
     )
     return best
+
+
+# ------------------------------------------------------------------
+# cross-source overlap
+# ------------------------------------------------------------------
+
+def source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-source duplication matrix: shingle-set Jaccard between
+    every pair of sources — the corpus-health scan that answers "which
+    feeds are re-crawls of each other" before any doc-level dedup runs.
+
+    Output: (src_a, src_b, n_common, jaccard), src_a < src_b.
+
+    Scale shape: the self-join fans out per shingle by the number of
+    SOURCES containing it — bounded by n_sources² per shingle (a few
+    hundred for realistic feed counts), never by document count, so
+    the op stays linear in corpus size. ``max_shingle_doc_freq``
+    additionally drops boilerplate shingles before the join (same
+    guard as the doc-level pair generators). Group sizes broadcast
+    (n_sources rows).
+    """
+    _entry_release()
+    sh = shingles(df, text_col, n)
+    sh = _cap_hot_shingles(sh, max_shingle_doc_freq)
+    gsh = _persist(
+        sh.join(df.select("doc_id", group_col), "doc_id")
+        .select(F.col(group_col).alias("src"), "shingle")
+        .distinct()
+    )
+    sizes = gsh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        gsh.select(F.col("src").alias("src_a"), "shingle")
+        .join(
+            gsh.select(F.col("src").alias("src_b"), "shingle"), "shingle"
+        )
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("src").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("src").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -314,6 +314,33 @@ SQL_DEDUP_CLUSTERS = (
 )
 
 
+def q_x_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: shingle-set Jaccard between
+    every source pair — which feeds are re-crawls of each other."""
+    return D.source_overlap(_docs(spark, sf_dir), "source")
+
+
+SQL_SOURCE_OVERLAP = (
+    "with " + _shingles_cte(3) + "," + """
+gsh as (
+  select distinct d.source as src, s.shingle
+  from sh s join documents d on d.doc_id = s.doc_id
+),
+sizes as (select src, count(*) as n_sh from gsh group by 1),
+inter as (
+  select a.src as src_a, b.src as src_b, count(*) as n_common
+  from gsh a join gsh b on a.shingle = b.shingle and a.src < b.src
+  group by 1, 2
+)
+select i.src_a, i.src_b, i.n_common,
+       round(i.n_common / (sa.n_sh + sb.n_sh - i.n_common), 6) as jaccard
+from inter i
+join sizes sa on sa.src = i.src_a
+join sizes sb on sb.src = i.src_b
+"""
+)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware canonical selection: per near-dup cluster keep
     the member with the most characters (ties -> smallest doc_id) —
@@ -1302,6 +1329,7 @@ from batch b
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
+    "x_source_overlap": q_x_source_overlap,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1343,6 +1371,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "x_source_overlap": SQL_SOURCE_OVERLAP,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,

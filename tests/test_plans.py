@@ -275,3 +275,17 @@ def test_retention_aggs_are_partial(spark):
     p = plan_of(q_x_retention(spark, SF))
     assert "partial_min" in p
     assert "Window" not in p  # no single-partition fallback
+
+
+def test_source_overlap_fanout_bounded_by_sources(spark):
+    """Cross-source overlap: the self-join key is the shingle and the
+    join sides are (source, shingle) DISTINCT sets — no doc-level pair
+    can appear, and the per-group sizes broadcast."""
+    from sslr_spark.functions.dedup import release_caches, source_overlap
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(source_overlap(docs))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # the n_sources-row size joins
+    release_caches()
