@@ -66,6 +66,21 @@ def main() -> None:
     print(f"== health == mean dup-5gram coverage {health['mean_cov']}, "
           f"docs >50% duplicated {health['mostly_dup']}")
 
+    # 0b. Cross-source overlap: feeds that are re-crawls of each other
+    #     (candidates for dropping a whole source before doc-level work)
+    from sslr_spark.functions.dedup import source_overlap
+
+    twins = (
+        source_overlap(docs, "source")
+        .orderBy(F.desc("jaccard"))
+        .limit(3)
+        .collect()
+    )
+    print("== top cross-source overlap ==")
+    for r in twins:
+        print(f"  {r.src_a} ~ {r.src_b}: {r.n_common} shared shingles, "
+              f"jaccard={r.jaccard}")
+
     # 1. Quality funnel — one scan, per-stage survivor report
     t = F.col("text")
     funnel = filter_funnel(
@@ -92,10 +107,19 @@ def main() -> None:
     )
     kept = kept.join(F.broadcast(keepers), "doc_id", "left_semi")
 
-    # 3. Near-dup pairs via MinHash+LSH; drop the higher doc_id of
-    #    each verified pair (min-keeper policy)
+    # 3. Near-dup clusters via MinHash+LSH -> connected components;
+    #    keep the highest-quality member of each cluster (most chars,
+    #    ties to smallest id) instead of the blind min-id policy
+    from sslr_spark.functions.dedup import cluster_keep_best, dup_clusters_star
+
     pairs = minhash_lsh_pairs(kept, jaccard_threshold=0.5)
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    clusters = dup_clusters_star(pairs)
+    best = cluster_keep_best(clusters, kept, F.col("n_chars"))
+    losers = (
+        clusters.join(best.select("cluster_id", "keep_id"), "cluster_id")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
     kept = kept.join(F.broadcast(losers), "doc_id", "left_anti")
 
     # 3b. Incremental dedup against the already-accepted prior crawl:

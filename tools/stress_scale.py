@@ -173,6 +173,15 @@ def main() -> None:
             batch, docs_scaled, m=1 << 20, k=3
         ).filter("in_corpus").count()
 
+    # cross-source overlap: source count stays FIXED while the corpus
+    # grows K x — the per-shingle join fan-out is bounded by
+    # n_sources^2, so this must scale ~linearly in corpus size
+    from sslr_spark.functions.dedup import source_overlap
+
+    with timed("source_overlap"):
+        source_overlap(docs_scaled, "source").count()
+    release_caches()
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
