@@ -482,3 +482,46 @@ def test_word_entropy_known_values(spark):
     assert abs(out[3]["entropy"] - math.log(2)) < 1e-6
     assert out[4]["n_tokens"] == 0 and out[4]["entropy"] == 0.0
     assert out[5]["n_tokens"] == 0 and out[5]["entropy"] == 0.0
+
+
+def test_source_overlap_known_values(spark):
+    from sslr_spark.functions.dedup import release_caches, source_overlap
+
+    # 3-gram shingles: doc text "w1 w2 w3 w4" has shingles
+    # {w1 w2 w3, w2 w3 w4}. Sources A and B share one doc text
+    # exactly; C shares nothing.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "A"),   # A: {abc, bcd}
+            (2, "a b c", "B"),     # B: {abc}
+            (3, "x y z", "C"),     # C: {xyz}
+            (4, "a b c d", "A"),   # duplicate within A: no size change
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.jaccard)
+        for r in source_overlap(docs, "source").collect()
+    }
+    release_caches()
+    # A={abc,bcd} B={abc}: common 1, union 2 -> 0.5; C overlaps nothing
+    assert got == {("A", "B"): (1, 0.5)}
+
+
+def test_source_overlap_hot_shingle_cap(spark):
+    from sslr_spark.functions.dedup import release_caches, source_overlap
+
+    # the shared shingle appears in 3 docs; capping at doc_freq<=2
+    # removes it, so no pair survives
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "A"),
+            (2, "a b c", "B"),
+            (3, "a b c x", "C"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = source_overlap(docs, "source", max_shingle_doc_freq=3).collect()
+    release_caches()
+    # shingle "a b c" has doc_freq 3 >= 3 -> dropped; "b c x" unique
+    assert out == []
