@@ -1092,6 +1092,10 @@ def cluster_keep_best(
             F.count(F.lit(1)).alias("n_members"),
             F.min(
                 F.struct(
+                    # null scores must lose, but a null field sorts
+                    # FIRST in ascending struct comparison — lead with
+                    # an is-null flag so they sort last instead
+                    score.isNull().cast("int").alias("null_flag"),
                     (-score).alias("neg_score"),
                     F.col(id_col).alias("id"),
                 )

@@ -117,3 +117,24 @@ def test_cluster_keep_best_is_hash_agg_not_window(spark):
     # min(struct) plans as a two-level SortAggregate: partial map-side
     # combine, then final after the cluster_id shuffle.
     assert "partial_min" in plan
+
+
+def test_cluster_keep_best_null_scores_lose(spark):
+    from pyspark.sql import functions as F
+
+    from sslr_spark.functions.dedup import cluster_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)], "doc_id long, cluster_id long"
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, 7), (3, None), (4, None)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        (r.cluster_id, r.keep_id)
+        for r in cluster_keep_best(clusters, docs, F.col("n_chars")).collect()
+    }
+    # cluster 1: doc 2 has the only non-null score -> wins over doc 1;
+    # cluster 3: all null -> falls back to min id 3
+    assert got == {(1, 2), (3, 3)}
