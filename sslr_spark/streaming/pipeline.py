@@ -225,3 +225,139 @@ def sessionized_stream(
             "n_events",
         )
     )
+
+
+def streaming_neardup_ingest(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    target: ParquetDatabase,
+    checkpoint_dir: str,
+    accepted_table: str = "accepted",
+    index_table: str = "__neardup_index",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    hash_mode: str = "portable",
+    trigger_seconds: float | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous near-dup-deduped ingest: every arriving micro-batch
+    is collapsed within itself, probed against the ACCEPTED corpus's
+    persisted MinHash index, and only genuinely new documents land —
+    the streaming composition of :func:`incremental_minhash_dedup` +
+    :func:`minhash_index`.
+
+    Per micro-batch (epoch):
+
+    1. in-batch collapse: LSH-verified pairs, min-id keeper (the
+       ``doc_b`` side of each verified pair drops — conservative on
+       transitive chains, same policy as the batch pair queries);
+    2. corpus probe: survivors run against the stored index tables —
+       batch-side hashing plus candidate joins only, the accepted
+       corpus itself is NEVER rescanned (its shingles/band-buckets
+       were persisted when its docs were accepted);
+    3. landing: survivors append to ``accepted_table`` and their index
+       rows (shingles + band buckets) append to the index tables —
+       index maintenance is a plain append because the artifacts are
+       row-per-(doc, shingle|band).
+
+    Exactly-once despite foreachBatch's at-least-once contract: all
+    three writes go through per-epoch dynamic partition overwrite
+    (``replace_partitions`` on an ``__epoch`` column), and the index
+    load EXCLUDES the current epoch's partition — so a replayed batch
+    recomputes against exactly the pre-crash corpus state and
+    overwrites its own partitions with identical rows instead of
+    appending duplicates or (worse) self-matching into data loss.
+
+    LSH parameters (``shingle_n / n_hashes / n_bands / hash_mode``)
+    are baked into the stored index — keep them constant for the life
+    of the target, or rebuild the index with :func:`minhash_index`.
+
+    Returns the StreamingQuery. Accepted reads carry the ``__epoch``
+    partition column (drop it downstream if unwanted).
+    """
+    from sslr_spark.functions.dedup import (
+        incremental_minhash_dedup,
+        minhash_index,
+        minhash_lsh_pairs,
+        release_caches,
+    )
+
+    sh_table = f"{index_table}_shingles"
+    bk_table = f"{index_table}_buckets"
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(source_path)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        batch = batch_df.persist()
+        fresh = None
+        try:
+            ep = F.lit(int(epoch_id))
+            pairs = minhash_lsh_pairs(
+                batch, text_col, shingle_n, n_hashes, n_bands,
+                jaccard_threshold, hash_mode,
+            )
+            losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            survivors = batch.join(losers, "doc_id", "left_anti")
+            if target.table_exists(bk_table):
+                c_sh = (
+                    target.read(sh_table)
+                    .filter(F.col("__epoch") != int(epoch_id))
+                    .drop("__epoch")
+                )
+                c_bk = (
+                    target.read(bk_table)
+                    .filter(F.col("__epoch") != int(epoch_id))
+                    .drop("__epoch")
+                )
+                flags = incremental_minhash_dedup(
+                    survivors,
+                    text_col=text_col,
+                    shingle_n=shingle_n,
+                    n_hashes=n_hashes,
+                    n_bands=n_bands,
+                    jaccard_threshold=jaccard_threshold,
+                    hash_mode=hash_mode,
+                    corpus_index=(c_sh, c_bk),
+                )
+                fresh = survivors.join(
+                    flags.filter(~F.col("near_dup")).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                ).persist()
+            else:
+                fresh = survivors.persist()
+            new_sh, new_bk, _ = minhash_index(
+                fresh, text_col, shingle_n, n_hashes, n_bands, hash_mode
+            )
+            target.replace_partitions(
+                accepted_table, fresh.withColumn("__epoch", ep), "__epoch"
+            )
+            target.replace_partitions(
+                sh_table, new_sh.withColumn("__epoch", ep), "__epoch"
+            )
+            target.replace_partitions(
+                bk_table, new_bk.withColumn("__epoch", ep), "__epoch"
+            )
+        finally:
+            release_caches()
+            if fresh is not None:
+                fresh.unpersist()
+            batch.unpersist()
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -169,3 +169,70 @@ def test_streaming_ingest_dedup_against_static_corpus(spark, tmp_path):
     got = {r["doc_id"] for r in target.read("accepted").collect()}
     assert got == {201, 202}  # the known-text doc never lands
     bits.unpersist()
+
+
+def test_streaming_neardup_ingest_with_self_maintaining_index(
+    spark, tmp_path
+):
+    """Continuous near-dup ingest: batch 2's edited re-crawl of a
+    batch-1 doc is caught by the PERSISTED index (no corpus rescan);
+    replaying everything through a fresh checkpoint rewrites the same
+    per-epoch partitions instead of duplicating (exactly-once)."""
+    from sslr_spark.streaming.pipeline import streaming_neardup_ingest
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15"
+    schema_str = "doc_id long, text string"
+    batch1 = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),        # in-batch near-dup of 1
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        ],
+        schema_str,
+    )
+    src_dir = str(tmp_path / "nd_src")
+    os.makedirs(src_dir)
+    target = ParquetDatabase(spark, str(tmp_path / "nd_target"))
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def run():
+        q = streaming_neardup_ingest(
+            spark, src_dir, batch1.schema, target, ckpt,
+            jaccard_threshold=0.5,
+        )
+        q.awaitTermination(180)
+
+    batch1.write.mode("append").parquet(src_dir)
+    run()
+    got = {r["doc_id"] for r in target.read("accepted").collect()}
+    assert got == {1, 3}  # 2 collapsed within its own batch
+
+    batch2 = spark.createDataFrame(
+        [
+            (10, base.replace("w15", "w15x")),  # edited re-crawl of 1
+            (11, "y1 y2 y3 y4 y5 y6 y7 y8"),    # genuinely new
+        ],
+        schema_str,
+    )
+    batch2.write.mode("append").parquet(src_dir)
+    run()
+    got = {r["doc_id"] for r in target.read("accepted").collect()}
+    assert got == {1, 3, 11}  # 10 caught by the stored index
+
+    # the index grew incrementally: rows exist for every accepted doc
+    idx_docs = {
+        r["doc_id"]
+        for r in target.read("__neardup_index_buckets").collect()
+    }
+    assert idx_docs == {1, 3, 11}
+
+    # replay: FRESH checkpoint reprocesses every file as epoch 0; the
+    # epoch-excluding index load + per-epoch partition overwrite must
+    # leave the accepted set unchanged (no duplicates, no data loss)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    run()
+    rows = target.read("accepted").collect()
+    assert {r["doc_id"] for r in rows} == {1, 3, 11}
+    assert len(rows) == 3
