@@ -194,24 +194,54 @@ def ngram_jaccard_pairs(
     sh = _persist(  # reused by sizes + both join sides
         _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    return (
+        _pairwise_jaccard(sh, "doc_id")
+        .select(
+            F.col("key_a").alias("doc_a"),
+            F.col("key_b").alias("doc_b"),
+            "jaccard",
         )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _pairwise_jaccard(
+    sets: DataFrame, key_col: str, broadcast_sizes: bool = False
+) -> DataFrame:
+    """Shared tail of the inverted-index pair generators: per-key set
+    sizes + shared-element counts (self-equi-join on ``shingle``) +
+    Jaccard rounded to 6 decimals — the one place the rounding/
+    tie-handling convention lives, so doc-level and source-level pair
+    generators cannot drift apart.
+
+    Input must be DISTINCT (key_col, shingle) rows. Output:
+    (key_a, key_b, n_common, jaccard) with key_a < key_b; no threshold
+    applied. ``broadcast_sizes`` forces broadcasting the size joins —
+    only safe when the key space is small (e.g. sources), never for
+    doc-level keys."""
+    sizes = sets.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sets.select(F.col(key_col).alias("key_a"), "shingle")
+        .join(sets.select(F.col(key_col).alias("key_b"), "shingle"), "shingle")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
-    jac = F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+    sa = sizes.select(
+        F.col(key_col).alias("key_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(key_col).alias("key_b"), F.col("n_sh").alias("n_b")
+    )
+    if broadcast_sizes:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a", "key_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
     )
 
 
@@ -1143,33 +1173,9 @@ def source_overlap(
         .select(F.col(group_col).alias("src"), "shingle")
         .distinct()
     )
-    sizes = gsh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        gsh.select(F.col("src").alias("src_a"), "shingle")
-        .join(
-            gsh.select(F.col("src").alias("src_b"), "shingle"), "shingle"
-        )
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col("src").alias("src_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col("src").alias("src_b"), F.col("n_sh").alias("n_b")
-    )
-    return (
-        inter.join(F.broadcast(sa), "src_a")
-        .join(F.broadcast(sb), "src_b")
-        .select(
-            "src_a",
-            "src_b",
-            "n_common",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
+    return _pairwise_jaccard(gsh, "src", broadcast_sizes=True).select(
+        F.col("key_a").alias("src_a"),
+        F.col("key_b").alias("src_b"),
+        "n_common",
+        "jaccard",
     )

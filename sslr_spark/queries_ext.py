@@ -364,7 +364,8 @@ g as (
 )
 select g.cluster_id, g.n_members, min(s.doc_id) as keep_id
 from g join scored s
-  on s.cluster_id = g.cluster_id and s.n_chars = g.best_chars
+  on s.cluster_id = g.cluster_id
+ and s.n_chars is not distinct from g.best_chars
 group by 1, 2
 """
 )

@@ -16,6 +16,8 @@ aggregations, and versions are unbounded 64-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -264,13 +266,22 @@ def streaming_neardup_ingest(
        index maintenance is a plain append because the artifacts are
        row-per-(doc, shingle|band).
 
-    Exactly-once despite foreachBatch's at-least-once contract: all
+    Exactly-once for CHECKPOINTED replays (the crash-recovery path,
+    where a replayed epoch carries the same id and file set): all
     three writes go through per-epoch dynamic partition overwrite
     (``replace_partitions`` on an ``__epoch`` column), and the index
     load EXCLUDES the current epoch's partition — so a replayed batch
     recomputes against exactly the pre-crash corpus state and
     overwrites its own partitions with identical rows instead of
     appending duplicates or (worse) self-matching into data loss.
+
+    A FRESH checkpoint over an already-populated target is a rebuild,
+    not a replay: epoch numbering restarts at 0 while the target still
+    holds higher-epoch partitions, and changed batch boundaries can
+    legitimately change which member of a near-dup pair wins, so
+    results may differ from the original run and stale high-epoch
+    partitions are never reconciled. Rebuild into a FRESH target
+    instead (the epoch-0-on-used-target case logs a warning).
 
     LSH parameters (``shingle_n / n_hashes / n_bands / hash_mode``)
     are baked into the stored index — keep them constant for the life
@@ -280,14 +291,40 @@ def streaming_neardup_ingest(
     partition column (drop it downstream if unwanted).
     """
     from sslr_spark.functions.dedup import (
+        cache_scope,
         incremental_minhash_dedup,
         minhash_index,
         minhash_lsh_pairs,
-        release_caches,
     )
 
     sh_table = f"{index_table}_shingles"
     bk_table = f"{index_table}_buckets"
+
+    def _has_committed_data(table: str) -> bool:
+        """True only when the table dir holds at least one COMMITTED
+        data file. A crash during the very first epoch's write can
+        leave the directory with only an uncommitted ``_temporary``
+        subtree — ``table_exists`` then passes but ``read`` fails
+        schema inference on every replay, wedging the stream. The
+        bucket table is written LAST each epoch, so committed data
+        there implies the shingle table has data too; partial writes
+        from a crashed later epoch are invisible to reads (Spark
+        ignores ``_``-prefixed paths), so older epochs stay usable."""
+        root = target.path(table)
+        if not os.path.isdir(root):
+            return False
+        for dirpath, dirnames, filenames in os.walk(root):
+            # skip uncommitted/hidden subtrees (_temporary, .staging)
+            # but KEEP partition dirs — they contain '=' and are read
+            # by Spark even with the __-prefixed partition column name
+            dirnames[:] = [
+                d
+                for d in dirnames
+                if "=" in d or not d.startswith(("_", "."))
+            ]
+            if any(not f.startswith(("_", ".")) for f in filenames):
+                return True
+        return False
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -299,56 +336,75 @@ def streaming_neardup_ingest(
             return
         batch = batch_df.persist()
         fresh = None
+        index_ready = _has_committed_data(bk_table)
+        if int(epoch_id) == 0 and index_ready:
+            import warnings
+
+            warnings.warn(
+                "streaming_neardup_ingest: epoch 0 over an already-"
+                "populated target — this is a rebuild with a fresh "
+                "checkpoint, not a crash replay; stale higher-epoch "
+                "partitions are not reconciled. Rebuild into a fresh "
+                "target instead.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        # cache_scope: incremental_minhash_dedup's entry-release would
+        # otherwise unpersist the in-batch pair generator's shingle
+        # cache before any write action materializes survivors —
+        # recomputing the whole LSH pipeline once per output table
         try:
-            ep = F.lit(int(epoch_id))
-            pairs = minhash_lsh_pairs(
-                batch, text_col, shingle_n, n_hashes, n_bands,
-                jaccard_threshold, hash_mode,
-            )
-            losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-            survivors = batch.join(losers, "doc_id", "left_anti")
-            if target.table_exists(bk_table):
-                c_sh = (
-                    target.read(sh_table)
-                    .filter(F.col("__epoch") != int(epoch_id))
-                    .drop("__epoch")
+            with cache_scope():
+                ep = F.lit(int(epoch_id))
+                pairs = minhash_lsh_pairs(
+                    batch, text_col, shingle_n, n_hashes, n_bands,
+                    jaccard_threshold, hash_mode,
                 )
-                c_bk = (
-                    target.read(bk_table)
-                    .filter(F.col("__epoch") != int(epoch_id))
-                    .drop("__epoch")
+                losers = pairs.select(
+                    F.col("doc_b").alias("doc_id")
+                ).distinct()
+                survivors = batch.join(losers, "doc_id", "left_anti")
+                if index_ready:
+                    c_sh = (
+                        target.read(sh_table)
+                        .filter(F.col("__epoch") != int(epoch_id))
+                        .drop("__epoch")
+                    )
+                    c_bk = (
+                        target.read(bk_table)
+                        .filter(F.col("__epoch") != int(epoch_id))
+                        .drop("__epoch")
+                    )
+                    flags = incremental_minhash_dedup(
+                        survivors,
+                        text_col=text_col,
+                        shingle_n=shingle_n,
+                        n_hashes=n_hashes,
+                        n_bands=n_bands,
+                        jaccard_threshold=jaccard_threshold,
+                        hash_mode=hash_mode,
+                        corpus_index=(c_sh, c_bk),
+                    )
+                    fresh = survivors.join(
+                        flags.filter(~F.col("near_dup")).select("doc_id"),
+                        "doc_id",
+                        "left_semi",
+                    ).persist()
+                else:
+                    fresh = survivors.persist()
+                new_sh, new_bk, _ = minhash_index(
+                    fresh, text_col, shingle_n, n_hashes, n_bands, hash_mode
                 )
-                flags = incremental_minhash_dedup(
-                    survivors,
-                    text_col=text_col,
-                    shingle_n=shingle_n,
-                    n_hashes=n_hashes,
-                    n_bands=n_bands,
-                    jaccard_threshold=jaccard_threshold,
-                    hash_mode=hash_mode,
-                    corpus_index=(c_sh, c_bk),
+                target.replace_partitions(
+                    accepted_table, fresh.withColumn("__epoch", ep), "__epoch"
                 )
-                fresh = survivors.join(
-                    flags.filter(~F.col("near_dup")).select("doc_id"),
-                    "doc_id",
-                    "left_semi",
-                ).persist()
-            else:
-                fresh = survivors.persist()
-            new_sh, new_bk, _ = minhash_index(
-                fresh, text_col, shingle_n, n_hashes, n_bands, hash_mode
-            )
-            target.replace_partitions(
-                accepted_table, fresh.withColumn("__epoch", ep), "__epoch"
-            )
-            target.replace_partitions(
-                sh_table, new_sh.withColumn("__epoch", ep), "__epoch"
-            )
-            target.replace_partitions(
-                bk_table, new_bk.withColumn("__epoch", ep), "__epoch"
-            )
+                target.replace_partitions(
+                    sh_table, new_sh.withColumn("__epoch", ep), "__epoch"
+                )
+                target.replace_partitions(
+                    bk_table, new_bk.withColumn("__epoch", ep), "__epoch"
+                )
         finally:
-            release_caches()
             if fresh is not None:
                 fresh.unpersist()
             batch.unpersist()

@@ -511,8 +511,9 @@ def test_source_overlap_known_values(spark):
 def test_source_overlap_hot_shingle_cap(spark):
     from sslr_spark.functions.dedup import release_caches, source_overlap
 
-    # the shared shingle appears in 3 docs; capping at doc_freq<=2
-    # removes it, so no pair survives
+    # the shared shingle appears in 3 docs; the cap drops shingles
+    # with doc_freq >= max_shingle_doc_freq, so 3 removes it and no
+    # pair survives
     docs = spark.createDataFrame(
         [
             (1, "a b c", "A"),

@@ -226,9 +226,12 @@ def test_streaming_neardup_ingest_with_self_maintaining_index(
     }
     assert idx_docs == {1, 3, 11}
 
-    # replay: FRESH checkpoint reprocesses every file as epoch 0; the
-    # epoch-excluding index load + per-epoch partition overwrite must
-    # leave the accepted set unchanged (no duplicates, no data loss)
+    # fresh-checkpoint REBUILD over the same target (warned against in
+    # general — changed batch boundaries can change near-dup winners;
+    # here the data is boundary-stable): every file replays as epoch 0
+    # and the epoch-excluding index load + per-epoch partition
+    # overwrite leave the accepted set unchanged — the same machinery
+    # that makes a checkpointed same-epoch crash replay exactly-once
     import shutil
 
     shutil.rmtree(ckpt)
@@ -236,3 +239,34 @@ def test_streaming_neardup_ingest_with_self_maintaining_index(
     rows = target.read("accepted").collect()
     assert {r["doc_id"] for r in rows} == {1, 3, 11}
     assert len(rows) == 3
+
+
+def test_streaming_neardup_survives_first_epoch_crash_artifacts(
+    spark, tmp_path
+):
+    """A crash during the very first epoch's bucket-index write leaves
+    the table dir with only an uncommitted _temporary subtree; the
+    replay must treat the index as absent (no committed data) instead
+    of failing schema inference forever."""
+    from sslr_spark.streaming.pipeline import streaming_neardup_ingest
+
+    target = ParquetDatabase(spark, str(tmp_path / "wedge_target"))
+    # simulate the crash artifact: directory exists, zero committed files
+    crashed = target.path("__neardup_index_buckets")
+    os.makedirs(os.path.join(crashed, "_temporary", "0"))
+
+    batch = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4 a5"), (2, "b1 b2 b3 b4 b5")],
+        "doc_id long, text string",
+    )
+    src_dir = str(tmp_path / "wedge_src")
+    os.makedirs(src_dir)
+    batch.write.mode("append").parquet(src_dir)
+
+    q = streaming_neardup_ingest(
+        spark, src_dir, batch.schema, target,
+        str(tmp_path / "wedge_ckpt"), jaccard_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in target.read("accepted").collect()}
+    assert got == {1, 2}
