@@ -417,3 +417,66 @@ def streaming_neardup_ingest(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_neardup_index(
+    target: ParquetDatabase,
+    index_table: str = "__neardup_index",
+    accepted_table: str = "accepted",
+    keep_last: int = 2,
+) -> int:
+    """Fold old per-epoch partitions of :func:`streaming_neardup_ingest`'s
+    tables into one base partition (``__epoch = -1``) — the maintenance
+    job that keeps a long-running ingest from accumulating one tiny
+    partition per trigger (a year of 1-minute triggers is ~500k
+    directories; every index load lists them all).
+
+    ``keep_last`` recent epochs stay untouched: Structured Streaming
+    only ever replays the most recent uncommitted epoch, and a replayed
+    epoch relies on its own partition staying separately addressable
+    (the exactly-once design excludes it from the index load —
+    folding it into the base would make replays self-match into data
+    loss). The base partition id -1 can never collide with a real
+    epoch.
+
+    Crash-safe and idempotent: the new base is built as
+    union-distinct of the current base plus the folded epochs, so a
+    crash between the base write and the old-partition drops leaves
+    duplicated rows that the NEXT compaction's distinct removes —
+    re-run to converge. (Near-dup probes in that window stay
+    correct on the near_dup flag; jaccard scores of affected corpus
+    docs can transiently inflate.)
+
+    Returns the number of epochs folded.
+    """
+    sh_table = f"{index_table}_shingles"
+    bk_table = f"{index_table}_buckets"
+    tables = [t for t in (accepted_table, sh_table, bk_table)
+              if target.table_exists(t)]
+    if not tables:
+        return 0
+    # the cutoff must be consistent across tables: take it from the
+    # bucket table (written last each epoch, so its max epoch is the
+    # newest FULLY committed one)
+    ref = tables[-1]
+    epochs = sorted(
+        r[0]
+        for r in target.read(ref).select("__epoch").distinct().collect()
+        if r[0] is not None and r[0] >= 0
+    )
+    fold = epochs[:-keep_last] if keep_last > 0 else epochs
+    if not fold:
+        return 0
+    fold_set = set(fold)
+    for t in tables:
+        df = target.read(t)
+        base = (
+            df.filter(
+                (F.col("__epoch") == -1) | F.col("__epoch").isin(fold)
+            )
+            .withColumn("__epoch", F.lit(-1))
+            .distinct()
+        )
+        target.replace_partitions(t, base, "__epoch")
+        target.drop_partitions(t, "__epoch", sorted(fold_set))
+    return len(fold)

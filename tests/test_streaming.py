@@ -270,3 +270,57 @@ def test_streaming_neardup_survives_first_epoch_crash_artifacts(
     q.awaitTermination(120)
     got = {r["doc_id"] for r in target.read("accepted").collect()}
     assert got == {1, 2}
+
+
+def test_compact_neardup_index_folds_old_epochs(spark, tmp_path):
+    """Index maintenance: old per-epoch partitions fold into the -1
+    base; dedup behavior is unchanged afterwards and a second
+    compaction is a no-op."""
+    from sslr_spark.streaming.pipeline import (
+        compact_neardup_index,
+        streaming_neardup_ingest,
+    )
+
+    schema_str = "doc_id long, text string"
+    src_dir = str(tmp_path / "cmp_src")
+    os.makedirs(src_dir)
+    target = ParquetDatabase(spark, str(tmp_path / "cmp_target"))
+    ckpt = str(tmp_path / "cmp_ckpt")
+
+    def run():
+        q = streaming_neardup_ingest(
+            spark, src_dir, spark.createDataFrame([], schema_str).schema,
+            target, ckpt, jaccard_threshold=0.5,
+        )
+        q.awaitTermination(180)
+
+    texts = {
+        1: "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10",
+        2: "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10",
+        3: "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10",
+    }
+    for i in (1, 2, 3):  # three separate epochs
+        spark.createDataFrame([(i, texts[i])], schema_str).write.mode(
+            "append"
+        ).parquet(src_dir)
+        run()
+
+    folded = compact_neardup_index(target, keep_last=2)
+    assert folded == 1  # epoch 0 folded, epochs 1-2 kept
+    assert compact_neardup_index(target, keep_last=2) == 0  # idempotent
+
+    acc = target.read("accepted")
+    assert {r["doc_id"] for r in acc.collect()} == {1, 2, 3}
+    assert acc.count() == 3
+    epochs = {r[0] for r in acc.select("__epoch").distinct().collect()}
+    assert epochs == {-1, 1, 2}
+
+    # a near-dup of the FOLDED doc 1 must still be rejected
+    spark.createDataFrame(
+        [(20, texts[1] + " tail"), (21, "z1 z2 z3 z4 z5 z6 z7 z8")],
+        schema_str,
+    ).write.mode("append").parquet(src_dir)
+    run()
+    assert {r["doc_id"] for r in target.read("accepted").collect()} == {
+        1, 2, 3, 21,
+    }
