@@ -526,3 +526,50 @@ def test_source_overlap_hot_shingle_cap(spark):
     release_caches()
     # shingle "a b c" has doc_freq 3 >= 3 -> dropped; "b c x" unique
     assert out == []
+
+
+def test_pairwise_jaccard_matches_bruteforce_property(spark):
+    """The shared inverted-index Jaccard tail must equal the naive
+    per-pair set computation on arbitrary small corpora."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from sslr_spark.functions.dedup import _pairwise_jaccard
+
+    word = st.sampled_from(["w%d" % i for i in range(8)])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        corpora=st.dictionaries(
+            st.integers(0, 5),
+            st.sets(word, min_size=0, max_size=6),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def check(corpora):
+        rows = [
+            (k, s) for k, items in corpora.items() for s in sorted(items)
+        ]
+        if not rows:
+            return
+        sets_df = spark.createDataFrame(rows, "doc_id long, shingle string")
+        got = {
+            (r.key_a, r.key_b): (r.n_common, r.jaccard)
+            for r in _pairwise_jaccard(sets_df, "doc_id").collect()
+        }
+        want = {}
+        keys = sorted(k for k, items in corpora.items() if items)
+        for i, a in enumerate(keys):
+            for b in keys[i + 1:]:
+                inter = len(corpora[a] & corpora[b])
+                if inter:
+                    union = len(corpora[a] | corpora[b])
+                    want[(a, b)] = (inter, round(inter / union, 6))
+        assert got == want
+
+    check()
