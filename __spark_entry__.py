@@ -95,6 +95,7 @@ _HEAD_KEYS = [
     "x_retention",
     "dedup_keep_best",
     "x_source_overlap",
+    "text_langid_eval",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

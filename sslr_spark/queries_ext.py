@@ -151,6 +151,31 @@ select doc_id, {pred} as pred_lang, best as marker_hits from m
 SQL_TEXT_LANG_ID = _lang_sql()
 
 
+def q_text_langid_eval(spark, sf_dir):
+    """Language-ID evaluation against the labeled ``lang`` column:
+    confusion counts per (label, prediction) — the accuracy scan a
+    pipeline runs before trusting the classifier as a filter. Scoring
+    is per-doc JVM expressions; the confusion aggregation is one
+    map-side-combined groupBy producing n_langs² rows."""
+    docs = _docs(spark, sf_dir)
+    pred = X.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_TEXT_LANGID_EVAL = (
+    "with p as (" + SQL_TEXT_LANG_ID + """)
+select d.lang, p.pred_lang, count(*) as n_docs
+from documents d join p on p.doc_id = d.doc_id
+group by 1, 2
+"""
+)
+
+
 def q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting over normalized text."""
     return X.fingerprints(_docs(spark, sf_dir))
@@ -1331,6 +1356,7 @@ from batch b
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "x_source_overlap": q_x_source_overlap,
+    "text_langid_eval": q_text_langid_eval,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1373,6 +1399,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "x_source_overlap": SQL_SOURCE_OVERLAP,
+    "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
