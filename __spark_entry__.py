@@ -96,14 +96,22 @@ _HEAD_KEYS = [
     "dedup_keep_best",
     "x_source_overlap",
     "text_langid_eval",
+    # upgraded rows-only -> hash-checked this round:
+    "mm_decode_stub",
+    "mm_frame_sample",
+    # shared-Jaccard-tail refactor touched these late in round 3:
+    "dedup_clusters",
+    "dedup_ngram_jaccard",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
     "s5_catalog_schema",
     "s7_object_exists",
-    "mm_decode_stub",
-    "mm_frame_sample",
     # hash-green in both r01 and r02, code unchanged:
+    "dedup_minhash_lsh",
+    "text_repetition",
+    "sample_hash_split",
+    "j3_range_repair",
     "x_set_ops",
     "mm_binary_meta",
     "sim_knn_blocked",
@@ -111,7 +119,6 @@ _TAIL_KEYS = [
     "sim_topk_bruteforce",
     "dedup_embedding_cosine",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_exact",
     "dedup_apply",
     "x_date_rollup",

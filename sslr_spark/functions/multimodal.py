@@ -143,8 +143,15 @@ def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
                 for i in range(0, n_frames, every_n):
                     doc_ids.append(doc_id)
                     idxs.append(i)
+                    # stub frame fingerprint: payload + ':' + ascii
+                    # index (not packed binary) so the exact formula
+                    # is SQL-reproducible and the driver hash-checks
+                    # this Python stage end-to-end; a real deployment
+                    # replaces this whole function body with ffmpeg
                     fps.append(
-                        hashlib.md5(payload + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(
+                            payload + b":" + str(i).encode()
+                        ).hexdigest()
                     )
             yield pd.DataFrame(
                 {"doc_id": doc_ids, "frame_idx": idxs, "frame_fp": fps}

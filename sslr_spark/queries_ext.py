@@ -591,8 +591,26 @@ from documents
 
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
-    rows-only check (not SQL-expressible: Python stage)."""
+    hash-checked: the deterministic stub (md5-byte-derived fake
+    dimensions) is SQL-reproduced in the oracle, so the Python stage's
+    batch shape, schema, and values are all driver-verified."""
     return M.decode_metadata(M.with_binary_payload(_docs(spark, sf_dir)))
+
+
+# width/height/n_frames replay _decode_stub: bytes 0/1/2 of the md5
+# digest are hex pairs 1-2 / 3-4 / 5-6 of the hex string
+SQL_MM_DECODE = """
+select doc_id,
+       cast(octet_length(cast(text as blob)) as bigint) as n_bytes,
+       md5(text) as content_fp,
+       cast(64 + cast(concat('0x', substr(md5(text), 1, 2)) as bigint) % 192
+            as int) as width,
+       cast(64 + cast(concat('0x', substr(md5(text), 3, 2)) as bigint) % 192
+            as int) as height,
+       cast(1 + cast(concat('0x', substr(md5(text), 5, 2)) as bigint) % 30
+            as int) as n_frames
+from documents
+"""
 
 
 def q_mm_extract_features(spark, sf_dir):
@@ -628,9 +646,27 @@ from documents, generate_series(0, {M.FEATURE_DIM - 1}) as t(i)
 
 
 def q_mm_frame_sample(spark, sf_dir):
-    """Frame-sampling plumbing (1 row per sampled frame) — rows-only
-    (Python stage)."""
+    """Frame-sampling plumbing (1 row per sampled frame) — hash-checked:
+    the stub fingerprint formula (md5 of payload + ':' + ascii index)
+    is SQL-reproducible, so the row-amplifying mapInPandas stage is
+    driver-verified value-for-value."""
     return M.sample_frames(M.with_binary_payload(_docs(spark, sf_dir)), every_n=2)
+
+
+# lateral generate_series over a column bound is unsupported in the
+# oracle engine: generate the max range (n_frames <= 30) and filter
+SQL_MM_FRAMES = """
+with d as (
+  select doc_id, text,
+         1 + cast(concat('0x', substr(md5(text), 5, 2)) as bigint) % 30
+           as n_frames
+  from documents
+)
+select d.doc_id, cast(i as int) as frame_idx,
+       md5(concat(d.text, ':', cast(i as varchar))) as frame_fp
+from d, generate_series(0, 29) as g(i)
+where i < d.n_frames and i % 2 = 0
+"""
 
 
 def q_text_repetition(spark, sf_dir):
@@ -1435,6 +1471,6 @@ EXT_ORACLES: dict[str, str] = {
     "sim_knn_blocked": SQL_SIM_KNN,
     "mm_binary_meta": SQL_MM_META,
     "mm_extract_features": SQL_MM_FEATURES,
-    # mm_decode_stub, mm_frame_sample: rows-only (mapInPandas stages
-    # whose stub dims aren't worth SQL-reproducing; features are)
+    "mm_decode_stub": SQL_MM_DECODE,
+    "mm_frame_sample": SQL_MM_FRAMES,
 }
