@@ -102,6 +102,8 @@ _HEAD_KEYS = [
     # shared-Jaccard-tail refactor touched these late in round 3:
     "dedup_clusters",
     "dedup_ngram_jaccard",
+    # real Structured Streaming execution, hash-checked:
+    "x_stream_ingest",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

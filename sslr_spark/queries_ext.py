@@ -396,6 +396,62 @@ group by 1, 2
 )
 
 
+def q_x_stream_ingest(spark, sf_dir):
+    """The STREAMING near-dup ingest run end-to-end as one availableNow
+    epoch over the documents table: readStream -> foreachBatch
+    (in-batch LSH collapse at jaccard >= 0.5, no prior corpus) ->
+    per-epoch partition write. The accepted set is fully predictable —
+    documents minus the doc_b side of every verified MinHash-LSH pair
+    — so a real Structured Streaming execution gets a hash-checked
+    CORRECTNESS row (not just rows-only)."""
+    import os
+    import uuid
+
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.streaming.pipeline import streaming_neardup_ingest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # unique dirs per invocation: the driver may run two sessions
+    # concurrently against this repo checkout
+    work = os.path.join(repo, ".bench_tmp", f"stream_ingest-{uuid.uuid4().hex}")
+    target = ParquetDatabase(spark, os.path.join(work, "target"))
+    # the file-stream source requires a DIRECTORY; the testdata table
+    # is a single parquet file — symlink it into a source dir (no copy)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    os.symlink(
+        f"{sf_dir}/documents.parquet",
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    q = streaming_neardup_ingest(
+        spark,
+        src_dir,
+        schema,
+        target,
+        os.path.join(work, "ckpt"),
+        jaccard_threshold=0.5,
+    )
+    q.awaitTermination(600)
+    return target.read("accepted").select("doc_id", "lang", "source")
+
+
+SQL_X_STREAM_INGEST = (
+    _MINHASH_CTES
+    + """
+select d.doc_id, d.lang, d.source
+from documents d
+where d.doc_id not in (
+  select i.doc_b
+  from inter i
+  join sizes sa on sa.doc_id = i.doc_a
+  join sizes sb on sb.doc_id = i.doc_b
+  where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+)
+"""
+)
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash(32-bit) near-dup pairs, pigeonhole-segment blocked
     (oracle runs the naive quadratic scan — results must be equal)."""
@@ -1393,6 +1449,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "x_source_overlap": q_x_source_overlap,
     "text_langid_eval": q_text_langid_eval,
+    "x_stream_ingest": q_x_stream_ingest,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1436,6 +1493,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "x_source_overlap": SQL_SOURCE_OVERLAP,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
+    "x_stream_ingest": SQL_X_STREAM_INGEST,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
