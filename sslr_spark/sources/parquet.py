@@ -404,3 +404,67 @@ class ParquetDatabase:
 
     def schema(self, table: str):
         return self.read(table).schema
+
+    # -- snapshots -----------------------------------------------------
+    # Reproducible-training-run support: a snapshot pins the table's
+    # current committed files under a tag. Files are HARDLINKED, not
+    # copied — O(files) metadata ops, zero data bytes moved — and
+    # because every writer in this adapter creates NEW files (staged
+    # overwrite swaps, per-epoch/bucket partition overwrites) and only
+    # ever deletes old ones, the linked inodes keep snapshot data
+    # alive through any later rewrite of the live table. On an object
+    # store this maps to manifest-based snapshotting (Delta/Iceberg
+    # time travel); hardlinks are the dependency-free local analog.
+
+    def _snap_dir(self, table: str, tag: str) -> str:
+        return os.path.join(self.root, ".snapshots", table, tag)
+
+    def snapshot(self, table: str, tag: str) -> int:
+        """Pin ``table``'s current committed files under ``tag``.
+        Returns the number of files linked. Atomic: built in a stage
+        dir, renamed into place — a crash leaves either no snapshot or
+        a complete one. Fails if the tag already exists (snapshots are
+        immutable; drop first to retag)."""
+        final = self._snap_dir(table, tag)
+        if os.path.exists(final):
+            raise ValueError(f"snapshot {table}@{tag} already exists")
+        src_root = self.path(table)
+        stage = os.path.join(
+            self.root, ".snapshots", f".stage-{uuid.uuid4().hex}"
+        )
+        n = 0
+        for dirpath, dirnames, filenames in os.walk(src_root):
+            # skip uncommitted write temp dirs; keep partition dirs
+            dirnames[:] = [
+                d for d in dirnames if "=" in d or not d.startswith(("_", "."))
+            ]
+            rel = os.path.relpath(dirpath, src_root)
+            dst_dir = os.path.join(stage, rel) if rel != "." else stage
+            os.makedirs(dst_dir, exist_ok=True)
+            for f in filenames:
+                if f.startswith("."):
+                    continue  # CRC/hidden; keep _sslr_layout.json
+                os.link(
+                    os.path.join(dirpath, f), os.path.join(dst_dir, f)
+                )
+                n += 1
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.rename(stage, final)
+        return n
+
+    def read_snapshot(self, table: str, tag: str, with_meta: bool = False):
+        df = self.spark.read.parquet(self._snap_dir(table, tag))
+        if not with_meta:
+            meta = [c for c in df.columns if c.startswith("__sslr")]
+            if meta:
+                df = df.drop(*meta)
+        return df
+
+    def list_snapshots(self, table: str) -> list[str]:
+        d = os.path.join(self.root, ".snapshots", table)
+        if not os.path.isdir(d):
+            return []
+        return sorted(t for t in os.listdir(d) if not t.startswith("."))
+
+    def drop_snapshot(self, table: str, tag: str) -> None:
+        shutil.rmtree(self._snap_dir(table, tag), ignore_errors=True)

@@ -137,3 +137,49 @@ def test_compact_partitions_rewrites_only_oversize_buckets(spark, target_db):
     # idempotent: second run is a no-op
     again = target_db.compact_partitions("t", max_files_per_partition=4)
     assert again["compacted"] == 0
+
+
+def test_snapshot_survives_overwrite_and_partition_rewrite(spark, tmp_path):
+    """Hardlink snapshots: pin a table, then rewrite the live table
+    every way the engine can — the snapshot still reads the original
+    bytes; zero data was copied (hardlinks) and snapshots are
+    immutable/atomic."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    db = ParquetDatabase(spark, str(tmp_path / "snapdb"))
+    orig = spark.range(100).withColumn("v", F.col("id") * 2)
+    db.overwrite("t", orig)
+    n = db.snapshot("t", "run1")
+    assert n > 0
+    assert db.list_snapshots("t") == ["run1"]
+    with pytest.raises(ValueError):
+        db.snapshot("t", "run1")  # immutable tag
+
+    # full overwrite deletes the old files — snapshot keeps the inodes
+    db.overwrite("t", spark.range(5).withColumn("v", F.lit(-1)))
+    snap = db.read_snapshot("t", "run1")
+    assert snap.count() == 100
+    assert snap.filter(F.col("v") == F.col("id") * 2).count() == 100
+
+    # partitioned table + partition rewrite
+    pt = with_bucket(orig, ["id"], 8)
+    db.overwrite_partitioned("p", pt, BUCKET_COL, n_buckets=8)
+    db.snapshot("p", "run1")
+    db.replace_partitions(
+        "p",
+        with_bucket(
+            spark.range(100).withColumn("v", F.lit(0)), ["id"], 8
+        ).filter(F.col(BUCKET_COL) == 3),
+        BUCKET_COL,
+    )
+    snap_p = db.read_snapshot("p", "run1")
+    # pre-rewrite bytes: every snapshot row still has v == id * 2
+    assert snap_p.filter(F.col("v") != F.col("id") * 2).count() == 0
+    assert snap_p.count() == 100
+
+    db.drop_snapshot("t", "run1")
+    assert db.list_snapshots("t") == []
