@@ -104,6 +104,7 @@ _HEAD_KEYS = [
     "dedup_ngram_jaccard",
     # real Structured Streaming execution, hash-checked:
     "x_stream_ingest",
+    "sample_leakage_safe",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

@@ -212,3 +212,94 @@ def mix_allocation(
         )
         .drop("__p")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+    holdout: str = "test",
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: str = "split",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Hash split with train/holdout leakage repair: a holdout document
+    whose text has a near-dup (shingle Jaccard >= threshold) in any
+    OTHER split is reassigned to 'train' — evaluating on a paraphrase
+    of a training doc silently inflates scores, so the eval split must
+    be near-dup-clean against the rest of the corpus, not just
+    exact-hash disjoint.
+
+    Output: (key_col, split) for every input row; only rows whose
+    initial split == ``holdout`` can move, and they only move to
+    'train'. Deterministic (hash split + exact verified Jaccard — no
+    RNG, no LSH recall variance).
+
+    Scale shape: the contamination probe is an ASYMMETRIC inverted-
+    index join — holdout-side shingles (the small side, a few percent
+    of the corpus) against the rest — never all-pairs; set sizes come
+    from one per-doc count over the shared shingle table. Same
+    hot-shingle cap as the pair generators.
+    """
+    from sslr_spark.functions.dedup import (
+        _cap_hot_shingles,
+        _entry_release,
+        _persist,
+        shingles,
+    )
+
+    if weights is None:
+        weights = {"train": 0.9, "test": 0.1}
+    if holdout not in weights or "train" not in weights:
+        raise ValueError("weights must contain 'train' and the holdout split")
+    _entry_release()
+    labeled = hash_split(df, key_col, weights, seed)
+    sh = _persist(
+        _cap_hot_shingles(
+            shingles(df, text_col, shingle_n), max_shingle_doc_freq
+        ).join(
+            labeled.select(F.col(key_col).alias("doc_id"), "split"), "doc_id"
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    h = sh.filter(F.col("split") == holdout).select(
+        F.col("doc_id").alias("h_id"), "shingle"
+    )
+    r = sh.filter(F.col("split") != holdout).select(
+        F.col("doc_id").alias("r_id"), "shingle"
+    )
+    inter = (
+        h.join(r, "shingle")
+        .groupBy("h_id", "r_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (
+        F.col("n_h") + F.col("n_r") - F.col("n_common")
+    )
+    contaminated = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("h_id"), F.col("n_sh").alias("n_h")),
+            "h_id",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("r_id"), F.col("n_sh").alias("n_r")),
+            "r_id",
+        )
+        .filter(F.round(jac, 6) >= jaccard_threshold)
+        .select(F.col("h_id").alias(key_col))
+        .distinct()
+    )
+    return (
+        labeled.select(key_col, "split")
+        .join(
+            contaminated.withColumn("__leak", F.lit(True)), key_col, "left"
+        )
+        .select(
+            key_col,
+            F.when(F.col("__leak").isNotNull(), F.lit("train"))
+            .otherwise(F.col("split"))
+            .alias("split"),
+        )
+    )

@@ -811,6 +811,50 @@ from tot t left join hit h on t.doc_id = h.doc_id
 """
 
 
+def q_sample_leakage_safe(spark, sf_dir):
+    """Leakage-free 90/5/5 split: test docs with a near-dup (3-gram
+    Jaccard >= 0.3) in train/val are reassigned to train — eval on a
+    paraphrase of a training doc inflates scores."""
+    from sslr_spark.functions.sampling import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs(spark, sf_dir),
+        weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        holdout="test",
+        jaccard_threshold=0.3,
+    )
+
+
+SQL_SAMPLE_LEAKAGE_SAFE = (
+    "with " + _shingles_cte(3) + f""",
+b as (select doc_id, {split_bucket_sql('doc_id')} as bkt from documents),
+lab as (select doc_id, case when bkt < 900000 then 'train'
+                            when bkt < 950000 then 'val'
+                            else 'test' end as split from b),
+ssh as (select sh.doc_id, sh.shingle, lab.split
+        from sh join lab using (doc_id)),
+sizes as (select doc_id, count(*) as n_sh from ssh group by 1),
+inter as (
+  select h.doc_id as h_id, r.doc_id as r_id, count(*) as n_common
+  from ssh h join ssh r on h.shingle = r.shingle
+  where h.split = 'test' and r.split != 'test'
+  group by 1, 2
+),
+leak as (
+  select distinct i.h_id as doc_id
+  from inter i
+  join sizes sa on sa.doc_id = i.h_id
+  join sizes sb on sb.doc_id = i.r_id
+  where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+)
+select l.doc_id,
+       case when l.doc_id in (select doc_id from leak) then 'train'
+            else l.split end as split
+from lab l
+"""
+)
+
+
 def q_sample_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment by key hash (90/5/5):
     per-(split, lang) document counts. The assignment is a pure
@@ -1450,6 +1494,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_source_overlap": q_x_source_overlap,
     "text_langid_eval": q_text_langid_eval,
     "x_stream_ingest": q_x_stream_ingest,
+    "sample_leakage_safe": q_sample_leakage_safe,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1494,6 +1539,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_source_overlap": SQL_SOURCE_OVERLAP,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "x_stream_ingest": SQL_X_STREAM_INGEST,
+    "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,

@@ -573,3 +573,45 @@ def test_pairwise_jaccard_matches_bruteforce_property(spark):
         assert got == want
 
     check()
+
+
+def test_leakage_safe_split_reassigns_near_dup_holdout(spark):
+    from sslr_spark.functions.dedup import release_caches
+    from sslr_spark.functions.sampling import hash_split, leakage_safe_split
+
+    base = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    # find a doc_id that hashes into 'test' under a 50/50 deal, and
+    # one that lands in 'train', then plant near-dup text across them
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    ).withColumn("text", F.lit(""))
+    lab = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            probe, "doc_id", {"train": 0.5, "test": 0.5}
+        ).collect()
+    }
+    test_id = next(k for k, v in lab.items() if v == "test")
+    train_id = next(k for k, v in lab.items() if v == "train")
+    clean_id = next(
+        k for k, v in lab.items() if v == "test" and k != test_id
+    )
+    docs = spark.createDataFrame(
+        [
+            (train_id, base),
+            (test_id, base + " tail"),        # leaks from train
+            (clean_id, "z1 z2 z3 z4 z5 z6"),  # clean holdout doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs, weights={"train": 0.5, "test": 0.5},
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    release_caches()
+    assert out[train_id] == "train"
+    assert out[test_id] == "train"   # reassigned: near-dup of train doc
+    assert out[clean_id] == "test"   # clean holdout stays
