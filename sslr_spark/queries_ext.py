@@ -412,8 +412,23 @@ def q_x_stream_ingest(spark, sf_dir):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # unique dirs per invocation: the driver may run two sessions
-    # concurrently against this repo checkout
-    work = os.path.join(repo, ".bench_tmp", f"stream_ingest-{uuid.uuid4().hex}")
+    # concurrently against this repo checkout. Stale dirs from past
+    # runs (> 6 h old — no live session is that old) are swept so
+    # repeated correctness runs don't accumulate copies.
+    import shutil
+    import time
+
+    tmp_root = os.path.join(repo, ".bench_tmp")
+    if os.path.isdir(tmp_root):
+        cutoff = time.time() - 6 * 3600
+        for d in os.listdir(tmp_root):
+            p = os.path.join(tmp_root, d)
+            try:
+                if d.startswith("stream_ingest-") and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    work = os.path.join(tmp_root, f"stream_ingest-{uuid.uuid4().hex}")
     target = ParquetDatabase(spark, os.path.join(work, "target"))
     # the file-stream source requires a DIRECTORY; the testdata table
     # is a single parquet file — symlink it into a source dir (no copy)
