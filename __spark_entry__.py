@@ -106,6 +106,7 @@ _HEAD_KEYS = [
     "x_stream_ingest",
     "sample_leakage_safe",
     "text_quality_score",
+    "sim_topk_quantized",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:

@@ -371,3 +371,56 @@ def all_pairs_topk_blocked(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_int8(vec_col: str, scale: float = 127.0) -> Column:
+    """Scalar quantization of a float vector to int8-range integers
+    (round(x * scale)) — 4x memory compression for unit-range
+    embeddings; the standard first step before ANN index build at
+    corpus scale. Pure codegen expression."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.round(x * scale).cast("long")
+    )
+
+
+def topk_quantized(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 127.0,
+) -> DataFrame:
+    """Top-k by cosine over INT8-QUANTIZED vectors: integer dot and
+    norms (exact arithmetic once quantized — engine-portable), double
+    division only at the end. Accuracy loss vs float cosine is the
+    quantization error (~1/254 per dim); memory and bandwidth drop
+    4x, which at 100 TB of embeddings is what makes the scan feasible
+    — compose with LSH/IVF blocking exactly like the float paths.
+    The one-row query side broadcasts; TakeOrdered merges per-partition
+    top-k (no global sort)."""
+    qd = df.filter(F.col(id_col) == query_vec_id).select(
+        quantize_int8(vec_col, scale).alias("__q")
+    )
+    cv = quantize_int8(vec_col, scale)
+    dot = F.aggregate(
+        F.zip_with(cv, F.col("__q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nn = F.sqrt(sq(cv).cast("double")) * F.sqrt(sq(F.col("__q")).cast("double"))
+    scored = (
+        df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            id_col,
+            F.round(dot.cast("double") / nn, 6).alias("score"),
+        )
+        .filter(F.col("score").isNotNull())
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

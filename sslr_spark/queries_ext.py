@@ -583,6 +583,40 @@ limit 10
 """
 
 
+def q_sim_topk_quantized(spark, sf_dir):
+    """Top-10 cosine over int8-quantized vectors (4x memory): integer
+    dot/norms, double division last — the compression step that makes
+    a 100 TB embedding scan feasible."""
+    return S.topk_quantized(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+SQL_SIM_TOPK_QUANTIZED = """
+with q as (
+  select list_transform(embedding, x -> cast(round(x * 127) as bigint)) as qv
+  from embeddings where vec_id = 0
+),
+s as (
+  select vec_id,
+         list_transform(embedding, x -> cast(round(x * 127) as bigint)) as cv
+  from embeddings where vec_id != 0
+),
+d as (
+  select s.vec_id,
+         list_sum(list_transform(generate_series(1, len(cv)),
+                                 i -> cv[i] * qv[i])) as dot,
+         sqrt(cast(list_sum(list_transform(cv, v -> v * v)) as double))
+           * sqrt(cast(list_sum(list_transform(qv, v -> v * v)) as double))
+           as nn
+  from s, q
+)
+select vec_id, round(cast(dot as double) / nn, 6) as score
+from d
+where nn is not null and nn > 0
+order by score desc, vec_id
+limit 10
+"""
+
+
 def q_sim_topk_lsh(spark, sf_dir):
     """Approximate top-10 via sign-LSH bucket pruning (6 bits)."""
     return S.topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10, n_bits=6)
@@ -1545,6 +1579,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_ingest": q_x_stream_ingest,
     "sample_leakage_safe": q_sample_leakage_safe,
     "text_quality_score": q_text_quality_score,
+    "sim_topk_quantized": q_sim_topk_quantized,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1591,6 +1626,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_ingest": SQL_X_STREAM_INGEST,
     "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
     "text_quality_score": SQL_TEXT_QUALITY_SCORE,
+    "sim_topk_quantized": SQL_SIM_TOPK_QUANTIZED,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,

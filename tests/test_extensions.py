@@ -658,3 +658,16 @@ def test_quality_classifier_train_and_serve_parity(spark):
             w * float(r[c]) for w, c in zip(weights, QUALITY_FEATURES)
         )
         assert abs(scored[r["doc_id"]] - round(1 / (1 + math.exp(-z)), 6)) < 1e-9
+
+
+def test_quantized_topk_recall_vs_float(spark, emb):
+    """int8 quantization must preserve neighbor ranking to high
+    recall: the quantized top-10 overlaps the exact float top-10 and
+    scores differ only by quantization error."""
+    from sslr_spark.functions.similarity import topk_bruteforce, topk_quantized
+
+    exact = {r.vec_id: r.cos_sim for r in topk_bruteforce(emb, 0, k=10).collect()}
+    quant = {r.vec_id: r.score for r in topk_quantized(emb, 0, k=10).collect()}
+    assert len(set(exact) & set(quant)) >= 8
+    for vid in set(exact) & set(quant):
+        assert abs(exact[vid] - quant[vid]) < 0.05
