@@ -107,6 +107,8 @@ _HEAD_KEYS = [
     "sample_leakage_safe",
     "text_quality_score",
     "sim_topk_quantized",
+    # de-skew rewrite this round — needs a fresh hash row:
+    "sample_stratified",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -117,6 +119,8 @@ _TAIL_KEYS = [
     "text_repetition",
     "sample_hash_split",
     "j3_range_repair",
+    "j1_semi_join_keyset",
+    "p6_key_range_scan",
     "x_set_ops",
     "mm_binary_meta",
     "sim_knn_blocked",
