@@ -143,6 +143,15 @@ def main() -> None:
     good_ids = scored.filter(F.col("mean_logprob") >= cutoff).select("doc_id")
     kept = kept.join(good_ids, "doc_id", "left_semi")
 
+    # 5b. Model-based quality score (fixed published weights — the
+    #     serving path of the MLlib-trained classifier); report only
+    from sslr_spark.functions.quality_model import quality_score
+
+    mq = quality_score(
+        kept, [0.02, -0.005, 3.0, 0.15], -2.0
+    ).agg(F.round(F.avg("score"), 4).alias("mean_q")).first()
+    print(f"== model quality == mean classifier score {mq['mean_q']}")
+
     # 6. Chunk long documents, then pack into token-budget batches
     chunks = chunk_text(kept, chunk_chars=512, overlap=64)
     packed = pack_token_budget(
