@@ -429,9 +429,16 @@ class ParquetDatabase:
         if os.path.exists(final):
             raise ValueError(f"snapshot {table}@{tag} already exists")
         src_root = self.path(table)
-        stage = os.path.join(
-            self.root, ".snapshots", f".stage-{uuid.uuid4().hex}"
-        )
+        snap_root = os.path.join(self.root, ".snapshots")
+        # sweep stage dirs a crashed snapshot() left behind (they hold
+        # hardlinks only — removal never touches table data)
+        if os.path.isdir(snap_root):
+            for d in os.listdir(snap_root):
+                if d.startswith(".stage-"):
+                    shutil.rmtree(
+                        os.path.join(snap_root, d), ignore_errors=True
+                    )
+        stage = os.path.join(snap_root, f".stage-{uuid.uuid4().hex}")
         n = 0
         for dirpath, dirnames, filenames in os.walk(src_root):
             # skip uncommitted write temp dirs; keep partition dirs
