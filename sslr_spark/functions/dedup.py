@@ -245,6 +245,34 @@ def _pairwise_jaccard(
     )
 
 
+def _asymmetric_jaccard(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cross-side sibling of :func:`_pairwise_jaccard` — same size/
+    intersection/round-6 convention, but pairs form only BETWEEN the
+    two (key, shingle) set DataFrames, never within one: the shape for
+    small-side-vs-corpus probes (holdout-vs-rest, batch-vs-accepted)
+    where an all-pairs join over the big side would be ruinous.
+
+    ``a``: (key_a, shingle) distinct rows; ``b``: (key_b, shingle)
+    distinct rows; key spaces must be disjoint or the caller must not
+    care about self-pairs. Output: (key_a, key_b, n_common, jaccard).
+    """
+    sa = a.groupBy("key_a").agg(F.count(F.lit(1)).alias("n_a"))
+    sb = b.groupBy("key_b").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        a.join(b, "shingle")
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "key_a")
+        .join(sb, "key_b")
+        .select(
+            "key_a", "key_b", "n_common", F.round(jac, 6).alias("jaccard")
+        )
+    )
+
+
 # ------------------------------------------------------------------
 # MinHash + LSH
 # ------------------------------------------------------------------

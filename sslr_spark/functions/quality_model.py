@@ -68,8 +68,12 @@ def train_quality_classifier(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    feats = quality_metrics(df, text_col).join(
-        df.select("doc_id", label_col), "doc_id"
+    feats = (
+        quality_metrics(df, text_col)
+        .join(df.select("doc_id", label_col), "doc_id")
+        # zero-token docs have NULL mean_word_len; one such row would
+        # fail the whole distributed fit (assembler default = error)
+        .na.drop(subset=QUALITY_FEATURES)
     )
     assembled = VectorAssembler(
         inputCols=QUALITY_FEATURES, outputCol="__features"

@@ -225,25 +225,30 @@ def leakage_safe_split(
     seed: str = "split",
     max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Hash split with train/holdout leakage repair: a holdout document
-    whose text has a near-dup (shingle Jaccard >= threshold) in any
-    OTHER split is reassigned to 'train' — evaluating on a paraphrase
-    of a training doc silently inflates scores, so the eval split must
-    be near-dup-clean against the rest of the corpus, not just
-    exact-hash disjoint.
+    """Hash split with holdout leakage repair: a holdout document whose
+    text has a near-dup (shingle Jaccard >= threshold) in any OTHER
+    split is reassigned to the split of its BEST-MATCHING partner
+    (highest Jaccard, ties to smallest partner key) — evaluating on a
+    paraphrase of a training doc silently inflates scores, so the eval
+    split must be near-dup-clean against the rest of the corpus, not
+    just exact-hash disjoint. Joining the partner's split (rather than
+    always 'train') means the repair can never CREATE new cross-split
+    leakage: a test doc whose twin lives in val joins val (an
+    intra-split dup — harmless) instead of planting a val near-dup
+    into train.
 
     Output: (key_col, split) for every input row; only rows whose
-    initial split == ``holdout`` can move, and they only move to
-    'train'. Deterministic (hash split + exact verified Jaccard — no
-    RNG, no LSH recall variance).
+    initial split == ``holdout`` can move. Deterministic (hash split +
+    exact verified Jaccard — no RNG, no LSH recall variance).
 
     Scale shape: the contamination probe is an ASYMMETRIC inverted-
-    index join — holdout-side shingles (the small side, a few percent
-    of the corpus) against the rest — never all-pairs; set sizes come
-    from one per-doc count over the shared shingle table. Same
-    hot-shingle cap as the pair generators.
+    index join (:func:`~sslr_spark.functions.dedup._asymmetric_jaccard`
+    — the shared size/round-6 convention) — holdout-side shingles (the
+    small side, a few percent of the corpus) against the rest — never
+    all-pairs. Same hot-shingle cap as the pair generators.
     """
     from sslr_spark.functions.dedup import (
+        _asymmetric_jaccard,
         _cap_hot_shingles,
         _entry_release,
         _persist,
@@ -252,54 +257,62 @@ def leakage_safe_split(
 
     if weights is None:
         weights = {"train": 0.9, "test": 0.1}
-    if holdout not in weights or "train" not in weights:
-        raise ValueError("weights must contain 'train' and the holdout split")
+    if holdout not in weights:
+        raise ValueError("weights must contain the holdout split")
+    if key_col != "doc_id":
+        # shingles() keys on doc_id; a second id column would silently
+        # cross two key spaces in the joins below
+        if "doc_id" in df.columns:
+            raise ValueError(
+                "key_col != 'doc_id' requires the input to have no "
+                "'doc_id' column (shingles key on doc_id internally)"
+            )
+        df = df.withColumnRenamed(key_col, "doc_id")
     _entry_release()
-    labeled = hash_split(df, key_col, weights, seed)
+    labeled = hash_split(df, "doc_id", weights, seed)
     sh = _persist(
         _cap_hot_shingles(
             shingles(df, text_col, shingle_n), max_shingle_doc_freq
-        ).join(
-            labeled.select(F.col(key_col).alias("doc_id"), "split"), "doc_id"
-        )
+        ).join(labeled.select("doc_id", "split"), "doc_id")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     h = sh.filter(F.col("split") == holdout).select(
-        F.col("doc_id").alias("h_id"), "shingle"
+        F.col("doc_id").alias("key_a"), "shingle"
     )
     r = sh.filter(F.col("split") != holdout).select(
-        F.col("doc_id").alias("r_id"), "shingle"
+        F.col("doc_id").alias("key_b"), "shingle"
     )
-    inter = (
-        h.join(r, "shingle")
-        .groupBy("h_id", "r_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pairs = _asymmetric_jaccard(h, r).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
-    jac = F.col("n_common") / (
-        F.col("n_h") + F.col("n_r") - F.col("n_common")
+    # best partner per contaminated holdout doc -> inherit ITS split
+    partner_split = labeled.select(
+        F.col("doc_id").alias("key_b"), F.col("split").alias("__psplit")
     )
-    contaminated = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("h_id"), F.col("n_sh").alias("n_h")),
-            "h_id",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("r_id"), F.col("n_sh").alias("n_r")),
-            "r_id",
-        )
-        .filter(F.round(jac, 6) >= jaccard_threshold)
-        .select(F.col("h_id").alias(key_col))
-        .distinct()
-    )
-    return (
-        labeled.select(key_col, "split")
-        .join(
-            contaminated.withColumn("__leak", F.lit(True)), key_col, "left"
+    moved = (
+        pairs.join(partner_split, "key_b")
+        .groupBy("key_a")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("jaccard")).alias("neg_jac"),
+                    F.col("key_b").alias("pid"),
+                    F.col("__psplit").alias("psplit"),
+                )
+            ).alias("_best")
         )
         .select(
-            key_col,
-            F.when(F.col("__leak").isNotNull(), F.lit("train"))
-            .otherwise(F.col("split"))
-            .alias("split"),
+            F.col("key_a").alias("doc_id"),
+            F.col("_best.psplit").alias("__to"),
         )
     )
+    out = (
+        labeled.select("doc_id", "split")
+        .join(moved, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__to"), F.col("split")).alias("split"),
+        )
+    )
+    if key_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", key_col)
+    return out

@@ -468,8 +468,10 @@ def q_x_stream_ingest(spark, sf_dir):
     # is a single parquet file — symlink it into a source dir (no copy)
     src_dir = os.path.join(work, "src")
     os.makedirs(src_dir)
+    # abspath: a relative sf_dir would make the link target resolve
+    # relative to src_dir and dangle
     os.symlink(
-        f"{sf_dir}/documents.parquet",
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
         os.path.join(src_dir, "documents.parquet"),
     )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -481,7 +483,11 @@ def q_x_stream_ingest(spark, sf_dir):
         os.path.join(work, "ckpt"),
         jaccard_threshold=0.5,
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # timed out: stop the leaked stream before reporting — reading
+        # mid-write would surface as a confusing hash mismatch
+        q.stop()
+        raise TimeoutError("x_stream_ingest: availableNow epoch > 600 s")
     return target.read("accepted").select("doc_id", "lang", "source")
 
 
@@ -896,8 +902,10 @@ from tot t left join hit h on t.doc_id = h.doc_id
 
 def q_sample_leakage_safe(spark, sf_dir):
     """Leakage-free 90/5/5 split: test docs with a near-dup (3-gram
-    Jaccard >= 0.3) in train/val are reassigned to train — eval on a
-    paraphrase of a training doc inflates scores."""
+    Jaccard >= 0.3) in another split are reassigned to their best
+    partner's split — eval on a paraphrase of a training doc inflates
+    scores, and joining the partner's split never creates NEW
+    cross-split leakage."""
     from sslr_spark.functions.sampling import leakage_safe_split
 
     return leakage_safe_split(
@@ -917,23 +925,31 @@ lab as (select doc_id, case when bkt < 900000 then 'train'
 ssh as (select sh.doc_id, sh.shingle, lab.split
         from sh join lab using (doc_id)),
 sizes as (select doc_id, count(*) as n_sh from ssh group by 1),
-inter as (
-  select h.doc_id as h_id, r.doc_id as r_id, count(*) as n_common
-  from ssh h join ssh r on h.shingle = r.shingle
-  where h.split = 'test' and r.split != 'test'
-  group by 1, 2
-),
-leak as (
-  select distinct i.h_id as doc_id
-  from inter i
+pairs as (
+  select i.h_id, i.r_id,
+         round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) as jaccard
+  from (
+    select h.doc_id as h_id, r.doc_id as r_id, count(*) as n_common
+    from ssh h join ssh r on h.shingle = r.shingle
+    where h.split = 'test' and r.split != 'test'
+    group by 1, 2
+  ) i
   join sizes sa on sa.doc_id = i.h_id
   join sizes sb on sb.doc_id = i.r_id
   where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.3
+),
+best as (select h_id, max(jaccard) as bj from pairs group by 1),
+pick as (
+  select p.h_id, min(p.r_id) as pid
+  from pairs p join best bb on bb.h_id = p.h_id and p.jaccard = bb.bj
+  group by 1
+),
+moved as (
+  select k.h_id as doc_id, l2.split as to_split
+  from pick k join lab l2 on l2.doc_id = k.pid
 )
-select l.doc_id,
-       case when l.doc_id in (select doc_id from leak) then 'train'
-            else l.split end as split
-from lab l
+select l.doc_id, coalesce(m.to_split, l.split) as split
+from lab l left join moved m using (doc_id)
 """
 )
 

@@ -429,15 +429,26 @@ class ParquetDatabase:
         if os.path.exists(final):
             raise ValueError(f"snapshot {table}@{tag} already exists")
         src_root = self.path(table)
+        if not os.path.isdir(src_root):
+            raise ValueError(
+                f"snapshot: table {table!r} does not exist"
+            )
         snap_root = os.path.join(self.root, ".snapshots")
-        # sweep stage dirs a crashed snapshot() left behind (they hold
-        # hardlinks only — removal never touches table data)
+        # sweep stage dirs a CRASHED snapshot() left behind (hardlinks
+        # only — removal never touches table data). Age-gated: a live
+        # concurrent snapshot()'s stage dir is seconds old, a crashed
+        # one outlives its process; 1 h is far beyond any build time.
         if os.path.isdir(snap_root):
+            import time
+
+            cutoff = time.time() - 3600
             for d in os.listdir(snap_root):
-                if d.startswith(".stage-"):
-                    shutil.rmtree(
-                        os.path.join(snap_root, d), ignore_errors=True
-                    )
+                p = os.path.join(snap_root, d)
+                try:
+                    if d.startswith(".stage-") and os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         stage = os.path.join(snap_root, f".stage-{uuid.uuid4().hex}")
         n = 0
         for dirpath, dirnames, filenames in os.walk(src_root):

@@ -575,46 +575,46 @@ def test_pairwise_jaccard_matches_bruteforce_property(spark):
     check()
 
 
-def test_leakage_safe_split_reassigns_near_dup_holdout(spark):
+def test_leakage_safe_split_reassigns_to_partner_split(spark):
     from sslr_spark.functions.dedup import release_caches
     from sslr_spark.functions.sampling import hash_split, leakage_safe_split
 
-    base = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
-    # find a doc_id that hashes into 'test' under a 50/50 deal, and
-    # one that lands in 'train', then plant near-dup text across them
+    base_t = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    base_v = "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"
+    weights = {"train": 0.4, "val": 0.3, "test": 0.3}
     probe = spark.createDataFrame(
-        [(i,) for i in range(200)], "doc_id long"
+        [(i,) for i in range(400)], "doc_id long"
     ).withColumn("text", F.lit(""))
     lab = {
         r["doc_id"]: r["split"]
-        for r in hash_split(
-            probe, "doc_id", {"train": 0.5, "test": 0.5}
-        ).collect()
+        for r in hash_split(probe, "doc_id", weights).collect()
     }
-    test_id = next(k for k, v in lab.items() if v == "test")
-    train_id = next(k for k, v in lab.items() if v == "train")
-    clean_id = next(
-        k for k, v in lab.items() if v == "test" and k != test_id
-    )
+    ids = {s: [k for k, v in lab.items() if v == s] for s in weights}
+    train_id, val_id = ids["train"][0], ids["val"][0]
+    t_leak_train, t_leak_val, t_clean = ids["test"][:3]
     docs = spark.createDataFrame(
         [
-            (train_id, base),
-            (test_id, base + " tail"),        # leaks from train
-            (clean_id, "z1 z2 z3 z4 z5 z6"),  # clean holdout doc
+            (train_id, base_t),
+            (val_id, base_v),
+            (t_leak_train, base_t + " tail"),  # twin lives in train
+            (t_leak_val, base_v + " tail"),    # twin lives in val
+            (t_clean, "z1 z2 z3 z4 z5 z6"),
         ],
         "doc_id long, text string",
     )
     out = {
         r["doc_id"]: r["split"]
         for r in leakage_safe_split(
-            docs, weights={"train": 0.5, "test": 0.5},
-            jaccard_threshold=0.5,
+            docs, weights=weights, jaccard_threshold=0.5,
         ).collect()
     }
     release_caches()
-    assert out[train_id] == "train"
-    assert out[test_id] == "train"   # reassigned: near-dup of train doc
-    assert out[clean_id] == "test"   # clean holdout stays
+    assert out[train_id] == "train" and out[val_id] == "val"
+    assert out[t_leak_train] == "train"  # joins its train twin
+    # joins its VAL twin — moving it to train would CREATE train/val
+    # leakage where none existed
+    assert out[t_leak_val] == "val"
+    assert out[t_clean] == "test"
 
 
 def test_quality_classifier_train_and_serve_parity(spark):
