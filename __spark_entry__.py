@@ -109,6 +109,7 @@ _HEAD_KEYS = [
     "sim_topk_quantized",
     # de-skew rewrite this round — needs a fresh hash row:
     "sample_stratified",
+    "x_anomaly_zscore",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -121,6 +122,7 @@ _TAIL_KEYS = [
     "j3_range_repair",
     "j1_semi_join_keyset",
     "p6_key_range_scan",
+    "j2_upsert_merge",
     "x_set_ops",
     "mm_binary_meta",
     "sim_knn_blocked",

@@ -546,6 +546,68 @@ group by 1, 2
 """
 
 
+def q_x_anomaly_zscore(spark, sf_dir):
+    """Hourly-count anomaly scan: per event_type, z-score of each
+    hour's event count against that type's hourly distribution.
+    Variance from exact integer sums (n*sum_x2, sum_x^2) with ONE
+    explicitly-ordered double expression — both engines evaluate the
+    identical IEEE op sequence, so no stddev-builtin summation-order
+    divergence. Two map-side-combined aggregations + a broadcast of
+    n_types stat rows; flags |z| >= 2."""
+    ev = read_events(spark, sf_dir)
+    hours = ev.groupBy(
+        "event_type",
+        F.expr("ts_us div 3600000000 * 3600").alias("hour_epoch_s"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hours.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sx2"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n_h")
+    var = (
+        F.col("sx2").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n_h")
+    ) / (F.col("n_h") - 1)
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        hours.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n_h") > 1)
+        .select(
+            "event_type",
+            "hour_epoch_s",
+            "n",
+            F.round(z, 6).alias("z"),
+            (F.abs(F.round(z, 6)) >= 2.0).alias("anomaly"),
+        )
+    )
+
+
+SQL_ANOMALY_ZSCORE = """
+with hours as (
+  select event_type,
+         cast(epoch_us(cast(ts as timestamp)) // 3600000000 * 3600 as bigint)
+           as hour_epoch_s,
+         count(*) as n
+  from events group by 1, 2
+),
+stats as (
+  select event_type, count(*) as n_h, sum(n) as sx, sum(n * n) as sx2
+  from hours group by 1
+)
+select h.event_type, h.hour_epoch_s, h.n,
+       round((cast(h.n as double) - cast(s.sx as double) / s.n_h)
+             / sqrt((cast(s.sx2 as double)
+                     - cast(s.sx as double) * s.sx / s.n_h)
+                    / (s.n_h - 1)), 6) as z,
+       abs(round((cast(h.n as double) - cast(s.sx as double) / s.n_h)
+             / sqrt((cast(s.sx2 as double)
+                     - cast(s.sx as double) * s.sx / s.n_h)
+                    / (s.n_h - 1)), 6)) >= 2.0 as anomaly
+from hours h join stats s using (event_type)
+where s.n_h > 1
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_grouping_sets": q_x_grouping_sets,
     "x_quantile_stats": q_x_quantile_stats,
@@ -564,10 +626,12 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_pivot": q_x_pivot,
     "x_rollup": q_x_rollup,
     "x_funnel": q_x_funnel,
+    "x_anomaly_zscore": q_x_anomaly_zscore,
     "x_cumulative_window": q_x_cumulative_window,
 }
 
 OLAP_ORACLES: dict[str, str] = {
+    "x_anomaly_zscore": SQL_ANOMALY_ZSCORE,
     "x_grouping_sets": SQL_GROUPING_SETS,
     "x_quantile_stats": SQL_QUANTILE_STATS,
     "x_retention": SQL_RETENTION,
