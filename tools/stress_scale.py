@@ -182,6 +182,20 @@ def main() -> None:
         source_overlap(docs_scaled, "source").count()
     release_caches()
 
+    # leakage-safe split: the holdout probe is asymmetric (5% holdout
+    # shingles vs the rest) — cost tracks the corpus pass for the
+    # shingle index, never holdout x rest document pairs
+    from sslr_spark.functions.sampling import leakage_safe_split
+
+    with timed("leakage_safe_split"):
+        leakage_safe_split(
+            docs_scaled,
+            weights={"train": 0.9, "val": 0.05, "test": 0.05},
+            holdout="test",
+            jaccard_threshold=0.3,
+        ).groupBy("split").count().collect()
+    release_caches()
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
