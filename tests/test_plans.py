@@ -289,3 +289,29 @@ def test_source_overlap_fanout_bounded_by_sources(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # the n_sources-row size joins
     release_caches()
+
+
+def test_leakage_split_probe_is_inverted_index_not_pairs(spark):
+    """Holdout contamination probe: shingle-keyed equi-joins only —
+    no doc-x-doc pair materialization, no cartesian fallback."""
+    from sslr_spark.functions.dedup import release_caches
+    from sslr_spark.functions.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(
+        leakage_safe_split(docs, weights={"train": 0.9, "test": 0.1})
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    release_caches()
+
+
+def test_anomaly_zscore_aggs_are_partial_and_stats_broadcast(spark):
+    """Anomaly scan: hourly counts and per-type stats must map-side
+    combine; the n_types stat rows broadcast back onto the hours."""
+    from sslr_spark.queries_olap import q_x_anomaly_zscore
+
+    p = plan_of(q_x_anomaly_zscore(spark, SF))
+    assert "partial_count" in p or "partial_" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
