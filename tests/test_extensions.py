@@ -671,3 +671,19 @@ def test_quantized_topk_recall_vs_float(spark, emb):
     assert len(set(exact) & set(quant)) >= 8
     for vid in set(exact) & set(quant):
         assert abs(exact[vid] - quant[vid]) < 0.05
+
+
+def test_arrow_topk_equals_jvm_fold(spark, emb):
+    """The Arrow/numpy batch scorer must produce exactly the JVM
+    fold's results (same rounding, same tie order)."""
+    from sslr_spark.functions.similarity import (
+        topk_bruteforce,
+        topk_bruteforce_arrow,
+    )
+
+    jvm = [(r.vec_id, r.cos_sim) for r in topk_bruteforce(emb, 0, k=10).collect()]
+    arrow = [
+        (r.vec_id, r.cos_sim)
+        for r in topk_bruteforce_arrow(emb, 0, k=10).collect()
+    ]
+    assert jvm == arrow
