@@ -443,14 +443,14 @@ def topk_bruteforce_arrow(
     gemv per batch amortizes the transfer and wins — this variant IS
     the scale path for wide vectors, and the pattern (batch matrix op
     in mapInPandas) is what a GPU scorer would follow too."""
-    import pandas as pd  # noqa: F401
+    import numpy as np
+    import pandas as pd
 
     q_rows = (
         df.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
     )
     if not q_rows:
         raise ValueError(f"query vector {query_vec_id} not found")
-    import numpy as np
 
     qv = np.asarray(q_rows[0][0], dtype=np.float64)
     qn = float(np.sqrt((qv * qv).sum()))
@@ -469,8 +469,6 @@ def topk_bruteforce_arrow(
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "cos_sim": np.round(sims, 6)}
             )
-
-    import pandas as pd
 
     scored = (
         df.filter(F.col(id_col) != query_vec_id)
