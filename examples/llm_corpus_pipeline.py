@@ -152,6 +152,22 @@ def main() -> None:
     ).agg(F.round(F.avg("score"), 4).alias("mean_q")).first()
     print(f"== model quality == mean classifier score {mq['mean_q']}")
 
+    # 5c. Leakage-free split of the curated corpus: holdout docs with
+    #     a near-dup in another split join their twin's split
+    from sslr_spark.functions.sampling import leakage_safe_split
+
+    split = leakage_safe_split(
+        kept, weights={"train": 0.9, "val": 0.05, "test": 0.05},
+        holdout="test", jaccard_threshold=0.3,
+    )
+    for r in split.groupBy("split").count().orderBy("split").collect():
+        print(f"  split {r['split']:<6} {r['count']}")
+    kept = kept.join(
+        split.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
     # 6. Chunk long documents, then pack into token-budget batches
     chunks = chunk_text(kept, chunk_chars=512, overlap=64)
     packed = pack_token_budget(
