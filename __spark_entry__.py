@@ -110,6 +110,7 @@ _HEAD_KEYS = [
     # de-skew rewrite this round — needs a fresh hash row:
     "sample_stratified",
     "x_anomaly_zscore",
+    "sample_mix_execute",
 ]
 _TAIL_KEYS = [
     # rows-only by design — no hash info in their driver row:
@@ -123,6 +124,7 @@ _TAIL_KEYS = [
     "j1_semi_join_keyset",
     "p6_key_range_scan",
     "j2_upsert_merge",
+    "j4_hash_diff",
     "x_set_ops",
     "mm_binary_meta",
     "sim_knn_blocked",

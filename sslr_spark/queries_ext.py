@@ -1039,6 +1039,63 @@ from p
 """
 
 
+def q_sample_mix_execute(spark, sf_dir):
+    """Execute the training-mix budget: per-domain hash sampling at
+    rate allocation/domain_weight — the step that turns mix_allocation
+    budgets into an actual sampled corpus. One broadcast of n_domains
+    rate rows + a narrow hash filter; expected tokens per domain ==
+    allocation (hash sampling; the exact-trim variant is
+    stratified_exact_sample's two-phase machinery)."""
+    from sslr_spark.functions.sampling import mix_allocation, split_bucket
+
+    docs = _docs(spark, sf_dir)
+    alloc = mix_allocation(
+        docs, ["lang", "source"], "n_chars", budget=1_000_000, alpha=0.7
+    )
+    rates = alloc.select(
+        "lang",
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.col("allocation").cast("double") / F.col("domain_weight"),
+        ).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .filter(
+            split_bucket(F.col("doc_id"), "mix")
+            < F.floor(F.col("rate") * F.lit(1e6)).cast("long")
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+SQL_SAMPLE_MIX_EXECUTE = f"""
+with tot as (
+  select lang, source, cast(sum(n_chars) as bigint) as domain_weight
+  from documents group by lang, source
+),
+p as (
+  select *, pow(cast(domain_weight as double), 0.7) as pp from tot
+),
+alloc as (
+  select lang, source, domain_weight,
+         cast(floor(floor(pp / sum(pp) over () * 1000000.0) / 1000000.0
+                    * 1000000.0) as bigint) as allocation
+  from p
+),
+rates as (
+  select lang, source,
+         least(1.0, cast(allocation as double) / domain_weight) as rate
+  from alloc
+)
+select d.doc_id, d.lang, d.source, d.n_chars
+from documents d join rates r using (lang, source)
+where {split_bucket_sql('d.doc_id', 'mix')}
+      < cast(floor(r.rate * 1000000.0) as bigint)
+"""
+
+
 def q_text_length_stats(spark, sf_dir):
     """Per-language length distribution (count / mean / exact
     p50-p95-p99) — the basis of corpus length-filter thresholds
@@ -1596,6 +1653,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_leakage_safe": q_sample_leakage_safe,
     "text_quality_score": q_text_quality_score,
     "sim_topk_quantized": q_sim_topk_quantized,
+    "sample_mix_execute": q_sample_mix_execute,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
     "x_bloom_membership": q_bloom_membership,
@@ -1643,6 +1701,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
     "text_quality_score": SQL_TEXT_QUALITY_SCORE,
     "sim_topk_quantized": SQL_SIM_TOPK_QUANTIZED,
+    "sample_mix_execute": SQL_SAMPLE_MIX_EXECUTE,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
