@@ -437,12 +437,22 @@ def topk_bruteforce_arrow(
     per partition as ONE BLAS matrix-vector product over the record
     batch (mapInPandas), then the usual TakeOrdered merge.
 
-    Same results as the JVM fold (equality-tested). Which path wins is
-    dimensional: at 64 dims the JVM higher-order fold stays in codegen
-    and avoids Arrow serde; at real embedding widths (≥ 768) one BLAS
-    gemv per batch amortizes the transfer and wins — this variant IS
-    the scale path for wide vectors, and the pattern (batch matrix op
-    in mapInPandas) is what a GPU scorer would follow too."""
+    Equality-tested against the JVM fold on the fixture corpus; in
+    general the two paths can differ by last-ULP summation order
+    (pairwise BLAS reduction vs the sequential fold) at exact
+    half-boundary values of the 6th decimal. Rounding happens in the
+    JVM layer (F.round, HALF_UP) on BOTH paths, so the rounding MODE
+    can never diverge. Zero-norm rows score NaN inside the batch and
+    are filtered out (descending sort would otherwise rank NaN first;
+    the JVM fold's ANSI division errors on them instead — filter
+    degenerate vectors upstream either way).
+
+    Which path wins is dimensional: at 64 dims the JVM higher-order
+    fold stays in codegen and avoids Arrow serde; at real embedding
+    widths (≥ 768) one BLAS gemv per batch amortizes the transfer and
+    wins — this variant IS the scale path for wide vectors, and the
+    pattern (batch matrix op in mapInPandas) is what a GPU scorer
+    would follow too."""
     import numpy as np
     import pandas as pd
 
@@ -454,7 +464,8 @@ def topk_bruteforce_arrow(
 
     qv = np.asarray(q_rows[0][0], dtype=np.float64)
     qn = float(np.sqrt((qv * qv).sum()))
-    schema = f"{id_col} long, cos_sim double"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, __raw_sim double"
 
     def score(batches):
         for pdf in batches:
@@ -466,13 +477,17 @@ def topk_bruteforce_arrow(
             norms = np.sqrt((m * m).sum(axis=1)) * qn
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = np.where(norms > 0, m @ qv / norms, np.nan)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cos_sim": np.round(sims, 6)}
-            )
+            yield pd.DataFrame({id_col: pdf[id_col], "__raw_sim": sims})
 
     scored = (
         df.filter(F.col(id_col) != query_vec_id)
         .select(id_col, vec_col)
         .mapInPandas(score, schema)
+        # pandas NaN crosses Arrow as NULL (and isnan(NULL) is false):
+        # guard both spellings of "no valid score"
+        .filter(
+            F.col("__raw_sim").isNotNull() & ~F.isnan(F.col("__raw_sim"))
+        )
+        .select(id_col, F.round(F.col("__raw_sim"), 6).alias("cos_sim"))
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

@@ -1023,20 +1023,26 @@ def q_mix_allocation(spark, sf_dir):
     )
 
 
-SQL_MIX_ALLOCATION = """
-with tot as (
+# the temperature/truncation spelling lives ONCE — both the
+# allocation oracle and the mix-execution oracle compose this block
+_MIX_CTE = """
+tot as (
   select lang, source, cast(sum(n_chars) as bigint) as domain_weight
   from documents group by lang, source
 ),
 p as (
   select *, pow(cast(domain_weight as double), 0.7) as pp from tot
-)
+)"""
+
+SQL_MIX_ALLOCATION = (
+    "with " + _MIX_CTE + """
 select lang, source, domain_weight,
        floor(pp / sum(pp) over () * 1000000.0) / 1000000.0 as share,
        cast(floor(floor(pp / sum(pp) over () * 1000000.0) / 1000000.0
                   * 1000000.0) as bigint) as allocation
 from p
 """
+)
 
 
 def q_sample_mix_execute(spark, sf_dir):
@@ -1070,14 +1076,7 @@ def q_sample_mix_execute(spark, sf_dir):
     )
 
 
-SQL_SAMPLE_MIX_EXECUTE = f"""
-with tot as (
-  select lang, source, cast(sum(n_chars) as bigint) as domain_weight
-  from documents group by lang, source
-),
-p as (
-  select *, pow(cast(domain_weight as double), 0.7) as pp from tot
-),
+SQL_SAMPLE_MIX_EXECUTE = "with " + _MIX_CTE + f""",
 alloc as (
   select lang, source, domain_weight,
          cast(floor(floor(pp / sum(pp) over () * 1000000.0) / 1000000.0

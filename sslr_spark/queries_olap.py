@@ -571,7 +571,11 @@ def q_x_anomaly_zscore(spark, sf_dir):
     z = (F.col("n").cast("double") - mean) / F.sqrt(var)
     return (
         hours.join(F.broadcast(stats), "event_type")
-        .filter(F.col("n_h") > 1)
+        # var > 0 guard BEFORE the projection: a type whose hourly
+        # counts are all equal has var = 0, and z would be 0/0 — a
+        # DIVIDE_BY_ZERO crash under Spark's default ANSI mode and an
+        # engine-divergent NaN in the oracle
+        .filter((F.col("n_h") > 1) & (var > 0))
         .select(
             "event_type",
             "hour_epoch_s",
@@ -605,6 +609,8 @@ select h.event_type, h.hour_epoch_s, h.n,
                     / (s.n_h - 1)), 6)) >= 2.0 as anomaly
 from hours h join stats s using (event_type)
 where s.n_h > 1
+  and (cast(s.sx2 as double)
+       - cast(s.sx as double) * s.sx / s.n_h) / (s.n_h - 1) > 0
 """
 
 

@@ -687,3 +687,20 @@ def test_arrow_topk_equals_jvm_fold(spark, emb):
         for r in topk_bruteforce_arrow(emb, 0, k=10).collect()
     ]
     assert jvm == arrow
+
+
+def test_arrow_topk_filters_zero_norm_vectors(spark):
+    from sslr_spark.functions.similarity import topk_bruteforce_arrow
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),   # zero norm: NaN score, must not rank
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r.vec_id for r in topk_bruteforce_arrow(emb, 0, k=3).collect()]
+    assert 2 not in got
+    assert got[0] == 1  # highest cosine, not NaN

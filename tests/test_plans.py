@@ -312,6 +312,7 @@ def test_anomaly_zscore_aggs_are_partial_and_stats_broadcast(spark):
     from sslr_spark.queries_olap import q_x_anomaly_zscore
 
     p = plan_of(q_x_anomaly_zscore(spark, SF))
-    assert "partial_count" in p or "partial_" in p
+    assert "partial_count" in p
+    assert "partial_sum" in p  # the per-type stats agg combines too
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
