@@ -224,6 +224,7 @@ def leakage_safe_split(
     jaccard_threshold: float = 0.5,
     seed: str = "split",
     max_shingle_doc_freq: int | None = None,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Hash split with holdout leakage repair: a holdout document whose
     text has a near-dup (shingle Jaccard >= threshold) in any OTHER
@@ -246,6 +247,13 @@ def leakage_safe_split(
     — the shared size/round-6 convention) — holdout-side shingles (the
     small side, a few percent of the corpus) against the rest — never
     all-pairs. Same hot-shingle cap as the pair generators.
+
+    ``labels``: optional (key_col, split) DataFrame to repair INSTEAD
+    of the internally-computed hash split — chain calls to repair
+    several eval splits in turn::
+
+        s1 = leakage_safe_split(df, weights=w, holdout="test")
+        s2 = leakage_safe_split(df, weights=w, holdout="val", labels=s1)
     """
     from sslr_spark.functions.dedup import (
         _asymmetric_jaccard,
@@ -268,8 +276,13 @@ def leakage_safe_split(
                 "'doc_id' column (shingles key on doc_id internally)"
             )
         df = df.withColumnRenamed(key_col, "doc_id")
+        if labels is not None:
+            labels = labels.withColumnRenamed(key_col, "doc_id")
     _entry_release()
-    labeled = hash_split(df, "doc_id", weights, seed)
+    if labels is not None:
+        labeled = labels.select("doc_id", "split")
+    else:
+        labeled = hash_split(df, "doc_id", weights, seed)
     sh = _persist(
         _cap_hot_shingles(
             shingles(df, text_col, shingle_n), max_shingle_doc_freq

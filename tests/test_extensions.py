@@ -704,3 +704,46 @@ def test_arrow_topk_filters_zero_norm_vectors(spark):
     got = [r.vec_id for r in topk_bruteforce_arrow(emb, 0, k=3).collect()]
     assert 2 not in got
     assert got[0] == 1  # highest cosine, not NaN
+
+
+def test_leakage_safe_split_chains_multiple_holdouts(spark):
+    """Chained repair: first clean the test split, then feed the
+    result back to clean val — a val doc twinned with a train doc
+    joins train on the second pass, while the first pass's repairs
+    stay intact."""
+    from sslr_spark.functions.dedup import release_caches
+    from sslr_spark.functions.sampling import hash_split, leakage_safe_split
+
+    weights = {"train": 0.4, "val": 0.3, "test": 0.3}
+    probe = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    ).withColumn("text", F.lit(""))
+    lab = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(probe, "doc_id", weights).collect()
+    }
+    ids = {s: [k for k, v in lab.items() if v == s] for s in weights}
+    train_id = ids["train"][0]
+    val_leak = ids["val"][0]
+    test_leak = ids["test"][0]
+    base = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11 k12"
+    docs = spark.createDataFrame(
+        [
+            (train_id, base),
+            (val_leak, base + " tail"),   # val twin of a train doc
+            (test_leak, base + " end"),   # test twin of the same doc
+        ],
+        "doc_id long, text string",
+    )
+    s1 = leakage_safe_split(
+        docs, weights=weights, holdout="test", jaccard_threshold=0.5
+    )
+    s2 = leakage_safe_split(
+        docs, weights=weights, holdout="val", jaccard_threshold=0.5,
+        labels=s1,
+    )
+    out = {r["doc_id"]: r["split"] for r in s2.collect()}
+    release_caches()
+    assert out[train_id] == "train"
+    assert out[test_leak] == "train"  # pass 1 repair survives pass 2
+    assert out[val_leak] == "train"   # pass 2 repair
