@@ -245,6 +245,7 @@ def streaming_neardup_ingest(
     hash_mode: str = "portable",
     trigger_seconds: float | None = None,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
     """Continuous near-dup-deduped ingest: every arriving micro-batch
     is collapsed within itself, probed against the ACCEPTED corpus's
@@ -286,6 +287,11 @@ def streaming_neardup_ingest(
     LSH parameters (``shingle_n / n_hashes / n_bands / hash_mode``)
     are baked into the stored index — keep them constant for the life
     of the target, or rebuild the index with :func:`minhash_index`.
+
+    ``compact_every``: run :func:`compact_neardup_index` automatically
+    after every Nth epoch (its ``keep_last`` default protects the
+    replayable recent epochs) — long-running ingests then never
+    accumulate unbounded per-trigger partitions.
 
     Returns the StreamingQuery. Accepted reads carry the ``__epoch``
     partition column (drop it downstream if unwanted).
@@ -403,6 +409,17 @@ def streaming_neardup_ingest(
                 )
                 target.replace_partitions(
                     bk_table, new_bk.withColumn("__epoch", ep), "__epoch"
+                )
+            if (
+                compact_every
+                and int(epoch_id) > 0
+                and int(epoch_id) % compact_every == 0
+            ):
+                # post-commit maintenance: idempotent, crash-safe, and
+                # keep_last keeps replayable epochs addressable — a
+                # replay of THIS epoch re-runs against identical state
+                compact_neardup_index(
+                    target, index_table, accepted_table
                 )
         finally:
             if fresh is not None:

@@ -324,3 +324,39 @@ def test_compact_neardup_index_folds_old_epochs(spark, tmp_path):
     assert {r["doc_id"] for r in target.read("accepted").collect()} == {
         1, 2, 3, 21,
     }
+
+
+def test_streaming_neardup_auto_compaction(spark, tmp_path):
+    """compact_every folds old epochs during the stream itself; dedup
+    behavior is unchanged afterwards."""
+    from sslr_spark.streaming.pipeline import streaming_neardup_ingest
+
+    schema_str = "doc_id long, text string"
+    src_dir = str(tmp_path / "ac_src")
+    os.makedirs(src_dir)
+    target = ParquetDatabase(spark, str(tmp_path / "ac_target"))
+    ckpt = str(tmp_path / "ac_ckpt")
+
+    def run():
+        q = streaming_neardup_ingest(
+            spark, src_dir, spark.createDataFrame([], schema_str).schema,
+            target, ckpt, jaccard_threshold=0.5, compact_every=2,
+        )
+        q.awaitTermination(180)
+
+    for i in range(1, 5):  # epochs 0..3; compaction fires at 2
+        spark.createDataFrame(
+            [(i, f"t{i}a t{i}b t{i}c t{i}d t{i}e t{i}f")], schema_str
+        ).write.mode("append").parquet(src_dir)
+        run()
+
+    acc = target.read("accepted")
+    assert {r["doc_id"] for r in acc.collect()} == {1, 2, 3, 4}
+    epochs = {r[0] for r in acc.select("__epoch").distinct().collect()}
+    assert -1 in epochs  # old epochs folded mid-stream
+    # dedup still works against folded index rows
+    spark.createDataFrame(
+        [(10, "t1a t1b t1c t1d t1e t1f tail")], schema_str
+    ).write.mode("append").parquet(src_dir)
+    run()
+    assert 10 not in {r["doc_id"] for r in target.read("accepted").collect()}
