@@ -254,6 +254,21 @@ def leakage_safe_split(
 
         s1 = leakage_safe_split(df, weights=w, holdout="test")
         s2 = leakage_safe_split(df, weights=w, holdout="val", labels=s1)
+
+    ``labels`` must be an assignment over the SAME key set as ``df``
+    (i.e. a prior pass over this df): rows of df missing from labels
+    would silently drop from both the output and the probe. The given
+    labels plan is persisted internally for the pass (it feeds three
+    joins — uncached, a chained pass would recompute the entire prior
+    probe per consumer).
+
+    A single pass per split is a greedy step, not a fixed point: a
+    moved doc's partner can itself move in a LATER pass, re-creating
+    a cross-split pair (T->val joins V, then V->train leaves T/V
+    spanning val/train). Re-run the chain until assignments are
+    stable — each re-pass can only move docs toward their partners'
+    splits, and the planted-leak tests show one extra pass suffices
+    for two-hop chains.
     """
     from sslr_spark.functions.dedup import (
         _asymmetric_jaccard,
@@ -265,7 +280,9 @@ def leakage_safe_split(
 
     if weights is None:
         weights = {"train": 0.9, "test": 0.1}
-    if holdout not in weights:
+    if labels is None and holdout not in weights:
+        # with labels= the weights dict is unused; validating holdout
+        # against it would spuriously reject valid chained calls
         raise ValueError("weights must contain the holdout split")
     if key_col != "doc_id":
         # shingles() keys on doc_id; a second id column would silently
@@ -280,7 +297,10 @@ def leakage_safe_split(
             labels = labels.withColumnRenamed(key_col, "doc_id")
     _entry_release()
     if labels is not None:
-        labeled = labels.select("doc_id", "split")
+        # persist: the labels plan (often a whole prior repair pass)
+        # feeds the shingle join, the partner lookup, and the final
+        # output join — uncached it would recompute ~3x per pass
+        labeled = _persist(labels.select("doc_id", "split"))
     else:
         labeled = hash_split(df, "doc_id", weights, seed)
     sh = _persist(

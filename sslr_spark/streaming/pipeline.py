@@ -291,7 +291,14 @@ def streaming_neardup_ingest(
     ``compact_every``: run :func:`compact_neardup_index` automatically
     after every Nth epoch (its ``keep_last`` default protects the
     replayable recent epochs) — long-running ingests then never
-    accumulate unbounded per-trigger partitions.
+    accumulate unbounded per-trigger partitions. Each compaction
+    rewrites the monolithic base partition, so total maintenance I/O
+    over the stream's life is O(corpus²/compact_every): pick a cadence
+    where the base rewrite stays small relative to N micro-batches,
+    and prefer scheduling compaction OFFLINE (between stream restarts,
+    or from a separate maintenance job against the same target) for
+    very long-lived ingests; tiered folding (sealed segments instead
+    of one base) is the next step if that ever dominates.
 
     Returns the StreamingQuery. Accepted reads carry the ``__epoch``
     partition column (drop it downstream if unwanted).
@@ -415,9 +422,10 @@ def streaming_neardup_ingest(
                 and int(epoch_id) > 0
                 and int(epoch_id) % compact_every == 0
             ):
-                # post-commit maintenance: idempotent, crash-safe, and
-                # keep_last keeps replayable epochs addressable — a
-                # replay of THIS epoch re-runs against identical state
+                # runs after this epoch's table writes but BEFORE the
+                # streaming checkpoint commits the epoch — replay stays
+                # safe because compaction is idempotent and keep_last
+                # leaves the replayable epochs separately addressable
                 compact_neardup_index(
                     target, index_table, accepted_table
                 )

@@ -201,7 +201,10 @@ def main() -> None:
             weights={"train": 0.9, "val": 0.05, "test": 0.05},
             holdout="test",
             jaccard_threshold=0.3,
-            max_shingle_doc_freq=max(2, min(20, k)),
+            # k - 1: the salt-boundary shingle ("... replica") has
+            # doc-freq k-1; the cap comparison is >=, so k would let
+            # it through and keep the cross-replica pair space
+            max_shingle_doc_freq=max(2, min(20, k - 1)),
         ).groupBy("split").count().collect()
     release_caches()
 
