@@ -58,73 +58,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stubs (their driver row carries no hash information) and keys
 #     hash-verified green in BOTH prior rounds with unchanged code.
 _HEAD_KEYS = [
-    # never driver-verified before round 3:
-    "x_funnel",
-    "x_cumulative_window",
-    # verified r01 only (code unchanged since):
-    "x_tpch_q1",
-    "x_topk_per_group",
-    "x_pivot",
-    "x_rollup",
-    # upgraded this round (rows-only -> hash-checked):
-    "sim_ivf_ann",
-    # new this round:
-    "mix_allocation",
-    "text_topk_ngrams",
-    "text_length_stats",
-    "text_chunk",
-    "pack_token_budget",
-    "filter_funnel",
-    "text_pii_scrub",
-    "x_window_suite",
-    "x_cube",
-    "x_distinct_stats",
-    "x_heavy_hitters",
-    "x_correlated_subquery",
-    "text_unigram_logprob",
-    # new in the round-3 continuation session:
-    "dedup_ngram_coverage",
-    "dedup_semantic",
-    "x_bloom_membership",
-    "dedup_incremental",
-    "x_grouping_sets",
-    "x_quantile_stats",
-    "dedup_incremental_minhash",
-    "x_range_join",
+    # changed THIS round (entropy 4-decimal quantization, bloom
+    # integer rate_ppm, logprob 4-decimal — the r3 hash-tie fixes):
     "text_entropy",
-    "x_retention",
-    "dedup_keep_best",
-    "x_source_overlap",
-    "text_langid_eval",
-    # upgraded rows-only -> hash-checked this round:
-    "mm_decode_stub",
-    "mm_frame_sample",
-    # shared-Jaccard-tail refactor touched these late in round 3:
-    "dedup_clusters",
-    "dedup_ngram_jaccard",
-    # real Structured Streaming execution, hash-checked:
-    "x_stream_ingest",
-    "sample_leakage_safe",
-    "text_quality_score",
-    "sim_topk_quantized",
-    # de-skew rewrite this round — needs a fresh hash row:
-    "sample_stratified",
-    "x_anomaly_zscore",
-    "sample_mix_execute",
-]
-_TAIL_KEYS = [
-    # rows-only by design — no hash info in their driver row:
-    "s5_catalog_schema",
-    "s7_object_exists",
-    # hash-green in both r01 and r02, code unchanged:
+    "x_bloom_membership",
+    "text_unigram_logprob",
+    # VERDICT r3 item 2 — rotation debt: these route through
+    # operators/deletes.py / operators/updates.py which took +355
+    # changed lines in r3 while the keys sat outside the window:
+    "j4_hash_diff",
+    "j3_range_repair",
+    "t3_staleness_check",
+    "o2_pagination_window",
+    "d1_delete_by_keyset",
+    "d2_range_delete",
+    "j1_semi_join_keyset",
+    "j2_upsert_merge",
+    # no r03 row (green r1/r2 only) — oldest evidence first:
+    "dedup_contamination",
+    "mm_extract_features",
     "dedup_minhash_lsh",
     "text_repetition",
     "sample_hash_split",
-    "j3_range_repair",
-    "j1_semi_join_keyset",
     "p6_key_range_scan",
-    "j2_upsert_merge",
-    "j4_hash_diff",
     "x_set_ops",
     "mm_binary_meta",
     "sim_knn_blocked",
@@ -141,14 +97,68 @@ _TAIL_KEYS = [
     "text_fingerprint",
     "a2_table_length",
     "a3_min_key_probe",
-    "o2_pagination_window",
     "x_asof_join",
     "text_lang_id",
     "text_quality",
-    "t3_staleness_check",
     "t6_event_window_agg",
     "o1_event_sessionize",
     "x_json_extract",
+    # implementation files touched this round (similarity.py ANSI
+    # divide fix, dedup.py cache scoping, streaming compaction):
+    "sim_topk_quantized",
+    "sim_ivf_ann",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "x_stream_ingest",
+    # single-green keys (r03 only) earning a second hash row:
+    "dedup_incremental",
+    "dedup_incremental_minhash",
+    "dedup_semantic",
+    "dedup_ngram_coverage",
+    "mm_decode_stub",
+    "mm_frame_sample",
+]
+_TAIL_KEYS = [
+    # hash-green in r03 with unchanged code — safe to sit out r04:
+    "x_funnel",
+    "x_cumulative_window",
+    "x_tpch_q1",
+    "x_topk_per_group",
+    "x_pivot",
+    "x_rollup",
+    "mix_allocation",
+    "text_topk_ngrams",
+    "text_length_stats",
+    "text_chunk",
+    "pack_token_budget",
+    "filter_funnel",
+    "text_pii_scrub",
+    "x_window_suite",
+    "x_cube",
+    "x_distinct_stats",
+    "x_heavy_hitters",
+    "x_correlated_subquery",
+    "x_grouping_sets",
+    "x_quantile_stats",
+    "x_range_join",
+    "x_retention",
+    "dedup_keep_best",
+    "x_source_overlap",
+    "text_langid_eval",
+    "sample_leakage_safe",
+    "text_quality_score",
+    "sample_stratified",
+    "x_anomaly_zscore",
+    "sample_mix_execute",
+    "s1_full_filtered_scan",
+    "s2_incremental_scan",
+    "s9_state_upsert",
+    "a1_watermark_probe",
+    "a4_bucket_fingerprint",
+    "o3_key_at_offset",
+    # rows-only by design — no hash info in their driver row:
+    "s5_catalog_schema",
+    "s7_object_exists",
 ]
 
 

@@ -71,8 +71,9 @@ def train_quality_classifier(
     feats = (
         quality_metrics(df, text_col)
         .join(df.select("doc_id", label_col), "doc_id")
-        # zero-token docs have NULL mean_word_len; one such row would
-        # fail the whole distributed fit (assembler default = error)
+        # null-text docs have NULL features (zero-token docs get 0.0
+        # — text.py mean_word_len); one NULL row would fail the whole
+        # distributed fit (assembler default = error)
         .na.drop(subset=QUALITY_FEATURES)
     )
     assembled = VectorAssembler(

@@ -399,9 +399,18 @@ def topk_quantized(
     — compose with LSH/IVF blocking exactly like the float paths.
     The one-row query side broadcasts; TakeOrdered merges per-partition
     top-k (no global sort)."""
-    qd = df.filter(F.col(id_col) == query_vec_id).select(
-        quantize_int8(vec_col, scale).alias("__q")
+    qrows = (
+        df.filter(F.col(id_col) == query_vec_id)
+        .select(quantize_int8(vec_col, scale).alias("__q"))
+        .take(1)
     )
+    if not qrows:
+        # same contract as topk_bruteforce_arrow: a wrong id must not
+        # masquerade as an empty corpus
+        raise ValueError(
+            f"query vector {id_col}={query_vec_id} not found"
+        )
+    qd = df.sparkSession.createDataFrame(qrows, "__q array<bigint>")
     cv = quantize_int8(vec_col, scale)
     dot = F.aggregate(
         F.zip_with(cv, F.col("__q"), lambda a, b: a * b),
@@ -419,7 +428,14 @@ def topk_quantized(
         .crossJoin(F.broadcast(qd))
         .select(
             id_col,
-            F.round(dot.cast("double") / nn, 6).alias("score"),
+            # try_divide: a vector whose coords all quantize to zero
+            # has nn == 0; under ANSI mode (Spark 4 default sessions)
+            # a plain division would raise DIVIDE_BY_ZERO and kill
+            # the query, while the oracle filters nn > 0.  try_divide
+            # yields null -> dropped by the filter in both modes.
+            F.round(F.try_divide(dot.cast("double"), nn), 6).alias(
+                "score"
+            ),
         )
         .filter(F.col("score").isNotNull())
     )

@@ -268,7 +268,10 @@ def unigram_logprob(
     ``ln(0.5 / total)`` — half a count, strictly below any in-vocab
     token. Empty docs score 0 with n_tokens = 0.
 
-    Output: ``id_col, n_tokens, n_oov, round(mean_logprob, 6)``.
+    Output: ``id_col, n_tokens, n_oov, round(mean_logprob, 4)``.
+    The mean is quantized to 4 decimals because avg() over per-token
+    ln() values is an order-dependent float sum (same 6-decimal
+    boundary fragility as word_entropy — see its docstring).
     """
     toks = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("tok")
@@ -290,7 +293,7 @@ def unigram_logprob(
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("oov").alias("n_oov"),
-            F.round(F.avg("lp"), 6).alias("mean_logprob"),
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
         )
     )
     # keep empty/null-text docs in the report (left join restores them)
@@ -312,6 +315,14 @@ def word_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     (doc_id, n_tokens, n_distinct, entropy) with
     entropy = ln(n) - (sum c*ln(c))/n over per-word counts c — the
     algebraic form both engines can sum in one aggregate.
+
+    The reported entropy is quantized to 4 decimals: the float sum's
+    order is partition-dependent and ln() differs in the last ulp
+    across engines, so a 6-decimal rounding can flip run-to-run for
+    docs landing within ~1 ulp of a 0.5e-6 boundary (observed under
+    the driver's exact-hash compare, round 3). Four decimals keeps
+    the quality signal (entropy spans ~[0, 10] nats) while putting
+    the boundary ~1e6 ulps away from any achievable float error.
 
     Scale shape: one explode + two map-side-combined aggregates
     ((doc, word) counts, then per-doc moments). Deliberately NOT the
@@ -344,7 +355,7 @@ def word_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
                 ).otherwise(
                     F.log(F.col("__n")) - F.col("__s") / F.col("__n")
                 ),
-                6,
+                4,
             ).alias("entropy"),
         )
     )

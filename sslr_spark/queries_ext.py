@@ -1408,7 +1408,7 @@ select d.doc_id,
        coalesce(m.n, 0) as n_tokens,
        coalesce(m.n_distinct, 0) as n_distinct,
        round(case when coalesce(m.n, 0) = 0 then 0.0
-                  else ln(m.n) - m.s / m.n end, 6) as entropy
+                  else ln(m.n) - m.s / m.n end, 4) as entropy
 from (select distinct doc_id from documents) d
 left join m on d.doc_id = m.doc_id
 """
@@ -1439,7 +1439,7 @@ scored as (
 agg as (
   select doc_id, cast(count(*) as bigint) as n_tokens,
          cast(sum(oov) as bigint) as n_oov,
-         round(avg(lp), 6) as mean_logprob
+         round(avg(lp), 4) as mean_logprob
   from scored group by doc_id
 )
 select d.doc_id,
@@ -1568,8 +1568,13 @@ def q_bloom_membership(spark, sf_dir):
             ).alias("n_member"),
         )
         .withColumn(
-            "member_rate",
-            F.round(F.col("n_member").cast("double") / F.col("n_keys"), 6),
+            # pure-integer round-half-up ppm rate: bit-exact across
+            # engines by construction (no float sum, no round()) —
+            # round(1e6 * m / k) == (2e6*m + k) div (2k) for m,k >= 0
+            "rate_ppm",
+            F.expr(
+                "(2000000 * n_member + n_keys) div (2 * n_keys)"
+            ).cast("long"),
         )
     )
 
@@ -1604,12 +1609,15 @@ flag as (
   select p.doc_id, coalesce(h.h, 0) = len(p.ps) as member
   from ppos p left join hits h using (doc_id, shingle)
 )
-select doc_id,
-       count(*) as n_keys,
-       sum(case when member then 1 else 0 end) as n_member,
-       round(cast(sum(case when member then 1 else 0 end) as double)
-             / count(*), 6) as member_rate
-from flag group by doc_id
+select doc_id, n_keys, n_member,
+       (2000000 * n_member + n_keys) // (2 * n_keys) as rate_ppm
+from (
+  select doc_id,
+         cast(count(*) as bigint) as n_keys,
+         cast(sum(case when member then 1 else 0 end) as bigint)
+           as n_member
+  from flag group by doc_id
+)
 """
 
 

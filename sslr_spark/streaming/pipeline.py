@@ -480,10 +480,15 @@ def compact_neardup_index(
               if target.table_exists(t)]
     if not tables:
         return 0
-    # the cutoff must be consistent across tables: take it from the
-    # bucket table (written last each epoch, so its max epoch is the
-    # newest FULLY committed one)
-    ref = tables[-1]
+    # the cutoff must be consistent across tables AND come from the
+    # bucket table specifically (written last each epoch, so its max
+    # epoch is the newest FULLY committed one).  If the bucket table
+    # is absent (e.g. only `accepted` materialized on this target)
+    # there is no committed-epoch reference — skip compaction rather
+    # than cut from a table whose max epoch may be half-written.
+    if bk_table not in tables:
+        return 0
+    ref = bk_table
     epochs = sorted(
         r[0]
         for r in target.read(ref).select("__epoch").distinct().collect()
