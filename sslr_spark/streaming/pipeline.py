@@ -288,17 +288,17 @@ def streaming_neardup_ingest(
     are baked into the stored index — keep them constant for the life
     of the target, or rebuild the index with :func:`minhash_index`.
 
-    ``compact_every``: run :func:`compact_neardup_index` automatically
-    after every Nth epoch (its ``keep_last`` default protects the
-    replayable recent epochs) — long-running ingests then never
-    accumulate unbounded per-trigger partitions. Each compaction
-    rewrites the monolithic base partition, so total maintenance I/O
-    over the stream's life is O(corpus²/compact_every): pick a cadence
-    where the base rewrite stays small relative to N micro-batches,
-    and prefer scheduling compaction OFFLINE (between stream restarts,
-    or from a separate maintenance job against the same target) for
-    very long-lived ingests; tiered folding (sealed segments instead
-    of one base) is the next step if that ever dominates.
+    ``compact_every``: run :func:`compact_neardup_index_incremental`
+    automatically after every Nth epoch (its ``keep_last`` default
+    protects the replayable recent epochs) — long-running ingests then
+    never accumulate unbounded per-trigger partitions. Each call
+    seals only the NEW epochs into a segment and size-tiered-merges
+    the smallest segments, so per-call rewrite is bounded by the new
+    batches plus the smallest segments and total maintenance I/O over
+    the stream's life amortizes to O(corpus · log corpus) — safe to
+    leave on for very long-lived ingests. The offline
+    :func:`compact_neardup_index` full rewrite remains available to
+    collapse everything to one base between restarts.
 
     Returns the StreamingQuery. Accepted reads carry the ``__epoch``
     partition column (drop it downstream if unwanted).
@@ -378,15 +378,19 @@ def streaming_neardup_ingest(
                 ).distinct()
                 survivors = batch.join(losers, "doc_id", "left_anti")
                 if index_ready:
+                    # live partitions only: after a compaction crash,
+                    # folded epochs can coexist on disk with the
+                    # sealed segment holding the same rows — the
+                    # manifest says which copy counts
+                    live = live_epoch_filter(
+                        load_segment_manifest(target, index_table),
+                        exclude_epoch=int(epoch_id),
+                    )
                     c_sh = (
-                        target.read(sh_table)
-                        .filter(F.col("__epoch") != int(epoch_id))
-                        .drop("__epoch")
+                        target.read(sh_table).filter(live).drop("__epoch")
                     )
                     c_bk = (
-                        target.read(bk_table)
-                        .filter(F.col("__epoch") != int(epoch_id))
-                        .drop("__epoch")
+                        target.read(bk_table).filter(live).drop("__epoch")
                     )
                     flags = incremental_minhash_dedup(
                         survivors,
@@ -424,9 +428,10 @@ def streaming_neardup_ingest(
             ):
                 # runs after this epoch's table writes but BEFORE the
                 # streaming checkpoint commits the epoch — replay stays
-                # safe because compaction is idempotent and keep_last
-                # leaves the replayable epochs separately addressable
-                compact_neardup_index(
+                # safe because compaction converges under replay and
+                # keep_last leaves the replayable epochs separately
+                # addressable
+                compact_neardup_index_incremental(
                     target, index_table, accepted_table
                 )
         finally:
@@ -442,6 +447,100 @@ def streaming_neardup_ingest(
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------------------
+# segment manifest — LSM bookkeeping for the near-dup index tables
+#
+# Sealed segments are partitions with NEGATIVE ``__epoch`` ids. Which
+# negative partitions are LIVE (and which >= 0 epochs have been folded
+# away) is recorded in a tiny JSON manifest in the bucket table's
+# directory (underscore-prefixed: invisible to Spark scans, same
+# convention as _sslr_layout.json). Compaction writes new partitions
+# FIRST (invisible until tracked), commits the manifest ATOMICALLY
+# (os.replace), and only then garbage-collects dead partitions — a
+# crash at any point leaves a state the next call converges from,
+# with readers (live_epoch_filter) never seeing duplicates.
+#
+# No manifest = legacy layout: every partition is live (the pre-r4
+# full-rewrite compactor produced only the -1 base and dropped folded
+# epochs before returning).
+# ------------------------------------------------------------------
+
+_SEG_MANIFEST = "_sslr_segments.json"
+
+
+def load_segment_manifest(
+    target: ParquetDatabase, index_table: str = "__neardup_index"
+) -> dict | None:
+    """The index's segment manifest, or None for legacy/uncompacted
+    layouts. Shape: ``{"folded_upto": int, "segments": {id: rows},
+    "next_seg": int}`` — epochs <= folded_upto are dead (their rows
+    live in segments); negative partitions are live iff listed."""
+    import json
+
+    p = os.path.join(target.path(f"{index_table}_buckets"), _SEG_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        m = json.load(fh)
+    m["segments"] = {int(k): v for k, v in m["segments"].items()}
+    return m
+
+
+def _write_segment_manifest(
+    target: ParquetDatabase, index_table: str, m: dict
+) -> None:
+    import json
+
+    root = target.path(f"{index_table}_buckets")
+    os.makedirs(root, exist_ok=True)
+    p = os.path.join(root, _SEG_MANIFEST)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {**m, "segments": {str(k): v for k, v in m["segments"].items()}},
+            fh,
+        )
+    os.replace(tmp, p)  # the atomic commit point
+
+
+def live_epoch_filter(manifest: dict | None, exclude_epoch: int | None = None):
+    """Column predicate selecting LIVE ``__epoch`` partitions under
+    ``manifest`` (None = legacy: everything live). Readers of the
+    near-dup tables must apply this — after a crashed compaction the
+    folded epochs may still be on disk next to the sealed segment
+    holding the same rows, and only the manifest says which copy
+    counts."""
+    c = F.col("__epoch")
+    if manifest is None:
+        cond = F.lit(True)
+    else:
+        segs = [int(s) for s in manifest["segments"]]
+        cond = (c > int(manifest["folded_upto"])) & (c >= 0)
+        if segs:
+            cond = cond | c.isin(segs)
+    if exclude_epoch is not None:
+        cond = cond & (c != int(exclude_epoch))
+    return cond
+
+
+def read_accepted(
+    target: ParquetDatabase,
+    accepted_table: str = "accepted",
+    index_table: str = "__neardup_index",
+) -> DataFrame:
+    """The accepted corpus restricted to LIVE partitions — the
+    crash-correct way to consume :func:`streaming_neardup_ingest`'s
+    output once compaction is in play (a plain ``target.read`` can
+    transiently double-count rows left by a compaction crash until the
+    next call GCs them)."""
+    m = load_segment_manifest(target, index_table)
+    return (
+        target.read(accepted_table)
+        .filter(live_epoch_filter(m))
+        .drop("__epoch")
+    )
 
 
 def compact_neardup_index(
@@ -462,15 +561,19 @@ def compact_neardup_index(
     (the exactly-once design excludes it from the index load —
     folding it into the base would make replays self-match into data
     loss). The base partition id -1 can never collide with a real
-    epoch.
+    epoch (sealed segments from the incremental compactor use -2 and
+    below, and fold into the base here too).
 
-    Crash-safe and idempotent: the new base is built as
-    union-distinct of the current base plus the folded epochs, so a
-    crash between the base write and the old-partition drops leaves
-    duplicated rows that the NEXT compaction's distinct removes —
-    re-run to converge. (Near-dup probes in that window stay
-    correct on the near_dup flag; jaccard scores of affected corpus
-    docs can transiently inflate.)
+    This is the OFFLINE full rewrite: every call rebuilds the whole
+    base (cost ∝ corpus). For in-stream maintenance use
+    :func:`compact_neardup_index_incremental`, whose per-call rewrite
+    is bounded by the new epochs plus the smallest sealed segments.
+
+    Crash-safe: the new base is built as union-distinct of the current
+    base plus everything folded, the segment manifest commits
+    atomically BEFORE dead partitions drop, and readers going through
+    :func:`live_epoch_filter` never see the dead copies — re-run to
+    converge after any crash.
 
     Returns the number of epochs folded.
     """
@@ -488,25 +591,177 @@ def compact_neardup_index(
     # than cut from a table whose max epoch may be half-written.
     if bk_table not in tables:
         return 0
-    ref = bk_table
-    epochs = sorted(
+    m = load_segment_manifest(target, index_table)
+    live = live_epoch_filter(m)
+    all_parts = sorted(
         r[0]
-        for r in target.read(ref).select("__epoch").distinct().collect()
-        if r[0] is not None and r[0] >= 0
+        for r in target.read(bk_table).select("__epoch").distinct().collect()
+        if r[0] is not None
     )
+    live_set = {
+        e for e in all_parts
+        if m is None
+        or (e >= 0 and e > m["folded_upto"])
+        or e in m["segments"]
+    }
+    epochs = sorted(e for e in live_set if e >= 0)
     fold = epochs[:-keep_last] if keep_last > 0 else epochs
-    if not fold:
+    old_segs = sorted(e for e in live_set if e < 0)
+    if not fold and old_segs == [-1]:
+        return 0  # already one base, nothing new to fold
+    if not fold and not old_segs:
         return 0
-    fold_set = set(fold)
     for t in tables:
-        df = target.read(t)
+        df = target.read(t).filter(live)
         base = (
             df.filter(
-                (F.col("__epoch") == -1) | F.col("__epoch").isin(fold)
+                (F.col("__epoch") == -1) | F.col("__epoch").isin(
+                    fold + [s for s in old_segs if s != -1]
+                )
             )
             .withColumn("__epoch", F.lit(-1))
             .distinct()
         )
         target.replace_partitions(t, base, "__epoch")
-        target.drop_partitions(t, "__epoch", sorted(fold_set))
+    rows = (
+        target.read(bk_table).filter(F.col("__epoch") == -1).count()
+    )
+    _write_segment_manifest(target, index_table, {
+        "folded_upto": max(
+            fold + ([m["folded_upto"]] if m else [-1])
+        ),
+        "segments": {-1: rows},
+        "next_seg": min(-2, m["next_seg"] if m else -2),
+    })
+    # GC after the manifest commit: folded epochs, superseded
+    # segments, and any dead partition a crashed run left behind
+    dead = sorted(set(all_parts) - {-1} - (live_set - set(fold)
+                                           - set(old_segs)))
+    for t in tables:
+        target.drop_partitions(t, "__epoch", dead)
     return len(fold)
+
+
+def compact_neardup_index_incremental(
+    target: ParquetDatabase,
+    index_table: str = "__neardup_index",
+    accepted_table: str = "accepted",
+    keep_last: int = 2,
+    max_segments: int = 8,
+) -> dict:
+    """Size-tiered INCREMENTAL compaction of the streaming near-dup
+    tables (VERDICT r3 task #5 — the bounded in-stream maintenance the
+    full rewrite above is not).
+
+    One call:
+
+    1. folds every foldable epoch (all live >= 0 epochs except the
+       ``keep_last`` newest) into ONE new sealed segment — rewrite ∝
+       the folded batches, never the corpus;
+    2. while more than ``max_segments`` sealed segments exist, merges
+       the SMALLEST ones into a fresh segment (size-tiered policy:
+       small segments merge often, big ones rarely — per-item rewrite
+       amortizes to O(log n) over the stream's life, the LSM-tree
+       argument);
+    3. commits the manifest atomically, then GCs dead partitions.
+
+    Crash-safety: new segments are written under ids allocated from
+    the manifest's ``next_seg`` counter and stay INVISIBLE (not in the
+    manifest, excluded by :func:`live_epoch_filter`) until the single
+    ``os.replace`` manifest commit; a replay after a crash overwrites
+    the same orphan partitions and converges. Dead partitions linger
+    only until the next call's GC and are never read.
+
+    Returns ``{"folded_epochs", "merged_segments", "rewritten_rows",
+    "segments"}`` — ``rewritten_rows`` (bucket-table rows written this
+    call) is the cost metric the tests bound.
+    """
+    sh_table = f"{index_table}_shingles"
+    bk_table = f"{index_table}_buckets"
+    tables = [t for t in (accepted_table, sh_table, bk_table)
+              if target.table_exists(t)]
+    stats = {"folded_epochs": 0, "merged_segments": 0,
+             "rewritten_rows": 0, "segments": 0}
+    if bk_table not in tables:  # no committed-epoch reference: skip
+        return stats
+    m = load_segment_manifest(target, index_table)
+    if m is None:
+        m = {"folded_upto": -1, "segments": {}, "next_seg": -2}
+        # adopt a legacy -1 base produced by the pre-manifest full
+        # compactor as a tracked (largest) segment
+        legacy = target.read(bk_table).filter(F.col("__epoch") == -1)
+        n = legacy.count()
+        if n:
+            m["segments"][-1] = n
+        # bootstrap commit BEFORE any segment write: with no manifest
+        # on disk, legacy liveness treats EVERY partition as live, so
+        # a crash between a first segment write and its manifest
+        # commit would leave the orphan visible (duplicates). Once
+        # this no-op manifest exists, untracked negatives are
+        # invisible and every later crash window converges.
+        _write_segment_manifest(target, index_table, m)
+    all_parts = sorted(
+        r[0]
+        for r in target.read(bk_table).select("__epoch").distinct().collect()
+        if r[0] is not None
+    )
+    live_epochs = sorted(
+        e for e in all_parts if e >= 0 and e > m["folded_upto"]
+    )
+    fold = live_epochs[:-keep_last] if keep_last > 0 else live_epochs
+    segs: dict[int, int] = dict(m["segments"])
+    dead: list[int] = []
+
+    def _seal(ids: list[int], seg_id: int) -> int:
+        """Write the union of partitions ``ids`` as partition
+        ``seg_id`` across all three tables; returns bucket rows."""
+        for t in tables:
+            part = (
+                target.read(t)
+                .filter(F.col("__epoch").isin(ids))
+                .withColumn("__epoch", F.lit(seg_id))
+            )
+            target.replace_partitions(t, part, "__epoch")
+        return (
+            target.read(bk_table)
+            .filter(F.col("__epoch") == seg_id)
+            .count()
+        )
+
+    if fold:
+        seg_id = m["next_seg"]
+        m["next_seg"] -= 1
+        rows = _seal(fold, seg_id)
+        segs[seg_id] = rows
+        stats["folded_epochs"] = len(fold)
+        stats["rewritten_rows"] += rows
+        m["folded_upto"] = max(fold)
+        dead += fold
+    # size-tiered merge: collapse the smallest (excess + 1) segments
+    if len(segs) > max_segments:
+        pick = sorted(segs, key=lambda k: (segs[k], k))[
+            : len(segs) - max_segments + 1
+        ]
+        seg_id = m["next_seg"]
+        m["next_seg"] -= 1
+        rows = _seal(pick, seg_id)
+        for p in pick:
+            del segs[p]
+        segs[seg_id] = rows
+        stats["merged_segments"] = len(pick)
+        stats["rewritten_rows"] += rows
+        dead += pick
+    m["segments"] = segs
+    stats["segments"] = len(segs)
+    if dead:
+        _write_segment_manifest(target, index_table, m)
+    # GC: everything just superseded plus leftovers of crashed runs
+    # (dead-but-undropped partitions from a crash between a previous
+    # call's manifest commit and its GC)
+    live_now = {e for e in all_parts
+                if (e >= 0 and e > m["folded_upto"]) or e in segs}
+    gc = sorted((set(all_parts) | set(dead)) - live_now)
+    if dead or (gc and load_segment_manifest(target, index_table)):
+        for t in tables:
+            target.drop_partitions(t, "__epoch", gc)
+    return stats
