@@ -197,6 +197,24 @@ def main() -> None:
     with timed("range_join"):
         q_x_range_join(spark, SF_DIR).count()
 
+    # ---- round-3 operator families (VERDICT r3 task #7) --------------
+    from sslr_spark.queries_ext import (
+        q_bloom_membership,
+        q_pack_token_budget,
+        q_sample_leakage_safe,
+        q_sim_ivf_ann,
+    )
+
+    with timed("bloom_membership"):
+        q_bloom_membership(spark, SF_DIR).count()
+    with timed("leakage_safe_split"):
+        q_sample_leakage_safe(spark, SF_DIR).count()
+    DD.release_caches()
+    with timed("pack_token_budget"):
+        q_pack_token_budget(spark, SF_DIR).count()
+    with timed("sim_ivf_ann"):
+        q_sim_ivf_ann(spark, SF_DIR).collect()
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 
