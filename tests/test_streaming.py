@@ -499,3 +499,73 @@ def test_incremental_compaction_crash_convergence(spark, tmp_path, monkeypatch):
     # next call GCs the leftovers
     P.compact_neardup_index_incremental(target, keep_last=2)
     assert target.read("accepted").count() == 50
+
+
+def test_compaction_state_machine_property(spark, tmp_path_factory):
+    """Hypothesis state machine over the compactor: any interleaving
+    of epoch arrivals, incremental compactions, FULL compactions, and
+    the two crash modes (die before the manifest commit / die before
+    GC) must keep the live view exactly equal to everything ever
+    ingested — no loss, no duplicates — at every step."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from unittest import mock
+
+    import sslr_spark.streaming.pipeline as P
+
+    OPS = ["epoch", "epoch", "compact", "full",
+           "crash_manifest", "crash_gc"]
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(st.sampled_from(OPS), min_size=3, max_size=9))
+    def run(ops):
+        tmp = tmp_path_factory.mktemp("csm")
+        target = ParquetDatabase(spark, str(tmp / "t"))
+        next_epoch = 0
+        expected: set[int] = set()
+
+        def check():
+            if next_epoch == 0:
+                return
+            acc = P.read_accepted(target)
+            got = sorted(r[0] for r in acc.select("doc_id").collect())
+            assert got == sorted(expected), (
+                f"live view diverged after {ops[:step + 1]}"
+            )
+
+        for step, op in enumerate(ops):
+            if op == "epoch":
+                _mk_epoch(spark, target, next_epoch, 3)
+                expected |= {next_epoch * 1000 + i for i in range(3)}
+                next_epoch += 1
+            elif op == "compact":
+                P.compact_neardup_index_incremental(target, keep_last=2,
+                                                    max_segments=3)
+            elif op == "full":
+                P.compact_neardup_index(target, keep_last=2)
+            elif op == "crash_manifest":
+                with mock.patch.object(
+                    P, "_write_segment_manifest",
+                    side_effect=RuntimeError("crash"),
+                ):
+                    try:
+                        P.compact_neardup_index_incremental(
+                            target, keep_last=2, max_segments=3
+                        )
+                    except RuntimeError:
+                        pass
+            elif op == "crash_gc":
+                with mock.patch.object(
+                    ParquetDatabase, "drop_partitions",
+                    lambda *a, **kw: None,
+                ):
+                    P.compact_neardup_index_incremental(
+                        target, keep_last=2, max_segments=3
+                    )
+            check()
+
+    run()
