@@ -62,8 +62,17 @@ def get_update_range(
 
     One aggregate over the filtered source gives (count, max version)
     in a single pass (reference A1, internal/updates.go:44-51).
+
+    A source WITHOUT the version column degrades to full-copy-every-
+    pass. The reference cannot hit this case (its version column is
+    Postgres's ``xmin`` system column, present on every table,
+    internal/updates.go:44); it exists here for version-less sources
+    — file drops (sources/files.py), views, exports — where per-pass
+    full copy is the only correct behavior.
     """
     src = filtered_source(source_df, where)
+    if version_col not in src.columns:
+        return UpdateRange(True, 0, 0)
     row = src.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.col(version_col)).alias("hi")
     ).first()

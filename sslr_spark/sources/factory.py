@@ -12,6 +12,9 @@ adapter:
 - ``jdbc:...`` URLs pass through verbatim (any JDBC-capable store);
 - ``delta:<dir>`` selects the Delta Lake adapter (MERGE-based
   in-place apply, atomic replaceWhere repairs — sources/delta.py);
+- ``jsonl:<dir>`` / ``csv:<dir>`` / ``text:<dir>`` select the
+  read-only file-drop adapter (sources/files.py) — SOURCE role only,
+  version-less (the update phase degrades to full-copy-every-pass);
 - anything else is a parquet database directory.
 """
 
@@ -85,4 +88,15 @@ def open_database(
         from sslr_spark.sources.delta import DeltaDatabase
 
         return DeltaDatabase(spark, location[len("delta:"):])
+    for fmt in ("jsonl", "csv", "text"):
+        prefix = f"{fmt}:"
+        if location.startswith(prefix):
+            if role != "source":
+                raise ValueError(
+                    f"{prefix} locations are read-only file drops — "
+                    "they cannot be a sync target"
+                )
+            from sslr_spark.sources.files import FilesDatabase
+
+            return FilesDatabase(spark, location[len(prefix):], fmt=fmt)
     return ParquetDatabase(spark, location)

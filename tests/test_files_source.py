@@ -1,0 +1,148 @@
+"""File-drop source adapter (sources/files.py): JSONL/CSV ingestion
+with observable corrupt-record quarantine, factory selection, the
+version-less full-copy-every-pass Job degradation, and JSONL export.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sslr_spark.sources.factory import open_database
+from sslr_spark.sources.files import (
+    CORRUPT_COL,
+    FilesDatabase,
+    export_jsonl,
+)
+from sslr_spark.sources.parquet import ParquetDatabase
+
+
+@pytest.fixture()
+def jsonl_root(tmp_path):
+    root = tmp_path / "drops"
+    root.mkdir()
+    (root / "docs.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 3, "text": "gamma"}\n'
+        '{"doc_id": 4, "text": "delta", "extra": true}\n'
+    )
+    return str(root)
+
+
+def test_jsonl_read_quarantines_corrupt_lines(spark, jsonl_root):
+    db = FilesDatabase(spark, jsonl_root, fmt="jsonl")
+    clean, bad = db.read_with_quarantine("docs")
+    assert {r.doc_id for r in clean.collect()} == {1, 2, 3, 4}
+    assert CORRUPT_COL not in clean.columns
+    rejects = [r.raw_line for r in bad.collect()]
+    assert rejects == ["{this is not json at all"]
+    assert db.quarantine_count("docs") == 1
+    # read() is the clean view
+    assert db.read("docs").count() == 4
+
+
+def test_jsonl_pinned_schema_missing_field_nulls(spark, jsonl_root):
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),  # absent in the drop
+    ])
+    db = FilesDatabase(spark, jsonl_root, fmt="jsonl",
+                       schemas={"docs": schema})
+    got = db.read("docs")
+    assert got.columns == ["doc_id", "text", "lang"]
+    assert got.filter(F.col("lang").isNull()).count() == 4
+    # schema() reports the pinned schema, never the corrupt column
+    assert db.schema("docs") == schema
+
+
+def test_csv_read_with_quarantine(spark, tmp_path):
+    root = tmp_path / "csvdrops"
+    root.mkdir()
+    (root / "t.csv").write_text(
+        "id,v\n"
+        "1,10\n"
+        "2,notanint\n"
+        "3,30\n"
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    db = FilesDatabase(spark, str(root), fmt="csv", schemas={"t": schema})
+    clean, bad = db.read_with_quarantine("t")
+    assert {(r.id, r.v) for r in clean.collect()} == {(1, 10), (3, 30)}
+    assert bad.count() == 1 and "notanint" in bad.first().raw_line
+
+
+def test_directory_of_parts_and_catalog(spark, tmp_path):
+    root = tmp_path / "parts"
+    (root / "docs").mkdir(parents=True)
+    (root / "docs" / "part-0.jsonl").write_text('{"doc_id": 1}\n')
+    (root / "docs" / "part-1.jsonl").write_text('{"doc_id": 2}\n')
+    (root / "other.jsonl").write_text('{"x": 1}\n')
+    db = FilesDatabase(spark, str(root), fmt="jsonl")
+    assert db.table_exists("docs") and db.table_exists("other")
+    assert not db.table_exists("nope")
+    assert db.list_tables() == ["docs", "other"]
+    assert db.read("docs").count() == 2
+
+
+def test_factory_selects_files_and_rejects_target_role(spark, tmp_path):
+    db = open_database(spark, f"jsonl:{tmp_path}", role="source")
+    assert isinstance(db, FilesDatabase) and db.fmt == "jsonl"
+    csvdb = open_database(spark, f"csv:{tmp_path}", role="source")
+    assert csvdb.fmt == "csv"
+    with pytest.raises(ValueError, match="read-only"):
+        open_database(spark, f"jsonl:{tmp_path}", role="target")
+
+
+def test_versionless_source_full_copies_every_pass(spark, tmp_path, jsonl_root):
+    """The Job-level degradation: a source without the version column
+    full-copies on EVERY pass (get_update_range), so a wholesale-
+    replaced drop directory stays in sync including deletes."""
+    from sslr_spark.operators.updates import sync_updates
+    from sslr_spark.state import StateStore
+
+    src = FilesDatabase(spark, jsonl_root, fmt="jsonl")
+    target = ParquetDatabase(spark, str(tmp_path / "tgt"))
+    store = StateStore(target)
+    n = sync_updates(
+        src.read("docs"), target, store, "docs", ["doc_id"],
+        version_col="xmin", n_buckets=None,
+    )
+    assert n == 4
+    assert target.read("docs").count() == 4
+
+    # replace the drop wholesale: doc 2 gone, doc 9 new
+    with open(os.path.join(jsonl_root, "docs.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "alpha"}\n'
+                 '{"doc_id": 3, "text": "gamma"}\n'
+                 '{"doc_id": 9, "text": "new"}\n')
+    n = sync_updates(
+        src.read("docs"), target, store, "docs", ["doc_id"],
+        version_col="xmin", n_buckets=None,
+    )
+    assert n == 3  # full copy again, not an incremental no-op
+    assert {r.doc_id for r in target.read("docs").collect()} == {1, 3, 9}
+
+
+def test_export_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    export_jsonl(df, out, coalesce=1)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1 and parts[0].endswith(".gz")
+    with gzip.open(os.path.join(out, parts[0]), "rt") as fh:
+        lines = fh.read().strip().splitlines()
+    assert len(lines) == 2
+    back = spark.read.json(out)
+    assert {r.doc_id for r in back.collect()} == {1, 2}
