@@ -110,13 +110,15 @@ _HEAD_KEYS = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "x_stream_ingest",
+    # operators/updates.py get_update_range changed this round
+    # (version-less degrade) — these route through it:
+    "a1_watermark_probe",
+    "s2_incremental_scan",
     # single-green keys (r03 only) earning a second hash row:
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_semantic",
     "dedup_ngram_coverage",
-    "mm_decode_stub",
-    "mm_frame_sample",
 ]
 _TAIL_KEYS = [
     # hash-green in r03 with unchanged code — safe to sit out r04:
@@ -151,9 +153,7 @@ _TAIL_KEYS = [
     "x_anomaly_zscore",
     "sample_mix_execute",
     "s1_full_filtered_scan",
-    "s2_incremental_scan",
     "s9_state_upsert",
-    "a1_watermark_probe",
     "a4_bucket_fingerprint",
     "o3_key_at_offset",
     # rows-only by design — no hash info in their driver row:
