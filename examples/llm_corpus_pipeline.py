@@ -2,9 +2,11 @@
 
 Composes the extension operators into the standard curation flow:
 
+  JSONL drop ingest (corrupt lines quarantined, never silent) ->
   duplicate-coverage health scan -> quality funnel ->
   exact + MinHash dedup -> incremental dedup vs the accepted corpus ->
-  decontamination -> perplexity-proxy scoring -> chunk -> pack
+  decontamination -> perplexity-proxy scoring -> chunk -> pack ->
+  gzip JSONL export (the training-stack handoff)
 
 Run:  python examples/llm_corpus_pipeline.py [sf_dir]
 (default sf_dir /root/testdata/sf0.01; prints per-stage counts and
@@ -46,12 +48,36 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="llm_corpus_pipeline")
     spark.sparkContext.setLogLevel("ERROR")
-    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # -1. Ingest: corpora arrive as JSONL drops (crawl exports, vendor
+    #     deliveries). Stage one from the parquet fixture plus two
+    #     corrupt lines, then ingest through the file-drop adapter —
+    #     parse losses land in a quarantine, never vanish silently.
+    import shutil
+
+    from sslr_spark.sources.files import FilesDatabase, export_jsonl
+
+    drop_root = os.path.join(REPO, ".bench_tmp", "example_drop")
+    shutil.rmtree(drop_root, ignore_errors=True)
+    os.makedirs(drop_root, exist_ok=True)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode(
+        "overwrite"
+    ).json(os.path.join(drop_root, "documents"))
+    with open(
+        os.path.join(drop_root, "documents", "zz-mangled.jsonl"), "w"
+    ) as fh:
+        fh.write('{"doc_id": broken json\n{"truncated": \n')
+    drop = FilesDatabase(spark, drop_root, fmt="jsonl")
+    all_docs, rejects = drop.read_with_quarantine("documents")
+    print(f"== ingest == {all_docs.count()} docs parsed, "
+          f"{rejects.count()} corrupt lines quarantined")
     # src0 plays the PRIOR crawl (already accepted and shipped): it is
     # excluded from this ingest up front — running the funnel and the
     # pairwise dedup over rows that can never land would be pure waste
     prior = all_docs.filter(F.col("source") == "src0")
-    docs = all_docs.filter(F.col("source") != "src0")
+    # persisted: every stage below branches off this frame, and the
+    # JSON parse at the base would otherwise re-run per action
+    docs = all_docs.filter(F.col("source") != "src0").persist()
 
     # 0. Corpus-health scan: how duplicated is this crawl? (cheap
     #    per-doc signal, no pairwise work — decides whether the
@@ -128,7 +154,12 @@ def main() -> None:
     from sslr_spark.functions.dedup import incremental_exact_dedup
 
     flagged = incremental_exact_dedup(kept, prior)
-    kept = flagged.filter(~F.col("in_corpus")).drop("in_corpus")
+    # persist the dedup survivor set: stages 4-6 each branch off it,
+    # and its lineage (funnel -> exact dedup -> LSH clusters -> bloom
+    # verify) is the expensive half of the pipeline
+    kept = (
+        flagged.filter(~F.col("in_corpus")).drop("in_corpus").persist()
+    )
 
     # 4. Eval-set decontamination: drop docs overlapping a (here:
     #    simulated) eval set above 80% 8-gram overlap
@@ -141,7 +172,11 @@ def main() -> None:
     scored = unigram_logprob(kept)
     cutoff = scored.approxQuantile("mean_logprob", [0.1], 0.01)[0]
     good_ids = scored.filter(F.col("mean_logprob") >= cutoff).select("doc_id")
-    kept = kept.join(good_ids, "doc_id", "left_semi")
+    # persist the final curated set: the leakage-safe split's internal
+    # probe passes and the chunk/pack stages each branch off it, and
+    # its tail lineage (logprob vocabulary + scoring) is several
+    # aggregation passes that would otherwise re-run per consumer
+    kept = kept.join(good_ids, "doc_id", "left_semi").persist()
 
     # 5b. Model-based quality score (fixed published weights — the
     #     serving path of the MLlib-trained classifier); report only
@@ -156,10 +191,13 @@ def main() -> None:
     #     a near-dup in another split join their twin's split
     from sslr_spark.functions.sampling import leakage_safe_split
 
+    # persisted: consumed by the report below AND the train filter
+    # feeding chunk/pack — and it is narrow (doc_id + split), far
+    # cheaper to cache than the full-text frame it assigns
     split = leakage_safe_split(
         kept, weights={"train": 0.9, "val": 0.05, "test": 0.05},
         holdout="test", jaccard_threshold=0.3,
-    )
+    ).persist()
     for r in split.groupBy("split").count().orderBy("split").collect():
         print(f"  split {r['split']:<6} {r['count']}")
     kept = kept.join(
@@ -185,6 +223,14 @@ def main() -> None:
     print(f"  training chunks   {chunks.count()}")
     batches = packed.select("shard", "batch_id").distinct().count()
     print(f"  packed batches    {batches}")
+
+    # 7. Hand off: gzip JSONL, the format the training stack ingests
+    out_dir = os.path.join(drop_root, "train_chunks")
+    export_jsonl(
+        chunks.select("doc_id", "chunk_idx", "chunk"), out_dir, coalesce=4
+    )
+    n_parts = len([f for f in os.listdir(out_dir) if f.startswith("part-")])
+    print(f"  exported          {n_parts} gzip JSONL part files -> {out_dir}")
     spark.stop()
 
 
