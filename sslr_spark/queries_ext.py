@@ -1652,11 +1652,84 @@ from batch b
 """
 
 
+def q_files_roundtrip(spark, sf_dir):
+    """File-drop adapter integrity probe (sources/files.py): export
+    the documents table as gzip JSONL part files, re-ingest through
+    :class:`FilesDatabase`, and aggregate per source with a per-row
+    content checksum. The oracle runs the same aggregate on the
+    ORIGINAL parquet, so a hash match proves the export + PERMISSIVE
+    re-parse cycle preserved every row and text byte — the property
+    a silent-parse-loss bug would break."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from sslr_spark.functions.hashing import h60
+    from sslr_spark.sources.files import FilesDatabase, export_jsonl
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp_root = os.path.join(repo, ".bench_tmp")
+    # unique dirs per invocation + stale sweep: same concurrency story
+    # as q_x_stream_ingest above
+    if os.path.isdir(tmp_root):
+        cutoff = time.time() - 6 * 3600
+        for d in os.listdir(tmp_root):
+            p = os.path.join(tmp_root, d)
+            try:
+                if d.startswith("files_rt-") and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    work = os.path.join(tmp_root, f"files_rt-{uuid.uuid4().hex}")
+    docs = spark.read.parquet(
+        os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    )
+    export_jsonl(docs, os.path.join(work, "documents"))
+    back = FilesDatabase(spark, work, fmt="jsonl").read("documents")
+    # 60-bit row signature folded mod 1e12 before summing: a raw
+    # sum of 60-bit values overflows bigint (ANSI Spark errors,
+    # DuckDB silently widens to hugeint — engine-divergent)
+    row_sig = F.pmod(
+        h60(
+            F.concat_ws(
+                "\x1f",
+                F.col("doc_id").cast("string"),
+                F.coalesce(F.col("lang"), F.lit("")),
+                F.col("n_chars").cast("string"),
+                F.coalesce(F.col("text"), F.lit("")),
+            )
+        ),
+        F.lit(1_000_000_000_000),
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(row_sig).alias("content_sum"),
+    )
+
+
+_RT_SIG = h60_sql(
+    "concat_ws(chr(31), cast(doc_id as varchar), coalesce(lang, ''), "
+    "cast(n_chars as varchar), coalesce(text, ''))"
+)
+SQL_FILES_ROUNDTRIP = f"""
+select source,
+       cast(count(*) as bigint) as n_docs,
+       cast(count(distinct doc_id) as bigint) as n_ids,
+       cast(sum(n_chars) as bigint) as sum_chars,
+       cast(sum({_RT_SIG} % 1000000000000) as bigint) as content_sum
+from documents group by source
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "x_source_overlap": q_x_source_overlap,
     "text_langid_eval": q_text_langid_eval,
     "x_stream_ingest": q_x_stream_ingest,
+    "files_roundtrip": q_files_roundtrip,
     "sample_leakage_safe": q_sample_leakage_safe,
     "text_quality_score": q_text_quality_score,
     "sim_topk_quantized": q_sim_topk_quantized,
@@ -1705,6 +1778,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_source_overlap": SQL_SOURCE_OVERLAP,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "x_stream_ingest": SQL_X_STREAM_INGEST,
+    "files_roundtrip": SQL_FILES_ROUNDTRIP,
     "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
     "text_quality_score": SQL_TEXT_QUALITY_SCORE,
     "sim_topk_quantized": SQL_SIM_TOPK_QUANTIZED,
