@@ -215,6 +215,11 @@ def main() -> None:
     with timed("sim_ivf_ann"):
         q_sim_ivf_ann(spark, SF_DIR).collect()
 
+    from sslr_spark.queries_ext import q_files_roundtrip
+
+    with timed("files_ingest_roundtrip"):
+        q_files_roundtrip(spark, SF_DIR).collect()
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 

@@ -146,3 +146,38 @@ def test_export_jsonl_roundtrip(spark, tmp_path):
     assert len(lines) == 2
     back = spark.read.json(out)
     assert {r.doc_id for r in back.collect()} == {1, 2}
+
+
+def test_job_end_to_end_with_jsonl_source(spark, tmp_path, jsonl_root):
+    """Config-level wiring: a Job whose source location is a jsonl:
+    drop validates, full-copies every pass (version-less source), and
+    — because inferred drop schemas legitimately drift between
+    deliveries (the first drop has an ``extra`` field, the next drop
+    doesn't) — runs under resyncOnSchemaChange, which re-creates the
+    target on the new shape."""
+    from sslr_spark.config import Config
+    from sslr_spark.job import Job
+
+    cfg = Config(
+        source=f"jsonl:{jsonl_root}",
+        target=str(tmp_path / "tgt"),
+        source_tables=["docs"],
+        primary_keys={"docs": ["doc_id"]},
+        min_delete_chunk_size=10,
+        resync_on_schema_change=True,
+    )
+    Job(spark, cfg).run()
+    tgt = ParquetDatabase(spark, str(tmp_path / "tgt"))
+    got = tgt.read("docs")
+    assert got.filter(F.col("doc_id").isNotNull()).count() == 4
+    assert "extra" in got.columns  # inferred from the first drop
+
+    # wholesale replacement: 2 gone, 1 new, 'extra' field gone ->
+    # schema drift triggers resync, target follows the new shape
+    with open(os.path.join(jsonl_root, "docs.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "alpha"}\n'
+                 '{"doc_id": 7, "text": "eta"}\n')
+    Job(spark, cfg).run()
+    out = tgt.read("docs")
+    assert {r.doc_id for r in out.collect()} == {1, 7}
+    assert "extra" not in out.columns
