@@ -58,8 +58,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stubs (their driver row carries no hash information) and keys
 #     hash-verified green in BOTH prior rounds with unchanged code.
 _HEAD_KEYS = [
-    # NEW this round (file-drop adapter round-trip integrity):
+    # NEW this round (file-drop adapter round-trip integrity,
+    # binary-quantization ANN):
     "files_roundtrip",
+    "sim_topk_binary",
     # changed THIS round (entropy 4-decimal quantization, bloom
     # integer rate_ppm, logprob 4-decimal — the r3 hash-tie fixes):
     "text_entropy",

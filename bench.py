@@ -215,8 +215,10 @@ def main() -> None:
     with timed("sim_ivf_ann"):
         q_sim_ivf_ann(spark, SF_DIR).collect()
 
-    from sslr_spark.queries_ext import q_files_roundtrip
+    from sslr_spark.queries_ext import q_files_roundtrip, q_sim_topk_binary
 
+    with timed("sim_topk_binary"):
+        q_sim_topk_binary(spark, SF_DIR).collect()
     with timed("files_ingest_roundtrip"):
         q_files_roundtrip(spark, SF_DIR).collect()
 

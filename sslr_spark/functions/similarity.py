@@ -507,3 +507,119 @@ def topk_bruteforce_arrow(
         .select(id_col, F.round(F.col("__raw_sim"), 6).alias("cos_sim"))
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+# ------------------------------------------------------------------
+# binary (sign) quantization ANN — 32x compression, Hamming pre-rank
+# ------------------------------------------------------------------
+
+def sign_pack_words(
+    vec_col: str, dim: int, word_bits: int = 32
+) -> Column:
+    """Pack a float vector's SIGN BITS (x >= 0) into an array of
+    ``word_bits``-wide integer words — the 1-bit-per-dimension binary
+    embedding (32x memory/bandwidth vs float32; at 100 TB of
+    embeddings the difference between a scan that fits in page cache
+    and one that doesn't).
+
+    Words are 32-bit by default ON PURPOSE: a 64-bit pack would need
+    ``1 << 63``, which lands in the bigint sign bit — well-defined on
+    the JVM, an overflow error in engines with checked shifts
+    (DuckDB), so the oracle could not replay it. 32-bit words keep
+    every value in [0, 2^32) — exact in any int64.
+
+    Pure codegen expression (transform/aggregate lambdas), no UDF.
+    """
+    n_words = (dim + word_bits - 1) // word_bits
+    words = []
+    for w in range(n_words):
+        lo, hi = w * word_bits, min((w + 1) * word_bits, dim)
+        # F.expr: the Python shiftleft() helper takes a literal int
+        # for numBits, but here the shift amount is the lambda
+        # variable — SQL shiftleft accepts an expression
+        words.append(F.expr(
+            f"aggregate(sequence({lo}, {hi - 1}), cast(0 as bigint), "
+            f"(acc, i) -> acc | (case when element_at({vec_col}, "
+            f"cast(i + 1 as int)) >= 0 then shiftleft(cast(1 as "
+            f"bigint), cast(i - {lo} as int)) else cast(0 as bigint) "
+            f"end))"
+        ))
+    return F.array(*words)
+
+
+def hamming_words(a: str | Column, b: str | Column) -> Column:
+    """Hamming distance between two sign-bit word arrays:
+    sum(bit_count(xor(word_a, word_b))) — integer-exact, so identical
+    in every engine."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def topk_binary(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k via binary quantization: Hamming distance on sign-packed
+    words pre-ranks the corpus (the cheap 32x-compressed scan), the
+    best ``k * rerank_factor`` candidates re-rank by exact float
+    cosine, and the final top-k comes from that rerank — the standard
+    two-stage binary-ANN pipeline (sign bits preserve cosine
+    neighborhoods for zero-centered embeddings; the rerank removes
+    the quantization noise from the final ordering).
+
+    Deterministic end-to-end: Hamming is integer, both stages break
+    ties on ``id_col``, so the candidate set and result replay exactly
+    in the DuckDB oracle. Scale shape: one narrow scan for packing
+    (TakeOrdered merge for the candidate cut, no global sort), then
+    exact cosine over only ``k * rerank_factor`` rows.
+    """
+    if dim is None:
+        probe = df.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("empty corpus")
+        dim = int(probe["d"])
+    qrows = (
+        df.filter(F.col(id_col) == query_vec_id)
+        .select(
+            sign_pack_words(vec_col, dim).alias("__qsig"),
+            F.col(vec_col).alias("__qvec"),
+        )
+        .take(1)
+    )
+    if not qrows:
+        raise ValueError(
+            f"query vector {id_col}={query_vec_id} not found"
+        )
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    q = df.sparkSession.createDataFrame(
+        qrows, f"__qsig array<bigint>, __qvec {vec_type}"
+    )
+    cand = (
+        df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "hamming",
+            hamming_words(sign_pack_words(vec_col, dim), F.col("__qsig")),
+        )
+        .orderBy(F.col("hamming").asc(), F.col(id_col))
+        .limit(k * rerank_factor)
+    )
+    return (
+        cand.select(
+            id_col,
+            "hamming",
+            F.round(cosine_expr(vec_col, "__qvec"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )

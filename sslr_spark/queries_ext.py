@@ -623,6 +623,56 @@ limit 10
 """
 
 
+def q_sim_topk_binary(spark, sf_dir):
+    """Two-stage binary-quantization ANN: sign bits packed into 32-bit
+    words (32x compression), integer Hamming pre-rank of the corpus,
+    exact-cosine rerank of the 40-candidate cut (similarity.py
+    topk_binary). Integer Hamming + deterministic tie-breaks make the
+    whole pipeline — including the candidate cut — replayable in
+    DuckDB."""
+    return S.topk_binary(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, rerank_factor=4, dim=64
+    )
+
+
+def _sig_sql(expr: str, dim: int = 64, wb: int = 32) -> str:
+    """DuckDB spelling of similarity.sign_pack_words: a list of
+    32-bit sign-bit words (32-bit so no shift ever reaches the bigint
+    sign bit — see sign_pack_words docstring)."""
+    words = []
+    for w in range((dim + wb - 1) // wb):
+        lo, hi = w * wb, min((w + 1) * wb, dim)
+        words.append(
+            f"cast(list_sum(list_transform(range({hi - lo}), i -> "
+            f"case when ({expr})[{lo} + i + 1] >= 0 "
+            f"then (1::bigint << i) else 0::bigint end)) as bigint)"
+        )
+    return "[" + ", ".join(words) + "]"
+
+
+SQL_SIM_BINARY = f"""
+with sig as (
+  select vec_id, embedding, {_sig_sql('embedding')} as s from embeddings
+),
+q as (select embedding as qvec, s as qs from sig where vec_id = 0),
+cand as (
+  select vec_id, embedding,
+         cast(bit_count(xor(s[1], qs[1])) + bit_count(xor(s[2], qs[2]))
+              as bigint) as hamming,
+         qvec
+  from sig, q
+  where vec_id != 0
+  order by hamming asc, vec_id
+  limit 40
+)
+select vec_id, hamming,
+       round({_cos_sql('embedding', 'qvec')}, 6) as cos_sim
+from cand
+order by cos_sim desc, vec_id
+limit 10
+"""
+
+
 def q_sim_topk_lsh(spark, sf_dir):
     """Approximate top-10 via sign-LSH bucket pruning (6 bits)."""
     return S.topk_lsh(_emb(spark, sf_dir), query_vec_id=0, k=10, n_bits=6)
@@ -1730,6 +1780,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid_eval": q_text_langid_eval,
     "x_stream_ingest": q_x_stream_ingest,
     "files_roundtrip": q_files_roundtrip,
+    "sim_topk_binary": q_sim_topk_binary,
     "sample_leakage_safe": q_sample_leakage_safe,
     "text_quality_score": q_text_quality_score,
     "sim_topk_quantized": q_sim_topk_quantized,
@@ -1779,6 +1830,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "x_stream_ingest": SQL_X_STREAM_INGEST,
     "files_roundtrip": SQL_FILES_ROUNDTRIP,
+    "sim_topk_binary": SQL_SIM_BINARY,
     "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
     "text_quality_score": SQL_TEXT_QUALITY_SCORE,
     "sim_topk_quantized": SQL_SIM_TOPK_QUANTIZED,

@@ -779,3 +779,60 @@ def test_leakage_safe_split_chains_multiple_holdouts(spark):
     assert out[train_id] == "train"
     assert out[test_leak] == "train"  # pass 1 repair survives pass 2
     assert out[val_leak] == "train"   # pass 2 repair
+
+
+def test_binary_topk_recall_and_exactness(spark, emb):
+    """Two-stage binary ANN: recall grows with the rerank budget, a
+    rerank window covering the corpus reproduces the exact brute-force
+    result bit-for-bit (the rerank IS exact cosine), and a missing
+    query id raises like the sibling entry points."""
+    import pytest as _pt
+
+    from sslr_spark.functions.similarity import topk_binary, topk_bruteforce
+
+    exact = [(r.vec_id, r.cos_sim) for r in
+             topk_bruteforce(emb, 0, k=10).collect()]
+    ids = {v for v, _ in exact}
+    r4 = {r.vec_id for r in
+          topk_binary(emb, 0, k=10, rerank_factor=4).collect()}
+    r8 = {r.vec_id for r in
+          topk_binary(emb, 0, k=10, rerank_factor=8).collect()}
+    # sign bits on synthetic (near-random) embeddings are the worst
+    # case for binary quantization; bounds are deliberately loose
+    assert len(ids & r4) >= 4
+    assert len(ids & r8) >= len(ids & r4) - 1  # budget helps, never hurts much
+    assert len(ids & r8) >= 6
+
+    full = [(r.vec_id, r.cos_sim) for r in
+            topk_binary(emb, 0, k=10, rerank_factor=10_000).collect()]
+    assert full == exact
+
+    with _pt.raises(ValueError, match="not found"):
+        topk_binary(emb, -5, k=3)
+
+
+def test_sign_pack_words_bit_layout(spark):
+    """The packed words must place dimension d's sign at bit (d mod
+    32) of word d//32 — pinned against a hand-computed vector so the
+    DuckDB oracle spelling cannot drift."""
+    from sslr_spark.functions.similarity import hamming_words, sign_pack_words
+
+    # dims 0,1,33 non-negative -> word0 = 0b11 = 3, word1 = 1 << 1 = 2
+    vec = [1.0, 0.5] + [-1.0] * 31 + [2.0] + [-0.5] * 31
+    assert len(vec) == 65
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    row = df.select(
+        sign_pack_words("v", 65).alias("sig")
+    ).first()
+    assert row.sig == [3, 2, 0]
+    # hamming: flip dim 0 and dim 33 -> distance 2
+    vec2 = list(vec)
+    vec2[0] = -1.0
+    vec2[33] = -2.0
+    both = spark.createDataFrame([(vec, vec2)], "a array<float>, b array<float>")
+    got = both.select(
+        hamming_words(
+            sign_pack_words("a", 65), sign_pack_words("b", 65)
+        ).alias("h")
+    ).first()
+    assert got.h == 2
