@@ -181,3 +181,25 @@ def test_job_end_to_end_with_jsonl_source(spark, tmp_path, jsonl_root):
     out = tgt.read("docs")
     assert {r.doc_id for r in out.collect()} == {1, 7}
     assert "extra" not in out.columns
+
+
+def test_export_roundtrip_hostile_strings(spark, tmp_path):
+    """JSONL export + PERMISSIVE re-parse must preserve the strings
+    that break naive serializers: embedded newlines/tabs (JSON string
+    escapes), quotes, backslashes, unicode, emoji, empty and null."""
+    rows = [
+        (1, 'line1\nline2\ttabbed'),
+        (2, 'quote " and \\ backslash'),
+        (3, 'unicode: čćžđš 中文 🙂'),
+        (4, ''),
+        (5, None),
+        (6, '{"looks": "like json"}'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = str(tmp_path / "hostile")
+    export_jsonl(df, out, coalesce=1)
+    back = FilesDatabase(spark, str(tmp_path), fmt="jsonl").read("hostile")
+    got = {r.doc_id: r.text for r in back.collect()}
+    # Spark's json writer drops null fields from the record; the doc
+    # still round-trips, with text absent -> null
+    assert got == {i: t for i, t in rows}
