@@ -75,6 +75,8 @@ class FilesDatabase:
         self.fmt = fmt
         self.schemas = dict(schemas or {})
         self.options = dict(options or {})
+        # last cached parse per table (see read_with_quarantine)
+        self._cached: dict[str, DataFrame] = {}
 
     # -- catalog -------------------------------------------------------
     def path(self, table: str) -> str:
@@ -109,8 +111,13 @@ class FilesDatabase:
     def _parse(self, table: str) -> DataFrame:
         p = self.path(table)
         if self.fmt == "text":
-            # text has no parse failures: every line is a row
-            return self.spark.read.options(**self.options).text(p)
+            # text has no parse failures: every line is a row; the
+            # always-null corrupt column keeps the quarantine split
+            # uniform across formats
+            return (
+                self.spark.read.options(**self.options).text(p)
+                .withColumn(CORRUPT_COL, F.lit(None).cast("string"))
+            )
         schema = self.schemas.get(table)
         if schema is not None and CORRUPT_COL not in schema.fieldNames():
             schema = T.StructType(
@@ -134,13 +141,30 @@ class FilesDatabase:
 
     def read_with_quarantine(self, table: str) -> tuple[DataFrame, DataFrame]:
         """(clean rows without the corrupt column, quarantined raw
-        lines). Cached: see module docstring."""
+        lines). Cached: see module docstring.
+
+        Each call parses FRESH (drop directories are replaced
+        wholesale between sync passes — serving a stale cache would
+        silently miss the new delivery) and the PREVIOUS call's cache
+        for the table is unpersisted, so a long-running continuous
+        sync holds at most one cached parse per table instead of one
+        per pass. ``release_caches`` drops everything."""
+        prev = self._cached.pop(table, None)
+        if prev is not None:
+            prev.unpersist()
         df = self._parse(table).cache()
+        self._cached[table] = df
         clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
         bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(
             F.col(CORRUPT_COL).alias("raw_line")
         )
         return clean, bad
+
+    def release_caches(self) -> None:
+        """Unpersist every cached parse this adapter holds."""
+        for df in self._cached.values():
+            df.unpersist()
+        self._cached.clear()
 
     def read(self, table: str, with_meta: bool = False) -> DataFrame:
         clean, _ = self.read_with_quarantine(table)

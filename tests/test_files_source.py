@@ -203,3 +203,29 @@ def test_export_roundtrip_hostile_strings(spark, tmp_path):
     # Spark's json writer drops null fields from the record; the doc
     # still round-trips, with text absent -> null
     assert got == {i: t for i, t in rows}
+
+
+def test_cache_bounded_and_text_format(spark, tmp_path, jsonl_root):
+    """Repeated reads hold at most ONE cached parse per table (a
+    continuous sync must not accumulate a cache per pass), and the
+    text format goes through the same quarantine surface (always
+    empty)."""
+    db = FilesDatabase(spark, jsonl_root, fmt="jsonl")
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_cached()
+    db.read("docs").count()
+    one = n_cached()
+    db.read("docs").count()
+    db.read("docs").count()
+    assert n_cached() <= one  # replaced, not accumulated
+    db.release_caches()
+    assert n_cached() <= base
+
+    (tmp_path / "lines.txt").write_text("alpha\nbeta\n")
+    tdb = FilesDatabase(spark, str(tmp_path), fmt="text")
+    clean, bad = tdb.read_with_quarantine("lines")
+    assert clean.count() == 2 and bad.count() == 0
+    tdb.release_caches()
