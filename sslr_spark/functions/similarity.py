@@ -614,12 +614,23 @@ def topk_binary(
         .orderBy(F.col("hamming").asc(), F.col(id_col))
         .limit(k * rerank_factor)
     )
+    # try_divide: an all-zero vector (norm 0) in the candidate window
+    # must drop, not crash the rerank with DIVIDE_BY_ZERO under ANSI
+    # sessions (Spark 4 default) — same contract as topk_quantized;
+    # the oracle guards with `nn > 0` for the same rows
     return (
         cand.select(
             id_col,
             "hamming",
-            F.round(cosine_expr(vec_col, "__qvec"), 6).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    dot_expr(vec_col, "__qvec"),
+                    norm_expr(vec_col) * norm_expr("__qvec"),
+                ),
+                6,
+            ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

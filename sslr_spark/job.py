@@ -230,10 +230,16 @@ class Job:
             bucket_hash=self.config.bucket_hash,
         )
         result.updated_rows += rows
-        if table in self.force_full:
+        versionless = self.config.version_column not in src.columns
+        if table in self.force_full or versionless:
             # Full copy just ran — the target IS the source snapshot,
             # so delete sync is skipped this pass (reference
             # internal/job.go:261-271 returns before SyncDeletes).
+            # Version-less sources (file drops) full-copy EVERY pass
+            # (get_update_range degrade), so the same reasoning skips
+            # their delete phase every pass — without this, a
+            # continuous jsonl: sync would pay two full key scans plus
+            # bucket fingerprints per pass for nothing.
             result.full_copies.append(table)
             self.force_full.discard(table)
         elif self.config.sync_deletes:

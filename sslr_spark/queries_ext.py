@@ -22,6 +22,33 @@ from sslr_spark.functions.hashing import h60_sql
 from sslr_spark.functions.sampling import split_bucket_sql
 
 
+def _fresh_bench_dir(prefix: str) -> str:
+    """A unique work dir under .bench_tmp for queries that need real
+    I/O (streaming targets, file-drop round trips): unique per
+    invocation because the driver may run two sessions concurrently
+    against this checkout, with stale dirs from past runs (> 6 h old —
+    no live session is that old) swept so repeated correctness runs
+    don't accumulate copies. Shared by every such query so sweep-logic
+    fixes cannot drift between copies."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp_root = os.path.join(repo, ".bench_tmp")
+    if os.path.isdir(tmp_root):
+        cutoff = time.time() - 6 * 3600
+        for d in os.listdir(tmp_root):
+            p = os.path.join(tmp_root, d)
+            try:
+                if d.startswith(f"{prefix}-") and os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+    return os.path.join(tmp_root, f"{prefix}-{uuid.uuid4().hex}")
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -439,30 +466,11 @@ def q_x_stream_ingest(spark, sf_dir):
     — so a real Structured Streaming execution gets a hash-checked
     CORRECTNESS row (not just rows-only)."""
     import os
-    import uuid
 
     from sslr_spark.sources.parquet import ParquetDatabase
     from sslr_spark.streaming.pipeline import streaming_neardup_ingest
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # unique dirs per invocation: the driver may run two sessions
-    # concurrently against this repo checkout. Stale dirs from past
-    # runs (> 6 h old — no live session is that old) are swept so
-    # repeated correctness runs don't accumulate copies.
-    import shutil
-    import time
-
-    tmp_root = os.path.join(repo, ".bench_tmp")
-    if os.path.isdir(tmp_root):
-        cutoff = time.time() - 6 * 3600
-        for d in os.listdir(tmp_root):
-            p = os.path.join(tmp_root, d)
-            try:
-                if d.startswith("stream_ingest-") and os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-    work = os.path.join(tmp_root, f"stream_ingest-{uuid.uuid4().hex}")
+    work = _fresh_bench_dir("stream_ingest")
     target = ParquetDatabase(spark, os.path.join(work, "target"))
     # the file-stream source requires a DIRECTORY; the testdata table
     # is a single parquet file — symlink it into a source dir (no copy)
@@ -668,6 +676,8 @@ cand as (
 select vec_id, hamming,
        round({_cos_sql('embedding', 'qvec')}, 6) as cos_sim
 from cand
+where sqrt(cast(list_sum(list_transform(embedding,
+        x -> cast(x as double) * cast(x as double))) as double)) > 0
 order by cos_sim desc, vec_id
 limit 10
 """
@@ -1711,32 +1721,17 @@ def q_files_roundtrip(spark, sf_dir):
     re-parse cycle preserved every row and text byte — the property
     a silent-parse-loss bug would break."""
     import os
-    import shutil
-    import time
-    import uuid
 
     from sslr_spark.functions.hashing import h60
     from sslr_spark.sources.files import FilesDatabase, export_jsonl
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tmp_root = os.path.join(repo, ".bench_tmp")
-    # unique dirs per invocation + stale sweep: same concurrency story
-    # as q_x_stream_ingest above
-    if os.path.isdir(tmp_root):
-        cutoff = time.time() - 6 * 3600
-        for d in os.listdir(tmp_root):
-            p = os.path.join(tmp_root, d)
-            try:
-                if d.startswith("files_rt-") and os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-            except OSError:
-                pass
-    work = os.path.join(tmp_root, f"files_rt-{uuid.uuid4().hex}")
+    work = _fresh_bench_dir("files_rt")
     docs = spark.read.parquet(
         os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     )
     export_jsonl(docs, os.path.join(work, "documents"))
-    back = FilesDatabase(spark, work, fmt="jsonl").read("documents")
+    db = FilesDatabase(spark, work, fmt="jsonl")
+    back = db.read("documents")
     # 60-bit row signature folded mod 1e12 before summing: a raw
     # sum of 60-bit values overflows bigint (ANSI Spark errors,
     # DuckDB silently widens to hugeint — engine-divergent)
@@ -1752,12 +1747,20 @@ def q_files_roundtrip(spark, sf_dir):
         ),
         F.lit(1_000_000_000_000),
     )
-    return back.groupBy("source").agg(
+    agg = back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("doc_id").alias("n_ids"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum(row_sig).alias("content_sum"),
     )
+    # materialize the (tiny: one row per source) aggregate eagerly so
+    # the adapter's parse cache can be released HERE — returning the
+    # lazy plan would pin a cached full-table re-parse in the
+    # session's CacheManager for every invocation (the throwaway
+    # FilesDatabase instance could never unpersist it)
+    rows = agg.collect()
+    db.release_caches()
+    return spark.createDataFrame(rows, agg.schema)
 
 
 _RT_SIG = h60_sql(

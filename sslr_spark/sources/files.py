@@ -57,7 +57,9 @@ class FilesDatabase:
     between drops; a pinned schema makes drops with missing fields
     load as nulls and drops with extra fields fail loudly in
     quarantine). ``options`` pass through to the reader (e.g. CSV
-    ``{"header": "true", "sep": "\\t"}``).
+    ``{"header": "true", "sep": "\\t"}``). CSV tables REQUIRE a
+    pinned schema (inference cannot capture corrupt records — see
+    _parse).
     """
 
     def __init__(
@@ -119,6 +121,20 @@ class FilesDatabase:
                 .withColumn(CORRUPT_COL, F.lit(None).cast("string"))
             )
         schema = self.schemas.get(table)
+        if self.fmt == "csv" and schema is None:
+            # Unlike JSON, Spark's CSV INFERENCE path never
+            # materializes columnNameOfCorruptRecord: malformed rows
+            # get silently truncated/padded and types degrade to
+            # string — exactly the invisible parse loss this adapter
+            # exists to prevent. A pinned schema is what makes CSV
+            # malformation detectable, so it is required, not
+            # advisory.
+            raise ValueError(
+                f"csv table {table!r} needs a pinned schema "
+                "(schemas={...}): Spark CSV inference cannot "
+                "capture corrupt records, so parse loss would be "
+                "silent"
+            )
         if schema is not None and CORRUPT_COL not in schema.fieldNames():
             schema = T.StructType(
                 list(schema.fields)

@@ -549,31 +549,32 @@ def compact_neardup_index(
     accepted_table: str = "accepted",
     keep_last: int = 2,
 ) -> int:
-    """Fold old per-epoch partitions of :func:`streaming_neardup_ingest`'s
-    tables into one base partition (``__epoch = -1``) — the maintenance
-    job that keeps a long-running ingest from accumulating one tiny
-    partition per trigger (a year of 1-minute triggers is ~500k
-    directories; every index load lists them all).
+    """Fold ALL live partitions — sealed segments and every foldable
+    epoch — into ONE fresh base segment: the OFFLINE full rewrite
+    (cost ∝ corpus) that keeps a long-running ingest from
+    accumulating one tiny partition per trigger (a year of 1-minute
+    triggers is ~500k directories; every index load lists them all).
+    For bounded in-stream maintenance use
+    :func:`compact_neardup_index_incremental`.
 
     ``keep_last`` recent epochs stay untouched: Structured Streaming
-    only ever replays the most recent uncommitted epoch, and a replayed
-    epoch relies on its own partition staying separately addressable
-    (the exactly-once design excludes it from the index load —
-    folding it into the base would make replays self-match into data
-    loss). The base partition id -1 can never collide with a real
-    epoch (sealed segments from the incremental compactor use -2 and
-    below, and fold into the base here too).
+    only ever replays the most recent uncommitted epoch, and a
+    replayed epoch relies on its own partition staying separately
+    addressable (the exactly-once design excludes it from the index
+    load — folding it into the base would make replays self-match
+    into data loss).
 
-    This is the OFFLINE full rewrite: every call rebuilds the whole
-    base (cost ∝ corpus). For in-stream maintenance use
-    :func:`compact_neardup_index_incremental`, whose per-call rewrite
-    is bounded by the new epochs plus the smallest sealed segments.
-
-    Crash-safe: the new base is built as union-distinct of the current
-    base plus everything folded, the segment manifest commits
-    atomically BEFORE dead partitions drop, and readers going through
-    :func:`live_epoch_filter` never see the dead copies — re-run to
-    converge after any crash.
+    Crash-safe the same way as the incremental compactor: the new
+    base is written under a FRESH negative id from the manifest's
+    ``next_seg`` counter and stays INVISIBLE until the single atomic
+    manifest commit; superseded segments and folded epochs are GCd
+    only after. No LIVE partition is ever rewritten in place, so a
+    crash at any point leaves readers (:func:`live_epoch_filter` /
+    :func:`read_accepted`) on exactly the pre-call state, and a
+    re-run overwrites the orphan and converges. (A pre-manifest
+    legacy layout gets the no-op bootstrap manifest first, adopting
+    a legacy ``-1`` base — and the union is built distinct, which
+    also converges any duplicate rows a pre-manifest crash left.)
 
     Returns the number of epochs folded.
     """
@@ -583,16 +584,25 @@ def compact_neardup_index(
               if target.table_exists(t)]
     if not tables:
         return 0
-    # the cutoff must be consistent across tables AND come from the
-    # bucket table specifically (written last each epoch, so its max
-    # epoch is the newest FULLY committed one).  If the bucket table
-    # is absent (e.g. only `accepted` materialized on this target)
-    # there is no committed-epoch reference — skip compaction rather
-    # than cut from a table whose max epoch may be half-written.
+    # the reference for committed epochs must be the bucket table
+    # (written last each epoch, so its max epoch is the newest FULLY
+    # committed one).  If it is absent (e.g. only `accepted`
+    # materialized on this target) there is no committed-epoch
+    # reference — skip compaction rather than cut from a table whose
+    # max epoch may be half-written.
     if bk_table not in tables:
         return 0
     m = load_segment_manifest(target, index_table)
-    live = live_epoch_filter(m)
+    if m is None:
+        m = {"folded_upto": -1, "segments": {}, "next_seg": -2}
+        legacy = target.read(bk_table).filter(F.col("__epoch") == -1)
+        n = legacy.count()
+        if n:
+            m["segments"][-1] = n
+        # bootstrap commit BEFORE any write: see the incremental
+        # compactor — without a manifest every partition is live, so
+        # a first-write crash would expose the orphan
+        _write_segment_manifest(target, index_table, m)
     all_parts = sorted(
         r[0]
         for r in target.read(bk_table).select("__epoch").distinct().collect()
@@ -600,45 +610,38 @@ def compact_neardup_index(
     )
     live_set = {
         e for e in all_parts
-        if m is None
-        or (e >= 0 and e > m["folded_upto"])
-        or e in m["segments"]
+        if (e >= 0 and e > m["folded_upto"]) or e in m["segments"]
     }
     epochs = sorted(e for e in live_set if e >= 0)
     fold = epochs[:-keep_last] if keep_last > 0 else epochs
     old_segs = sorted(e for e in live_set if e < 0)
-    if not fold and old_segs == [-1]:
-        return 0  # already one base, nothing new to fold
-    if not fold and not old_segs:
-        return 0
+    if not fold and len(old_segs) <= 1:
+        return 0  # already (at most) one base, nothing new to fold
+    seg_id = m["next_seg"]
+    m["next_seg"] -= 1
     for t in tables:
-        df = target.read(t).filter(live)
         base = (
-            df.filter(
-                (F.col("__epoch") == -1) | F.col("__epoch").isin(
-                    fold + [s for s in old_segs if s != -1]
-                )
-            )
-            .withColumn("__epoch", F.lit(-1))
+            target.read(t)
+            .filter(F.col("__epoch").isin(fold + old_segs))
+            .withColumn("__epoch", F.lit(seg_id))
             .distinct()
         )
         target.replace_partitions(t, base, "__epoch")
     rows = (
-        target.read(bk_table).filter(F.col("__epoch") == -1).count()
+        target.read(bk_table).filter(F.col("__epoch") == seg_id).count()
     )
-    _write_segment_manifest(target, index_table, {
-        "folded_upto": max(
-            fold + ([m["folded_upto"]] if m else [-1])
-        ),
-        "segments": {-1: rows},
-        "next_seg": min(-2, m["next_seg"] if m else -2),
-    })
+    m["segments"] = {seg_id: rows}
+    if fold:
+        m["folded_upto"] = max(max(fold), m["folded_upto"])
+    _write_segment_manifest(target, index_table, m)
     # GC after the manifest commit: folded epochs, superseded
     # segments, and any dead partition a crashed run left behind
-    dead = sorted(set(all_parts) - {-1} - (live_set - set(fold)
-                                           - set(old_segs)))
+    live_now = {seg_id} | {
+        e for e in all_parts if e >= 0 and e > m["folded_upto"]
+    }
+    gc = sorted(set(all_parts) - live_now)
     for t in tables:
-        target.drop_partitions(t, "__epoch", dead)
+        target.drop_partitions(t, "__epoch", gc)
     return len(fold)
 
 

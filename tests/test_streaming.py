@@ -313,7 +313,10 @@ def test_compact_neardup_index_folds_old_epochs(spark, tmp_path):
     assert {r["doc_id"] for r in acc.collect()} == {1, 2, 3}
     assert acc.count() == 3
     epochs = {r[0] for r in acc.select("__epoch").distinct().collect()}
-    assert epochs == {-1, 1, 2}
+    # the base is a sealed segment under a fresh negative id (never an
+    # in-place rewrite of a live partition — crash-safety invariant)
+    assert len([e for e in epochs if e < 0]) == 1
+    assert {e for e in epochs if e >= 0} == {1, 2}
 
     # a near-dup of the FOLDED doc 1 must still be rejected
     spark.createDataFrame(
@@ -371,26 +374,14 @@ def test_streaming_neardup_auto_compaction(spark, tmp_path):
 # -- incremental (size-tiered) compaction ------------------------------
 
 def _mk_epoch(spark, target, e, n_rows=10):
-    """Synthesize one committed epoch across the three near-dup
-    tables (schema content is irrelevant to the compactor — it moves
-    whole partitions)."""
-    base = spark.range(n_rows).selectExpr(
-        f"id + {e * 1000} as doc_id"
-    ).withColumn("__epoch", F.lit(e))
-    target.replace_partitions(
-        "accepted", base.withColumn("text", F.lit(f"t{e}")), "__epoch"
-    )
-    target.replace_partitions(
-        "__neardup_index_shingles",
-        base.withColumn("shingle", F.concat(F.lit("s"), F.col("doc_id"))),
-        "__epoch",
-    )
-    target.replace_partitions(
-        "__neardup_index_buckets",
-        base.withColumn("band", (F.col("doc_id") % 4).cast("int"))
-        .withColumn("bucket", F.col("doc_id")),
-        "__epoch",
-    )
+    """One committed synthetic epoch across the three near-dup tables
+    — the canonical synthesizer lives in tools/stress_compaction.py
+    (shared so the stress probe and these tests can never drift on
+    the table layout); this wrapper only shrinks the doc_id stride
+    for compact test ids."""
+    from tools.stress_compaction import _mk_epoch as mk
+
+    mk(spark, target, e, n_rows, id_stride=1000)
 
 
 def test_incremental_compaction_cost_bounded(spark, tmp_path):
@@ -514,7 +505,8 @@ def test_compaction_state_machine_property(spark, tmp_path_factory):
     import sslr_spark.streaming.pipeline as P
 
     OPS = ["epoch", "epoch", "compact", "full",
-           "crash_manifest", "crash_gc"]
+           "crash_manifest", "crash_gc",
+           "full_crash_manifest", "full_crash_gc"]
 
     @settings(
         max_examples=10,
@@ -547,25 +539,37 @@ def test_compaction_state_machine_property(spark, tmp_path_factory):
                                                     max_segments=3)
             elif op == "full":
                 P.compact_neardup_index(target, keep_last=2)
-            elif op == "crash_manifest":
+            elif op in ("crash_manifest", "full_crash_manifest"):
+                fn = (P.compact_neardup_index_incremental
+                      if op == "crash_manifest"
+                      else P.compact_neardup_index)
+                real = P._write_segment_manifest
+
+                # let the no-op BOOTSTRAP commit through (it changes
+                # nothing visible) and crash only the real commit —
+                # crashing the bootstrap just means nothing ran
+                def once_then_boom(tgt, it, man, _real=real, _st={"n": 0}):
+                    if _st["n"] == 0 and man.get("segments") in ({}, None):
+                        _st["n"] += 1
+                        return _real(tgt, it, man)
+                    raise RuntimeError("crash before manifest commit")
+
                 with mock.patch.object(
-                    P, "_write_segment_manifest",
-                    side_effect=RuntimeError("crash"),
+                    P, "_write_segment_manifest", once_then_boom
                 ):
                     try:
-                        P.compact_neardup_index_incremental(
-                            target, keep_last=2, max_segments=3
-                        )
+                        fn(target, keep_last=2)
                     except RuntimeError:
                         pass
-            elif op == "crash_gc":
+            elif op in ("crash_gc", "full_crash_gc"):
+                fn = (P.compact_neardup_index_incremental
+                      if op == "crash_gc"
+                      else P.compact_neardup_index)
                 with mock.patch.object(
                     ParquetDatabase, "drop_partitions",
                     lambda *a, **kw: None,
                 ):
-                    P.compact_neardup_index_incremental(
-                        target, keep_last=2, max_segments=3
-                    )
+                    fn(target, keep_last=2)
             check()
 
     run()

@@ -35,11 +35,15 @@ sys.path.insert(0, REPO)
 TMP = os.path.join(REPO, ".bench_tmp", "compact_probe")
 
 
-def _mk_epoch(spark, target, e, n_rows):
+def _mk_epoch(spark, target, e, n_rows, id_stride: int = 100_000):
+    """One committed synthetic epoch across the three near-dup
+    tables. CANONICAL synthesizer — tests/test_streaming.py imports
+    this so the probe and the compactor tests can never drift on the
+    table layout."""
     from pyspark.sql import functions as F
 
     base = spark.range(n_rows).selectExpr(
-        f"id + {e * 100000} as doc_id"
+        f"id + {e * id_stride} as doc_id"
     ).withColumn("__epoch", F.lit(e))
     target.replace_partitions(
         "accepted", base.withColumn("text", F.lit(f"t{e}")), "__epoch"
@@ -92,9 +96,11 @@ def main() -> None:
         _mk_epoch(spark, full, e, rows)
         folded = compact_neardup_index(full, keep_last=2)
         if folded:
+            # the whole corpus lands in one freshly sealed segment
+            # (negative id, GC leaves exactly one live) per call
             wrote = (
                 full.read("__neardup_index_buckets")
-                .filter(F.col("__epoch") == -1)
+                .filter(F.col("__epoch") < 0)
                 .count()
             )
             full_total += wrote
