@@ -229,3 +229,15 @@ def test_cache_bounded_and_text_format(spark, tmp_path, jsonl_root):
     clean, bad = tdb.read_with_quarantine("lines")
     assert clean.count() == 2 and bad.count() == 0
     tdb.release_caches()
+
+
+def test_csv_without_schema_rejected(spark, tmp_path):
+    """CSV inference cannot capture corrupt records (malformed rows
+    would pass as silently-mangled clean rows), so a pinned schema is
+    required, not advisory."""
+    (tmp_path / "t.csv").write_text("id,v\n1,10\n")
+    db = FilesDatabase(spark, str(tmp_path), fmt="csv")
+    with pytest.raises(ValueError, match="pinned schema"):
+        db.read("t")
+    with pytest.raises(ValueError, match="pinned schema"):
+        db.schema("t")
