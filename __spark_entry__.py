@@ -62,6 +62,7 @@ _HEAD_KEYS = [
     # binary-quantization ANN):
     "files_roundtrip",
     "sim_topk_binary",
+    "text_bigram_logprob",
     # changed THIS round (entropy 4-decimal quantization, bloom
     # integer rate_ppm, logprob 4-decimal — the r3 hash-tie fixes):
     "text_entropy",
@@ -118,12 +119,12 @@ _HEAD_KEYS = [
     # (version-less degrade) — these route through it:
     "a1_watermark_probe",
     "s2_incremental_scan",
-    # single-green keys (r03 only) earning a second hash row.
+    # single-green key (r03 only) earning a second hash row.
     # NOTE: the list above is exactly 50 entries — the driver's
-    # window; dedup_semantic / dedup_ngram_coverage (also r03-green,
-    # single-row) didn't fit and rotate in next round.
+    # window; dedup_semantic / dedup_ngram_coverage /
+    # dedup_incremental_minhash (also r03-green, single-row) didn't
+    # fit and rotate in next round.
     "dedup_incremental",
-    "dedup_incremental_minhash",
 ]
 _TAIL_KEYS = [
     # hash-green in r03 with unchanged code — safe to sit out r04:

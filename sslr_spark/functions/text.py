@@ -359,3 +359,88 @@ def word_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability — the stronger
+    perplexity proxy (:func:`unigram_logprob` scores the token
+    DISTRIBUTION; this scores local word ORDER, so shuffled, spliced,
+    or keyword-stuffed text that keeps plausible unigram stats still
+    surfaces).
+
+    Model: conditional probability ``P(w2 | w1) = c(w1 w2) / c(w1 ·)``
+    over corpus-adjacent pairs, truncated to the ``vocab_size`` most
+    frequent bigrams (deterministic cutoff: count desc, then bigram
+    text — same convention as the unigram vocab). Out-of-vocab
+    bigrams score at the constant floor ``ln(0.5 / total_bigrams)`` —
+    strictly below any in-vocab bigram and independent of context, so
+    the score replays exactly in the oracle.
+
+    Scale shape: bigrams form per doc with an index-lambda transform
+    (zero shuffle), then two map-side-combined hash aggregates
+    (bigram counts, context counts); the bounded vocab broadcasts to
+    the scoring join. Docs with < 2 tokens score 0 with
+    ``n_bigrams = 0``.
+
+    Output: ``id_col, n_bigrams, n_oov, round(mean_bigram_logprob,
+    4)`` — 4 decimals because avg() over per-pair ln() values is an
+    order-dependent float sum (see word_entropy).
+    """
+    w = words(F.coalesce(F.col(text_col), F.lit("")))
+    bi = F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                "\x1f", w[i.cast("int")], w[(i + 1).cast("int")]
+            ),
+        )
+    )
+    pairs = df.select(F.col(id_col), F.explode(bi).alias("bg"))
+    counts = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = (
+        counts.withColumn(
+            "w1", F.split(F.col("bg"), "\x1f").getItem(0)
+        )
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    total = counts.agg(F.sum("c12")).first()[0] or 1
+    floor = float(-__import__("math").log(2.0 * total))  # ln(0.5/total)
+    vocab = (
+        counts.orderBy(F.col("c12").desc(), F.col("bg"))
+        .limit(vocab_size)
+        .withColumn("w1", F.split(F.col("bg"), "\x1f").getItem(0))
+        .join(ctx, "w1")
+        .select("bg", "c12", "c1")
+    )
+    scored = (
+        pairs.join(F.broadcast(vocab), "bg", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.log(F.col("c12").cast("double") / F.col("c1")),
+                F.lit(floor),
+            ).alias("lp"),
+            F.col("c12").isNull().cast("long").alias("oov"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("oov").alias("n_oov"),
+            F.round(F.avg("lp"), 4).alias("mean_bigram_logprob"),
+        )
+    )
+    base = df.select(id_col)
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.coalesce("mean_bigram_logprob", F.lit(0.0)).alias(
+            "mean_bigram_logprob"
+        ),
+    )

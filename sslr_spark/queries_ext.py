@@ -1474,6 +1474,57 @@ left join m on d.doc_id = m.doc_id
 """
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Word-order perplexity proxy: per-doc mean conditional BIGRAM
+    log-prob against a top-40 corpus bigram vocabulary
+    (functions/text.py bigram_logprob) — the small vocab forces the
+    OOV-floor path, same as the unigram key."""
+    return X.bigram_logprob(_docs(spark, sf_dir), vocab_size=40)
+
+
+SQL_BIGRAM_LOGPROB = f"""
+with tok as (
+  select doc_id, {W_SQL} as ws from documents
+),
+bi as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> concat(ws[i], chr(31), ws[i + 1])))
+           as bg
+  from tok
+),
+counts as (select bg, count(*) as c12 from bi group by bg),
+ctx as (
+  select string_split(bg, chr(31))[1] as w1, sum(c12) as c1
+  from counts group by 1
+),
+tot as (select cast(sum(c12) as double) as total from counts),
+vocab as (
+  select v.bg, v.c12, ctx.c1
+  from (select bg, c12 from counts order by c12 desc, bg limit 40) v
+  join ctx on string_split(v.bg, chr(31))[1] = ctx.w1
+),
+scored as (
+  select b.doc_id,
+         coalesce(ln(cast(v.c12 as double) / v.c1),
+                  ln(0.5 / (select total from tot))) as lp,
+         case when v.c12 is null then 1 else 0 end as oov
+  from bi b left join vocab v using (bg)
+),
+agg as (
+  select doc_id, cast(count(*) as bigint) as n_bigrams,
+         cast(sum(oov) as bigint) as n_oov,
+         round(avg(lp), 4) as mean_bigram_logprob
+  from scored group by doc_id
+)
+select d.doc_id,
+       coalesce(a.n_bigrams, 0) as n_bigrams,
+       coalesce(a.n_oov, 0) as n_oov,
+       coalesce(a.mean_bigram_logprob, 0.0) as mean_bigram_logprob
+from documents d left join agg a using (doc_id)
+"""
+
+
 def q_text_unigram_logprob(spark, sf_dir):
     """Perplexity-proxy quality score: per-doc mean unigram log-prob
     against a top-30 corpus vocabulary (functions/text.py:
@@ -1784,6 +1835,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_ingest": q_x_stream_ingest,
     "files_roundtrip": q_files_roundtrip,
     "sim_topk_binary": q_sim_topk_binary,
+    "text_bigram_logprob": q_text_bigram_logprob,
     "sample_leakage_safe": q_sample_leakage_safe,
     "text_quality_score": q_text_quality_score,
     "sim_topk_quantized": q_sim_topk_quantized,
@@ -1834,6 +1886,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_ingest": SQL_X_STREAM_INGEST,
     "files_roundtrip": SQL_FILES_ROUNDTRIP,
     "sim_topk_binary": SQL_SIM_BINARY,
+    "text_bigram_logprob": SQL_BIGRAM_LOGPROB,
     "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
     "text_quality_score": SQL_TEXT_QUALITY_SCORE,
     "sim_topk_quantized": SQL_SIM_TOPK_QUANTIZED,

@@ -836,3 +836,29 @@ def test_sign_pack_words_bit_layout(spark):
         ).alias("h")
     ).first()
     assert got.h == 2
+
+
+def test_bigram_logprob_known_values(spark):
+    """Hand-computed conditional bigram model on a 4-doc corpus:
+    P(b|a)=2/3, P(c|a)=1/3, b->c falls out of a size-2 vocab and
+    scores the ln(0.5/total) floor; 1-token and empty docs score 0
+    with n_bigrams = 0."""
+    import math
+
+    from sslr_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a c"), (4, "x"), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs, vocab_size=2).collect()}
+    floor = math.log(0.5 / 4)  # 4 corpus bigrams total
+    assert out[1].n_bigrams == 2 and out[1].n_oov == 1
+    assert out[1].mean_bigram_logprob == round(
+        (math.log(2 / 3) + floor) / 2, 4
+    )
+    assert out[2].n_oov == 0
+    assert out[2].mean_bigram_logprob == round(math.log(2 / 3), 4)
+    assert out[3].mean_bigram_logprob == round(math.log(1 / 3), 4)
+    assert out[4].n_bigrams == 0 and out[4].mean_bigram_logprob == 0.0
+    assert out[5].n_bigrams == 0 and out[5].mean_bigram_logprob == 0.0
