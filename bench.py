@@ -215,10 +215,16 @@ def main() -> None:
     with timed("sim_ivf_ann"):
         q_sim_ivf_ann(spark, SF_DIR).collect()
 
-    from sslr_spark.queries_ext import q_files_roundtrip, q_sim_topk_binary
+    from sslr_spark.queries_ext import (
+        q_files_roundtrip,
+        q_sim_topk_binary,
+        q_text_bigram_logprob,
+    )
 
     with timed("sim_topk_binary"):
         q_sim_topk_binary(spark, SF_DIR).collect()
+    with timed("text_bigram_logprob"):
+        q_text_bigram_logprob(spark, SF_DIR).count()
     with timed("files_ingest_roundtrip"):
         q_files_roundtrip(spark, SF_DIR).collect()
 
