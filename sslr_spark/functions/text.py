@@ -391,7 +391,18 @@ def bigram_logprob(
     4)`` — 4 decimals because avg() over per-pair ln() values is an
     order-dependent float sum (see word_entropy).
     """
-    w = words(F.coalesce(F.col(text_col), F.lit("")))
+    # materialize the token array BEFORE the lambda: inlining words()
+    # into the element accesses would re-split the whole text once per
+    # bigram element — O(tokens^2) per doc, the same pitfall the
+    # shingles() docstring documents (fine at these doc lengths,
+    # ruinous at 100k-token docs; warm-session cost at sf0.1 is
+    # ~1.0 s either way because corpus docs are short — the
+    # projection exists for the long-document case)
+    tok = df.select(
+        F.col(id_col),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+    )
+    w = F.col("__w")
     bi = F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - 2),
@@ -400,7 +411,7 @@ def bigram_logprob(
             ),
         )
     )
-    pairs = df.select(F.col(id_col), F.explode(bi).alias("bg"))
+    pairs = tok.select(F.col(id_col), F.explode(bi).alias("bg"))
     counts = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     ctx = (
         counts.withColumn(
@@ -409,7 +420,17 @@ def bigram_logprob(
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    total = counts.agg(F.sum("c12")).first()[0] or 1
+    # total bigrams = sum(max(0, n_tokens - 1)) — arithmetic over the
+    # token COUNTS, not an aggregate over the exploded bigram rows:
+    # this driver-side action would otherwise run the whole explode +
+    # hash aggregate once more on top of the lazy result plan
+    # (measured 6.6 s -> the explode dominates the sf0.1 bench row)
+    total = (
+        tok.select(
+            F.sum(F.greatest(F.size(w) - 1, F.lit(0))).alias("t")
+        ).first()["t"]
+        or 1
+    )
     floor = float(-__import__("math").log(2.0 * total))  # ln(0.5/total)
     vocab = (
         counts.orderBy(F.col("c12").desc(), F.col("bg"))
