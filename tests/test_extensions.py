@@ -484,6 +484,36 @@ def test_word_entropy_known_values(spark):
     assert out[5]["n_tokens"] == 0 and out[5]["entropy"] == 0.0
 
 
+def test_word_entropy_digest_known_values(spark):
+    import math
+
+    from sslr_spark.functions.text import word_entropy_digest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one word x4: c2=16, entropy 0
+            (2, "a b c d"),          # uniform: c2=4, entropy ln(4)
+            (3, "a a b b"),          # 2x2: c2=8, entropy ln(2)
+            (4, ""),                 # empty
+            (5, None),               # null behaves like empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in word_entropy_digest(docs).collect()}
+    assert len(out) == 5
+    assert out[1]["sum_c_sq"] == 16 and out[1]["entropy_centinats"] == 0
+    assert out[2]["sum_c_sq"] == 4
+    assert out[2]["entropy_centinats"] == round(math.log(4) * 100)
+    assert out[3]["sum_c_sq"] == 8
+    assert out[3]["entropy_centinats"] == round(math.log(2) * 100)
+    for k in (4, 5):
+        assert out[k]["n_tokens"] == 0 and out[k]["sum_c_sq"] == 0
+        assert out[k]["entropy_centinats"] == 0
+    # every column is integer-typed: nothing hash-fragile remains
+    for f in word_entropy_digest(docs).schema.fields:
+        assert f.dataType.simpleString() in ("bigint", "int"), f
+
+
 def test_source_overlap_known_values(spark):
     from sslr_spark.functions.dedup import release_caches, source_overlap
 
