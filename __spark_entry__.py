@@ -58,76 +58,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stubs (their driver row carries no hash information) and keys
 #     hash-verified green in BOTH prior rounds with unchanged code.
 _HEAD_KEYS = [
-    # NEW this round (file-drop adapter round-trip integrity,
-    # binary-quantization ANN):
+    # changed THIS round (r5): entropy went integer-digest (the one
+    # r04 hash-fail), files_roundtrip content_sum went decimal-exact,
+    # sign_pack_words quoting feeds sim_topk_binary, the incremental
+    # compactor's _seal dedupe sits behind x_stream_ingest, and
+    # get_update_range grew the loud version-less degrade these four
+    # sync keys route through:
+    "text_entropy",
     "files_roundtrip",
     "sim_topk_binary",
-    "text_bigram_logprob",
-    # changed THIS round (entropy 4-decimal quantization, bloom
-    # integer rate_ppm, logprob 4-decimal — the r3 hash-tie fixes):
-    "text_entropy",
-    "x_bloom_membership",
-    "text_unigram_logprob",
-    # VERDICT r3 item 2 — rotation debt: these route through
-    # operators/deletes.py / operators/updates.py which took +355
-    # changed lines in r3 while the keys sat outside the window:
-    "j4_hash_diff",
-    "j3_range_repair",
-    "t3_staleness_check",
-    "o2_pagination_window",
-    "d1_delete_by_keyset",
-    "d2_range_delete",
-    "j1_semi_join_keyset",
-    "j2_upsert_merge",
-    # no r03 row (green r1/r2 only) — oldest evidence first:
-    "dedup_contamination",
-    "mm_extract_features",
-    "dedup_minhash_lsh",
-    "text_repetition",
-    "sample_hash_split",
-    "p6_key_range_scan",
-    "x_set_ops",
-    "mm_binary_meta",
-    "sim_knn_blocked",
-    "sim_topk_lsh",
-    "sim_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_apply",
-    "x_date_rollup",
-    "x_join_star",
-    "x_scalar_functions",
-    "text_token_count",
-    "text_fingerprint",
-    "a2_table_length",
-    "a3_min_key_probe",
-    "x_asof_join",
-    "text_lang_id",
-    "text_quality",
-    "t6_event_window_agg",
-    "o1_event_sessionize",
-    "x_json_extract",
-    # implementation files touched this round (similarity.py ANSI
-    # divide fix, dedup.py cache scoping, streaming compaction):
-    "sim_topk_quantized",
-    "sim_ivf_ann",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
     "x_stream_ingest",
-    # operators/updates.py get_update_range changed this round
-    # (version-less degrade) — these route through it:
-    "a1_watermark_probe",
     "s2_incremental_scan",
-    # single-green key (r03 only) earning a second hash row.
-    # NOTE: the list above is exactly 50 entries — the driver's
-    # window; dedup_semantic / dedup_ngram_coverage /
-    # dedup_incremental_minhash (also r03-green, single-row) didn't
-    # fit and rotate in next round.
-    "dedup_incremental",
-]
-_TAIL_KEYS = [
-    # hash-green in r03 with unchanged code — safe to sit out r04:
+    "a1_watermark_probe",
+    "t3_staleness_check",
+    "j2_upsert_merge",
+    # ivf probe-cell cut rewritten window->TakeOrdered this round:
+    "sim_ivf_ann",
+    # no r04 row (rotated out last round) — every key below was
+    # hash-green in r03; oldest-evidence-first is moot since they
+    # share the same last-green round, so registry order:
+    "dedup_ngram_coverage",
+    "dedup_semantic",
+    "dedup_incremental_minhash",
+    "mm_decode_stub",
+    "mm_frame_sample",
     "x_funnel",
     "x_cumulative_window",
     "x_tpch_q1",
@@ -162,6 +116,55 @@ _TAIL_KEYS = [
     "s9_state_upsert",
     "a4_bucket_fingerprint",
     "o3_key_at_offset",
+    # 48 head entries: the window's 2 remaining slots fall to the
+    # TAIL front below — deliberately the least-verified keys.
+]
+_TAIL_KEYS = [
+    # single green row ever (r04) — window slots 49-50 re-verify them:
+    "x_bloom_membership",
+    "text_bigram_logprob",
+    # twice-green (r03+r04), first out-of-window candidate:
+    "text_unigram_logprob",
+    # hash-green in r04 with code unchanged this round:
+    "j4_hash_diff",
+    "j3_range_repair",
+    "o2_pagination_window",
+    "d1_delete_by_keyset",
+    "d2_range_delete",
+    "j1_semi_join_keyset",
+    "dedup_contamination",
+    "mm_extract_features",
+    "dedup_minhash_lsh",
+    "text_repetition",
+    "sample_hash_split",
+    "p6_key_range_scan",
+    "x_set_ops",
+    "mm_binary_meta",
+    "sim_knn_blocked",
+    "sim_topk_lsh",
+    "sim_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_apply",
+    "x_date_rollup",
+    "x_join_star",
+    "x_scalar_functions",
+    "text_token_count",
+    "text_fingerprint",
+    "a2_table_length",
+    "a3_min_key_probe",
+    "x_asof_join",
+    "text_lang_id",
+    "text_quality",
+    "t6_event_window_agg",
+    "o1_event_sessionize",
+    "x_json_extract",
+    "sim_topk_quantized",
+    "sim_ivf_ann",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_incremental",
     # rows-only by design — no hash info in their driver row:
     "s5_catalog_schema",
     "s7_object_exists",

@@ -263,18 +263,21 @@ def ivf_ann_fixed(
     the top ``n_probe`` cells, exact cosine within. With
     ``n_probe == len(centroid_ids)`` this equals ``topk_bruteforce``
     (property-tested)."""
-    from pyspark.sql import Window
-
     indexed, cents = ivf_index_fixed(df, centroid_ids, vec_col, id_col)
     q = df.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__qvec")
     )
-    pw = Window.orderBy(F.col("__qsim").desc(), F.col("cell"))  # n_cells rows
+    # top-n_probe cells via orderBy+limit — planned as TakeOrdered
+    # (per-partition heap + driver merge), NOT the row_number window
+    # this used before: an unpartitioned window drags all rows to one
+    # partition and warned in every bench run, even though the input
+    # here is only n_cells rows. Ordering is total (sim desc, cell
+    # asc), so the cut is deterministic.
     probe = (
         cents.crossJoin(F.broadcast(q))
         .withColumn("__qsim", F.round(cosine_expr("centroid", "__qvec"), 9))
-        .withColumn("__prn", F.row_number().over(pw))
-        .filter(F.col("__prn") <= n_probe)
+        .orderBy(F.col("__qsim").desc(), F.col("cell"))
+        .limit(n_probe)
         .select(F.col("cell").alias("__probe_cell"))
     )
     return (
@@ -531,6 +534,12 @@ def sign_pack_words(
     Pure codegen expression (transform/aggregate lambdas), no UDF.
     """
     n_words = (dim + word_bits - 1) // word_bits
+    # the column name is interpolated into raw SQL below — backtick-
+    # quote it so names needing quoting (dots, spaces) resolve as one
+    # column reference instead of breaking the parse (and names
+    # containing backticks stay representable via SQL's `` escape),
+    # matching sibling helpers like hamming_words that accept any name
+    quoted = "`" + vec_col.replace("`", "``") + "`"
     words = []
     for w in range(n_words):
         lo, hi = w * word_bits, min((w + 1) * word_bits, dim)
@@ -539,7 +548,7 @@ def sign_pack_words(
         # variable — SQL shiftleft accepts an expression
         words.append(F.expr(
             f"aggregate(sequence({lo}, {hi - 1}), cast(0 as bigint), "
-            f"(acc, i) -> acc | (case when element_at({vec_col}, "
+            f"(acc, i) -> acc | (case when element_at({quoted}, "
             f"cast(i + 1 as int)) >= 0 then shiftleft(cast(1 as "
             f"bigint), cast(i - {lo} as int)) else cast(0 as bigint) "
             f"end))"

@@ -228,6 +228,7 @@ class Job:
             strip_version=self._strip_version(),
             throttle=throttle or Throttle(pct),
             bucket_hash=self.config.bucket_hash,
+            versionless_source=getattr(self.source, "versionless", False),
         )
         result.updated_rows += rows
         versionless = self.config.version_column not in src.columns
@@ -332,6 +333,7 @@ class Job:
                 version_col=vcol,
                 full_copy_threshold=self.config.full_copy_threshold,
                 force_full=table in self.force_full,
+                versionless_source=getattr(self.source, "versionless", False),
             )
             fsrc = filtered_source(src, where)
             entry: dict = {

@@ -29,6 +29,7 @@ deduplicated (last version wins) before the merge.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -57,6 +58,7 @@ def get_update_range(
     version_col: str = "xmin",
     full_copy_threshold: float = 0.5,
     force_full: bool = False,
+    versionless_source: bool = False,
 ) -> UpdateRange:
     """Decide full-copy vs incremental and compute the version range.
 
@@ -68,10 +70,27 @@ def get_update_range(
     Postgres's ``xmin`` system column, present on every table,
     internal/updates.go:44); it exists here for version-less sources
     — file drops (sources/files.py), views, exports — where per-pass
-    full copy is the only correct behavior.
+    full copy is the only correct behavior. Sources that EXPECT this
+    declare it (``versionless_source=True``, wired from the adapter's
+    ``versionless`` attribute); for everything else a missing version
+    column is far more likely a typo'd config than a design choice,
+    and silently full-copying the table every pass would hide it — so
+    the degrade is taken loudly, with a WARNING naming the column.
     """
     src = filtered_source(source_df, where)
     if version_col not in src.columns:
+        if not versionless_source:
+            logging.getLogger("sslr_spark").warning(
+                "version column %r not found on source table %r — "
+                "degrading to FULL COPY EVERY PASS (and skipping "
+                "delete sync). If the source is genuinely "
+                "version-less this is expected; otherwise check "
+                "versionColumn in the job config (available columns: "
+                "%s)",
+                version_col,
+                table,
+                ", ".join(src.columns[:20]),
+            )
         return UpdateRange(True, 0, 0)
     row = src.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.col(version_col)).alias("hi")
@@ -318,6 +337,7 @@ def sync_updates(
     strip_version: bool = False,
     throttle=None,
     bucket_hash: str = "portable",
+    versionless_source: bool = False,
 ) -> int:
     """Run the update phase for one table; returns rows written.
 
@@ -358,6 +378,7 @@ def sync_updates(
         rng = get_update_range(
             source_df, target, table, state, where, version_col,
             full_copy_threshold, force_full,
+            versionless_source=versionless_source,
         )
     drop_col = version_col if strip_version else None
     in_place = hasattr(target, "apply_upsert")

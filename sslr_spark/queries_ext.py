@@ -1791,9 +1791,12 @@ def q_files_roundtrip(spark, sf_dir):
     export_jsonl(docs, os.path.join(work, "documents"))
     db = FilesDatabase(spark, work, fmt="jsonl")
     back = db.read("documents")
-    # 60-bit row signature folded mod 1e12 before summing: a raw
-    # sum of 60-bit values overflows bigint (ANSI Spark errors,
-    # DuckDB silently widens to hugeint — engine-divergent)
+    # 60-bit row signature folded mod 1e12, summed in decimal(38,0)
+    # (exact wide accumulation in BOTH engines — a bigint sum of
+    # 1e12-folded sigs overflows past ~9.2M rows per source, ADVICE
+    # r4), and the sum folded back mod 1e12 for the emitted column:
+    # capacity ~1e26 rows per source, and past THAT both engines
+    # error loudly rather than wrapping
     row_sig = F.pmod(
         h60(
             F.concat_ws(
@@ -1810,7 +1813,12 @@ def q_files_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("doc_id").alias("n_ids"),
         F.sum("n_chars").alias("sum_chars"),
-        F.sum(row_sig).alias("content_sum"),
+        F.pmod(
+            F.sum(row_sig.cast("decimal(38,0)")),
+            F.lit(1_000_000_000_000).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("content_sum"),
     )
     # materialize the (tiny: one row per source) aggregate eagerly so
     # the adapter's parse cache can be released HERE — returning the
@@ -1831,7 +1839,8 @@ select source,
        cast(count(*) as bigint) as n_docs,
        cast(count(distinct doc_id) as bigint) as n_ids,
        cast(sum(n_chars) as bigint) as sum_chars,
-       cast(sum({_RT_SIG} % 1000000000000) as bigint) as content_sum
+       cast(sum(cast({_RT_SIG} % 1000000000000 as decimal(38,0)))
+            % 1000000000000 as bigint) as content_sum
 from documents group by source
 """
 

@@ -51,6 +51,13 @@ _EXTS = {"jsonl": (".jsonl", ".json", ".ndjson"), "csv": (".csv",),
 class FilesDatabase:
     """Read-only table store over a directory of JSONL/CSV/text files.
 
+    Declares itself ``versionless``: file drops carry no transaction
+    id, so the sync engine's full-copy-every-pass degrade is the
+    EXPECTED behavior here and runs silently — sources without this
+    flag get a loud warning instead (a missing version column on a
+    JDBC/parquet source is far more likely a typo'd config than a
+    design choice; see operators/updates.py get_update_range).
+
     ``fmt``: 'jsonl' | 'csv' | 'text'. ``schemas`` optionally pins a
     per-table StructType (recommended in production: schema inference
     is one extra full read per pass AND an inferred schema can drift
@@ -61,6 +68,8 @@ class FilesDatabase:
     pinned schema (inference cannot capture corrupt records — see
     _parse).
     """
+
+    versionless = True
 
     def __init__(
         self,

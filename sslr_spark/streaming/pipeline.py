@@ -717,12 +717,21 @@ def compact_neardup_index_incremental(
 
     def _seal(ids: list[int], seg_id: int) -> int:
         """Write the union of partitions ``ids`` as partition
-        ``seg_id`` across all three tables; returns bucket rows."""
+        ``seg_id`` across all three tables; returns bucket rows.
+
+        Built DISTINCT (matching the full compactor's convention):
+        a crash of the pre-manifest (round-3) full compactor could
+        leave a legacy -1 base plus its not-yet-dropped source
+        epochs, and the bootstrap adopts both copies as live —
+        without the dedupe here those duplicates would survive every
+        incremental fold forever, since folds only ever union live
+        partitions."""
         for t in tables:
             part = (
                 target.read(t)
                 .filter(F.col("__epoch").isin(ids))
                 .withColumn("__epoch", F.lit(seg_id))
+                .distinct()
             )
             target.replace_partitions(t, part, "__epoch")
         return (

@@ -867,6 +867,13 @@ def test_sign_pack_words_bit_layout(spark):
     ).first()
     assert got.h == 2
 
+    # ADVICE r4: names needing quoting must survive the raw-SQL
+    # interpolation (dots, spaces, even embedded backticks)
+    for name in ("my vec", "v.col", "odd`tick"):
+        odd = spark.createDataFrame([([1.0, -1.0],)]).toDF(name)
+        row = odd.select(sign_pack_words(name, 2).alias("sig")).first()
+        assert row.sig == [1]
+
 
 def test_bigram_logprob_known_values(spark):
     """Hand-computed conditional bigram model on a 4-doc corpus:

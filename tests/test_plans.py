@@ -185,6 +185,20 @@ def test_ivf_fixed_assignment_has_no_shuffle(spark):
     assert "Window" not in p
 
 
+def test_ivf_fixed_probe_cut_is_take_ordered_not_window(spark):
+    """The n_probe cell cut must plan as TakeOrdered (per-partition
+    heap + driver merge), never a row_number window: an unpartitioned
+    window funnels its input to ONE partition and warned on every
+    bench run, and at scale the same shape applied to a bigger frame
+    is a serial bottleneck."""
+    from sslr_spark.functions.similarity import ivf_ann_fixed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(ivf_ann_fixed(emb, [1, 2, 3], query_vec_id=0, n_probe=2))
+    assert "Window" not in p
+    assert "TakeOrdered" in p
+
+
 def test_chunk_text_is_narrow_no_shuffle(spark):
     """Chunking is per-row sequence+explode — any Exchange in the plan
     means a needless full-corpus shuffle at 100 TB."""

@@ -180,3 +180,44 @@ def test_dedup_latest_version_no_sort_deterministic_ties(spark):
         .executedPlan().toString()
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_missing_version_column_degrade_is_loud(
+    spark, source_db, target_db, caplog
+):
+    """A source missing the configured version column degrades to
+    full-copy-every-pass; unless the source declares itself
+    versionless (FilesDatabase), the degrade must WARN — a typo'd
+    versionColumn silently becoming a full table copy per pass is the
+    expensive failure mode ADVICE r4 flagged."""
+    import logging
+
+    from sslr_spark.operators.updates import UpdateRange, get_update_range
+    from sslr_spark.state import StateStore
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    store = StateStore(target_db)
+    st = store.get("t")
+
+    with caplog.at_level(logging.WARNING, logger="sslr_spark"):
+        rng = get_update_range(df, target_db, "t", st, version_col="xmin")
+    assert rng == UpdateRange(True, 0, 0)
+    assert any(
+        "xmin" in r.message and "FULL COPY" in r.message
+        for r in caplog.records
+    ), caplog.records
+
+    # a self-declared versionless source degrades silently
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="sslr_spark"):
+        rng = get_update_range(
+            df, target_db, "t", st, version_col="xmin",
+            versionless_source=True,
+        )
+    assert rng == UpdateRange(True, 0, 0)
+    assert not caplog.records
+
+    # FilesDatabase carries the flag the job wires through
+    from sslr_spark.sources.files import FilesDatabase
+
+    assert getattr(FilesDatabase, "versionless", False) is True
