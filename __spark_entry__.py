@@ -74,6 +74,11 @@ _HEAD_KEYS = [
     "j2_upsert_merge",
     # ivf probe-cell cut rewritten window->TakeOrdered this round:
     "sim_ivf_ann",
+    # NEW this round (gopher rule battery, deterministic shard
+    # export manifest, salted hard-negative mining):
+    "text_gopher_flags",
+    "sample_shard_manifest",
+    "sim_hard_negatives",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -112,11 +117,7 @@ _HEAD_KEYS = [
     "sample_stratified",
     "x_anomaly_zscore",
     "sample_mix_execute",
-    "s1_full_filtered_scan",
-    "s9_state_upsert",
-    "a4_bucket_fingerprint",
-    "o3_key_at_offset",
-    # 48 head entries: the window's 2 remaining slots fall to the
+    # 47 head entries: the window's 3 remaining slots fall to the
     # TAIL front below — deliberately the least-verified keys.
 ]
 _TAIL_KEYS = [
@@ -125,6 +126,12 @@ _TAIL_KEYS = [
     "text_bigram_logprob",
     # twice-green (r03+r04), first out-of-window candidate:
     "text_unigram_logprob",
+    # triple-green (r01+r02+r03) with unchanged code — deferred one
+    # round so this round's three new keys fit the 50-key window:
+    "s1_full_filtered_scan",
+    "s9_state_upsert",
+    "a4_bucket_fingerprint",
+    "o3_key_at_offset",
     # hash-green in r04 with code unchanged this round:
     "j4_hash_diff",
     "j3_range_repair",

@@ -228,6 +228,20 @@ def main() -> None:
     with timed("files_ingest_roundtrip"):
         q_files_roundtrip(spark, SF_DIR).collect()
 
+    # ---- round-5 operator families ----------------------------------
+    from sslr_spark.queries_ext import (
+        q_sample_shard_manifest,
+        q_sim_hard_negatives,
+        q_text_gopher_flags,
+    )
+
+    with timed("text_gopher_flags"):
+        q_text_gopher_flags(spark, SF_DIR).count()
+    with timed("shard_manifest"):
+        q_sample_shard_manifest(spark, SF_DIR).collect()
+    with timed("hard_negatives"):
+        q_sim_hard_negatives(spark, SF_DIR).collect()
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 

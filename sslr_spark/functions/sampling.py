@@ -349,3 +349,74 @@ def leakage_safe_split(
     if key_col != "doc_id":
         out = out.withColumnRenamed("doc_id", key_col)
     return out
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic training-shard assignment: ``shard = h60(seed:key)
+    mod n_shards`` — the export step every pretraining pipeline ends
+    with (fixed shard count, stable across re-runs and backfills, no
+    RNG). Adds an int ``shard`` column.
+
+    Scale shape: the assignment itself is a narrow projection; the
+    subsequent write is ``df.repartition(n_shards, "shard")`` +
+    ``sortWithinPartitions(key)`` — ONE hash shuffle keyed on a
+    uniform 60-bit hash, so shards stay balanced regardless of key
+    skew (sequential doc_ids, hot sources)."""
+    return df.withColumn(
+        "shard",
+        F.pmod(
+            h60(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
+                )
+            ),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "shard",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-shard export manifest: row count, distinct keys, key range,
+    and an order-insensitive content checksum — what a downstream
+    trainer (or a re-run) verifies against before trusting a shard set.
+
+    The checksum is the decimal(38,0)-accumulated fold of per-row
+    h60 signatures mod 1e12 (same overflow-proof shape as the
+    files-roundtrip probe): commutative, so it parallelizes without
+    any ordered aggregation, and exact in any engine.
+
+    One map-side-combined aggregate over the shard assignment —
+    n_shards output rows regardless of corpus size."""
+    from sslr_spark.functions.hashing import key_string
+
+    cols = content_cols if content_cols is not None else [key_col]
+    sig = F.pmod(h60(key_string(cols)), F.lit(1_000_000_000_000))
+    return (
+        shard_assign(df, n_shards, key_col, seed)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key_col).alias("n_keys"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+            F.pmod(
+                F.sum(sig.cast("decimal(38,0)")),
+                F.lit(1_000_000_000_000).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("content_sum"),
+        )
+    )

@@ -643,3 +643,86 @@ def topk_binary(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar vectors with a DIFFERENT label —
+    the negatives that actually teach the model something (random
+    negatives are trivially far; these sit right at the decision
+    boundary).
+
+    Exact cosine, deterministic output: similarity rounded to 6
+    decimals, ties broken on candidate id; ``neg_rank`` is the 1-based
+    position within each query's list.
+
+    Scale shape — the top-k-per-group problem done without a
+    single-partition-per-query window: queries broadcast (a handful
+    of rows), candidates score in place, then a SALTED two-phase cut:
+    phase 1 takes the local top-k within (query, id mod
+    ``salt_partitions``) — partitions are 1/salt of the corpus — and
+    phase 2 re-ranks only the surviving ``salt_partitions * k`` rows
+    per query. Total shuffle: corpus once for phase 1, k*salt rows
+    for phase 2; no partition ever holds a full query's candidate
+    set. Zero-norm vectors drop via try_divide (ANSI-safe), matching
+    the topk_* contract."""
+    from pyspark.sql import Window
+
+    qs = (
+        df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("__qlabel"),
+            F.col(vec_col).alias("__qvec"),
+        )
+    )
+    cand = (
+        df.crossJoin(F.broadcast(qs))
+        .filter(
+            (F.col(label_col) != F.col("__qlabel"))
+            & (F.col(id_col) != F.col("query_id"))
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.try_divide(
+                    dot_expr(vec_col, "__qvec"),
+                    norm_expr(vec_col) * norm_expr("__qvec"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+        .withColumn(
+            "__salt", F.pmod(F.col(id_col), F.lit(salt_partitions))
+        )
+    )
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    survivors = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("__fr", F.row_number().over(w2))
+        .filter(F.col("__fr") <= k)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            "cos_sim",
+            F.col("__fr").alias("neg_rank"),
+        )
+    )

@@ -182,6 +182,104 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher-style quality rule flags (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 — the standard rule battery every
+    large-scale pretraining pipeline runs before model-based filters).
+
+    Every emitted column is a bigint count or a boolean derived from
+    PURE INTEGER comparisons (ratio thresholds are cross-multiplied:
+    ``mean_word_len >= 3`` becomes ``sum_word_chars >= 3 * n_words``),
+    so the output is hash-exact across engines by construction — no
+    float ever materializes.
+
+    Rules (thresholds are Gopher's):
+      ok_word_count     50 <= n_words <= 100_000
+      ok_mean_word_len  3 <= mean word length <= 10
+      ok_bullets        <= 90% of non-blank lines start with a bullet
+      ok_ellipsis       <= 30% of non-blank lines end with an ellipsis
+      ok_alpha          >= 80% of words contain an alphabetic char
+      ok_symbols        (# + '...') occurrences <= 10% of words
+      ok_stopwords      >= 2 distinct common stopwords present
+      keep              conjunction of all of the above
+
+    Scale shape: one narrow projection — array lambdas over the
+    per-row token/line arrays, no shuffle, no UDF; whole-stage
+    codegen end to end. At 100 TB this is a single pass that
+    saturates scan bandwidth."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ws = words(t)
+    n_words = F.size(ws).cast("long")
+    sum_wchars = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ellipsis_l = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    n_dots = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(ws, F.lower),
+            F.array(*[F.lit(s) for s in STOPWORDS]),
+        )
+    ).cast("long")
+    ok_wc = (n_words >= 50) & (n_words <= 100_000)
+    ok_mwl = (n_words > 0) & (sum_wchars >= 3 * n_words) & (
+        sum_wchars <= 10 * n_words
+    )
+    ok_bullets = 10 * n_bullet <= 9 * n_lines
+    ok_ellipsis = 10 * n_ellipsis_l <= 3 * n_lines
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_symbols = 10 * (n_hash + n_dots) <= n_words
+    ok_stop = n_stop >= 2
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_wchars.alias("sum_word_chars"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis_l.alias("n_ellipsis_lines"),
+        n_alpha.alias("n_alpha_words"),
+        (n_hash + n_dots).alias("n_symbol_hits"),
+        n_stop.alias("n_stopwords_present"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbols.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_wc & ok_mwl & ok_bullets & ok_ellipsis & ok_alpha
+            & ok_symbols & ok_stop
+        ).alias("keep"),
+    )
+
+
 def topk_ngrams(
     df: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:

@@ -597,6 +597,38 @@ limit 10
 """
 
 
+def q_sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (similarity.py hard_negatives): top-5
+    nearest DIFFERENT-label vectors for queries 0-3 — the contrastive-
+    training negative sampler, executed as a salted two-phase top-k
+    so no partition ever holds one query's whole candidate set."""
+    return S.hard_negatives(_emb(spark, sf_dir), [0, 1, 2, 3], k=5)
+
+
+SQL_SIM_HARD_NEGATIVES = f"""
+with q as (
+  select vec_id as query_id, label as qlabel, embedding as qvec
+  from embeddings where vec_id in (0, 1, 2, 3)
+),
+s as (
+  select q.query_id, e.vec_id as neg_id, e.label as neg_label,
+         round({_cos_sql('e.embedding', 'q.qvec')}, 6) as cos_sim
+  from embeddings e
+  join q on e.label != q.qlabel and e.vec_id != q.query_id
+  where {_NORM.format(a='e.embedding')} > 0
+    and {_NORM.format(a='q.qvec')} > 0
+),
+r as (
+  select s.*, row_number() over (
+    partition by query_id order by cos_sim desc, neg_id
+  ) as neg_rank from s
+)
+select query_id, neg_id, neg_label, cos_sim,
+       cast(neg_rank as int) as neg_rank
+from r where neg_rank <= 5
+"""
+
+
 def q_sim_topk_quantized(spark, sf_dir):
     """Top-10 cosine over int8-quantized vectors (4x memory): integer
     dot/norms, double division last — the compression step that makes
@@ -1482,6 +1514,112 @@ left join m on d.doc_id = m.doc_id
 """
 
 
+def q_sample_shard_manifest(spark, sf_dir):
+    """Deterministic training-shard export manifest
+    (functions/sampling.py shard_manifest): 16 hash-assigned shards
+    over documents with per-shard counts, key ranges, and the
+    commutative decimal-fold content checksum."""
+    from sslr_spark.functions.sampling import shard_manifest
+
+    return shard_manifest(
+        _docs(spark, sf_dir),
+        16,
+        content_cols=["doc_id", "lang", "n_chars", "text"],
+    )
+
+
+_SHARD_KEY = h60_sql(
+    "concat('shard', ':', coalesce(cast(doc_id as varchar), chr(0)))"
+)
+_SHARD_SIG = h60_sql(
+    "concat_ws(chr(31), coalesce(cast(doc_id as varchar), chr(0)), "
+    "coalesce(cast(lang as varchar), chr(0)), "
+    "coalesce(cast(n_chars as varchar), chr(0)), "
+    "coalesce(cast(text as varchar), chr(0)))"
+)
+SQL_SAMPLE_SHARD_MANIFEST = f"""
+with s as (
+  select cast({_SHARD_KEY} % 16 as int) as shard,
+         {_SHARD_SIG} % 1000000000000 as sig,
+         doc_id
+  from documents
+)
+select shard,
+       cast(count(*) as bigint) as n_rows,
+       cast(count(distinct doc_id) as bigint) as n_keys,
+       min(doc_id) as min_key,
+       max(doc_id) as max_key,
+       cast(sum(cast(sig as decimal(38,0))) % 1000000000000 as bigint)
+         as content_sum
+from s group by shard
+"""
+
+
+def q_text_gopher_flags(spark, sf_dir):
+    """Gopher rule-battery quality flags (functions/text.py
+    gopher_flags): per-doc counts + boolean rule outcomes, every
+    column integer/boolean (ratio thresholds cross-multiplied) so the
+    key is hash-exact by construction."""
+    return X.gopher_flags(_docs(spark, sf_dir))
+
+
+# words over coalesced text (gopher treats null as empty, like Spark)
+_GW = (
+    "case when length(trim(coalesce(text, ''))) = 0 then [] "
+    "else string_split_regex(trim(coalesce(text, '')), '\\s+') end"
+)
+SQL_TEXT_GOPHER_FLAGS = f"""
+with base as (
+  select doc_id, coalesce(text, '') as t, {_GW} as ws,
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     l -> length(trim(l)) > 0) as ls
+  from documents
+),
+m as (
+  select doc_id,
+    cast(len(ws) as bigint) as n_words,
+    cast(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+         as bigint) as sum_word_chars,
+    cast(len(ls) as bigint) as n_lines,
+    cast(len(list_filter(ls, l ->
+        substring(ltrim(l), 1, 1) in ('-', '*', '•')))
+      as bigint) as n_bullet_lines,
+    cast(len(list_filter(ls, l ->
+        ends_with(rtrim(l), '...') or ends_with(rtrim(l), '…')))
+      as bigint) as n_ellipsis_lines,
+    cast(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+      as bigint) as n_alpha_words,
+    cast((length(t) - length(replace(t, '#', '')))
+         + (length(t) - length(replace(t, '...', ''))) / 3
+      as bigint) as n_symbol_hits,
+    cast(len(list_intersect(list_transform(ws, w -> lower(w)),
+        ['the', 'a', 'of', 'and', 'in', 'to'])) as bigint)
+      as n_stopwords_present
+  from base
+)
+select doc_id, n_words, sum_word_chars, n_lines, n_bullet_lines,
+       n_ellipsis_lines, n_alpha_words, n_symbol_hits,
+       n_stopwords_present,
+       n_words >= 50 and n_words <= 100000 as ok_word_count,
+       n_words > 0 and sum_word_chars >= 3 * n_words
+         and sum_word_chars <= 10 * n_words as ok_mean_word_len,
+       10 * n_bullet_lines <= 9 * n_lines as ok_bullets,
+       10 * n_ellipsis_lines <= 3 * n_lines as ok_ellipsis,
+       5 * n_alpha_words >= 4 * n_words as ok_alpha,
+       10 * n_symbol_hits <= n_words as ok_symbols,
+       n_stopwords_present >= 2 as ok_stopwords,
+       (n_words >= 50 and n_words <= 100000)
+         and (n_words > 0 and sum_word_chars >= 3 * n_words
+              and sum_word_chars <= 10 * n_words)
+         and (10 * n_bullet_lines <= 9 * n_lines)
+         and (10 * n_ellipsis_lines <= 3 * n_lines)
+         and (5 * n_alpha_words >= 4 * n_words)
+         and (10 * n_symbol_hits <= n_words)
+         and (n_stopwords_present >= 2) as keep
+from m
+"""
+
+
 def q_text_bigram_logprob(spark, sf_dir):
     """Word-order perplexity proxy: per-doc mean conditional BIGRAM
     log-prob against a top-40 corpus bigram vocabulary
@@ -1863,6 +2001,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "text_entropy": q_text_entropy,
+    "text_gopher_flags": q_text_gopher_flags,
+    "sample_shard_manifest": q_sample_shard_manifest,
+    "sim_hard_negatives": q_sim_hard_negatives,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -1914,6 +2055,9 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_incremental_minhash": SQL_DEDUP_INCREMENTAL_MINHASH,
     "text_entropy": SQL_TEXT_ENTROPY,
+    "text_gopher_flags": SQL_TEXT_GOPHER_FLAGS,
+    "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
+    "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

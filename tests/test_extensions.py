@@ -899,3 +899,79 @@ def test_bigram_logprob_known_values(spark):
     assert out[3].mean_bigram_logprob == round(math.log(1 / 3), 4)
     assert out[4].n_bigrams == 0 and out[4].mean_bigram_logprob == 0.0
     assert out[5].n_bigrams == 0 and out[5].mean_bigram_logprob == 0.0
+
+
+def test_gopher_flags_known_values(spark):
+    """Hand-built docs hitting each rule: a clean doc passes all
+    flags; a bullet-list doc fails ok_bullets; a symbol-heavy doc
+    fails ok_symbols; a stopword-free doc fails ok_stopwords."""
+    from sslr_spark.functions.text import gopher_flags
+
+    clean = " ".join(
+        ["the quick brown fox and dogs of note in every den to"] * 5
+    )  # 60 words, all alpha, plenty of stopwords, mwl ~3.4
+    bullets = "the of\n- one\n- two\n- three\n- four\n- five\n- six\n- seven\n- eight\n- nine"
+    symbols = "the of " + "# " * 10  # 12 words, 10 '#'
+    nostop = "alpha beta gamma delta " * 15  # 60 words, no stopwords
+    docs = spark.createDataFrame(
+        [(1, clean), (2, bullets), (3, symbols), (4, nostop), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_flags(docs).collect()}
+    assert out[1]["n_words"] == 60
+    assert out[1]["keep"] is True
+    # 10 nonblank lines, 9 bullets -> 90 <= 90 ok; make sure count is right
+    assert out[2]["n_lines"] == 10 and out[2]["n_bullet_lines"] == 9
+    assert out[2]["ok_bullets"] is True  # exactly at the 90% boundary
+    assert out[2]["ok_word_count"] is False  # too short anyway
+    assert out[3]["n_symbol_hits"] == 10 and out[3]["ok_symbols"] is False
+    assert out[4]["n_stopwords_present"] == 0
+    assert out[4]["ok_stopwords"] is False and out[4]["ok_alpha"] is True
+    assert out[5]["n_words"] == 0 and out[5]["keep"] is False
+    # hash-safety: no float column in the schema
+    for f in gopher_flags(docs).schema.fields:
+        assert f.dataType.simpleString() in ("bigint", "boolean"), f
+
+
+def test_shard_manifest_covers_corpus_and_balances(spark):
+    from sslr_spark.functions.sampling import shard_assign, shard_manifest
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    n = 8
+    man = shard_manifest(df, n).collect()
+    assert len(man) == n
+    assert sum(r["n_rows"] for r in man) == 2000
+    # uniform hash: no shard more than 2x the mean
+    assert max(r["n_rows"] for r in man) < 2 * (2000 / n)
+    # deterministic: same assignment on re-run, and seed changes it
+    a = shard_assign(df, n).collect()
+    b = shard_assign(df, n).collect()
+    assert {(r["doc_id"], r["shard"]) for r in a} == {
+        (r["doc_id"], r["shard"]) for r in b
+    }
+    c = shard_assign(df, n, seed="other").collect()
+    assert {(r["doc_id"], r["shard"]) for r in a} != {
+        (r["doc_id"], r["shard"]) for r in c
+    }
+
+
+def test_hard_negatives_labels_and_ranks(spark):
+    from sslr_spark.functions.similarity import hard_negatives
+
+    # label 0: ids 0,1 ; label 1: ids 10,11,12 — query 0 must only
+    # surface label-1 ids, ranked by cosine to id 0's vector
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (10, [1.0, 0.05], 1),   # nearly parallel to query -> rank 1
+        (11, [0.0, 1.0], 1),    # orthogonal -> rank 3
+        (12, [0.7, 0.3], 1),    # in between -> rank 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label long")
+    out = hard_negatives(df, [0], k=3).orderBy("neg_rank").collect()
+    assert [r["neg_id"] for r in out] == [10, 12, 11]
+    assert all(r["neg_label"] == 1 for r in out)
+    assert [r["neg_rank"] for r in out] == [1, 2, 3]
+    # k caps the list
+    out2 = hard_negatives(df, [0], k=2).collect()
+    assert len(out2) == 2

@@ -330,3 +330,42 @@ def test_anomaly_zscore_aggs_are_partial_and_stats_broadcast(spark):
     assert "partial_sum" in p  # the per-type stats agg combines too
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_gopher_flags_is_narrow_no_shuffle(spark):
+    """The Gopher rule battery is a single narrow projection — any
+    Exchange means a needless full-corpus shuffle, any BatchEvalPython
+    means a row-at-a-time UDF crept into the hot path."""
+    from sslr_spark.functions.text import gopher_flags
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(gopher_flags(docs))
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_shard_manifest_single_partial_aggregate(spark):
+    """The shard manifest is one map-side-combined aggregate keyed on
+    the shard hash: exactly one shuffle (n_shards groups), partial
+    aggregation before it."""
+    from sslr_spark.functions.sampling import shard_manifest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(shard_manifest(docs, 16, content_cols=["doc_id", "text"]))
+    assert p.count("Exchange hashpartitioning") <= 2  # agg + distinct-count
+    assert "partial" in p.lower()
+
+
+def test_hard_negatives_windows_are_salted(spark):
+    """Phase-1 window must partition by (query_id, salt) — a window
+    partitioned by query_id alone drags every query's full candidate
+    set to one partition. Phase 2 re-ranks only the salted survivors."""
+    from sslr_spark.functions.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(hard_negatives(emb, [0, 1], k=3))
+    # both windows present, one keyed on the salt column
+    assert "__salt" in p
+    assert "windowspecdefinition(query_id" in p
+    # the query side is broadcast, the corpus side never is
+    assert "BroadcastExchange" in p
