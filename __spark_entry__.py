@@ -75,10 +75,11 @@ _HEAD_KEYS = [
     # ivf probe-cell cut rewritten window->TakeOrdered this round:
     "sim_ivf_ann",
     # NEW this round (gopher rule battery, deterministic shard
-    # export manifest, salted hard-negative mining):
+    # export manifest, salted hard-negative mining, PQ ANN):
     "text_gopher_flags",
     "sample_shard_manifest",
     "sim_hard_negatives",
+    "sim_topk_pq",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -117,11 +118,11 @@ _HEAD_KEYS = [
     "sample_stratified",
     "x_anomaly_zscore",
     "sample_mix_execute",
-    # 47 head entries: the window's 3 remaining slots fall to the
+    # 48 head entries: the window's 2 remaining slots fall to the
     # TAIL front below — deliberately the least-verified keys.
 ]
 _TAIL_KEYS = [
-    # single green row ever (r04) — window slots 49-50 re-verify them:
+    # single green row ever (r04) — window slots 49+50 re-verify them:
     "x_bloom_membership",
     "text_bigram_logprob",
     # twice-green (r03+r04), first out-of-window candidate:

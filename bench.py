@@ -241,6 +241,16 @@ def main() -> None:
         q_sample_shard_manifest(spark, SF_DIR).collect()
     with timed("hard_negatives"):
         q_sim_hard_negatives(spark, SF_DIR).collect()
+    from sslr_spark.functions.similarity import pq_topk_fixed
+
+    with timed("sim_topk_pq"):
+        # production path: Arrow/einsum encoder (the expression
+        # encoder is the oracle-parity path, equality-tested)
+        pq_topk_fixed(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+            list(range(100, 116)), query_vec_id=0, k=10, m=16,
+            arrow=True,
+        ).collect()
 
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1

@@ -726,3 +726,300 @@ def hard_negatives(
             F.col("__fr").alias("neg_rank"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# product quantization (PQ) — m sub-codes, ADC scan
+# ------------------------------------------------------------------
+
+def pq_encode_fixed(
+    df: DataFrame,
+    codebook_ids: list[int],
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization encoder with a FIXED codebook: split each
+    vector into ``m`` equal subvectors; per subspace, the codewords
+    are the matching slices of the caller-designated codebook vectors
+    (ks = len(codebook_ids), so each vector compresses to m codes of
+    log2(ks) bits — 64 float32 dims at m=4/ks=8 is 256 bytes -> 4
+    codes, a 64x scan-size cut before any rerank).
+
+    Like :func:`ivf_index_fixed`, "fixed" is what makes the operator
+    verification-grade: no iterative KMeans state, so the exact code
+    assignment replays in the DuckDB oracle. A production deployment
+    would train per-subspace KMeans codebooks the same way ivf_index
+    trains cells; the plan shape (and this encoder's argmin) is
+    identical, only the literals change.
+
+    Distances are computed on UNIT-normalized vectors — on unit
+    vectors squared L2 is ``2 - 2*cos``, so the integer ADC pre-rank
+    is monotone in the cosine the rerank targets, where raw L2 ranks
+    by magnitude as much as by angle. Normalization is algebraic, and
+    the per-row constant ``subsq/s`` term of the expansion
+
+        ||x_sub/||x|| - c||^2 = subsq/s - 2*dot(x_sub, c)/sqrt(s)
+                                + ||c||^2      (s = ||x||^2)
+
+    is DROPPED: it is identical for every codeword of a subspace, so
+    the reduced score ``d' = ||c||^2 - 2*dot/sqrt(s)`` has the same
+    argmin (and, summed over subspaces, shifts every ADC total by the
+    same per-row constant — rank-invariant). Zero-norm vectors take
+    ``d' = ||c||^2`` (guarded: without it 0/sqrt(0) is NaN), giving
+    the deterministic all-ties argmin; the rerank drops them.
+
+    Per subspace the scoring is THREE array expressions — a
+    ``transform`` over the 2-D codeword literal computing all ks dots,
+    a ``zip_with`` applying the score, and
+    ``array_position(d', array_min(d'))`` for the argmin (first-match
+    semantics = ties to the LOWER codeword index, matching the
+    oracle's ``row_number ... order by d, c``). No per-candidate
+    expression expansion: the expanded-struct form re-inlined the
+    norm subtree into every candidate and took Catalyst/codegen 160+ s
+    at m=16, ks=16 for a 2000-row input; a per-candidate ``aggregate``
+    fold still spent ~18 s in interpreted lambda machinery. This form
+    encodes the same input in well under a second.
+
+    Scores round to 9 decimals like the IVF quantizer. Pure per-row
+    map — zero shuffle, zero row amplification (plan-pinned).
+
+    Returns (encoded df with an array<int> ``__codes`` column,
+    codebooks as [subspace][codeword][dim] Python lists — normalized).
+    """
+    rows = (
+        df.filter(F.col(id_col).isin(list(codebook_ids)))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cw"))
+        .collect()  # bounded: ks rows
+    )
+    rows.sort(key=lambda r: r.cid)
+    if not rows:
+        raise ValueError("no codebook vectors found")
+    dim = len(rows[0].cw)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _unit(vec) -> list[float]:
+        n = _l2(vec)
+        return [float(x) / n if n > 0 else float(x) for x in vec]
+
+    units = [_unit(r.cw) for r in rows]
+    books = [
+        [u[j * dsub:(j + 1) * dsub] for u in units] for j in range(m)
+    ]
+    cwsq = [
+        [_sumsq(cw) for cw in books[j]] for j in range(m)
+    ]
+    s_full = F.aggregate(
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        dots = F.transform(
+            F.lit(books[j]),  # array<array<double>>: ks x dsub
+            lambda cw: F.aggregate(
+                F.zip_with(sub, cw, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        )
+        scores = F.zip_with(
+            dots,
+            F.lit(cwsq[j]),
+            lambda dt, cq: F.round(
+                F.when(s_full == 0, cq).otherwise(
+                    cq - F.lit(2.0) * dt / F.sqrt(s_full)
+                ),
+                9,
+            ),
+        )
+        code_cols.append(
+            (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+        )
+    return df.withColumn("__codes", F.array(*code_cols)), books
+
+
+def _sumsq(vec) -> float:
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
+def pq_topk_fixed(
+    df: DataFrame,
+    codebook_ids: list[int],
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 4,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    arrow: bool = False,
+) -> DataFrame:
+    """Top-k via product quantization: ADC (asymmetric distance
+    computation) pre-ranks the corpus reading ONLY the m sub-codes —
+    the query's per-(subspace, codeword) distance table is computed
+    once and inlined — then the best ``k * rerank_factor`` candidates
+    re-rank by exact float cosine.
+
+    Determinism: the distance table is scaled to INTEGERS
+    (floor(d * 1e6 + 0.5)), so the ADC score is a sum of m bigints —
+    order-free and bit-identical in any engine; ranking ties break on
+    id. The rerank is the proven-parity cosine fold. Scale shape: the
+    codes scan is narrow (4 ints/vector), the table lookup is a
+    literal element_at — no join, no shuffle before the TakeOrdered
+    cut.
+
+    ``arrow=True`` swaps in :func:`pq_encode_arrow` (numpy einsum per
+    record batch) for the encode stage — the production path; the
+    default expression encoder is the oracle-parity path.
+    """
+    import math
+
+    _encode = pq_encode_arrow if arrow else pq_encode_fixed
+    encoded, books = _encode(df, codebook_ids, m, vec_col, id_col)
+    qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).take(1)
+    if not qrow:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qvec = [float(x) for x in qrow[0][0]]
+    qs_full = _sumsq(qvec)
+    dsub = len(qvec) // m
+    # integer distance table via the SAME reduced unit-normalized
+    # score the encoder uses (cwsq - 2*dot/sqrt(s); the per-row
+    # constant term shifts every ADC total equally and is dropped),
+    # index-ordered folds — the exact op sequence the SQL oracle's
+    # list_sum/generate_series spellings run, so the table is
+    # bit-identical across engines before the integer scaling
+    dtab = []
+    for j in range(m):
+        qsub = qvec[j * dsub:(j + 1) * dsub]
+        row = []
+        for cw in books[j]:
+            cwsq_v = _sumsq(cw)
+            if qs_full == 0:
+                d = cwsq_v
+            else:
+                qdot = 0.0
+                for a, b in zip(qsub, cw):
+                    qdot += a * b
+                d = cwsq_v - 2.0 * qdot / math.sqrt(qs_full)
+            row.append(int(math.floor(d * 1_000_000 + 0.5)))
+        dtab.append(row)
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in dtab[j]]),
+            F.element_at("__codes", j + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    q = df.sparkSession.createDataFrame(
+        [(qvec,)], f"__qvec {df.schema[vec_col].dataType.simpleString()}"
+    )
+    cand = (
+        encoded.filter(F.col(id_col) != query_vec_id)
+        .withColumn("adc_dist", adc.cast("long"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k * rerank_factor)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "adc_dist",
+            F.round(
+                F.try_divide(
+                    dot_expr(vec_col, "__qvec"),
+                    norm_expr(vec_col) * norm_expr("__qvec"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebook_ids: list[int],
+    m: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Arrow-batched numpy variant of :func:`pq_encode_fixed`: per
+    record batch, ALL subspace scores come from one einsum
+    (batch x subspace x codeword), argmin per (row, subspace) — the
+    production encoder. The JVM expression form scores each codeword
+    through interpreted lambda machinery (~3 ms/row at m=16, ks=16);
+    this path is three vectorized ops per batch, and is what a GPU
+    encoder would look like too.
+
+    Same reduced unit-normalized score as pq_encode_fixed
+    (cwsq - 2*dot/sqrt(s), rounded to 9 decimals, ties to the lower
+    codeword; zero-norm rows take cwsq). Equality-tested against the
+    expression path on the fixture corpora — the two can differ only
+    when two codewords land within one ULP of the same rounded score
+    (numpy half-even vs JVM HALF_UP at an exact 5e-10 boundary).
+
+    Returns (encoded df with ``__codes``, normalized codebooks)."""
+    import numpy as np
+
+    rows = (
+        df.filter(F.col(id_col).isin(list(codebook_ids)))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cw"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.cid)
+    if not rows:
+        raise ValueError("no codebook vectors found")
+    dim = len(rows[0].cw)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _unit(vec):
+        n = _l2(vec)
+        return [float(x) / n if n > 0 else float(x) for x in vec]
+
+    units = [_unit(r.cw) for r in rows]
+    books = [
+        [u[j * dsub:(j + 1) * dsub] for u in units] for j in range(m)
+    ]
+    bk = np.asarray(books, dtype=np.float64)          # (m, ks, dsub)
+    cwsq = (bk * bk).sum(axis=2)                      # (m, ks)
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", __codes array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )                                      # (n, dim)
+                s = (x * x).sum(axis=1)                # (n,)
+                xs = x.reshape(len(pdf), m, dsub)      # (n, m, dsub)
+                dots = np.einsum("nmd,mkd->nmk", xs, bk)
+                inv = np.zeros_like(s)
+                nz = s > 0
+                inv[nz] = 2.0 / np.sqrt(s[nz])
+                scores = cwsq[None, :, :] - dots * inv[:, None, None]
+                scores = np.round(scores, 9)
+                codes = scores.argmin(axis=2).astype("int32")  # first min
+                pdf = pdf.copy()
+                pdf["__codes"] = [c.tolist() for c in codes]
+            else:
+                pdf = pdf.copy()
+                pdf["__codes"] = []
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema), books

@@ -629,6 +629,105 @@ from r where neg_rank <= 5
 """
 
 
+_PQ_CW_IDS = list(range(100, 116))  # ks=16 codewords, m=16 subspaces
+_PQ_M, _PQ_DSUB = 16, 4
+
+
+def q_sim_topk_pq(spark, sf_dir):
+    """Top-10 cosine via product quantization (similarity.py
+    pq_topk_fixed): 64 dims -> 16 sub-codes (16x scan compression),
+    integer ADC pre-rank from an inlined distance table, exact-cosine
+    rerank of the bounded candidate cut."""
+    return S.pq_topk_fixed(
+        _emb(spark, sf_dir), _PQ_CW_IDS, query_vec_id=0, k=10, m=_PQ_M
+    )
+
+
+_PQ_UNIT = (
+    "case when {n} = 0 then list_transform({a}, x -> cast(x as double)) "
+    "else list_transform({a}, x -> cast(x as double) / {n}) end"
+)
+
+
+def _pq_unit(a: str) -> str:
+    return _PQ_UNIT.format(a=a, n=_NORM.format(a=a))
+
+
+_PQ_SLICE_SQ = (
+    "list_sum(list_transform(generate_series(1, {d}), i -> "
+    "cast({a}[j.j * {d} + i] as double)"
+    " * cast({a}[j.j * {d} + i] as double)))"
+).format(d=_PQ_DSUB, a="{a}")
+_PQ_SLICE_DOT = (
+    "list_sum(list_transform(generate_series(1, {d}), i -> "
+    "cast({a}[j.j * {d} + i] as double) * {b}[j.j * {d} + i]))"
+).format(d=_PQ_DSUB, a="{a}", b="{b}")
+# reduced unit-normalized score: cwsq - 2*dot/sqrt(s) — the per-row
+# constant subsq/s term of the L2 expansion is dropped in BOTH
+# engines (same argmin, rank-invariant ADC shift); s = 0 guarded
+# (0/sqrt(0) is NaN). Exact op sequence pq_encode/pq_topk run.
+_PQ_D = (
+    "case when {s} = 0 then {cwsq} else "
+    "{cwsq} - 2.0 * {dot} / sqrt({s}) end"
+)
+SQL_SIM_TOPK_PQ = f"""
+with cw as (
+  select row_number() over (order by vec_id) - 1 as c,
+         {_pq_unit('embedding')} as cwv
+  from embeddings where vec_id in ({', '.join(map(str, _PQ_CW_IDS))})
+),
+qv as (select embedding as q,
+              list_sum(list_transform(embedding, x ->
+                cast(x as double) * cast(x as double))) as qs
+       from embeddings where vec_id = 0),
+eb as (select vec_id, embedding as e,
+              list_sum(list_transform(embedding, x ->
+                cast(x as double) * cast(x as double))) as s
+       from embeddings),
+enc as (
+  select e.vec_id, j.j, cw.c,
+         round({_PQ_D.format(
+             s='e.s',
+             dot=_PQ_SLICE_DOT.format(a='e.e', b='cw.cwv'),
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}, 9) as d
+  from eb e
+  cross join generate_series(0, {_PQ_M - 1}) as j(j)
+  cross join cw
+),
+codes as (
+  select vec_id, j, c from (
+    select enc.*, row_number() over (
+      partition by vec_id, j order by d, c
+    ) as rn from enc
+  ) where rn = 1
+),
+qd as (
+  select j.j, cw.c,
+         cast(floor(({_PQ_D.format(
+             s='qv.qs',
+             dot=_PQ_SLICE_DOT.format(a='qv.q', b='cw.cwv'),
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}) * 1000000
+                    + 0.5) as bigint) as dq
+  from qv cross join generate_series(0, {_PQ_M - 1}) as j(j) cross join cw
+),
+adc as (
+  select codes.vec_id, cast(sum(qd.dq) as bigint) as adc_dist
+  from codes join qd on qd.j = codes.j and qd.c = codes.c
+  where codes.vec_id != 0
+  group by codes.vec_id
+),
+cand as (select * from adc order by adc_dist, vec_id limit 40)
+select cand.vec_id, cand.adc_dist,
+       round({_cos_sql('e.embedding', 'qv.q')}, 6) as cos_sim
+from cand
+join embeddings e on e.vec_id = cand.vec_id
+cross join qv
+where {_NORM.format(a='e.embedding')} > 0 and {_NORM.format(a='qv.q')} > 0
+order by cos_sim desc, cand.vec_id
+limit 10
+"""
+
+
 def q_sim_topk_quantized(spark, sf_dir):
     """Top-10 cosine over int8-quantized vectors (4x memory): integer
     dot/norms, double division last — the compression step that makes
@@ -2004,6 +2103,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_flags": q_text_gopher_flags,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
+    "sim_topk_pq": q_sim_topk_pq,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -2058,6 +2158,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_gopher_flags": SQL_TEXT_GOPHER_FLAGS,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
+    "sim_topk_pq": SQL_SIM_TOPK_PQ,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

@@ -356,6 +356,19 @@ def test_shard_manifest_single_partial_aggregate(spark):
     assert "partial" in p.lower()
 
 
+def test_pq_encode_is_narrow_no_shuffle(spark):
+    """PQ code assignment is a pure per-row map over literal
+    codebooks: no Exchange, no Window, no row amplification — the
+    same contract as the fixed IVF quantizer."""
+    from sslr_spark.functions.similarity import pq_encode_fixed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    encoded, _ = pq_encode_fixed(emb, list(range(100, 116)), m=16)
+    p = plan_of(encoded)
+    assert "Exchange" not in p
+    assert "Window" not in p
+
+
 def test_hard_negatives_windows_are_salted(spark):
     """Phase-1 window must partition by (query_id, salt) — a window
     partitioned by query_id alone drags every query's full candidate
