@@ -81,6 +81,7 @@ _HEAD_KEYS = [
     "sim_hard_negatives",
     "sim_topk_pq",
     "dedup_jaccard_prefix",
+    "dedup_winnow_spans",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -119,12 +120,10 @@ _HEAD_KEYS = [
     "sample_stratified",
     "x_anomaly_zscore",
     "sample_mix_execute",
-    # 49 head entries: the window's last slot falls to the TAIL
-    # front below — deliberately the least-verified key.
+    # 50 head entries — exactly the driver window this round.
 ]
 _TAIL_KEYS = [
-    # single green row ever (r04) — slot 50 re-verifies the first;
-    # bigram (also single-green r04, code unchanged) waits one round:
+    # single-green r04, code unchanged — first in line next round:
     "x_bloom_membership",
     "text_bigram_logprob",
     # twice-green (r03+r04), first out-of-window candidate:

@@ -369,6 +369,113 @@ def ngram_jaccard_pairs_prefix(
 
 
 # ------------------------------------------------------------------
+# winnowing — shared-substring span detection
+# ------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed substring fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every k-token gram, then keep only the
+    MINIMUM hash of each w-window of consecutive gram hashes.
+    Guarantees: any shared token run of length >= k + w - 1 leaves at
+    least one IDENTICAL fingerprint in both documents, while storing
+    ~2/(w+1) of the grams — the standard scalable stand-in for
+    suffix-array exact-substring dedup (Lee et al. 2021), which no
+    shuffle-based engine runs at corpus scale.
+
+    Output: distinct (doc_id, fp). Documents shorter than k tokens
+    have no fingerprints; documents with fewer than w grams keep the
+    single global minimum (every gram is then within one window).
+
+    Scale shape: narrow per-row array lambdas + one explode/distinct
+    — the same single-pass profile as :func:`shingles`; downstream
+    consumers join on fp exactly like the shingle inverted index.
+    Portable md5-derived hashes so the DuckDB oracle replays the
+    identical fingerprint values."""
+    tok = df.select("doc_id", words(F.col(text_col)).alias("__w"))
+    wa = F.col("__w")
+    grams = F.when(
+        F.size(wa) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(wa) - k),
+            lambda i: F.concat_ws(
+                " ", *[wa[(i + off).cast("int")] for off in range(k)]
+            ),
+        )
+    )
+    hs = F.transform(grams, lambda g: h60(g))
+    n_h = F.size(hs)
+    mins = (
+        F.when(n_h == 0, F.array().cast("array<bigint>"))
+        .when(n_h < w, F.array(F.array_min(hs)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_h - w + 1),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            )
+        )
+    )
+    return (
+        tok.select("doc_id", F.explode(mins).alias("fp")).distinct()
+    )
+
+
+def shared_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document shared-substring exposure: how much of each doc's
+    winnowed fingerprint set also occurs in ANY other document — the
+    corpus-health metric behind span-level dedup decisions (a doc
+    that is 60% shared spans is boilerplate/copy-paste even if no
+    single partner clears a pairwise Jaccard bar).
+
+    (doc_id, n_fps, n_shared, shared_ppm) — all integers
+    (ppm = round-half-up parts-per-million via pure integer
+    arithmetic), so the output is hash-exact by construction.
+
+    Scale shape: fingerprint pass + ONE self-semi aggregation — fp
+    doc-frequencies (map-side combined), broadcast-free equi-join
+    back, per-doc count. No pairwise anything: cost is linear in
+    total fingerprints, ~2/(w+1) of the corpus token count."""
+    _entry_release()
+    fps = _persist(winnow_fingerprints(df, text_col, k, w))
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        fps.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    # round-half-up ppm in PURE integer arithmetic (the bloom-key
+    # convention: (2*1e6*num + den) div (2*den)) — bit-exact in any
+    # engine, no double ever materializes
+    ppm = F.expr(
+        "(2000000 * n_shared + n_fps) div (2 * n_fps)"
+    ).cast("long")
+    return (
+        df.select("doc_id")
+        .distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce(ppm, F.lit(0)).alias("shared_ppm"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
 # MinHash + LSH
 # ------------------------------------------------------------------
 

@@ -315,6 +315,51 @@ SQL_DEDUP_JACCARD_PREFIX = (
 )
 
 
+def q_dedup_winnow_spans(spark, sf_dir):
+    """Winnowed shared-substring exposure (dedup.py shared_span_stats,
+    k=5 tokens, w=4 windows): per doc, how much of its fingerprint
+    set occurs in any other document — all-integer output (ppm via
+    the pure-integer round-half-up convention)."""
+    return D.shared_span_stats(_docs(spark, sf_dir), k=5, w=4)
+
+
+_WINNOW_GRAM = h60_sql(
+    "concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])"
+)
+SQL_DEDUP_WINNOW_SPANS = f"""
+with tok as (select doc_id, {W_SQL} as ws from documents),
+g as (
+  select doc_id,
+         case when len(ws) < 5 then []
+              else list_transform(generate_series(1, len(ws) - 4),
+                                  i -> {_WINNOW_GRAM}) end as hs
+  from tok
+),
+m as (
+  select doc_id,
+         case when len(hs) = 0 then []
+              when len(hs) < 4 then [list_min(hs)]
+              else list_transform(generate_series(1, len(hs) - 3),
+                                  i -> list_min(hs[i : i + 3])) end as mins
+  from g
+),
+fps as (select distinct doc_id, unnest(mins) as fp from m),
+freq as (select fp, count(*) as df from fps group by fp),
+per as (
+  select doc_id, count(*) as n_fps,
+         sum(case when df >= 2 then 1 else 0 end) as n_shared
+  from fps join freq using (fp) group by doc_id
+)
+select d.doc_id,
+       cast(coalesce(n_fps, 0) as bigint) as n_fps,
+       cast(coalesce(n_shared, 0) as bigint) as n_shared,
+       cast(coalesce((2000000 * n_shared + n_fps) // (2 * n_fps), 0)
+            as bigint) as shared_ppm
+from (select distinct doc_id from documents) d
+left join per on d.doc_id = per.doc_id
+"""
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) + LSH(4 bands x 4 rows) candidates, Jaccard-verified."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.02)
@@ -2138,6 +2183,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_apply": q_dedup_apply,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_winnow_spans": q_dedup_winnow_spans,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -2194,6 +2240,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_apply": SQL_DEDUP_APPLY,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_jaccard_prefix": SQL_DEDUP_JACCARD_PREFIX,
+    "dedup_winnow_spans": SQL_DEDUP_WINNOW_SPANS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

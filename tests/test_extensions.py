@@ -1108,3 +1108,39 @@ def test_prefix_jaccard_prunes_candidate_space(spark):
     assert (200, 201) in got
     # the boilerplate-sharing docs (jaccard ~0.4 max) are correctly out
     assert all(a >= 200 for a, _ in got)
+
+
+def test_winnowing_guarantee_and_stats(spark):
+    """Winnowing invariant: any shared token run of length
+    >= k + w - 1 (here 8) must leave at least one identical
+    fingerprint in both docs; disjoint docs share none. Stats are
+    all-integer with the round-half-up ppm convention."""
+    from sslr_spark.functions.dedup import (
+        release_caches,
+        shared_span_stats,
+        winnow_fingerprints,
+    )
+
+    shared_run = "one two three four five six seven eight"  # 8 tokens
+    rows = [
+        (1, f"aaa bbb {shared_run} ccc ddd"),
+        (2, f"xxx yyy zzz {shared_run} www"),
+        (3, "totally different words with no overlap at all here"),
+        (4, "tiny"),          # < k tokens -> no fingerprints
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set() for r in df.collect()}
+    for r in winnow_fingerprints(df, k=5, w=4).collect():
+        fps[r.doc_id].add(r.fp)
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[3] & (fps[1] | fps[2]))
+    assert fps[4] == set() and fps[5] == set()
+
+    stats = {r.doc_id: r for r in shared_span_stats(df, k=5, w=4).collect()}
+    release_caches()
+    assert stats[1].n_shared >= 1 and stats[2].n_shared >= 1
+    assert stats[3].n_shared == 0 and stats[3].shared_ppm == 0
+    assert stats[4].n_fps == 0 and stats[4].shared_ppm == 0
+    for r in stats.values():  # integer-only output
+        assert isinstance(r.shared_ppm, int) and 0 <= r.shared_ppm <= 10**6
