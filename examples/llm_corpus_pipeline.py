@@ -92,6 +92,18 @@ def main() -> None:
     print(f"== health == mean dup-5gram coverage {health['mean_cov']}, "
           f"docs >50% duplicated {health['mostly_dup']}")
 
+    # 0a. Shared-substring exposure (winnowing): span-level copy-paste
+    #     the doc-level Jaccard scan can't see
+    from sslr_spark.functions.dedup import release_caches, shared_span_stats
+
+    spans = shared_span_stats(docs).agg(
+        F.avg("shared_ppm").cast("long").alias("mean_ppm"),
+        F.sum((F.col("shared_ppm") > 500_000).cast("int")).alias("half_shared"),
+    ).first()
+    release_caches()
+    print(f"== spans == mean shared-fingerprint ppm {spans['mean_ppm']}, "
+          f"docs >50% shared spans {spans['half_shared']}")
+
     # 0b. Cross-source overlap: feeds that are re-crawls of each other
     #     (candidates for dropping a whole source before doc-level work)
     from sslr_spark.functions.dedup import source_overlap
@@ -107,7 +119,20 @@ def main() -> None:
         print(f"  {r.src_a} ~ {r.src_b}: {r.n_common} shared shingles, "
               f"jaccard={r.jaccard}")
 
-    # 1. Quality funnel — one scan, per-stage survivor report
+    # 1. Quality funnel — one scan, per-stage survivor report. The
+    #    Gopher rule battery (gopher_flags) runs as a separate report
+    #    here because this synthetic corpus is shorter than Gopher's
+    #    50-word floor; on a real crawl its `keep` IS the funnel gate.
+    from sslr_spark.functions.text import gopher_flags
+
+    g = gopher_flags(docs).agg(
+        *[F.sum((~F.col(c)).cast("int")).alias(c) for c in (
+            "ok_word_count", "ok_mean_word_len", "ok_bullets",
+            "ok_ellipsis", "ok_alpha", "ok_symbols", "ok_stopwords")]
+    ).first()
+    print("== gopher rule failures == " + ", ".join(
+        f"{k}={v}" for k, v in g.asDict().items()))
+
     t = F.col("text")
     funnel = filter_funnel(
         docs,

@@ -273,6 +273,41 @@ def _asymmetric_jaccard(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (key_a, key_b) pairs under PPJoin prefix filtering
+    over a distinct (doc_id, shingle) index — the pruned pair space
+    :func:`ngram_jaccard_pairs_prefix` verifies. Exposed separately so
+    the scale probes can measure the candidate-space cut directly.
+
+    Canonical order = (document frequency asc, shingle asc); each doc
+    indexes only its first ``n - ceil(t*n) + 1`` shingles."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    lcol = (
+        F.col("__n")
+        - F.ceil(F.lit(float(threshold)) * F.col("__n"))
+        + F.lit(1)
+    )
+    w = Window.partitionBy("doc_id").orderBy("__f", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= lcol)
+        .select("doc_id", "shingle")
+    )
+    return (
+        prefix.select(F.col("doc_id").alias("key_a"), "shingle")
+        .join(
+            prefix.select(F.col("doc_id").alias("key_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",
@@ -314,32 +349,8 @@ def ngram_jaccard_pairs_prefix(
     sh = _persist(
         _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
     )
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    # prefix length L = n - ceil(t*n) + 1
-    lcol = (
-        F.col("__n")
-        - F.ceil(F.lit(float(threshold)) * F.col("__n"))
-        + F.lit(1)
-    )
-    w = Window.partitionBy("doc_id").orderBy("__f", "shingle")
-    prefix = (
-        sh.join(freq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= lcol)
-        .select("doc_id", "shingle")
-    )
-    cand = (
-        prefix.select(F.col("doc_id").alias("key_a"), "shingle")
-        .join(
-            prefix.select(F.col("doc_id").alias("key_b"), "shingle"),
-            "shingle",
-        )
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
-        .distinct()
-    )
+    cand = prefix_candidates(sh, threshold)
     # exact verify over candidates only: candidate x (a's shingles)
     # matched against b's set — never the all-sharing-pairs blowup
     inter = (

@@ -208,6 +208,49 @@ def main() -> None:
         ).groupBy("split").count().collect()
     release_caches()
 
+    # prefix-filtered Jaccard: the CANDIDATE-SPACE cut, on the shape
+    # the PPJoin filter exists for — a boilerplate-heavy corpus where
+    # every document shares COMMON shingles (so the plain inverted-
+    # index join's pair space is ~n^2 and cannot even be enumerated;
+    # it is computed analytically as sum over shingles of C(df, 2))
+    # while prefixes hold each document's RAREST shingles (its unique
+    # head), so candidates collapse to the true duplicate pairs.
+    from sslr_spark.functions.dedup import (
+        cache_scope,
+        ngram_jaccard_pairs_prefix,
+        prefix_candidates,
+        shingles,
+    )
+
+    n_boiler = k * 5_000
+    boiler = spark.range(n_boiler).selectExpr(
+        "id as doc_id",
+        "concat('u', id, ' v', id, ' w', id, ' x', id, "
+        "' every page shares this common boilerplate tail') as text",
+    )
+    dups = spark.range(100).selectExpr(
+        f"id + {2 * n_boiler} as doc_id",
+        "concat('dup pair body alpha beta gamma delta epsilon zeta ', "
+        "cast(id div 2 as string)) as text",
+    )
+    bcorp = boiler.unionByName(dups)
+    with cache_scope():
+        sh = shingles(bcorp, "text", 3).persist()
+        theoretical = (
+            sh.groupBy("shingle").count()
+            .agg(F.sum(F.expr("count * (count - 1) div 2")))
+            .first()[0]
+        )
+        cand_pairs = prefix_candidates(sh, 0.8).count()
+        sh.unpersist()
+        with timed("jaccard_prefix"):
+            prefix_pairs = ngram_jaccard_pairs_prefix(
+                bcorp, threshold=0.8
+            ).count()
+    timings["jaccard_sharing_pairs_theoretical"] = int(theoretical)
+    timings["jaccard_prefix_candidates"] = cand_pairs
+    timings["jaccard_prefix_hits"] = prefix_pairs
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
