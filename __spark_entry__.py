@@ -82,6 +82,8 @@ _HEAD_KEYS = [
     "sim_topk_pq",
     "dedup_jaccard_prefix",
     "dedup_winnow_spans",
+    "sample_source_cap",
+    "text_bm25_topk",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -92,9 +94,7 @@ _HEAD_KEYS = [
     "mm_frame_sample",
     "x_funnel",
     "x_cumulative_window",
-    "x_tpch_q1",
     "x_topk_per_group",
-    "x_pivot",
     "x_rollup",
     "mix_allocation",
     "text_topk_ngrams",
@@ -128,12 +128,15 @@ _TAIL_KEYS = [
     "text_bigram_logprob",
     # twice-green (r03+r04), first out-of-window candidate:
     "text_unigram_logprob",
-    # triple-green (r01+r02+r03) with unchanged code — deferred one
-    # round so this round's three new keys fit the 50-key window:
+    # multi-green with unchanged code — deferred one round so this
+    # round's eight new keys fit the 50-key window (s1/s9/a4/o3 are
+    # r01+r02+r03 green; tpch_q1/pivot are r01+r03 green):
     "s1_full_filtered_scan",
     "s9_state_upsert",
     "a4_bucket_fingerprint",
     "o3_key_at_offset",
+    "x_tpch_q1",
+    "x_pivot",
     # hash-green in r04 with code unchanged this round:
     "j4_hash_diff",
     "j3_range_repair",

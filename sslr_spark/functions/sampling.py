@@ -420,3 +420,35 @@ def shard_manifest(
             .alias("content_sum"),
         )
     )
+
+
+def source_cap(
+    df: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    key_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-group document cap: keep at most ``max_per_group`` rows per
+    group, chosen by deterministic hash order — the per-domain /
+    per-user cap every crawl pipeline applies so one hot site (or one
+    prolific account, for privacy) cannot dominate the corpus.
+
+    Selection order is ``(h60(seed:key), key)``: a uniform hash, so
+    the kept subset is an unbiased sample of the group, stable across
+    re-runs and appends (documents don't churn in and out of the cap
+    when unrelated rows arrive — new rows displace only rows they
+    hash-sort ahead of).
+
+    Scale shape: one window keyed by the group column. Partitions are
+    per-group; a pathological mega-group is exactly the input skew a
+    per-group cap exists to remove, and the window sort is bounded by
+    that group's size, not the corpus."""
+    w = Window.partitionBy(group_col).orderBy(
+        split_bucket(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_group)
+        .drop("__rn")
+    )

@@ -621,3 +621,96 @@ def bigram_logprob(
             "mean_bigram_logprob"
         ),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query
+    terms — the standard lexical ranking (Robertson/Sparck Jones;
+    Lucene's practical scoring), and the retrieval primitive of
+    corpus tooling (finding contamination sources, spot-checking
+    dedup clusters, building weak labels).
+
+    score(d) = sum over query terms t of
+        idf(t) * tf / (tf + k1 * (1 - b + b * dl / avgdl)),
+    idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (always > 0).
+
+    Scale shape: only documents CONTAINING a query term ever score —
+    the token explode is pre-filtered by the (tiny, literal) term
+    array, corpus stats (N, avgdl) are one aggregate row broadcast
+    everywhere, per-term document frequencies are |terms| rows
+    broadcast, and the final cut is a TakeOrdered. Nothing global
+    shuffles by document.
+
+    Output: (id_col, score_micros, n_hit_terms) — the score in
+    integer MICROS: each per-(doc, term) contribution is a fixed-
+    order scalar expression quantized to floor(x*1e6 + 0.5) BEFORE
+    the per-doc sum, so the total is an order-free bigint sum,
+    hash-exact across engines (a float sum over group-by rows has
+    engine-dependent order — the text_entropy lesson). Ties on id."""
+    terms = sorted(set(query_terms))
+    tarr = F.array(*[F.lit(t) for t in terms])
+    base = df.select(
+        id_col,
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+    ).select(
+        id_col,
+        F.size("__w").alias("__dl"),
+        F.explode(
+            F.filter(F.col("__w"), lambda t: F.array_contains(tarr, t))
+        ).alias("__t"),
+    )
+    tf = base.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    stats = df.select(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.size(words(F.coalesce(F.col(text_col), F.lit(""))))
+        ).alias("__sumdl"),
+    )
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = F.col("__idf") * F.col("__tf") / (
+        F.col("__tf")
+        + F.lit(float(k1))
+        * (
+            F.lit(1.0 - b)
+            + F.lit(float(b)) * F.col("__dl") / F.col("__avgdl")
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(
+            F.broadcast(
+                stats.select(
+                    "__n",
+                    (F.col("__sumdl") / F.col("__n")).alias("__avgdl"),
+                )
+            )
+        )
+        .withColumn("__idf", idf)
+        .withColumn(
+            "__cm",
+            F.floor(contrib * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("__cm").alias("score_micros"),
+            F.count(F.lit(1)).alias("n_hit_terms"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_micros").desc(), F.col(id_col)
+    ).limit(k)

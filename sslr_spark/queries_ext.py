@@ -1714,6 +1714,66 @@ from s group by shard
 """
 
 
+def q_sample_source_cap(spark, sf_dir):
+    """Per-source document cap (sampling.py source_cap): keep at most
+    10 docs per source by deterministic hash order — the per-domain /
+    per-user cap crawl pipelines apply against hot-site dominance."""
+    from sslr_spark.functions.sampling import source_cap
+
+    return source_cap(_docs(spark, sf_dir), "source", 10).select(
+        "doc_id", "source"
+    )
+
+
+SQL_SAMPLE_SOURCE_CAP = f"""
+select doc_id, source from (
+  select doc_id, source, row_number() over (
+    partition by source
+    order by {split_bucket_sql('doc_id', 'cap')}, doc_id
+  ) as rn from documents
+) where rn <= 10
+"""
+
+
+_BM25_TERMS = ["join", "spark", "vector"]
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (text.py bm25_topk): top-10 docs for a
+    3-term query; scores in integer micros (per-term contribution
+    quantized before the per-doc sum — order-free, hash-exact)."""
+    return X.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+SQL_TEXT_BM25_TOPK = f"""
+with tok as (select doc_id, {W_SQL} as ws from documents),
+hits as (
+  select doc_id, len(ws) as dl, unnest(list_filter(ws,
+    w -> w in ({_BM25_IN}))) as t
+  from tok
+),
+tf as (
+  select doc_id, t, count(*) as tf, min(dl) as dl
+  from hits group by 1, 2
+),
+stats as (select count(*) as n, sum(len(ws)) as sumdl from tok),
+dfq as (select t, count(*) as dfr from tf group by t)
+select doc_id,
+       cast(sum(cast(floor(
+         ln(1.0 + (n - dfr + 0.5) / (dfr + 0.5)) * tf
+           / (tf + cast(1.2 as double)
+              * (cast(0.25 as double)
+                 + cast(0.75 as double) * dl / (sumdl / n)))
+         * 1000000 + 0.5) as bigint)) as bigint) as score_micros,
+       cast(count(*) as bigint) as n_hit_terms
+from tf join dfq using (t) cross join stats
+group by doc_id
+order by score_micros desc, doc_id
+limit 10
+"""
+
+
 def q_text_gopher_flags(spark, sf_dir):
     """Gopher rule-battery quality flags (functions/text.py
     gopher_flags): per-doc counts + boolean rule outcomes, every
@@ -2161,6 +2221,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "text_entropy": q_text_entropy,
     "text_gopher_flags": q_text_gopher_flags,
+    "sample_source_cap": q_sample_source_cap,
+    "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_topk_pq": q_sim_topk_pq,
@@ -2218,6 +2280,8 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_incremental_minhash": SQL_DEDUP_INCREMENTAL_MINHASH,
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_gopher_flags": SQL_TEXT_GOPHER_FLAGS,
+    "sample_source_cap": SQL_SAMPLE_SOURCE_CAP,
+    "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
     "sim_topk_pq": SQL_SIM_TOPK_PQ,

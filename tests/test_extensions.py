@@ -1144,3 +1144,59 @@ def test_winnowing_guarantee_and_stats(spark):
     assert stats[4].n_fps == 0 and stats[4].shared_ppm == 0
     for r in stats.values():  # integer-only output
         assert isinstance(r.shared_ppm, int) and 0 <= r.shared_ppm <= 10**6
+
+
+def test_source_cap_deterministic_and_bounded(spark):
+    from sslr_spark.functions.sampling import source_cap
+
+    df = spark.range(1000).selectExpr(
+        "id as doc_id", "concat('s', id % 3) as source"
+    )
+    capped = source_cap(df, "source", 10)
+    counts = {r["source"]: r["count"] for r in
+              capped.groupBy("source").count().collect()}
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+    a = {tuple(r) for r in capped.select("doc_id", "source").collect()}
+    b = {tuple(r) for r in
+         source_cap(df, "source", 10).select("doc_id", "source").collect()}
+    assert a == b  # re-run stable
+    # append-stability: adding rows to an UNRELATED source never
+    # changes another source's kept set
+    more = df.unionByName(spark.range(5000, 5500).selectExpr(
+        "id as doc_id", "'s99' as source"))
+    c = {tuple(r) for r in source_cap(more, "source", 10)
+         .filter("source != 's99'").select("doc_id", "source").collect()}
+    assert c == a
+    # small groups pass through untouched
+    assert source_cap(df.limit(5), "source", 10).count() == 5
+
+
+def test_bm25_known_values(spark):
+    """Hand-computed BM25 on a 3-doc corpus (k1=1.2, b=0.75; every dl
+    equals avgdl so the length norm is exactly k1)."""
+    import math
+
+    from sslr_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join x"),
+            (2, "spark other words here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           bm25_topk(docs, ["spark", "join"], k=10).collect()}
+    assert set(out) == {1, 2}  # doc 3 never scores
+
+    def m(x):
+        return math.floor(x * 1_000_000 + 0.5)
+
+    idf_spark = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    idf_join = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    d1 = m(idf_spark * 2 / (2 + 1.2)) + m(idf_join * 1 / (1 + 1.2))
+    d2 = m(idf_spark * 1 / (1 + 1.2))
+    assert out[1].score_micros == d1 and out[1].n_hit_terms == 2
+    assert out[2].score_micros == d2 and out[2].n_hit_terms == 1
+    assert out[1].score_micros > out[2].score_micros
