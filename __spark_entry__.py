@@ -84,6 +84,7 @@ _HEAD_KEYS = [
     "dedup_winnow_spans",
     "sample_source_cap",
     "text_bm25_topk",
+    "dedup_strip_spans",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -95,7 +96,6 @@ _HEAD_KEYS = [
     "x_funnel",
     "x_cumulative_window",
     "x_topk_per_group",
-    "x_rollup",
     "mix_allocation",
     "text_topk_ngrams",
     "text_length_stats",
@@ -137,6 +137,7 @@ _TAIL_KEYS = [
     "o3_key_at_offset",
     "x_tpch_q1",
     "x_pivot",
+    "x_rollup",
     # hash-green in r04 with code unchanged this round:
     "j4_hash_diff",
     "j3_range_repair",

@@ -229,6 +229,15 @@ def main() -> None:
         q_files_roundtrip(spark, SF_DIR).collect()
 
     # ---- round-5 operator families ----------------------------------
+    with timed("jaccard_prefix"):
+        DD.ngram_jaccard_pairs_prefix(
+            docs, threshold=0.5, max_shingle_doc_freq=100
+        ).count()
+    DD.release_caches()
+    with timed("winnow_spans"):
+        DD.shared_span_stats(docs).count()
+    DD.release_caches()
+
     from sslr_spark.queries_ext import (
         q_sample_shard_manifest,
         q_sim_hard_negatives,

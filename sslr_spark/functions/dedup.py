@@ -436,6 +436,146 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_pos(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """:func:`winnow_fingerprints` with gram POSITIONS: for each
+    w-window the (leftmost) argmin gram's 1-based start index rides
+    along, so consumers can excise the covered token span
+    (:func:`strip_shared_spans`) instead of just counting exposure.
+
+    Output: distinct (doc_id, fp, pos); ``pos`` is the gram start in
+    token coordinates (gram covers tokens [pos, pos + k - 1])."""
+    tok = df.select("doc_id", words(F.col(text_col)).alias("__w"))
+    wa = F.col("__w")
+    grams = F.when(
+        F.size(wa) < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(wa) - k),
+            lambda i: F.concat_ws(
+                " ", *[wa[(i + off).cast("int")] for off in range(k)]
+            ),
+        )
+    )
+    hs = F.transform(grams, lambda g: h60(g))
+    n_h = F.size(hs)
+    # per window: (min hash, leftmost position of that min)
+    pairs = (
+        F.when(n_h == 0, F.array().cast("array<struct<fp:bigint,pos:int>>"))
+        .when(
+            n_h < w,
+            F.array(
+                F.struct(
+                    F.array_min(hs).alias("fp"),
+                    F.array_position(hs, F.array_min(hs))
+                    .cast("int")
+                    .alias("pos"),
+                )
+            ),
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_h - w + 1),
+                lambda i: F.struct(
+                    F.array_min(F.slice(hs, i, w)).alias("fp"),
+                    (
+                        F.array_position(
+                            F.slice(hs, i, w),
+                            F.array_min(F.slice(hs, i, w)),
+                        )
+                        + i
+                        - 1
+                    )
+                    .cast("int")
+                    .alias("pos"),
+                ),
+            )
+        )
+    )
+    return (
+        tok.select("doc_id", F.explode(pairs).alias("__p"))
+        .select("doc_id", F.col("__p.fp").alias("fp"),
+                F.col("__p.pos").alias("pos"))
+        .distinct()
+    )
+
+
+def strip_shared_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Excise recurring text spans: drop every token covered by a
+    winnowed fingerprint occurring in >= ``min_docs`` documents — the
+    SPAN-level analog of hot-shingle removal (strips the boilerplate
+    segment itself while keeping the document's unique remainder,
+    where document-level dedup would either keep the boilerplate or
+    drop the whole doc).
+
+    Output: (doc_id, clean_text, n_tokens, n_removed). Determinism:
+    token masking is pure integer interval arithmetic over the
+    (leftmost-argmin) winnowed positions, and the rebuilt string is a
+    plain space join — exact in any engine.
+
+    Scale shape: fingerprint pass -> doc-frequency aggregate (map-side
+    combined) -> semi join back -> per-doc position list (bounded by
+    the doc's fingerprint count) -> one narrow rebuild projection. No
+    pairwise join; cost is linear in corpus tokens.
+
+    Caveat (winnowing granularity): only the sampled window-min grams
+    carry positions, so a long shared run is excised at its selected
+    fingerprints' spans — ~2k/(w+1) tokens of every shared window —
+    not necessarily wall-to-wall; k/w tune coverage vs index size."""
+    _entry_release()
+    fps = _persist(winnow_fingerprints_pos(df, text_col, k, w))
+    shared = (
+        fps.select("doc_id", "fp").distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("fp")
+    )
+    doc_pos = (
+        fps.join(shared, "fp")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__spans"))
+    )
+    tok = df.select(
+        "doc_id", words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w")
+    )
+    wa = F.col("__w")
+    spans = F.coalesce(
+        F.col("__spans"), F.array().cast("array<int>")
+    )
+    idx = F.when(
+        F.size(wa) == 0, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(1), F.size(wa)))
+    keep_idx = F.filter(
+        idx,
+        lambda t: ~F.exists(
+            spans, lambda p: (t >= p) & (t <= p + F.lit(k - 1))
+        ),
+    )
+    out = tok.join(doc_pos, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.size(wa) == 0, F.lit(0))
+        .otherwise(F.size(wa))
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.transform(keep_idx, lambda t: F.element_at(wa, t))
+        ).alias("clean_text"),
+        (F.size(wa) - F.size(keep_idx)).cast("long").alias("n_removed"),
+    )
+    return out.select("doc_id", "clean_text", "n_tokens", "n_removed")
+
+
 def shared_span_stats(
     df: DataFrame,
     text_col: str = "text",

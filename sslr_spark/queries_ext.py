@@ -65,6 +65,12 @@ W_SQL = (
     "else string_split_regex(trim(text), '\\s+') end"
 )
 
+# words over coalesced text (null-as-empty operators: gopher, spans)
+_GW = (
+    "case when length(trim(coalesce(text, ''))) = 0 then [] "
+    "else string_split_regex(trim(coalesce(text, '')), '\\s+') end"
+)
+
 
 def _shingles_cte(n: int = 3) -> str:
     return f"""
@@ -357,6 +363,69 @@ select d.doc_id,
             as bigint) as shared_ppm
 from (select distinct doc_id from documents) d
 left join per on d.doc_id = per.doc_id
+"""
+
+
+def q_dedup_strip_spans(spark, sf_dir):
+    """Span excision (dedup.py strip_shared_spans): drop tokens
+    covered by winnowed fingerprints recurring in >= 2 docs and
+    rebuild the text — deterministic integer interval masking, exact
+    string output in both engines."""
+    return D.strip_shared_spans(_docs(spark, sf_dir), k=5, w=4)
+
+
+SQL_DEDUP_STRIP_SPANS = f"""
+with tok as (select doc_id, {W_SQL} as ws from documents),
+g as (
+  select doc_id,
+         case when len(ws) < 5 then []
+              else list_transform(generate_series(1, len(ws) - 4),
+                                  i -> {_WINNOW_GRAM}) end as hs
+  from tok
+),
+p as (
+  select doc_id,
+    case when len(hs) = 0 then []
+         when len(hs) < 4 then [list_min(hs)]
+         else list_transform(generate_series(1, len(hs) - 3),
+                             i -> list_min(hs[i : i + 3])) end as fpl,
+    case when len(hs) = 0 then []
+         when len(hs) < 4 then [list_position(hs, list_min(hs))]
+         else list_transform(generate_series(1, len(hs) - 3),
+                             i -> list_position(hs[i : i + 3],
+                                                list_min(hs[i : i + 3]))
+                                  + i - 1) end as posl
+  from g
+),
+fps as (
+  select distinct doc_id, unnest(fpl) as fp, unnest(posl) as pos from p
+),
+shared as (select fp from fps group by fp having count(*) >= 2),
+spans as (
+  select doc_id, list(distinct pos) as sp
+  from fps join shared using (fp) group by doc_id
+),
+base as (
+  select doc_id, {_GW} as ws from documents
+)
+select b.doc_id,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(
+             case when len(b.ws) = 0 then []
+                  else generate_series(1, len(b.ws)) end,
+             t -> len(list_filter(coalesce(s.sp, []),
+                                  p -> t >= p and t <= p + 4)) = 0),
+           i -> b.ws[i]),
+         ' '), '') as clean_text,
+       cast(len(b.ws) as bigint) as n_tokens,
+       cast(len(b.ws) - len(list_filter(
+             case when len(b.ws) = 0 then []
+                  else generate_series(1, len(b.ws)) end,
+             t -> len(list_filter(coalesce(s.sp, []),
+                                  p -> t >= p and t <= p + 4)) = 0))
+         as bigint) as n_removed
+from base b left join spans s on b.doc_id = s.doc_id
 """
 
 
@@ -1783,10 +1852,6 @@ def q_text_gopher_flags(spark, sf_dir):
 
 
 # words over coalesced text (gopher treats null as empty, like Spark)
-_GW = (
-    "case when length(trim(coalesce(text, ''))) = 0 then [] "
-    "else string_split_regex(trim(coalesce(text, '')), '\\s+') end"
-)
 SQL_TEXT_GOPHER_FLAGS = f"""
 with base as (
   select doc_id, coalesce(text, '') as t, {_GW} as ws,
@@ -2246,6 +2311,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_winnow_spans": q_dedup_winnow_spans,
+    "dedup_strip_spans": q_dedup_strip_spans,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -2305,6 +2371,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM,
     "dedup_jaccard_prefix": SQL_DEDUP_JACCARD_PREFIX,
     "dedup_winnow_spans": SQL_DEDUP_WINNOW_SPANS,
+    "dedup_strip_spans": SQL_DEDUP_STRIP_SPANS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

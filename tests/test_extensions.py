@@ -1200,3 +1200,29 @@ def test_bm25_known_values(spark):
     assert out[1].score_micros == d1 and out[1].n_hit_terms == 2
     assert out[2].score_micros == d2 and out[2].n_hit_terms == 1
     assert out[1].score_micros > out[2].score_micros
+
+
+def test_strip_shared_spans_excises_recurring_run(spark):
+    from sslr_spark.functions.dedup import release_caches, strip_shared_spans
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, f"aaa bbb {shared} ccc ddd"),
+        (2, f"xxx yyy zzz {shared} www"),
+        (3, "totally different words with no overlap at all here"),
+        (4, "tiny"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in strip_shared_spans(df, k=5, w=4).collect()}
+    release_caches()
+    # the shared run's winnowed spans are gone from both docs; the
+    # unique head/tail tokens survive
+    for d, head, tail in ((1, "aaa bbb", "ccc ddd"), (2, "xxx yyy zzz", "www")):
+        r = out[d]
+        assert r.clean_text.startswith(head) and r.clean_text.endswith(tail)
+        assert r.n_removed >= 5  # most of the 8-token run masked
+        assert "four five six seven" not in r.clean_text
+    assert out[3].n_removed == 0 and out[3].clean_text.startswith("totally")
+    assert out[4].clean_text == "tiny" and out[4].n_removed == 0
+    assert out[5].n_tokens == 0 and out[5].clean_text == ""
