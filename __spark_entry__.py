@@ -85,6 +85,7 @@ _HEAD_KEYS = [
     "sample_source_cap",
     "text_bm25_topk",
     "dedup_strip_spans",
+    "x_stream_interval_join",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -95,7 +96,6 @@ _HEAD_KEYS = [
     "mm_frame_sample",
     "x_funnel",
     "x_cumulative_window",
-    "x_topk_per_group",
     "mix_allocation",
     "text_topk_ngrams",
     "text_length_stats",
@@ -129,7 +129,7 @@ _TAIL_KEYS = [
     # twice-green (r03+r04), first out-of-window candidate:
     "text_unigram_logprob",
     # multi-green with unchanged code — deferred one round so this
-    # round's eight new keys fit the 50-key window (s1/s9/a4/o3 are
+    # round's ten new keys fit the 50-key window (s1/s9/a4/o3 are
     # r01+r02+r03 green; tpch_q1/pivot are r01+r03 green):
     "s1_full_filtered_scan",
     "s9_state_upsert",
@@ -138,6 +138,7 @@ _TAIL_KEYS = [
     "x_tpch_q1",
     "x_pivot",
     "x_rollup",
+    "x_topk_per_group",
     # hash-green in r04 with code unchanged this round:
     "j4_hash_diff",
     "j3_range_repair",
@@ -174,7 +175,6 @@ _TAIL_KEYS = [
     "o1_event_sessionize",
     "x_json_extract",
     "sim_topk_quantized",
-    "sim_ivf_ann",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_incremental",

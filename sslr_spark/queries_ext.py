@@ -586,6 +586,55 @@ group by 1, 2
 )
 
 
+def q_x_stream_interval_join(spark, sf_dir):
+    """REAL stream-stream interval join (streaming/pipeline.py
+    stream_interval_join): clicks paired with same-user errors inside
+    the following hour, both sides watermarked, run as one
+    availableNow epoch and hash-checked against the batch SQL oracle.
+    Events stage through one normalized micros-precision parquet file
+    (single micro-batch => no cross-batch lateness; the oracle joins
+    at the same microsecond precision)."""
+    import os
+
+    from sslr_spark.queries import read_events
+    from sslr_spark.streaming.pipeline import stream_interval_join
+
+    work = _fresh_bench_dir("stream_ij")
+    src = os.path.join(work, "src")
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ev.coalesce(1).write.parquet(src)
+    out = os.path.join(work, "out")
+    stream_interval_join(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        out,
+        os.path.join(work, "ckpt"),
+        left_filter="event_type = 'click'",
+        right_filter="event_type = 'error'",
+        join_keys=["user_id"],
+        window_seconds=3600,
+    )
+    return spark.read.parquet(out)
+
+
+SQL_X_STREAM_INTERVAL_JOIN = """
+select c.event_id as left_id, e.event_id as right_id, c.user_id,
+       epoch_us(cast(c.ts as timestamp)) as left_ts_us,
+       epoch_us(cast(e.ts as timestamp)) as right_ts_us
+from events c
+join events e
+  on c.user_id = e.user_id
+ and c.event_type = 'click' and e.event_type = 'error'
+ and epoch_us(cast(e.ts as timestamp))
+     >= epoch_us(cast(c.ts as timestamp))
+ and epoch_us(cast(e.ts as timestamp))
+     <= epoch_us(cast(c.ts as timestamp)) + 3600000000
+"""
+
+
 def q_x_stream_ingest(spark, sf_dir):
     """The STREAMING near-dup ingest run end-to-end as one availableNow
     epoch over the documents table: readStream -> foreachBatch
@@ -2272,6 +2321,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_source_overlap": q_x_source_overlap,
     "text_langid_eval": q_text_langid_eval,
     "x_stream_ingest": q_x_stream_ingest,
+    "x_stream_interval_join": q_x_stream_interval_join,
     "files_roundtrip": q_files_roundtrip,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -2332,6 +2382,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_source_overlap": SQL_SOURCE_OVERLAP,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "x_stream_ingest": SQL_X_STREAM_INGEST,
+    "x_stream_interval_join": SQL_X_STREAM_INTERVAL_JOIN,
     "files_roundtrip": SQL_FILES_ROUNDTRIP,
     "sim_topk_binary": SQL_SIM_BINARY,
     "text_bigram_logprob": SQL_BIGRAM_LOGPROB,

@@ -777,3 +777,73 @@ def compact_neardup_index_incremental(
         for t in tables:
             target.drop_partitions(t, "__epoch", gc)
     return stats
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    left_filter: str,
+    right_filter: str,
+    join_keys: list[str],
+    ts_col: str = "ts",
+    window_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> None:
+    """Stream-STREAM interval join with event-time watermarks — the
+    Structured Streaming join the reference's poll loop cannot
+    express: left events pair with right events of the same key whose
+    timestamp falls in ``[left.ts, left.ts + window_seconds]``.
+
+    Both sides watermark on ``ts_col``; the time-range predicate lets
+    Spark bound the join state (right rows expire once the watermark
+    passes their eligibility window — without the range condition a
+    stream-stream inner join would buffer both sides forever). One
+    availableNow pass drains the source and writes the joined pairs
+    to ``out_dir`` as parquet.
+
+    Scale shape: state is partitioned by the join keys; each side
+    keeps only rows inside the watermark horizon. Late data beyond
+    the watermark drops on BOTH sides — the documented Structured
+    Streaming semantics (T9)."""
+    left = (
+        spark.readStream.schema(schema).parquet(source_path)
+        .filter(left_filter)
+    )
+    right = (
+        spark.readStream.schema(schema).parquet(source_path)
+        .filter(right_filter)
+    )
+    left = _event_time(left, ts_col).withWatermark(ts_col, watermark)
+    right = _event_time(right, ts_col).withWatermark(ts_col, watermark)
+    lcols = [F.col(f"l.{c}").alias(c) for c in join_keys]
+    joined = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            [F.col(f"l.{c}") == F.col(f"r.{c}") for c in join_keys]
+            + [
+                F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}"),
+                F.col(f"r.{ts_col}")
+                <= F.col(f"l.{ts_col}")
+                + F.expr(f"interval {window_seconds} seconds"),
+            ],
+        )
+        .select(
+            F.col("l.event_id").alias("left_id"),
+            F.col("r.event_id").alias("right_id"),
+            *lcols,
+            F.unix_micros(F.col(f"l.{ts_col}")).alias("left_ts_us"),
+            F.unix_micros(F.col(f"r.{ts_col}")).alias("right_ts_us"),
+        )
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -617,3 +617,42 @@ def test_compaction_state_machine_property(spark, tmp_path_factory):
             check()
 
     run()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """The stream-stream interval join must produce exactly the batch
+    join's pairs (single micro-batch => no lateness), inclusive on
+    both window boundaries."""
+    import datetime as dt
+
+    from sslr_spark.streaming.pipeline import stream_interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: error at +0s (boundary), +600s (boundary), +601s (out)
+        (1, t0, 1, "click"),
+        (2, t0, 1, "error"),
+        (3, t0 + dt.timedelta(seconds=600), 1, "error"),
+        (4, t0 + dt.timedelta(seconds=601), 1, "error"),
+        # user 2: error BEFORE the click -> never joins
+        (5, t0 + dt.timedelta(seconds=100), 2, "click"),
+        (6, t0, 2, "error"),
+        # user 3: error in-window but different user than the click
+        (7, t0 + dt.timedelta(seconds=50), 3, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    stream_interval_join(
+        spark, src, spark.read.parquet(src).schema, out,
+        str(tmp_path / "ckpt"),
+        left_filter="event_type = 'click'",
+        right_filter="event_type = 'error'",
+        join_keys=["user_id"],
+        window_seconds=600,
+    )
+    got = {(r.left_id, r.right_id) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 2), (1, 3)}
