@@ -273,19 +273,33 @@ def _asymmetric_jaccard(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+def prefix_candidates(
+    sh: DataFrame, threshold: float, sizes: DataFrame | None = None
+) -> DataFrame:
     """Candidate (key_a, key_b) pairs under PPJoin prefix filtering
     over a distinct (doc_id, shingle) index — the pruned pair space
     :func:`ngram_jaccard_pairs_prefix` verifies. Exposed separately so
     the scale probes can measure the candidate-space cut directly.
+    ``sizes`` (doc_id, __n) may be passed in to reuse the caller's
+    per-doc size aggregate instead of recomputing the shuffle.
 
     Canonical order = (document frequency asc, shingle asc); each doc
-    indexes only its first ``n - ceil(t*n) + 1`` shingles."""
+    indexes only its first ``n - ceil(t*n) + 1`` shingles. The
+    ceiling runs in PURE INTEGER arithmetic on a ppm-scaled
+    threshold: IEEE ``ceil(t * n)`` OVERSHOOTS for many (t, n) pairs
+    (0.55 * 100 = 55.000000000000007 -> ceil 56), which would shorten
+    the prefix by one and silently drop true pairs — a lossless-ness
+    bug, not a tuning knob. ppm resolution caps threshold precision
+    at 1e-6, exactly the round-6 convention the Jaccard values
+    themselves use."""
+    t_ppm = int(round(float(threshold) * 1_000_000))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+    # integer ceil(t_ppm * n / 1e6) = (t_ppm*n + 999999) div 1e6
     lcol = (
         F.col("__n")
-        - F.ceil(F.lit(float(threshold)) * F.col("__n"))
+        - F.expr(f"({t_ppm} * __n + 999999) div 1000000")
         + F.lit(1)
     )
     w = Window.partitionBy("doc_id").orderBy("__f", "shingle")
@@ -343,14 +357,12 @@ def ngram_jaccard_pairs_prefix(
     window — bounded partitions, no unpartitioned window, no
     million-row rank dimension to join.
     """
-    import math as _math
-
     _entry_release()
     sh = _persist(
         _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    cand = prefix_candidates(sh, threshold)
+    cand = prefix_candidates(sh, threshold, sizes=sizes)
     # exact verify over candidates only: candidate x (a's shingles)
     # matched against b's set — never the all-sharing-pairs blowup
     inter = (
@@ -406,33 +418,15 @@ def winnow_fingerprints(
     — the same single-pass profile as :func:`shingles`; downstream
     consumers join on fp exactly like the shingle inverted index.
     Portable md5-derived hashes so the DuckDB oracle replays the
-    identical fingerprint values."""
-    tok = df.select("doc_id", words(F.col(text_col)).alias("__w"))
-    wa = F.col("__w")
-    grams = F.when(
-        F.size(wa) < k, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(wa) - k),
-            lambda i: F.concat_ws(
-                " ", *[wa[(i + off).cast("int")] for off in range(k)]
-            ),
-        )
-    )
-    hs = F.transform(grams, lambda g: h60(g))
-    n_h = F.size(hs)
-    mins = (
-        F.when(n_h == 0, F.array().cast("array<bigint>"))
-        .when(n_h < w, F.array(F.array_min(hs)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n_h - w + 1),
-                lambda i: F.array_min(F.slice(hs, i, w)),
-            )
-        )
-    )
+    identical fingerprint values.
+
+    Derived from :func:`winnow_fingerprints_pos` (drop positions,
+    re-distinct) so the two variants can never drift on the gram /
+    hash / window-min pipeline the winnowing guarantee rests on."""
     return (
-        tok.select("doc_id", F.explode(mins).alias("fp")).distinct()
+        winnow_fingerprints_pos(df, text_col, k, w)
+        .select("doc_id", "fp")
+        .distinct()
     )
 
 

@@ -434,19 +434,28 @@ def source_cap(
     per-user cap every crawl pipeline applies so one hot site (or one
     prolific account, for privacy) cannot dominate the corpus.
 
-    Selection order is ``(h60(seed:key), key)``: a uniform hash, so
-    the kept subset is an unbiased sample of the group, stable across
-    re-runs and appends (documents don't churn in and out of the cap
-    when unrelated rows arrive — new rows displace only rows they
-    hash-sort ahead of).
+    Selection order is ``(h60(seed:key), key)`` — the FULL 60-bit
+    hash, not the 1e6-bucketed split_bucket form: mod-1e6 collisions
+    (near-certain in groups past ~1500 rows) would fall through to
+    the ascending-key tie-break, biasing the kept set toward small
+    keys and letting a newly appended small-key row displace one it
+    does not hash-sort ahead of. With the full hash the kept subset
+    is an unbiased sample of the group, stable across re-runs and
+    appends (new rows displace only rows they genuinely hash-sort
+    ahead of; 60-bit ties are negligible and break on the key).
 
     Scale shape: one window keyed by the group column. Partitions are
     per-group; a pathological mega-group is exactly the input skew a
     per-group cap exists to remove, and the window sort is bounded by
     that group's size, not the corpus."""
-    w = Window.partitionBy(group_col).orderBy(
-        split_bucket(F.col(key_col), seed), F.col(key_col)
+    order_hash = h60(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
+        )
     )
+    w = Window.partitionBy(group_col).orderBy(order_hash, F.col(key_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_per_group)

@@ -400,7 +400,12 @@ p as (
 fps as (
   select distinct doc_id, unnest(fpl) as fp, unnest(posl) as pos from p
 ),
-shared as (select fp from fps group by fp having count(*) >= 2),
+-- distinct DOCUMENTS, not fingerprint occurrences: a doc repeating
+-- the same run internally yields one fp at two positions and must
+-- NOT count as shared (Spark counts distinct (doc_id, fp) pairs)
+shared as (
+  select fp from fps group by fp having count(distinct doc_id) >= 2
+),
 spans as (
   select doc_id, list(distinct pos) as sp
   from fps join shared using (fp) group by doc_id
@@ -1847,7 +1852,9 @@ SQL_SAMPLE_SOURCE_CAP = f"""
 select doc_id, source from (
   select doc_id, source, row_number() over (
     partition by source
-    order by {split_bucket_sql('doc_id', 'cap')}, doc_id
+    order by {h60_sql(
+        "concat('cap', ':', coalesce(cast(doc_id as varchar), chr(0)))"
+    )}, doc_id
   ) as rn from documents
 ) where rn <= 10
 """

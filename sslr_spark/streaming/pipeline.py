@@ -789,6 +789,7 @@ def stream_interval_join(
     right_filter: str,
     join_keys: list[str],
     ts_col: str = "ts",
+    id_col: str = "event_id",
     window_seconds: int = 600,
     watermark: str = "30 minutes",
 ) -> None:
@@ -832,8 +833,8 @@ def stream_interval_join(
             ],
         )
         .select(
-            F.col("l.event_id").alias("left_id"),
-            F.col("r.event_id").alias("right_id"),
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
             *lcols,
             F.unix_micros(F.col(f"l.{ts_col}")).alias("left_ts_us"),
             F.unix_micros(F.col(f"r.{ts_col}")).alias("right_ts_us"),

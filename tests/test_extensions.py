@@ -1226,3 +1226,65 @@ def test_strip_shared_spans_excises_recurring_run(spark):
     assert out[3].n_removed == 0 and out[3].clean_text.startswith("totally")
     assert out[4].clean_text == "tiny" and out[4].n_removed == 0
     assert out[5].n_tokens == 0 and out[5].clean_text == ""
+
+
+def test_prefix_candidates_integer_ceiling_lossless(spark):
+    """IEEE ceil(0.55 * 100) overshoots to 56 (55.000000000000007) —
+    with the float ceiling doc A's prefix would be one shingle short
+    and this true 0.55-Jaccard pair would silently vanish. The
+    integer-ppm ceiling keeps it."""
+    from sslr_spark.functions.dedup import prefix_candidates
+
+    # A: 45 unique shingles (df=1, canonical-first) + 55 shared;
+    # B: exactly the 55 shared. jaccard = 55/100 = 0.55.
+    rows = [(1, f"u{i}") for i in range(45)]
+    rows += [(1, f"s{i}") for i in range(55)]
+    rows += [(2, f"s{i}") for i in range(55)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    cand = {(r.key_a, r.key_b) for r in prefix_candidates(sh, 0.55).collect()}
+    assert (1, 2) in cand
+
+
+def test_strip_spans_oracle_ignores_internal_repeats():
+    """A doc repeating the same >=8-token run TWICE internally (one fp
+    at two positions) is NOT shared corpus-wide; the DuckDB oracle
+    must count distinct documents, not fingerprint occurrences."""
+    import duckdb
+    import pandas as pd
+
+    from sslr_spark.queries_ext import EXT_ORACLES
+
+    run = "one two three four five six seven eight"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"{run} middle words here {run}",
+                     "entirely different content with no shared runs x y"],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    out = {r[0]: r for r in
+           con.execute(EXT_ORACLES["dedup_strip_spans"]).fetchall()}
+    # nothing excised anywhere: the repeat is intra-doc only
+    assert out[1][3] == 0 and out[2][3] == 0  # n_removed
+    assert out[1][1].startswith("one two three")  # clean_text intact
+
+
+def test_source_cap_orders_by_full_hash(spark):
+    """The kept set must be the top-N by the FULL h60(seed:key) hash
+    (bucketed mod-1e6 ordering would bias ties toward small keys)."""
+    import hashlib
+
+    from sslr_spark.functions.sampling import source_cap
+
+    df = spark.range(500).selectExpr("id as doc_id", "'s' as source")
+    got = sorted(r.doc_id for r in source_cap(df, "source", 10).collect())
+
+    def h60py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = sorted(
+        sorted(range(500), key=lambda i: (h60py(f"cap:{i}"), i))[:10]
+    )
+    assert got == want
