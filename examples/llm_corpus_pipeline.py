@@ -104,6 +104,16 @@ def main() -> None:
     print(f"== spans == mean shared-fingerprint ppm {spans['mean_ppm']}, "
           f"docs >50% shared spans {spans['half_shared']}")
 
+    # 0c. Retrieval spot-check: BM25 top-5 for a probe query — the
+    #     quick "what does the corpus say about X" tool reviewers use
+    #     (over the persisted ingest frame: bm25 makes three passes —
+    #     stats, doc frequencies, scoring — and a deep curated lineage
+    #     would re-run the whole pipeline per pass)
+    from sslr_spark.functions.text import bm25_topk
+
+    top = bm25_topk(docs, ["spark", "join"], k=5).collect()
+    print("== bm25 probe ==", [(r.doc_id, r.score_micros) for r in top])
+
     # 0b. Cross-source overlap: feeds that are re-crawls of each other
     #     (candidates for dropping a whole source before doc-level work)
     from sslr_spark.functions.dedup import source_overlap
@@ -231,6 +241,13 @@ def main() -> None:
         "left_semi",
     )
 
+    # 5d. Per-source cap: no hot feed dominates the curated corpus
+    from sslr_spark.functions.sampling import source_cap
+
+    before = kept.count()
+    kept = source_cap(kept, "source", 30)
+    print(f"== source cap == {before} -> {kept.count()} (max 30/source)")
+
     # 6. Chunk long documents, then pack into token-budget batches
     chunks = chunk_text(kept, chunk_chars=512, overlap=64)
     packed = pack_token_budget(
@@ -249,13 +266,26 @@ def main() -> None:
     batches = packed.select("shard", "batch_id").distinct().count()
     print(f"  packed batches    {batches}")
 
-    # 7. Hand off: gzip JSONL, the format the training stack ingests
+    # 7. Hand off: gzip JSONL, the format the training stack ingests,
+    #    plus the shard manifest the trainer verifies before trusting
+    #    the export (counts + commutative content checksums per shard)
     out_dir = os.path.join(drop_root, "train_chunks")
     export_jsonl(
         chunks.select("doc_id", "chunk_idx", "chunk"), out_dir, coalesce=4
     )
     n_parts = len([f for f in os.listdir(out_dir) if f.startswith("part-")])
     print(f"  exported          {n_parts} gzip JSONL part files -> {out_dir}")
+
+    from sslr_spark.functions.sampling import shard_manifest
+
+    man = shard_manifest(
+        chunks.withColumnRenamed("chunk", "text"), 4,
+        content_cols=["doc_id", "chunk_idx", "text"],
+    ).orderBy("shard").collect()
+    print("== shard manifest ==")
+    for r in man:
+        print(f"  shard {r.shard}: rows={r.n_rows} keys={r.n_keys} "
+              f"checksum={r.content_sum}")
     spark.stop()
 
 

@@ -606,8 +606,17 @@ def q_x_stream_interval_join(spark, sf_dir):
 
     work = _fresh_bench_dir("stream_ij")
     src = os.path.join(work, "src")
+    # stage ts as a true INSTANT built from epoch-micros: read_events
+    # may hand back TIMESTAMP_NTZ (wall clock), and the streaming
+    # side's NTZ->timestamp cast would interpret that wall clock in
+    # the DRIVER-CONTROLLED session TZ — an 11-hour shift under an
+    # Australia/Sydney session (caught by the hostile-config matrix).
+    # timestamp_micros() is TZ-free by construction.
     ev = read_events(spark, sf_dir).select(
-        "event_id", "ts", "user_id", "event_type"
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
     )
     ev.coalesce(1).write.parquet(src)
     out = os.path.join(work, "out")
