@@ -230,8 +230,13 @@ def main() -> None:
 
     # ---- round-5 operator families ----------------------------------
     with timed("jaccard_prefix"):
+        # t=0.8 is the design point: prefixes are ~20% of each doc
+        # (rarest-first), so candidates collapse to near-dup pairs.
+        # At t<=~0.3 the prefix is most of the doc and the plain
+        # generator (or MinHash-LSH) is the right tool — documented
+        # in ngram_jaccard_pairs_prefix.
         DD.ngram_jaccard_pairs_prefix(
-            docs, threshold=0.5, max_shingle_doc_freq=100
+            docs, threshold=0.8, max_shingle_doc_freq=100
         ).count()
     DD.release_caches()
     with timed("winnow_spans"):
