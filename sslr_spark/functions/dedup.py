@@ -273,15 +273,11 @@ def _asymmetric_jaccard(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def prefix_candidates(
-    sh: DataFrame, threshold: float, sizes: DataFrame | None = None
-) -> DataFrame:
+def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """Candidate (key_a, key_b) pairs under PPJoin prefix filtering
     over a distinct (doc_id, shingle) index — the pruned pair space
     :func:`ngram_jaccard_pairs_prefix` verifies. Exposed separately so
     the scale probes can measure the candidate-space cut directly.
-    ``sizes`` (doc_id, __n) may be passed in to reuse the caller's
-    per-doc size aggregate instead of recomputing the shuffle.
 
     Canonical order = (document frequency asc, shingle asc); each doc
     indexes only its first ``n - ceil(t*n) + 1`` shingles. The
@@ -294,22 +290,40 @@ def prefix_candidates(
     themselves use."""
     t_ppm = int(round(float(threshold) * 1_000_000))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-    if sizes is None:
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    # integer ceil(t_ppm * n / 1e6) = (t_ppm*n + 999999) div 1e6
-    lcol = (
-        F.col("__n")
-        - F.expr(f"({t_ppm} * __n + 999999) div 1000000")
-        + F.lit(1)
-    )
-    w = Window.partitionBy("doc_id").orderBy("__f", "shingle")
-    prefix = (
+    # One aggregate builds each doc's canonically-ordered shingle
+    # list; the prefix is an array slice. This replaces the earlier
+    # sizes-aggregate + per-doc row_number window — two extra
+    # shuffles over the full index — with array_sort inside the
+    # groupBy (docs are bounded; the array sort is the same work the
+    # window's partition sort did, minus the row machinery).
+    # struct ordering sorts by (__f, shingle) = the canonical order.
+    per_doc = (
         sh.join(freq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= lcol)
-        .select("doc_id", "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__f", "shingle"))
+            ).alias("__ord")
+        )
     )
+    # integer ceil(t_ppm * n / 1e6) = (t_ppm*n + 999999) div 1e6
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.col("__ord"),
+                1,
+                F.greatest(
+                    F.lit(0),
+                    F.size("__ord")
+                    - F.expr(
+                        f"({t_ppm} * size(__ord) + 999999) div 1000000"
+                    ).cast("int")
+                    + F.lit(1),
+                ),
+            )
+        ).alias("__p"),
+    ).select("doc_id", F.col("__p.shingle").alias("shingle"))
     return (
         prefix.select(F.col("doc_id").alias("key_a"), "shingle")
         .join(
@@ -362,7 +376,7 @@ def ngram_jaccard_pairs_prefix(
         _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    cand = prefix_candidates(sh, threshold, sizes=sizes)
+    cand = prefix_candidates(sh, threshold)
     # exact verify over candidates only: candidate x (a's shingles)
     # matched against b's set — never the all-sharing-pairs blowup
     inter = (
