@@ -86,6 +86,7 @@ _HEAD_KEYS = [
     "text_bm25_topk",
     "dedup_strip_spans",
     "x_stream_interval_join",
+    "dedup_incremental_spans",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -117,7 +118,6 @@ _HEAD_KEYS = [
     "text_langid_eval",
     "sample_leakage_safe",
     "text_quality_score",
-    "sample_stratified",
     "x_anomaly_zscore",
     "sample_mix_execute",
     # 50 head entries — exactly the driver window this round.
@@ -139,6 +139,9 @@ _TAIL_KEYS = [
     "x_pivot",
     "x_rollup",
     "x_topk_per_group",
+    # twice-green (r02+r03), unchanged code, deferred for the 11th
+    # round-5 key:
+    "sample_stratified",
     # hash-green in r04 with code unchanged this round:
     "j4_hash_diff",
     "j3_range_repair",

@@ -584,6 +584,57 @@ def strip_shared_spans(
     return out.select("doc_id", "clean_text", "n_tokens", "n_removed")
 
 
+def incremental_span_exposure(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Batch-vs-corpus shared-span exposure — the winnowing member of
+    the incremental family (exact: incremental_exact_dedup, near-dup:
+    incremental_minhash_dedup): how much of each INCOMING document
+    consists of spans already present in the accepted corpus.
+
+    ``corpus_index`` is the persisted corpus fingerprint set (any
+    frame with an ``fp`` column — :func:`winnow_fingerprints` output
+    or its distinct-fp projection reloaded from parquet), so ingests
+    never rescan corpus text: the only per-ingest work is the batch's
+    own fingerprint pass plus one batch-side semi join against the
+    index. Batch x corpus only — never corpus x corpus.
+
+    Output: (doc_id, n_fps, n_shared, shared_ppm) for batch docs,
+    all-integer (same round-half-up ppm convention as
+    :func:`shared_span_stats`)."""
+    fps = winnow_fingerprints(batch, text_col, k, w)
+    idx = corpus_index.select("fp").distinct()
+    hits = (
+        fps.join(idx, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    per_doc = (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+        .join(hits, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+    )
+    ppm = F.expr(
+        "(2000000 * n_shared + n_fps) div (2 * n_fps)"
+    ).cast("long")
+    return (
+        batch.select("doc_id")
+        .distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fps", F.lit(0)).cast("long").alias("n_fps"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce(ppm, F.lit(0)).alias("shared_ppm"),
+        )
+    )
+
+
 def shared_span_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -366,6 +366,61 @@ left join per on d.doc_id = per.doc_id
 """
 
 
+def q_dedup_incremental_spans(spark, sf_dir):
+    """Batch-vs-corpus span exposure (dedup.py
+    incremental_span_exposure): docs with doc_id % 10 == 0 play the
+    incoming batch, the rest the accepted corpus; each batch doc
+    reports how much of it is spans the corpus already contains.
+    All-integer output."""
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    idx = D.winnow_fingerprints(corpus, k=5, w=4)
+    return D.incremental_span_exposure(batch, idx, k=5, w=4)
+
+
+_WINNOW_FPS_CTE = f"""
+tok as (select doc_id, {W_SQL} as ws from documents),
+g as (
+  select doc_id,
+         case when len(ws) < 5 then []
+              else list_transform(generate_series(1, len(ws) - 4),
+                                  i -> {_WINNOW_GRAM}) end as hs
+  from tok
+),
+m as (
+  select doc_id,
+         case when len(hs) = 0 then []
+              when len(hs) < 4 then [list_min(hs)]
+              else list_transform(generate_series(1, len(hs) - 3),
+                                  i -> list_min(hs[i : i + 3])) end as mins
+  from g
+),
+allfps as (select distinct doc_id, unnest(mins) as fp from m)
+"""
+SQL_DEDUP_INCREMENTAL_SPANS = f"""
+with {_WINNOW_FPS_CTE},
+bfps as (select * from allfps where doc_id % 10 = 0),
+cidx as (select distinct fp from allfps where doc_id % 10 != 0),
+hits as (
+  select doc_id, count(*) as n_shared
+  from bfps where fp in (select fp from cidx) group by doc_id
+),
+per as (
+  select b.doc_id, count(*) as n_fps, coalesce(min(h.n_shared), 0) as n_shared
+  from bfps b left join hits h on b.doc_id = h.doc_id
+  group by b.doc_id
+)
+select d.doc_id,
+       cast(coalesce(n_fps, 0) as bigint) as n_fps,
+       cast(coalesce(n_shared, 0) as bigint) as n_shared,
+       cast(coalesce((2000000 * n_shared + n_fps) // (2 * n_fps), 0)
+            as bigint) as shared_ppm
+from (select distinct doc_id from documents where doc_id % 10 = 0) d
+left join per on d.doc_id = per.doc_id
+"""
+
+
 def q_dedup_strip_spans(spark, sf_dir):
     """Span excision (dedup.py strip_shared_spans): drop tokens
     covered by winnowed fingerprints recurring in >= 2 docs and
@@ -2378,6 +2433,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_winnow_spans": q_dedup_winnow_spans,
     "dedup_strip_spans": q_dedup_strip_spans,
+    "dedup_incremental_spans": q_dedup_incremental_spans,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
@@ -2439,6 +2495,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_jaccard_prefix": SQL_DEDUP_JACCARD_PREFIX,
     "dedup_winnow_spans": SQL_DEDUP_WINNOW_SPANS,
     "dedup_strip_spans": SQL_DEDUP_STRIP_SPANS,
+    "dedup_incremental_spans": SQL_DEDUP_INCREMENTAL_SPANS,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_simhash": SQL_DEDUP_SIMHASH,

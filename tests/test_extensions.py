@@ -1288,3 +1288,36 @@ def test_source_cap_orders_by_full_hash(spark):
         sorted(range(500), key=lambda i: (h60py(f"cap:{i}"), i))[:10]
     )
     assert got == want
+
+
+def test_incremental_span_exposure_batch_vs_corpus(spark):
+    """Batch docs report exposure vs the CORPUS index only: a batch
+    doc sharing a run with the corpus scores > 0; a batch doc sharing
+    a run only with ANOTHER BATCH doc scores 0 (never batch x batch);
+    the corpus is never rescanned (index frame is the only input)."""
+    from sslr_spark.functions.dedup import (
+        incremental_span_exposure,
+        winnow_fingerprints,
+    )
+
+    run_c = "c1 c2 c3 c4 c5 c6 c7 c8"          # lives in the corpus
+    run_b = "b1 b2 b3 b4 b5 b6 b7 b8"          # batch-internal only
+    corpus = spark.createDataFrame(
+        [(100, f"corp head {run_c} corp tail"),
+         (101, "other corpus words entirely different")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, f"batch doc with {run_c} inside"),
+         (2, f"first {run_b} carrier"),
+         (3, f"second {run_b} carrier"),
+         (4, "nothing shared with anything at all here")],
+        "doc_id long, text string",
+    )
+    idx = winnow_fingerprints(corpus, k=5, w=4)
+    out = {r.doc_id: r for r in
+           incremental_span_exposure(batch, idx, k=5, w=4).collect()}
+    assert out[1].n_shared >= 1 and out[1].shared_ppm > 0
+    assert out[2].n_shared == 0 and out[3].n_shared == 0
+    assert out[4].n_shared == 0
+    assert set(out) == {1, 2, 3, 4}
