@@ -267,8 +267,12 @@ def main() -> None:
     print(f"  packed batches    {batches}")
 
     # 7. Hand off: gzip JSONL, the format the training stack ingests,
-    #    plus the shard manifest the trainer verifies before trusting
-    #    the export (counts + commutative content checksums per shard)
+    #    plus a shard manifest over the chunk set. NOTE the manifest's
+    #    shards are HASH shards (h60 of the key), not the physical
+    #    part files (coalesce packs those arbitrarily): the trainer
+    #    verifies by RELOADING the export, recomputing the same hash
+    #    shards, and comparing counts + commutative checksums — a
+    #    partition-layout-independent integrity check.
     out_dir = os.path.join(drop_root, "train_chunks")
     export_jsonl(
         chunks.select("doc_id", "chunk_idx", "chunk"), out_dir, coalesce=4

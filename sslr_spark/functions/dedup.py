@@ -306,7 +306,10 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
             ).alias("__ord")
         )
     )
-    # integer ceil(t_ppm * n / 1e6) = (t_ppm*n + 999999) div 1e6
+    # integer ceil(t_ppm * n / 1e6) = (t_ppm*n + 999999) div 1e6.
+    # size() is 32-bit: the product MUST widen to bigint first —
+    # t_ppm * int overflows at ~2,700 shingles (a ~2,700-word doc),
+    # an ANSI crash / silent negative-wrap that disables all pruning
     prefix = per_doc.select(
         "doc_id",
         F.explode(
@@ -317,7 +320,8 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
                     F.lit(0),
                     F.size("__ord")
                     - F.expr(
-                        f"({t_ppm} * size(__ord) + 999999) div 1000000"
+                        f"({t_ppm} * cast(size(__ord) as bigint)"
+                        " + 999999) div 1000000"
                     ).cast("int")
                     + F.lit(1),
                 ),

@@ -332,8 +332,8 @@ def q_dedup_winnow_spans(spark, sf_dir):
 _WINNOW_GRAM = h60_sql(
     "concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])"
 )
-SQL_DEDUP_WINNOW_SPANS = f"""
-with tok as (select doc_id, {W_SQL} as ws from documents),
+_WINNOW_FPS_CTE = f"""
+tok as (select doc_id, {W_SQL} as ws from documents),
 g as (
   select doc_id,
          case when len(ws) < 5 then []
@@ -349,12 +349,15 @@ m as (
                                   i -> list_min(hs[i : i + 3])) end as mins
   from g
 ),
-fps as (select distinct doc_id, unnest(mins) as fp from m),
-freq as (select fp, count(*) as df from fps group by fp),
+allfps as (select distinct doc_id, unnest(mins) as fp from m)
+"""
+SQL_DEDUP_WINNOW_SPANS = f"""
+with {_WINNOW_FPS_CTE},
+freq as (select fp, count(*) as df from allfps group by fp),
 per as (
   select doc_id, count(*) as n_fps,
          sum(case when df >= 2 then 1 else 0 end) as n_shared
-  from fps join freq using (fp) group by doc_id
+  from allfps join freq using (fp) group by doc_id
 )
 select d.doc_id,
        cast(coalesce(n_fps, 0) as bigint) as n_fps,
@@ -379,25 +382,6 @@ def q_dedup_incremental_spans(spark, sf_dir):
     return D.incremental_span_exposure(batch, idx, k=5, w=4)
 
 
-_WINNOW_FPS_CTE = f"""
-tok as (select doc_id, {W_SQL} as ws from documents),
-g as (
-  select doc_id,
-         case when len(ws) < 5 then []
-              else list_transform(generate_series(1, len(ws) - 4),
-                                  i -> {_WINNOW_GRAM}) end as hs
-  from tok
-),
-m as (
-  select doc_id,
-         case when len(hs) = 0 then []
-              when len(hs) < 4 then [list_min(hs)]
-              else list_transform(generate_series(1, len(hs) - 3),
-                                  i -> list_min(hs[i : i + 3])) end as mins
-  from g
-),
-allfps as (select distinct doc_id, unnest(mins) as fp from m)
-"""
 SQL_DEDUP_INCREMENTAL_SPANS = f"""
 with {_WINNOW_FPS_CTE},
 bfps as (select * from allfps where doc_id % 10 = 0),

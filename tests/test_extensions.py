@@ -1321,3 +1321,22 @@ def test_incremental_span_exposure_batch_vs_corpus(spark):
     assert out[2].n_shared == 0 and out[3].n_shared == 0
     assert out[4].n_shared == 0
     assert set(out) == {1, 2, 3, 4}
+
+
+def test_prefix_candidates_wide_doc_no_overflow(spark):
+    """t_ppm * n_shingles must widen to bigint: a ~2,800-shingle doc
+    at t=0.8 overflowed 32-bit int (ANSI crash; silent negative wrap
+    otherwise, which disabled all pruning on exactly the large docs
+    the filter exists for)."""
+    from sslr_spark.functions.dedup import prefix_candidates
+
+    rows = [(1, f"w{i}") for i in range(2800)]
+    rows += [(2, f"w{i}") for i in range(2800)]  # true dup partner
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        cand = {(r.key_a, r.key_b)
+                for r in prefix_candidates(sh, 0.8).collect()}
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+    assert cand == {(1, 2)}
