@@ -87,6 +87,7 @@ _HEAD_KEYS = [
     "dedup_strip_spans",
     "x_stream_interval_join",
     "dedup_incremental_spans",
+    "sim_topk_ivfpq",
     # no r04 row (rotated out last round) — every key below was
     # hash-green in r03; oldest-evidence-first is moot since they
     # share the same last-green round, so registry order:
@@ -95,7 +96,6 @@ _HEAD_KEYS = [
     "dedup_incremental_minhash",
     "mm_decode_stub",
     "mm_frame_sample",
-    "x_funnel",
     "x_cumulative_window",
     "mix_allocation",
     "text_topk_ngrams",
@@ -142,6 +142,9 @@ _TAIL_KEYS = [
     # twice-green (r02+r03), unchanged code, deferred for the 11th
     # round-5 key:
     "sample_stratified",
+    # single-green r03, unchanged OLAP code — deferred for the 12th
+    # round-5 key (first in line among stale keys next round):
+    "x_funnel",
     # hash-green in r04 with code unchanged this round:
     "j4_hash_diff",
     "j3_range_repair",

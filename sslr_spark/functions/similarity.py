@@ -889,14 +889,49 @@ def pq_topk_fixed(
     if not qrow:
         raise ValueError(f"query vector {id_col}={query_vec_id} not found")
     qvec = [float(x) for x in qrow[0][0]]
+    adc = _pq_adc_expr(qvec, books, m)
+    q = df.sparkSession.createDataFrame(
+        [(qvec,)], f"__qvec {df.schema[vec_col].dataType.simpleString()}"
+    )
+    cand = (
+        encoded.filter(F.col(id_col) != query_vec_id)
+        .withColumn("adc_dist", adc.cast("long"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k * rerank_factor)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "adc_dist",
+            F.round(
+                F.try_divide(
+                    dot_expr(vec_col, "__qvec"),
+                    norm_expr(vec_col) * norm_expr("__qvec"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _pq_adc_expr(qvec: list[float], books, m: int):
+    """Integer ADC score expression for a query vector against
+    ``__codes``: the per-(subspace, codeword) distance table computed
+    driver-side with the SAME reduced unit-normalized score the
+    encoders use (cwsq - 2*dot/sqrt(s); the per-row constant term
+    shifts every total equally and is dropped), index-ordered folds —
+    the exact op sequence the SQL oracle's list_sum/generate_series
+    spellings run — then scaled to bigints (floor(d*1e6 + 0.5)) so
+    per-row sums are order-free and engine-exact. Shared by
+    :func:`pq_topk_fixed` and :func:`ivfpq_topk_fixed`."""
+    import math
+
     qs_full = _sumsq(qvec)
     dsub = len(qvec) // m
-    # integer distance table via the SAME reduced unit-normalized
-    # score the encoder uses (cwsq - 2*dot/sqrt(s); the per-row
-    # constant term shifts every ADC total equally and is dropped),
-    # index-ordered folds — the exact op sequence the SQL oracle's
-    # list_sum/generate_series spellings run, so the table is
-    # bit-identical across engines before the integer scaling
     dtab = []
     for j in range(m):
         qsub = qvec[j * dsub:(j + 1) * dsub]
@@ -919,11 +954,59 @@ def pq_topk_fixed(
             F.element_at("__codes", j + 1) + 1,
         )
         adc = term if adc is None else adc + term
+    return adc
+
+
+def ivfpq_topk_fixed(
+    df: DataFrame,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 16,
+    n_probe: int = 3,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    arrow: bool = False,
+) -> DataFrame:
+    """IVF-PQ: the classic large-scale ANN pairing — the IVF coarse
+    quantizer prunes the scan to ``n_probe`` cells, the PQ codes make
+    the scan WITHIN those cells 16x narrower, and exact cosine
+    reranks the bounded cut. At 100 TB of embeddings this is the
+    layout that works: cells are parquet partitions (partition-pruned
+    read), the per-cell payload is m small ints per vector, and the
+    only full-width vector reads are the k*rerank_factor rerank rows.
+
+    Both quantizers are the FIXED deterministic variants, so the
+    entire pipeline — cell assignment, code assignment, integer ADC,
+    rerank — replays exactly in the DuckDB oracle. With
+    ``n_probe = len(centroid_ids)`` and a full-cover rerank this
+    equals :func:`ivf_ann_fixed` (equality-tested), the same way PQ
+    alone equals brute force."""
+    indexed, cents = ivf_index_fixed(df, centroid_ids, vec_col, id_col)
+    _encode = pq_encode_arrow if arrow else pq_encode_fixed
+    encoded, books = _encode(indexed, codebook_ids, m, vec_col, id_col)
+    qrow = df.filter(F.col(id_col) == query_vec_id).select(vec_col).take(1)
+    if not qrow:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qvec = [float(x) for x in qrow[0][0]]
     q = df.sparkSession.createDataFrame(
         [(qvec,)], f"__qvec {df.schema[vec_col].dataType.simpleString()}"
     )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", F.round(cosine_expr("centroid", "__qvec"), 9))
+        .orderBy(F.col("__qsim").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select(F.col("cell").alias("__probe_cell"))
+    )
+    adc = _pq_adc_expr(qvec, books, m)
     cand = (
-        encoded.filter(F.col(id_col) != query_vec_id)
+        encoded.join(
+            F.broadcast(probe), F.col("__cell") == F.col("__probe_cell")
+        )
+        .filter(F.col(id_col) != query_vec_id)
         .withColumn("adc_dist", adc.cast("long"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k * rerank_factor)

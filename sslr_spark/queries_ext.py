@@ -860,6 +860,7 @@ from r where neg_rank <= 5
 """
 
 
+_IVF_CENT_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
 _PQ_CW_IDS = list(range(100, 116))  # ks=16 codewords, m=16 subspaces
 _PQ_M, _PQ_DSUB = 16, 4
 
@@ -954,6 +955,112 @@ from cand
 join embeddings e on e.vec_id = cand.vec_id
 cross join qv
 where {_NORM.format(a='e.embedding')} > 0 and {_NORM.format(a='qv.q')} > 0
+order by cos_sim desc, cand.vec_id
+limit 10
+"""
+
+
+def q_sim_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ (similarity.py ivfpq_topk_fixed): coarse cells prune
+    the scan to 3 of 8 probe cells, 16x-compressed PQ codes rank
+    within them via the integer ADC table, exact cosine reranks the
+    bounded cut — the classic billion-scale ANN pairing, fully
+    deterministic (both quantizers fixed) and oracle-replayed."""
+    return S.ivfpq_topk_fixed(
+        _emb(spark, sf_dir),
+        _IVF_CENT_IDS,
+        _PQ_CW_IDS,
+        query_vec_id=0,
+        k=10,
+        m=_PQ_M,
+        n_probe=3,
+    )
+
+
+SQL_SIM_TOPK_IVFPQ = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings where vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+q as (select embedding as qvec from embeddings where vec_id = 0),
+assigned as (
+  select vec_id, cell from (
+    select e.vec_id, c.cell,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+probe as (
+  select cell from (
+    select c.cell,
+           row_number() over (
+             order by round({_cos_sql('c.centroid', 'qvec')}, 9) desc, c.cell
+           ) as prn
+    from cents c cross join q
+  ) where prn <= 3
+),
+scoped as (
+  select e.vec_id, e.embedding from embeddings e
+  join assigned a on a.vec_id = e.vec_id
+  join probe p on p.cell = a.cell
+  where e.vec_id != 0
+),
+cw as (
+  select row_number() over (order by vec_id) - 1 as c,
+         {_pq_unit('embedding')} as cwv
+  from embeddings where vec_id in ({', '.join(map(str, _PQ_CW_IDS))})
+),
+qv as (select embedding as sq,
+              list_sum(list_transform(embedding, x ->
+                cast(x as double) * cast(x as double))) as qs
+       from embeddings where vec_id = 0),
+eb as (select vec_id, embedding as e,
+              list_sum(list_transform(embedding, x ->
+                cast(x as double) * cast(x as double))) as s
+       from scoped),
+enc as (
+  select e.vec_id, j.j, cw.c,
+         round({_PQ_D.format(
+             s='e.s',
+             dot=_PQ_SLICE_DOT.format(a='e.e', b='cw.cwv'),
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}, 9) as d
+  from eb e
+  cross join generate_series(0, {_PQ_M - 1}) as j(j)
+  cross join cw
+),
+codes as (
+  select vec_id, j, c from (
+    select enc.*, row_number() over (
+      partition by vec_id, j order by d, c
+    ) as rn from enc
+  ) where rn = 1
+),
+qd as (
+  select j.j, cw.c,
+         cast(floor(({_PQ_D.format(
+             s='qv.qs',
+             dot=_PQ_SLICE_DOT.format(a='qv.sq', b='cw.cwv'),
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}) * 1000000
+                    + 0.5) as bigint) as dq
+  from qv cross join generate_series(0, {_PQ_M - 1}) as j(j) cross join cw
+),
+adc as (
+  select codes.vec_id, cast(sum(qd.dq) as bigint) as adc_dist
+  from codes join qd on qd.j = codes.j and qd.c = codes.c
+  group by codes.vec_id
+),
+cand as (select * from adc order by adc_dist, vec_id limit 40)
+select cand.vec_id, cand.adc_dist,
+       round({_cos_sql('e.embedding', 'q.qvec')}, 6) as cos_sim
+from cand
+join embeddings e on e.vec_id = cand.vec_id
+cross join q
+where {_NORM.format(a='e.embedding')} > 0 and {_NORM.format(a='q.qvec')} > 0
 order by cos_sim desc, cand.vec_id
 limit 10
 """
@@ -1065,9 +1172,6 @@ where vec_id != 0 and bucket = qbucket
 order by cos_sim desc, vec_id
 limit 10
 """
-
-
-_IVF_CENT_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
 
 
 def q_sim_ivf_ann(spark, sf_dir):
@@ -2396,6 +2500,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_topk_pq": q_sim_topk_pq,
+    "sim_topk_ivfpq": q_sim_topk_ivfpq,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -2458,6 +2563,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
     "sim_topk_pq": SQL_SIM_TOPK_PQ,
+    "sim_topk_ivfpq": SQL_SIM_TOPK_IVFPQ,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

@@ -1340,3 +1340,24 @@ def test_prefix_candidates_wide_doc_no_overflow(spark):
     finally:
         spark.conf.unset("spark.sql.ansi.enabled")
     assert cand == {(1, 2)}
+
+
+def test_ivfpq_full_cover_equals_ivf(spark, emb):
+    """IVF-PQ with full probe + full-cover rerank must equal the
+    plain fixed-quantizer IVF at the same probe: the PQ pre-rank only
+    prunes; the rerank restores exact ordering within probed cells."""
+    from sslr_spark.functions.similarity import ivf_ann_fixed, ivfpq_topk_fixed
+
+    cents, cws = list(range(1, 9)), _PQ_IDS
+    n = emb.count()
+    a = [(r.vec_id, r.cos_sim) for r in ivfpq_topk_fixed(
+        emb, cents, cws, 0, k=10, m=16, n_probe=8,
+        rerank_factor=(n // 10) + 1,
+    ).collect()]
+    b = [(r.vec_id, r.cos_sim) for r in ivf_ann_fixed(
+        emb, cents, 0, k=10, n_probe=8,
+    ).collect()]
+    assert a == b
+    # pruned probe returns a bounded result from probed cells only
+    got = ivfpq_topk_fixed(emb, cents, cws, 0, k=10, m=16, n_probe=3)
+    assert got.count() == 10
