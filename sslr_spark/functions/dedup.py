@@ -287,8 +287,16 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     the prefix by one and silently drop true pairs — a lossless-ness
     bug, not a tuning knob. ppm resolution caps threshold precision
     at 1e-6, exactly the round-6 convention the Jaccard values
-    themselves use."""
-    t_ppm = int(round(float(threshold) * 1_000_000))
+    themselves use.
+
+    The ceiling uses ``t_ppm - 1``, not ``t_ppm``: the verify stage
+    filters on ROUND-6 Jaccard, which admits pairs with true J in
+    [t - 5e-7, t) — outside the prefix guarantee at t itself. One
+    ppm of slack extends the guarantee to exactly the rounding band
+    (true J >= t - 1e-6 covers everything round-6 keeps), so the
+    pruned plan stays bit-identical to the plain join at every
+    boundary. Cost: prefixes grow by at most one element."""
+    t_ppm = max(int(round(float(threshold) * 1_000_000)) - 1, 0)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
     # One aggregate builds each doc's canonically-ordered shingle
     # list; the prefix is an array slice. This replaces the earlier

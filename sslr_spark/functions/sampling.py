@@ -398,13 +398,18 @@ def shard_manifest(
     files-roundtrip probe): commutative, so it parallelizes without
     any ordered aggregation, and exact in any engine.
 
-    One map-side-combined aggregate over the shard assignment —
-    n_shards output rows regardless of corpus size."""
+    Exactly ``n_shards`` output rows regardless of corpus size —
+    including shards no row hashed into (n_rows = 0, null key range):
+    a trainer verifying shard-set completeness against the manifest
+    must see the empty shard as an explicit zero row, not infer it
+    from absence. The full-cover join is against an ``n_shards``-row
+    range — broadcast-trivial next to the map-side-combined aggregate
+    that does the real work."""
     from sslr_spark.functions.hashing import key_string
 
     cols = content_cols if content_cols is not None else [key_col]
     sig = F.pmod(h60(key_string(cols)), F.lit(1_000_000_000_000))
-    return (
+    agg = (
         shard_assign(df, n_shards, key_col, seed)
         .groupBy("shard")
         .agg(
@@ -419,6 +424,17 @@ def shard_manifest(
             .cast("long")
             .alias("content_sum"),
         )
+    )
+    shards = df.sparkSession.range(n_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    return shards.join(agg, "shard", "left").select(
+        "shard",
+        F.coalesce("n_rows", F.lit(0).cast("long")).alias("n_rows"),
+        F.coalesce("n_keys", F.lit(0).cast("long")).alias("n_keys"),
+        "min_key",
+        "max_key",
+        F.coalesce("content_sum", F.lit(0).cast("long")).alias("content_sum"),
     )
 
 

@@ -769,20 +769,33 @@ def pq_encode_fixed(
     ``d' = ||c||^2`` (guarded: without it 0/sqrt(0) is NaN), giving
     the deterministic all-ties argmin; the rerank drops them.
 
+    DETERMINISM CONTRACT (shared by this encoder, pq_encode_arrow,
+    _pq_adc_expr, and the DuckDB oracle SQL): no engine ever sums raw
+    doubles. Every sum — vector sum-of-squares, per-subspace dot,
+    codeword sum-of-squares — quantizes each TERM to a bigint first
+    (``floor(x*y * 1e12 + 0.5)``; a term is one or two IEEE-exact
+    binary ops on identical inputs), so the sums are integer and
+    order-free. The score then combines those integers through a
+    fixed sequence of single IEEE ops (cast, divide, sqrt, subtract —
+    each exactly rounded, hence engine-identical) and quantizes to a
+    bigint (``floor(d * 1e9 + 0.5)``); the argmin compares bigints
+    with ties to the LOWER codeword index in every path (expression
+    ``array_position(min)`` first-match, numpy ``argmin`` first-match,
+    SQL ``row_number order by d, c``). Unspecified summation order —
+    the one cross-engine wobble a float spelling leaves open — cannot
+    flip a code or an ADC cut here.
+
     Per subspace the scoring is THREE array expressions — a
     ``transform`` over the 2-D codeword literal computing all ks dots,
     a ``zip_with`` applying the score, and
-    ``array_position(d', array_min(d'))`` for the argmin (first-match
-    semantics = ties to the LOWER codeword index, matching the
-    oracle's ``row_number ... order by d, c``). No per-candidate
-    expression expansion: the expanded-struct form re-inlined the
-    norm subtree into every candidate and took Catalyst/codegen 160+ s
-    at m=16, ks=16 for a 2000-row input; a per-candidate ``aggregate``
-    fold still spent ~18 s in interpreted lambda machinery. This form
-    encodes the same input in well under a second.
-
-    Scores round to 9 decimals like the IVF quantizer. Pure per-row
-    map — zero shuffle, zero row amplification (plan-pinned).
+    ``array_position(d', array_min(d'))`` for the argmin. No
+    per-candidate expression expansion: the expanded-struct form
+    re-inlined the norm subtree into every candidate and took
+    Catalyst/codegen 160+ s at m=16, ks=16 for a 2000-row input; a
+    per-candidate ``aggregate`` fold still spent ~18 s in interpreted
+    lambda machinery. This form encodes the same input in well under
+    a second. Pure per-row map — zero shuffle, zero row amplification
+    (plan-pinned).
 
     Returns (encoded df with an array<int> ``__codes`` column,
     codebooks as [subspace][codeword][dim] Python lists — normalized).
@@ -800,43 +813,53 @@ def pq_encode_fixed(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
-    def _unit(vec) -> list[float]:
-        n = _l2(vec)
-        return [float(x) / n if n > 0 else float(x) for x in vec]
-
-    units = [_unit(r.cw) for r in rows]
+    units = [_unit_quantized(r.cw) for r in rows]
     books = [
         [u[j * dsub:(j + 1) * dsub] for u in units] for j in range(m)
     ]
     cwsq = [
-        [_sumsq(cw) for cw in books[j]] for j in range(m)
+        [_sumsq_int(cw) for cw in books[j]] for j in range(m)
     ]
-    s_full = F.aggregate(
+    s_int = F.aggregate(
         F.transform(
-            F.col(vec_col), lambda x: x.cast("double") * x.cast("double")
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e12)
+                + F.lit(0.5)
+            ),
         ),
-        F.lit(0.0),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    s_d = s_int.cast("double") / F.lit(1e12)
     code_cols = []
     for j in range(m):
         sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
         dots = F.transform(
             F.lit(books[j]),  # array<array<double>>: ks x dsub
             lambda cw: F.aggregate(
-                F.zip_with(sub, cw, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
+                F.zip_with(
+                    sub,
+                    cw,
+                    lambda x, y: F.floor(
+                        x.cast("double") * y * F.lit(1e12) + F.lit(0.5)
+                    ),
+                ),
+                F.lit(0).cast("long"),
                 lambda a, v: a + v,
             ),
         )
         scores = F.zip_with(
             dots,
             F.lit(cwsq[j]),
-            lambda dt, cq: F.round(
-                F.when(s_full == 0, cq).otherwise(
-                    cq - F.lit(2.0) * dt / F.sqrt(s_full)
-                ),
-                9,
+            lambda dt, cq: F.floor(
+                F.when(s_int == 0, cq.cast("double") / F.lit(1e12)).otherwise(
+                    cq.cast("double") / F.lit(1e12)
+                    - (F.lit(2.0) * (dt.cast("double") / F.lit(1e12)))
+                    / F.sqrt(s_d)
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
             ),
         )
         code_cols.append(
@@ -845,11 +868,59 @@ def pq_encode_fixed(
     return df.withColumn("__codes", F.array(*code_cols)), books
 
 
-def _sumsq(vec) -> float:
-    acc = 0.0
+def _sumsq_int(vec) -> int:
+    """Order-free sum of squares: each term quantized to a bigint
+    (``floor(x*x * 1e12 + 0.5)``) before summation, so any engine —
+    Python, JVM expressions, numpy, DuckDB — produces the identical
+    integer regardless of fold order. Terms stay < 2^53 for |x| <~ 30,
+    far above embedding magnitudes."""
+    import math
+
+    acc = 0
     for x in vec:
-        acc += float(x) * float(x)
+        xd = float(x)
+        acc += int(math.floor(xd * xd * 1e12 + 0.5))
     return acc
+
+
+def _dot_int(a, b) -> int:
+    """Order-free dot product under the same per-term bigint
+    quantization as :func:`_sumsq_int`."""
+    import math
+
+    acc = 0
+    for x, y in zip(a, b):
+        acc += int(math.floor(float(x) * float(y) * 1e12 + 0.5))
+    return acc
+
+
+def _unit_quantized(vec) -> list[float]:
+    """Unit-normalize with the quantized norm ``sqrt(sumsq_int/1e12)``
+    — each output element is one IEEE division of identical inputs,
+    so every engine reconstructing the codebook gets bit-identical
+    doubles (a float-summed norm would not guarantee that)."""
+    import math
+
+    sq = _sumsq_int(vec)
+    if sq == 0:
+        return [float(x) for x in vec]
+    n = math.sqrt(sq / 1e12)
+    return [float(x) / n for x in vec]
+
+
+def _pq_score(cwsq_int: int, dot_int: int, s_int: int) -> float:
+    """The canonical reduced score ``cwsq - 2*dot/sqrt(s)`` from the
+    integer-quantized components, as a FIXED sequence of single IEEE
+    ops (each exactly rounded, hence engine-identical). Mirrored
+    op-for-op by the Spark expression in pq_encode_fixed, the numpy
+    path in pq_encode_arrow, and the oracle SQL."""
+    import math
+
+    if s_int == 0:
+        return cwsq_int / 1e12
+    return cwsq_int / 1e12 - (2.0 * (dot_int / 1e12)) / math.sqrt(
+        s_int / 1e12
+    )
 
 
 def pq_topk_fixed(
@@ -921,30 +992,25 @@ def pq_topk_fixed(
 def _pq_adc_expr(qvec: list[float], books, m: int):
     """Integer ADC score expression for a query vector against
     ``__codes``: the per-(subspace, codeword) distance table computed
-    driver-side with the SAME reduced unit-normalized score the
-    encoders use (cwsq - 2*dot/sqrt(s); the per-row constant term
-    shifts every total equally and is dropped), index-ordered folds —
-    the exact op sequence the SQL oracle's list_sum/generate_series
-    spellings run — then scaled to bigints (floor(d*1e6 + 0.5)) so
-    per-row sums are order-free and engine-exact. Shared by
-    :func:`pq_topk_fixed` and :func:`ivfpq_topk_fixed`."""
+    driver-side with the SAME integer-quantized reduced score the
+    encoders use (every sum is a sum of per-term bigints; every float
+    op a single exactly-rounded IEEE op — see pq_encode_fixed's
+    determinism contract), then scaled to bigints
+    (``floor(d * 1e6 + 0.5)``) so per-row ADC sums are order-free and
+    engine-exact. The oracle SQL re-derives the identical table from
+    the same stored floats because no step depends on summation
+    order. Shared by :func:`pq_topk_fixed` and
+    :func:`ivfpq_topk_fixed`."""
     import math
 
-    qs_full = _sumsq(qvec)
+    qs_int = _sumsq_int(qvec)
     dsub = len(qvec) // m
     dtab = []
     for j in range(m):
         qsub = qvec[j * dsub:(j + 1) * dsub]
         row = []
         for cw in books[j]:
-            cwsq_v = _sumsq(cw)
-            if qs_full == 0:
-                d = cwsq_v
-            else:
-                qdot = 0.0
-                for a, b in zip(qsub, cw):
-                    qdot += a * b
-                d = cwsq_v - 2.0 * qdot / math.sqrt(qs_full)
+            d = _pq_score(_sumsq_int(cw), _dot_int(qsub, cw), qs_int)
             row.append(int(math.floor(d * 1_000_000 + 0.5)))
         dtab.append(row)
     adc = None
@@ -1038,19 +1104,22 @@ def pq_encode_arrow(
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, list[list[list[float]]]]:
     """Arrow-batched numpy variant of :func:`pq_encode_fixed`: per
-    record batch, ALL subspace scores come from one einsum
-    (batch x subspace x codeword), argmin per (row, subspace) — the
-    production encoder. The JVM expression form scores each codeword
-    through interpreted lambda machinery (~3 ms/row at m=16, ks=16);
-    this path is three vectorized ops per batch, and is what a GPU
-    encoder would look like too.
+    record batch, all subspace scores come from vectorized numpy ops,
+    argmin per (row, subspace) — the production encoder. The JVM
+    expression form scores each codeword through interpreted lambda
+    machinery (~3 ms/row at m=16, ks=16); this path is a handful of
+    vectorized ops per batch, and is what a GPU encoder would look
+    like too.
 
-    Same reduced unit-normalized score as pq_encode_fixed
-    (cwsq - 2*dot/sqrt(s), rounded to 9 decimals, ties to the lower
-    codeword; zero-norm rows take cwsq). Equality-tested against the
-    expression path on the fixture corpora — the two can differ only
-    when two codewords land within one ULP of the same rounded score
-    (numpy half-even vs JVM HALF_UP at an exact 5e-10 boundary).
+    Implements pq_encode_fixed's determinism contract op-for-op:
+    per-term bigint quantization (``floor(x*y*1e12 + 0.5)``) makes
+    every sum integer and order-free; the score combines those
+    integers through the identical single-IEEE-op sequence; the final
+    bigint quantization (``floor(d*1e9 + 0.5)``) means argmin ties
+    are EXACT integer ties, broken to the lower codeword index by
+    numpy's first-match argmin — the same winner as the expression
+    path and the SQL oracle's ``order by d, c``, on every input, not
+    just non-adversarial ones.
 
     Returns (encoded df with ``__codes``, normalized codebooks)."""
     import numpy as np
@@ -1068,16 +1137,16 @@ def pq_encode_arrow(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
 
-    def _unit(vec):
-        n = _l2(vec)
-        return [float(x) / n if n > 0 else float(x) for x in vec]
-
-    units = [_unit(r.cw) for r in rows]
+    units = [_unit_quantized(r.cw) for r in rows]
     books = [
         [u[j * dsub:(j + 1) * dsub] for u in units] for j in range(m)
     ]
     bk = np.asarray(books, dtype=np.float64)          # (m, ks, dsub)
-    cwsq = (bk * bk).sum(axis=2)                      # (m, ks)
+    cwsq_int = np.asarray(
+        [[_sumsq_int(cw) for cw in books[j]] for j in range(m)],
+        dtype=np.int64,
+    )                                                 # (m, ks)
+    cwsq_d = cwsq_int / 1e12                          # (m, ks) exact inputs
 
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
@@ -1089,15 +1158,27 @@ def pq_encode_arrow(
                 x = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )                                      # (n, dim)
-                s = (x * x).sum(axis=1)                # (n,)
+                s_int = (
+                    np.floor((x * x) * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+                )                                      # (n,)
                 xs = x.reshape(len(pdf), m, dsub)      # (n, m, dsub)
-                dots = np.einsum("nmd,mkd->nmk", xs, bk)
-                inv = np.zeros_like(s)
-                nz = s > 0
-                inv[nz] = 2.0 / np.sqrt(s[nz])
-                scores = cwsq[None, :, :] - dots * inv[:, None, None]
-                scores = np.round(scores, 9)
-                codes = scores.argmin(axis=2).astype("int32")  # first min
+                prods = xs[:, :, None, :] * bk[None, :, :, :]
+                dot_int = (
+                    np.floor(prods * 1e12 + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=3)
+                )                                      # (n, m, ks)
+                rt = np.sqrt(s_int / 1e12)             # (n,)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = (
+                        cwsq_d[None, :, :]
+                        - (2.0 * (dot_int / 1e12)) / rt[:, None, None]
+                    )
+                d = np.where(
+                    (s_int == 0)[:, None, None], cwsq_d[None, :, :], d
+                )
+                d_q = np.floor(d * 1e9 + 0.5).astype(np.int64)
+                codes = d_q.argmin(axis=2).astype("int32")  # first min
                 pdf = pdf.copy()
                 pdf["__codes"] = [c.tolist() for c in codes]
             else:

@@ -101,7 +101,13 @@ def get_update_range(
     if force_full or state.last_seen_version == 0 or not target.table_exists(table):
         return UpdateRange(True, 0, end_version)
 
-    target_count = target.read(table).count()
+    # metadata-only when the adapter can answer from file footers
+    # (parquet: exact, zero Spark jobs); count job otherwise
+    target_count = None
+    if hasattr(target, "table_rows"):
+        target_count = target.table_rows(table)
+    if target_count is None:
+        target_count = target.read(table).count()
     if target_count < source_count * full_copy_threshold:
         # Stale target: incremental catch-up would be slower than copy
         # (reference internal/updates.go:53-62).
@@ -421,7 +427,10 @@ def sync_updates(
                     bucket_hash=bucket_hash,
                     sort_cols=pk_cols,
                 )
-            rows = target.read(table).count()
+            # footer-exact, no count job over the just-written table
+            rows = target.table_rows(table)
+            if rows is None:
+                rows = target.read(table).count()
         else:
             with throttle:  # the copy job reads the source end-to-end
                 rows = copy_full_table(

@@ -875,32 +875,52 @@ def q_sim_topk_pq(spark, sf_dir):
     )
 
 
-_PQ_UNIT = (
-    "case when {n} = 0 then list_transform({a}, x -> cast(x as double)) "
-    "else list_transform({a}, x -> cast(x as double) / {n}) end"
+# PQ determinism contract (see similarity.py pq_encode_fixed): every
+# sum quantizes each TERM to a bigint first (floor(x*y*1e12 + 0.5)),
+# so sums are integer and order-free in any engine; the score then
+# combines the integers through single exactly-rounded IEEE ops.
+# These spellings replay the Spark/numpy/driver-Python arithmetic
+# op-for-op — no double fold whose order DuckDB could pick
+# differently survives anywhere in the PQ oracle.
+_PQ_SQSUM_INT = (
+    "list_sum(list_transform({a}, x -> "
+    "cast(floor(cast(x as double) * cast(x as double) * 1e12 + 0.5) "
+    "as bigint)))"
 )
 
 
 def _pq_unit(a: str) -> str:
-    return _PQ_UNIT.format(a=a, n=_NORM.format(a=a))
+    """Unit-normalize by the quantized norm sqrt(sumsq_int/1e12) —
+    mirrors similarity.py _unit_quantized element-for-element."""
+    sq = _PQ_SQSUM_INT.format(a=a)
+    return (
+        f"case when {sq} = 0 then list_transform({a}, x -> "
+        f"cast(x as double)) else list_transform({a}, x -> "
+        f"cast(x as double) / sqrt(cast({sq} as double) / 1e12)) end"
+    )
 
 
 _PQ_SLICE_SQ = (
     "list_sum(list_transform(generate_series(1, {d}), i -> "
-    "cast({a}[j.j * {d} + i] as double)"
-    " * cast({a}[j.j * {d} + i] as double)))"
+    "cast(floor({a}[j.j * {d} + i] * {a}[j.j * {d} + i] * 1e12 + 0.5) "
+    "as bigint)))"
 ).format(d=_PQ_DSUB, a="{a}")
 _PQ_SLICE_DOT = (
     "list_sum(list_transform(generate_series(1, {d}), i -> "
-    "cast({a}[j.j * {d} + i] as double) * {b}[j.j * {d} + i]))"
+    "cast(floor(cast({a}[j.j * {d} + i] as double)"
+    " * {b}[j.j * {d} + i] * 1e12 + 0.5) as bigint)))"
 ).format(d=_PQ_DSUB, a="{a}", b="{b}")
 # reduced unit-normalized score: cwsq - 2*dot/sqrt(s) — the per-row
 # constant subsq/s term of the L2 expansion is dropped in BOTH
 # engines (same argmin, rank-invariant ADC shift); s = 0 guarded
-# (0/sqrt(0) is NaN). Exact op sequence pq_encode/pq_topk run.
+# (0/sqrt(0) is NaN). {s}/{dot}/{cwsq} are the INTEGER-quantized
+# components; the op sequence below is the exact one _pq_score /
+# pq_encode_fixed / pq_encode_arrow run.
 _PQ_D = (
-    "case when {s} = 0 then {cwsq} else "
-    "{cwsq} - 2.0 * {dot} / sqrt({s}) end"
+    "case when {s} = 0 then cast({cwsq} as double) / 1e12 else "
+    "cast({cwsq} as double) / 1e12 - "
+    "(2.0 * (cast({dot} as double) / 1e12)) / "
+    "sqrt(cast({s} as double) / 1e12) end"
 )
 SQL_SIM_TOPK_PQ = f"""
 with cw as (
@@ -909,19 +929,18 @@ with cw as (
   from embeddings where vec_id in ({', '.join(map(str, _PQ_CW_IDS))})
 ),
 qv as (select embedding as q,
-              list_sum(list_transform(embedding, x ->
-                cast(x as double) * cast(x as double))) as qs
+              {_PQ_SQSUM_INT.format(a='embedding')} as qs
        from embeddings where vec_id = 0),
 eb as (select vec_id, embedding as e,
-              list_sum(list_transform(embedding, x ->
-                cast(x as double) * cast(x as double))) as s
+              {_PQ_SQSUM_INT.format(a='embedding')} as s
        from embeddings),
 enc as (
   select e.vec_id, j.j, cw.c,
-         round({_PQ_D.format(
+         cast(floor(({_PQ_D.format(
              s='e.s',
              dot=_PQ_SLICE_DOT.format(a='e.e', b='cw.cwv'),
-             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}, 9) as d
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}) * 1e9
+                    + 0.5) as bigint) as d
   from eb e
   cross join generate_series(0, {_PQ_M - 1}) as j(j)
   cross join cw
@@ -1016,19 +1035,18 @@ cw as (
   from embeddings where vec_id in ({', '.join(map(str, _PQ_CW_IDS))})
 ),
 qv as (select embedding as sq,
-              list_sum(list_transform(embedding, x ->
-                cast(x as double) * cast(x as double))) as qs
+              {_PQ_SQSUM_INT.format(a='embedding')} as qs
        from embeddings where vec_id = 0),
 eb as (select vec_id, embedding as e,
-              list_sum(list_transform(embedding, x ->
-                cast(x as double) * cast(x as double))) as s
+              {_PQ_SQSUM_INT.format(a='embedding')} as s
        from scoped),
 enc as (
   select e.vec_id, j.j, cw.c,
-         round({_PQ_D.format(
+         cast(floor(({_PQ_D.format(
              s='e.s',
              dot=_PQ_SLICE_DOT.format(a='e.e', b='cw.cwv'),
-             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}, 9) as d
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}) * 1e9
+                    + 0.5) as bigint) as d
   from eb e
   cross join generate_series(0, {_PQ_M - 1}) as j(j)
   cross join cw
@@ -1977,15 +1995,24 @@ with s as (
          {_SHARD_SIG} % 1000000000000 as sig,
          doc_id
   from documents
+),
+agg as (
+  select shard,
+         cast(count(*) as bigint) as n_rows,
+         cast(count(distinct doc_id) as bigint) as n_keys,
+         min(doc_id) as min_key,
+         max(doc_id) as max_key,
+         cast(sum(cast(sig as decimal(38,0))) % 1000000000000 as bigint)
+           as content_sum
+  from s group by shard
 )
-select shard,
-       cast(count(*) as bigint) as n_rows,
-       cast(count(distinct doc_id) as bigint) as n_keys,
-       min(doc_id) as min_key,
-       max(doc_id) as max_key,
-       cast(sum(cast(sig as decimal(38,0))) % 1000000000000 as bigint)
-         as content_sum
-from s group by shard
+select g.shard,
+       coalesce(agg.n_rows, 0) as n_rows,
+       coalesce(agg.n_keys, 0) as n_keys,
+       agg.min_key, agg.max_key,
+       coalesce(agg.content_sum, 0) as content_sum
+from (select cast(range as int) as shard from range(0, 16)) g
+left join agg on agg.shard = g.shard
 """
 
 

@@ -255,6 +255,29 @@ class ParquetDatabase:
             out = out.sortWithinPartitions(partition_col, *sort_cols)
         return out
 
+    def table_rows(self, table: str) -> int | None:
+        """Exact row count from parquet FOOTER metadata only — every
+        data file's footer carries num_rows, so this is a handful of
+        footer reads, no Spark job and no data pages. Parquet has no
+        delete vectors, so the footer sum equals ``read().count()``
+        exactly; the staleness probe (operators/updates.py
+        get_update_range) runs every incremental pass and must not
+        pay a full scan of a wide target for one integer. Returns
+        None for a missing table (callers fall back to a count job
+        on adapters without footer statistics)."""
+        if not self.table_exists(table):
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _, files in os.walk(self.path(table)):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, f)
+                    ).metadata.num_rows
+        return total
+
     def table_bytes(self, table: str) -> int:
         """On-disk size of a table (data files only) — a free cost
         signal for plan choices (e.g. shuffle-avoiding vs one-shot

@@ -76,6 +76,30 @@ def test_star_handles_deep_chain_in_few_rounds(spark):
     assert all(r.cluster_id == 0 for r in out)
 
 
+def test_star_1k_chain_logarithmic_round_bound(spark):
+    """Property pinning the O(log n) recurrence itself: a 1000-edge
+    chain (1001 nodes, diameter 1000) must converge within
+    ceil(log2(n)) + 2 = 12 star rounds — if the alternating
+    large/small-star contraction ever regressed toward per-hop
+    propagation, this chain would need ~1000 rounds and the warning
+    below would fire."""
+    import math
+    import warnings
+
+    from sslr_spark.functions.dedup import dup_clusters_star
+
+    n = 1001
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    budget = math.ceil(math.log2(n)) + 2
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # non-convergence warns
+        out = dup_clusters_star(pairs, max_rounds=budget).collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 for r in out)
+
+
 def test_cluster_keep_best_prefers_score_then_min_id(spark):
     from pyspark.sql import functions as F
 

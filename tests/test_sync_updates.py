@@ -86,6 +86,40 @@ def test_stale_target_triggers_full_copy(spark, source_db, target_db):
     assert_df_equal(target_db.read("timestamps"), src, ["id"])
 
 
+def test_staleness_probe_is_metadata_only(spark, source_db, target_db):
+    """The staleness branch must answer the target count from parquet
+    footers, never a scan: get_update_range runs every incremental
+    pass, and a count job over a wide 100 TB target would dwarf the
+    incremental work it gates. Proven by making any target READ blow
+    up — only footer metadata may be touched — and checking both
+    decision directions still come out right."""
+    from sslr_spark.operators.updates import get_update_range
+    from sslr_spark.state import TableState
+
+    src = make_timestamps(spark, 1000)
+    source_db.overwrite("timestamps", src)
+    target_db.overwrite("timestamps", src.filter(F.col("id") < 600))
+
+    def _no_reads(*a, **k):
+        raise AssertionError("staleness probe ran a Spark read on the target")
+
+    target_db.read = _no_reads  # instance-level: footer path only
+    state = TableState("timestamps", 100, "")
+    rng = get_update_range(
+        source_db.read("timestamps"), target_db, "timestamps", state
+    )
+    assert not rng.full_table  # 600 >= 0.5 * 1000: incremental
+
+    # footer-exact count also flips the decision the other way
+    assert target_db.table_rows("timestamps") == 600
+    src_big = make_timestamps(spark, 2000)
+    source_db.overwrite("timestamps", src_big)
+    rng = get_update_range(
+        source_db.read("timestamps"), target_db, "timestamps", state
+    )
+    assert rng.full_table  # 600 < 0.5 * 2000: stale => full copy
+
+
 def test_filtered_sync(spark, source_db, target_db):
     src = make_timestamps(spark, 400)
     source_db.overwrite("timestamps", src)
