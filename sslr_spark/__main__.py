@@ -52,6 +52,26 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(shuffle_partitions=config.shuffle_partitions)
     job = Job(spark, config)
     import json
+    import signal
+
+    # The reference traps SIGINT AND SIGTERM and drains gracefully
+    # with exit code 2 (main.go:66-73); any process supervisor
+    # (systemd, k8s) stops with SIGTERM, so without this the loop
+    # dies mid-pass instead of finishing the in-flight pass and
+    # committing its watermark. SIGINT keeps its KeyboardInterrupt
+    # path below; SIGTERM requests a graceful stop via job.stop().
+    terminated = False
+    prev_term = None
+
+    def _graceful_term(signum, frame):
+        nonlocal terminated
+        terminated = True
+        job.stop()
+
+    try:
+        prev_term = signal.signal(signal.SIGTERM, _graceful_term)
+    except ValueError:
+        prev_term = None  # not the main thread (library embedding)
 
     try:
         if args.dry_run:
@@ -86,7 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as e:
         print(f"job error: {e}", file=sys.stderr)
         return 1
-    return 0
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
+    return 2 if terminated else 0
 
 
 if __name__ == "__main__":

@@ -1,20 +1,25 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode itself is a
-clearly-marked deterministic STUB — but everything Spark-side is real
-and tested: the binary column representation, the output schema, the
-mapInPandas batch shape, and the partitioning story (decode is
-embarrassingly parallel; batches stream through Arrow without
-driver involvement).
+Two decode tiers:
 
-Swap `_decode_stub` for a real decoder (PIL/ffmpeg) and nothing else
-changes — that is the point of the plumbing.
+- :func:`decode_media` is a REAL decoder for headered formats — BMP
+  dimensions and WAV sample rate / duration parse straight out of the
+  file bytes with ``struct``, no codec library needed. This is the
+  production shape end-to-end: magic-number sniffing, header-offset
+  arithmetic, chunk walking, all inside the Arrow batch loop.
+- :func:`decode_metadata` keeps the clearly-marked deterministic STUB
+  for formats that genuinely need a codec (JPEG/MP4/...; the container
+  ships none) — everything Spark-side (binary representation, output
+  schema, batch shape, embarrassingly-parallel partitioning) is real
+  and tested; swap `_decode_stub` for PIL/ffmpeg and nothing else
+  changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -81,6 +86,184 @@ def decode_metadata(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# real header decode (BMP / WAV) — no codec library required
+# ------------------------------------------------------------------
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def parse_bmp(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a BMP header: 'BM' magic, DIB header size
+    at byte 14; BITMAPINFOHEADER (and later) carry int32-LE
+    width/height at bytes 18/22 (negative height = top-down row
+    order); the ancient BITMAPCOREHEADER carries uint16 at 18/20."""
+    if len(b) < 22 or b[:2] != b"BM":
+        return None
+    hsz = struct.unpack_from("<I", b, 14)[0]
+    if hsz >= 40 and len(b) >= 26:
+        w, h = struct.unpack_from("<ii", b, 18)
+        return w, abs(h)
+    if hsz == 12 and len(b) >= 22:
+        w, h = struct.unpack_from("<HH", b, 18)
+        return w, h
+    return None
+
+
+def parse_wav(b: bytes) -> tuple[int, int] | None:
+    """(sample_rate, duration_ms) from a RIFF/WAVE file by walking
+    its chunk list: sample rate and byte rate come from the `fmt `
+    chunk, duration = data-chunk size / byte rate (floor ms). Chunks
+    are word-aligned (odd sizes pad one byte)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, rate, byte_rate, data_size = 12, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt " and pos + 20 <= len(b):
+            rate = struct.unpack_from("<I", b, pos + 12)[0]
+            byte_rate = struct.unpack_from("<I", b, pos + 16)[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if not rate or not byte_rate or data_size is None:
+        return None
+    return rate, data_size * 1000 // byte_rate
+
+
+def decode_media(binary_df: DataFrame) -> DataFrame:
+    """REAL metadata decode for headered media formats, Arrow-batched:
+    sniffs the magic number per payload and parses BMP dimensions /
+    WAV rate+duration straight from the bytes (:func:`parse_bmp`,
+    :func:`parse_wav`). Unknown formats pass through with fmt
+    'unknown' and null media fields — triage them with
+    :func:`binary_meta` before spending codec cost. Pure per-row
+    map over (doc_id, payload): embarrassingly parallel, no shuffle,
+    no driver involvement."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "fmt": [],
+                "n_bytes": [],
+                "width": [],
+                "height": [],
+                "sample_rate": [],
+                "duration_ms": [],
+            }
+            for p in pdf["payload"]:
+                b = bytes(p)
+                out["n_bytes"].append(len(b))
+                bmp = parse_bmp(b)
+                wav = parse_wav(b) if bmp is None else None
+                if bmp is not None:
+                    out["fmt"].append("bmp")
+                    out["width"].append(bmp[0])
+                    out["height"].append(bmp[1])
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(None)
+                elif wav is not None:
+                    out["fmt"].append("wav")
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["sample_rate"].append(wav[0])
+                    out["duration_ms"].append(wav[1])
+                else:
+                    out["fmt"].append("unknown")
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "fmt": out["fmt"],
+                    "n_bytes": pd.array(out["n_bytes"], dtype="Int64"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        out["sample_rate"], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        out["duration_ms"], dtype="Int32"
+                    ),
+                }
+            )
+
+    return binary_df.mapInPandas(decode, MEDIA_SCHEMA)
+
+
+def make_bmp(width: int, height: int) -> bytes:
+    """A complete, viewer-openable 24-bit BMP of the given dimensions
+    (zeroed pixels, 4-byte-aligned row stride)."""
+    stride = ((width * 3 + 3) // 4) * 4
+    data = bytes(stride * height)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + data
+
+
+def make_wav(sample_rate: int, n_samples: int) -> bytes:
+    """A complete 16-bit mono PCM WAV (silence) at the given rate."""
+    data = bytes(n_samples * 2)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def synthesize_media(df: DataFrame) -> DataFrame:
+    """Deterministic media corpus over (doc_id, n_chars): even doc_ids
+    become real BMPs (width 4 + doc_id % 29, height 4 + n_chars % 31),
+    odd doc_ids real WAVs (rate 8000 * (1 + doc_id % 5), 16-bit mono,
+    100 + n_chars % 400 samples). The formulas are plain column
+    arithmetic, so an oracle can predict every decoded field without
+    parsing bytes — which is exactly what makes the real decoder
+    end-to-end verifiable: construct from formulas, decode from BYTES,
+    compare. Arrow-batched map, (doc_id, payload) out."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                if d % 2 == 0:
+                    payloads.append(make_bmp(4 + d % 29, 4 + c % 31))
+                else:
+                    payloads.append(
+                        make_wav(8000 * (1 + d % 5), 100 + c % 400)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return df.select("doc_id", "n_chars").mapInPandas(build, out_schema)
 
 
 FEATURE_DIM = 16

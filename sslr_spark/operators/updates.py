@@ -42,11 +42,17 @@ from sslr_spark.state import StateStore, TableState
 
 @dataclass
 class UpdateRange:
-    """Mirror of the reference's updateRange (internal/updates.go:13-17)."""
+    """Mirror of the reference's updateRange (internal/updates.go:13-17).
+
+    ``source_rows`` rides along from the A1 probe when known — the
+    full-copy branch feeds it to the in-flight progress reporter
+    (operators/copy.py CopyProgressReporter) so tier logging costs no
+    extra count."""
 
     full_table: bool
     start_version: int
     end_version: int
+    source_rows: int | None = None
 
 
 def get_update_range(
@@ -99,7 +105,7 @@ def get_update_range(
     end_version = int(row["hi"]) if row["hi"] is not None else 0
 
     if force_full or state.last_seen_version == 0 or not target.table_exists(table):
-        return UpdateRange(True, 0, end_version)
+        return UpdateRange(True, 0, end_version, source_rows=source_count)
 
     # metadata-only when the adapter can answer from file footers
     # (parquet: exact, zero Spark jobs); count job otherwise
@@ -111,9 +117,12 @@ def get_update_range(
     if target_count < source_count * full_copy_threshold:
         # Stale target: incremental catch-up would be slower than copy
         # (reference internal/updates.go:53-62).
-        return UpdateRange(True, 0, end_version)
+        return UpdateRange(True, 0, end_version, source_rows=source_count)
 
-    return UpdateRange(False, state.last_seen_version + 1, end_version)
+    return UpdateRange(
+        False, state.last_seen_version + 1, end_version,
+        source_rows=source_count,
+    )
 
 
 def dedup_latest_version(
@@ -419,14 +428,19 @@ def sync_updates(
             sp = int(
                 target.spark.conf.get("spark.sql.shuffle.partitions", "200")
             )
+            from sslr_spark.operators.copy import CopyProgressReporter
+
             with throttle:  # the copy job reads the source end-to-end
-                target.overwrite_partitioned(
-                    table, df, BUCKET_COL,
-                    n_buckets=n_buckets,
-                    files_per_bucket=max(1, sp // n_buckets),
-                    bucket_hash=bucket_hash,
-                    sort_cols=pk_cols,
-                )
+                with CopyProgressReporter(
+                    target.spark, rng.source_rows, table
+                ):
+                    target.overwrite_partitioned(
+                        table, df, BUCKET_COL,
+                        n_buckets=n_buckets,
+                        files_per_bucket=max(1, sp // n_buckets),
+                        bucket_hash=bucket_hash,
+                        sort_cols=pk_cols,
+                    )
             # footer-exact, no count job over the just-written table
             rows = target.table_rows(table)
             if rows is None:
@@ -434,7 +448,8 @@ def sync_updates(
         else:
             with throttle:  # the copy job reads the source end-to-end
                 rows = copy_full_table(
-                    source_df, target, table, where, drop_version=drop_col
+                    source_df, target, table, where, drop_version=drop_col,
+                    expected_rows=rng.source_rows,
                 )
         state_store.set(TableState(table, rng.end_version, where or ""))
         return rows

@@ -1278,6 +1278,45 @@ from documents
 """
 
 
+def q_mm_decode_real(spark, sf_dir):
+    """REAL header decode, end-to-end verified: documents rows become
+    genuine BMP/WAV files (multimodal.py synthesize_media — dimensions
+    and sample counts are plain formulas over doc_id/n_chars), then
+    decode_media parses width/height/rate/duration back OUT OF THE
+    BYTES with struct offset arithmetic. The oracle predicts every
+    field from the construction formulas alone — any endianness,
+    offset, stride, or chunk-walk bug in the parser diverges from it."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return M.decode_media(M.synthesize_media(docs))
+
+
+# predicts decode_media's output from synthesize_media's formulas:
+# even doc_id -> BMP w=4+id%29, h=4+n_chars%31, bytes=54+stride*h
+# (stride = 3w rounded up to 4); odd -> 16-bit mono WAV,
+# rate=8000*(1+id%5), samples=100+n_chars%400, bytes=44+2*samples,
+# duration_ms = floor(data_bytes*1000 / byte_rate) = samples*1000//rate
+SQL_MM_DECODE_REAL = """
+select doc_id,
+       case when doc_id % 2 = 0 then 'bmp' else 'wav' end as fmt,
+       cast(case when doc_id % 2 = 0
+                 then 54 + ((((4 + doc_id % 29) * 3 + 3) // 4) * 4)
+                          * (4 + n_chars % 31)
+                 else 44 + (100 + n_chars % 400) * 2 end as bigint)
+         as n_bytes,
+       cast(case when doc_id % 2 = 0 then 4 + doc_id % 29 end as int)
+         as width,
+       cast(case when doc_id % 2 = 0 then 4 + n_chars % 31 end as int)
+         as height,
+       cast(case when doc_id % 2 = 1 then 8000 * (1 + doc_id % 5) end
+            as int) as sample_rate,
+       cast(case when doc_id % 2 = 1
+                 then ((100 + n_chars % 400) * 2 * 1000)
+                      // (8000 * (1 + doc_id % 5) * 2) end
+            as int) as duration_ms
+from documents where doc_id < 300
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -2560,6 +2599,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_ann": q_sim_ivf_ann,
     "sim_knn_blocked": q_sim_knn_blocked,
     "mm_binary_meta": q_mm_binary_meta,
+    "mm_decode_real": q_mm_decode_real,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
@@ -2623,6 +2663,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_ivf_ann": SQL_SIM_IVF,
     "sim_knn_blocked": SQL_SIM_KNN,
     "mm_binary_meta": SQL_MM_META,
+    "mm_decode_real": SQL_MM_DECODE_REAL,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_frame_sample": SQL_MM_FRAMES,

@@ -33,6 +33,55 @@ def test_cli_run_once(spark, tmp_path, capsys):
     assert "50 rows updated" in capsys.readouterr().out
 
 
+def test_cli_sigterm_drains_and_exits_2(spark, tmp_path):
+    """SIGTERM mid-continuous-run (reference main.go:66-73): the loop
+    finishes the in-flight pass — the watermark lands committed, the
+    target matches the source — and exits with code 2. The OS
+    delivers a real SIGTERM to the process; the handler routes it to
+    job.stop() like the reference's context cancel."""
+    import datetime
+    import os
+    import signal
+    import threading
+
+    from sslr_spark.__main__ import main
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.state import StateStore
+
+    src = ParquetDatabase(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1), 7) for i in range(80)],
+        "id long, ts timestamp, xmin long",
+    )
+    src.overwrite("timestamps", df)
+    cfg = tmp_path / "sslr.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "source": str(tmp_path / "s"),
+                "target": str(tmp_path / "t"),
+                "sourceTables": ["timestamps"],
+                "primaryKeys": {"timestamps": ["id"]},
+                "waitBetweenJobs": 120,  # SIGTERM must cut this short
+            }
+        )
+    )
+    timer = threading.Timer(
+        3.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        rc = main(["-cfg", str(cfg), "-c"])
+    finally:
+        timer.cancel()
+    assert rc == 2
+    target = ParquetDatabase(spark, str(tmp_path / "t"))
+    assert target.table_rows("timestamps") == 80  # pass completed
+    assert StateStore(target).get("timestamps").last_seen_version == 7
+    # the previous SIGTERM disposition was restored on the way out
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
 def test_cli_config_error_exit_code(tmp_path, capsys):
     from sslr_spark.__main__ import main
 

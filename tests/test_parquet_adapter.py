@@ -35,6 +35,39 @@ def test_copy_progress_counter_via_observe(spark, source_db, target_db):
     assert target_db.read("t").count() == 700
 
 
+def test_copy_progress_in_flight_tier_ticks(spark, source_db, target_db):
+    """S4 in-flight half (reference internal/copy.go:78-88): during a
+    multi-partition copy the driver-side reporter emits 'Read ~N rows'
+    ticks at the 10k tier cadence — at least the 10k and 20k
+    boundaries for a 25k-row copy — and never skips a boundary even
+    if tasks outrun the poll loop."""
+    from sslr_spark.operators.copy import CopyProgressReporter, _report_interval
+
+    # the reference's tier schedule, pinned
+    assert _report_interval(5_000) == 10_000
+    assert _report_interval(400_000) == 100_000
+    assert _report_interval(2_000_000) == 500_000
+
+    src = make_timestamps(spark, 25_000).repartition(16)
+    source_db.overwrite("t16", src)
+    msgs: list[str] = []
+    rep = CopyProgressReporter(
+        spark, 25_000, "t16", poll_seconds=0.05,
+        log=lambda fmt, *a: msgs.append(fmt % a),
+    )
+    with rep:
+        rows = copy_full_table(source_db.read("t16"), target_db, "t16")
+        # the reporter polls scheduler metadata; give it one more beat
+        # to observe the final task counts before the context closes
+        import time
+
+        time.sleep(0.3)
+    assert rows == 25_000
+    assert rep.ticks >= 2
+    assert any("Read ~10000 rows" in m for m in msgs)
+    assert any("Read ~20000 rows" in m for m in msgs)
+
+
 def test_schema_probe(spark, source_db):
     source_db.overwrite("t", make_timestamps(spark, 3))
     names = [f.name for f in source_db.schema("t").fields]
