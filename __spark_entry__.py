@@ -58,39 +58,99 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stubs (their driver row carries no hash information) and keys
 #     hash-verified green in BOTH prior rounds with unchanged code.
 _HEAD_KEYS = [
-    # changed THIS round (r5): entropy went integer-digest (the one
-    # r04 hash-fail), files_roundtrip content_sum went decimal-exact,
-    # sign_pack_words quoting feeds sim_topk_binary, the incremental
-    # compactor's _seal dedupe sits behind x_stream_ingest, and
-    # get_update_range grew the loud version-less degrade these four
-    # sync keys route through:
-    "text_entropy",
-    "files_roundtrip",
-    "sim_topk_binary",
-    "x_stream_ingest",
+    # NEW this round (r6): real BMP/WAV header decode, oracle-predicted
+    # from the synthesis formulas:
+    "mm_decode_real",
+    # code changed THIS round (r6) — PQ scoring went per-term-integer
+    # quantized in every engine, the prefix-join ceiling gained the
+    # one-ppm rounding-band slack (both jaccard keys share the
+    # filter convention), the shard manifest grew full-cover zero
+    # rows, and dedup_clusters' query path now defaults to the
+    # O(log n) star algorithm (routed late in r5, never
+    # driver-verified through it):
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sample_shard_manifest",
+    "dedup_clusters",
+    # updates.py changed (metadata-only staleness probe, progress
+    # wiring) — the sync-path keys route through it:
     "s2_incremental_scan",
     "a1_watermark_probe",
     "t3_staleness_check",
     "j2_upsert_merge",
-    # ivf probe-cell cut rewritten window->TakeOrdered this round:
+    # oldest evidence in the registry (latest green row is r03):
+    "s1_full_filtered_scan",
+    "s9_state_upsert",
+    "a4_bucket_fingerprint",
+    "o3_key_at_offset",
+    "sample_stratified",
+    "x_funnel",
+    "x_pivot",
+    "x_rollup",
+    "x_topk_per_group",
+    "x_tpch_q1",
+    # r04-latest evidence, shallowest green history first:
+    "text_bigram_logprob",
+    "x_bloom_membership",
+    "text_unigram_logprob",
+    "dedup_incremental",
+    "sim_topk_quantized",
+    "sample_hash_split",
+    "text_repetition",
+    "dedup_contamination",
+    "mm_extract_features",
+    "a2_table_length",
+    "a3_min_key_probe",
+    "o1_event_sessionize",
+    "o2_pagination_window",
+    "p6_key_range_scan",
+    "j1_semi_join_keyset",
+    "j3_range_repair",
+    "j4_hash_diff",
+    "d1_delete_by_keyset",
+    "d2_range_delete",
+    "t6_event_window_agg",
+    "x_asof_join",
+    "x_json_extract",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_apply",
+    "dedup_minhash_lsh",
+    # 50 head entries — exactly the driver window this round.
+]
+_TAIL_KEYS = [
+    # r04-latest but triple-green (r01+r02+r04) with unchanged code —
+    # the only keys that didn't fit the 50 window; first in line for
+    # the r07 head:
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_knn_blocked",
+    "mm_binary_meta",
+    "x_set_ops",
+    "x_date_rollup",
+    "x_join_star",
+    "x_scalar_functions",
+    # hash-green in r05 with code unchanged this round:
+    "text_entropy",
+    "files_roundtrip",
+    "sim_topk_binary",
+    "x_stream_ingest",
     "sim_ivf_ann",
-    # NEW this round (gopher rule battery, deterministic shard
-    # export manifest, salted hard-negative mining, PQ ANN):
     "text_gopher_flags",
-    "sample_shard_manifest",
     "sim_hard_negatives",
-    "sim_topk_pq",
-    "dedup_jaccard_prefix",
     "dedup_winnow_spans",
     "sample_source_cap",
     "text_bm25_topk",
     "dedup_strip_spans",
     "x_stream_interval_join",
     "dedup_incremental_spans",
-    "sim_topk_ivfpq",
-    # no r04 row (rotated out last round) — every key below was
-    # hash-green in r03; oldest-evidence-first is moot since they
-    # share the same last-green round, so registry order:
     "dedup_ngram_coverage",
     "dedup_semantic",
     "dedup_incremental_minhash",
@@ -120,70 +180,6 @@ _HEAD_KEYS = [
     "text_quality_score",
     "x_anomaly_zscore",
     "sample_mix_execute",
-    # 50 head entries — exactly the driver window this round.
-]
-_TAIL_KEYS = [
-    # single-green r04, code unchanged — first in line next round:
-    "x_bloom_membership",
-    "text_bigram_logprob",
-    # twice-green (r03+r04), first out-of-window candidate:
-    "text_unigram_logprob",
-    # multi-green with unchanged code — deferred one round so this
-    # round's ten new keys fit the 50-key window (s1/s9/a4/o3 are
-    # r01+r02+r03 green; tpch_q1/pivot are r01+r03 green):
-    "s1_full_filtered_scan",
-    "s9_state_upsert",
-    "a4_bucket_fingerprint",
-    "o3_key_at_offset",
-    "x_tpch_q1",
-    "x_pivot",
-    "x_rollup",
-    "x_topk_per_group",
-    # twice-green (r02+r03), unchanged code, deferred for the 11th
-    # round-5 key:
-    "sample_stratified",
-    # single-green r03, unchanged OLAP code — deferred for the 12th
-    # round-5 key (first in line among stale keys next round):
-    "x_funnel",
-    # hash-green in r04 with code unchanged this round:
-    "j4_hash_diff",
-    "j3_range_repair",
-    "o2_pagination_window",
-    "d1_delete_by_keyset",
-    "d2_range_delete",
-    "j1_semi_join_keyset",
-    "dedup_contamination",
-    "mm_extract_features",
-    "dedup_minhash_lsh",
-    "text_repetition",
-    "sample_hash_split",
-    "p6_key_range_scan",
-    "x_set_ops",
-    "mm_binary_meta",
-    "sim_knn_blocked",
-    "sim_topk_lsh",
-    "sim_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_apply",
-    "x_date_rollup",
-    "x_join_star",
-    "x_scalar_functions",
-    "text_token_count",
-    "text_fingerprint",
-    "a2_table_length",
-    "a3_min_key_probe",
-    "x_asof_join",
-    "text_lang_id",
-    "text_quality",
-    "t6_event_window_agg",
-    "o1_event_sessionize",
-    "x_json_extract",
-    "sim_topk_quantized",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_incremental",
     # rows-only by design — no hash info in their driver row:
     "s5_catalog_schema",
     "s7_object_exists",

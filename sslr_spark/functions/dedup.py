@@ -90,6 +90,11 @@ def cache_scope():
             b = pairs_b.collect()
         # both calls' caches released here
 
+    (``collect()`` above is illustrative, for fixture-sized corpora in
+    tests; at scale, candidate pairs are a DISTRIBUTED dataset —
+    materialize with ``.count()``, write them out, or feed them to
+    dup_clusters_star, never pull them to the driver.)
+
     Inside the scope the generators' entry-release is suspended, so an
     earlier call's not-yet-materialized result keeps its shingle-index
     cache; everything persists until scope exit, then is released in

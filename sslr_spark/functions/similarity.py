@@ -960,13 +960,41 @@ def pq_topk_fixed(
     if not qrow:
         raise ValueError(f"query vector {id_col}={query_vec_id} not found")
     qvec = [float(x) for x in qrow[0][0]]
-    adc = _pq_adc_expr(qvec, books, m)
-    q = df.sparkSession.createDataFrame(
-        [(qvec,)], f"__qvec {df.schema[vec_col].dataType.simpleString()}"
+    return pq_topk_from_codes(
+        encoded, books, qvec, k=k, rerank_factor=rerank_factor,
+        vec_col=vec_col, id_col=id_col, exclude_id=query_vec_id,
     )
+
+
+def pq_topk_from_codes(
+    encoded: DataFrame,
+    books,
+    qvec: list[float],
+    k: int = 10,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id=None,
+) -> DataFrame:
+    """The QUERY side of PQ top-k, on an already-encoded corpus: build
+    the query's integer ADC table (:func:`_pq_adc_expr`), scan only
+    the m sub-codes, cut to ``k * rerank_factor`` candidates, rerank
+    by exact cosine. This is the stage a production deployment pays
+    per query — the codes are encoded once (:func:`pq_encode_fixed` /
+    :func:`pq_encode_arrow`), written to storage, and scanned many
+    times; fusing build+query in one call (``pq_topk_fixed``) exists
+    for the oracle-verified single-shot form."""
+    m = len(books)
+    adc = _pq_adc_expr(qvec, books, m)
+    q = encoded.sparkSession.createDataFrame(
+        [(qvec,)],
+        f"__qvec {encoded.schema[vec_col].dataType.simpleString()}",
+    )
+    cand = encoded
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
     cand = (
-        encoded.filter(F.col(id_col) != query_vec_id)
-        .withColumn("adc_dist", adc.cast("long"))
+        cand.withColumn("adc_dist", adc.cast("long"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k * rerank_factor)
     )
