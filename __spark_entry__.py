@@ -58,9 +58,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stubs (their driver row carries no hash information) and keys
 #     hash-verified green in BOTH prior rounds with unchanged code.
 _HEAD_KEYS = [
-    # NEW this round (r6): real BMP/WAV header decode, oracle-predicted
-    # from the synthesis formulas:
+    # NEW this round (r6): real BMP/WAV header decode (oracle-predicted
+    # from the synthesis formulas) and the per-language exact-quantile
+    # quality gate:
     "mm_decode_real",
+    "text_quality_gate",
     # code changed THIS round (r6) — PQ scoring went per-term-integer
     # quantized in every engine, the prefix-join ceiling gained the
     # one-ppm rounding-band slack (both jaccard keys share the
@@ -120,13 +122,13 @@ _HEAD_KEYS = [
     "text_fingerprint",
     "dedup_exact",
     "dedup_apply",
-    "dedup_minhash_lsh",
     # 50 head entries — exactly the driver window this round.
 ]
 _TAIL_KEYS = [
     # r04-latest but triple-green (r01+r02+r04) with unchanged code —
     # the only keys that didn't fit the 50 window; first in line for
     # the r07 head:
+    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_topk_bruteforce",

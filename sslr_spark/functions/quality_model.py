@@ -54,6 +54,77 @@ def quality_score(
     return m.select("doc_id", F.round(score, decimals).alias("score"))
 
 
+def quality_quantile_gate(
+    df: DataFrame,
+    keep_fraction: float,
+    by: str = "lang",
+    text_col: str = "text",
+    weights: list[float] | None = None,
+    bias: float | None = None,
+) -> DataFrame:
+    """Distribution-calibrated quality filtering: keep the top
+    ``keep_fraction`` of documents PER GROUP (language, source, ...)
+    by model quality score — the Gopher/CCNet-style gate that applies
+    a per-language threshold instead of one global cutoff (a global
+    cutoff keeps easy languages wholesale and guts hard ones, because
+    score distributions differ by language).
+
+    Exact, not approximate: scores quantize to basis points
+    (``floor(score * 1e4 + 0.5)`` — `score` is already round-4, so
+    this is lossless) and the per-group threshold is the largest
+    score_bp whose descending cumulative count reaches
+    ``ceil(keep_fraction * n_group)``. Ties at the threshold are all
+    kept (deterministic; the kept count can exceed the target only by
+    the tie run).
+
+    100 TB shape: one map-side-combined histogram aggregate collapses
+    the corpus to <= |groups| x 10001 rows; the cumulative window
+    runs over THAT bounded frame (never over documents); thresholds
+    broadcast back for the final narrow filter. No global sort, no
+    per-document window, two corpus passes (score+histogram, filter).
+
+    Returns kept rows: (doc_id, ``by``, score_bp, threshold_bp).
+    """
+    from pyspark.sql import Window
+
+    if weights is None or bias is None:
+        raise ValueError("quality_quantile_gate needs the published "
+                         "model weights and bias")
+    scored = (
+        quality_score(df, weights, bias, text_col)
+        .join(df.select("doc_id", by), "doc_id")
+        .select(
+            "doc_id",
+            by,
+            F.floor(F.col("score") * F.lit(1e4) + F.lit(0.5))
+            .cast("int")
+            .alias("score_bp"),
+        )
+    )
+    hist = scored.groupBy(by, "score_bp").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    sizes = scored.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("score_bp").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        hist.withColumn("__cum", F.sum("__c").over(w))
+        .join(sizes, by)
+        .filter(
+            F.col("__cum")
+            >= F.ceil(F.lit(float(keep_fraction)) * F.col("__n"))
+        )
+        .groupBy(by)
+        .agg(F.max("score_bp").alias("threshold_bp"))
+    )
+    return scored.join(F.broadcast(thr), by).filter(
+        F.col("score_bp") >= F.col("threshold_bp")
+    ).select("doc_id", by, "score_bp", "threshold_bp")
+
+
 def train_quality_classifier(
     df: DataFrame,
     label_col: str,

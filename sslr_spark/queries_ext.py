@@ -190,6 +190,53 @@ from q
 )
 
 
+def q_text_quality_gate(spark, sf_dir):
+    """Distribution-calibrated quality gate (quality_model.py
+    quality_quantile_gate): keep the top 60% of documents PER
+    LANGUAGE by model score — per-group exact quantile thresholds
+    from a bounded histogram (never a per-document window), ties at
+    the threshold kept. The Gopher/CCNet-style per-language cut that
+    a single global threshold gets wrong."""
+    from sslr_spark.functions.quality_model import quality_quantile_gate
+
+    return quality_quantile_gate(
+        _docs(spark, sf_dir),
+        keep_fraction=0.6,
+        by="lang",
+        weights=[_QW["n_tokens"], _QW["n_subtokens"], _QW["stopword_ratio"],
+                 _QW["mean_word_len"]],
+        bias=_QW["bias"],
+    )
+
+
+SQL_TEXT_QUALITY_GATE = f"""
+with s as (
+  select q.doc_id, d.lang,
+         cast(floor(q.score * 1e4 + 0.5) as int) as score_bp
+  from ({SQL_TEXT_QUALITY_SCORE}) q
+  join documents d on d.doc_id = q.doc_id
+),
+h as (select lang, score_bp, count(*) as c from s group by 1, 2),
+n as (select lang, count(*) as n from s group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang, max(cum.score_bp) as threshold_bp
+  from cum join n on n.lang = cum.lang
+  where cum.cum >= ceil(0.6 * n.n)
+  group by cum.lang
+)
+select s.doc_id, s.lang, s.score_bp, thr.threshold_bp
+from s join thr on thr.lang = s.lang
+where s.score_bp >= thr.threshold_bp
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     """Marker-word language-ID heuristic."""
     return X.lang_id(_docs(spark, sf_dir))
@@ -2552,6 +2599,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_logprob": q_text_bigram_logprob,
     "sample_leakage_safe": q_sample_leakage_safe,
     "text_quality_score": q_text_quality_score,
+    "text_quality_gate": q_text_quality_gate,
     "sim_topk_quantized": q_sim_topk_quantized,
     "sample_mix_execute": q_sample_mix_execute,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
@@ -2616,6 +2664,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_bigram_logprob": SQL_BIGRAM_LOGPROB,
     "sample_leakage_safe": SQL_SAMPLE_LEAKAGE_SAFE,
     "text_quality_score": SQL_TEXT_QUALITY_SCORE,
+    "text_quality_gate": SQL_TEXT_QUALITY_GATE,
     "sim_topk_quantized": SQL_SIM_TOPK_QUANTIZED,
     "sample_mix_execute": SQL_SAMPLE_MIX_EXECUTE,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,

@@ -647,6 +647,56 @@ def test_leakage_safe_split_reassigns_to_partner_split(spark):
     assert out[t_clean] == "test"
 
 
+def test_quality_quantile_gate_per_group_exact_with_ties(spark):
+    """Per-group quantile thresholds are exact and independent: each
+    language keeps its own top fraction even when the distributions
+    don't overlap, and a tie run AT the threshold is kept whole."""
+    from sslr_spark.functions.quality_model import quality_quantile_gate
+
+    # scores are driven by text length via the n_tokens feature;
+    # build two langs with disjoint, known score orders: lang a has
+    # 10 docs of strictly increasing length, lang b has 10 identical
+    # docs (all tie -> all kept at any fraction)
+    rows = [(i, "a", "w " * (2 * i + 2)) for i in range(10)]
+    rows += [(100 + i, "b", "x y z") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = quality_quantile_gate(
+        df, keep_fraction=0.3, by="lang",
+        weights=[0.5, 0.0, 0.0, 0.0], bias=-2.0,
+    ).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # lang a: ceil(0.3*10)=3 -> top-3 longest docs (7, 8, 9), exact
+    assert by_lang["a"] == {7, 8, 9}
+    # lang b: every doc ties at the threshold -> the whole run is kept
+    assert by_lang["b"] == {100 + i for i in range(10)}
+    # threshold column is the group's cut, uniform within the group
+    thr = {r.lang: r.threshold_bp for r in kept}
+    assert all(
+        r.score_bp >= thr[r.lang] for r in kept
+    )
+
+
+def test_quality_quantile_gate_window_is_bounded(spark):
+    """The cumulative window must run over the per-group score
+    HISTOGRAM (bounded at 10001 rows/group), never over documents,
+    and the threshold map must broadcast back to the corpus."""
+    from sslr_spark.functions.quality_model import quality_quantile_gate
+    from tests.test_plans import SF, plan_of
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(
+        quality_quantile_gate(
+            docs, 0.5, weights=[0.02, -0.005, 1.0, 0.1], bias=-2.0
+        )
+    )
+    assert p.count("Window") == 1
+    assert "BroadcastHashJoin" in p
+    # histogram aggregate combines map-side before the window's shuffle
+    assert "partial" in p.lower()
+
+
 def test_quality_classifier_train_and_serve_parity(spark):
     """MLlib-trained weights, pushed through the fixed serving formula
     (quality_score), must reproduce the model's own probabilities; the
