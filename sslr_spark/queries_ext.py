@@ -735,6 +735,53 @@ join events e
 """
 
 
+def q_x_stream_dedup(spark, sf_dir):
+    """Streaming at-least-once dedup (streaming/pipeline.py
+    stream_dedup, dropDuplicatesWithinWatermark): the events table is
+    staged TWICE into the stream source (a full replay — every event
+    arrives at least twice) and drained in one-file micro-batches so
+    the duplicate pairs cross batch boundaries through the state
+    store; exactly one copy of each event may come out. The oracle is
+    simply the events table once — both the in-horizon dedup path and
+    the late-drop path must suppress the second copy for the hash to
+    match. Timestamps stage as TZ-free epoch-micros instants like the
+    interval join."""
+    import os
+
+    from sslr_spark.queries import read_events
+    from sslr_spark.streaming.pipeline import stream_dedup
+
+    work = _fresh_bench_dir("stream_dedup")
+    src = os.path.join(work, "src")
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    ev.coalesce(1).write.parquet(src)                      # first arrival
+    ev.coalesce(1).write.mode("append").parquet(src)       # full replay
+    out = os.path.join(work, "out")
+    stream_dedup(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        out,
+        os.path.join(work, "ckpt"),
+        key_cols=["event_id"],
+        select_cols=["event_id", "user_id", "event_type"],
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(out)
+
+
+SQL_X_STREAM_DEDUP = """
+select event_id, user_id, event_type,
+       epoch_us(cast(ts as timestamp)) as ts_us
+from events
+"""
+
+
 def q_x_stream_ingest(spark, sf_dir):
     """The STREAMING near-dup ingest run end-to-end as one availableNow
     epoch over the documents table: readStream -> foreachBatch
@@ -2594,6 +2641,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid_eval": q_text_langid_eval,
     "x_stream_ingest": q_x_stream_ingest,
     "x_stream_interval_join": q_x_stream_interval_join,
+    "x_stream_dedup": q_x_stream_dedup,
     "files_roundtrip": q_files_roundtrip,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -2659,6 +2707,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,
     "x_stream_ingest": SQL_X_STREAM_INGEST,
     "x_stream_interval_join": SQL_X_STREAM_INTERVAL_JOIN,
+    "x_stream_dedup": SQL_X_STREAM_DEDUP,
     "files_roundtrip": SQL_FILES_ROUNDTRIP,
     "sim_topk_binary": SQL_SIM_BINARY,
     "text_bigram_logprob": SQL_BIGRAM_LOGPROB,

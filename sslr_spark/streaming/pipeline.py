@@ -779,6 +779,56 @@ def compact_neardup_index_incremental(
     return stats
 
 
+def stream_dedup(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    select_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Stateful streaming dedup via ``dropDuplicatesWithinWatermark``
+    — the at-least-once ingest guard: retried/replayed events carry
+    the same key, and exactly one copy may pass. Plain streaming
+    ``dropDuplicates`` keeps key state FOREVER (unbounded at 100 TB);
+    the watermark variant expires a key's state once the event-time
+    watermark passes it, so state is bounded by the lateness horizon
+    — duplicates arriving within ``watermark`` of each other are
+    suppressed, later replays land below the watermark and drop as
+    late data (also suppressed). Either way exactly one copy is
+    emitted; rows are emitted immediately (dedup does not hold rows
+    back the way windowed aggregation does).
+
+    ``max_files_per_trigger`` splits the availableNow drain into
+    multiple micro-batches so duplicates genuinely cross batch
+    boundaries through the state store (the shape a test should pin).
+
+    Scale shape: state partitions by ``key_cols``; per-key payload is
+    just the event-time entry. One availableNow pass drains the
+    source and writes the survivors to ``out_dir`` as parquet."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_path)
+    df = _event_time(df, ts_col).withWatermark(ts_col, watermark)
+    deduped = df.dropDuplicatesWithinWatermark(key_cols).select(
+        *select_cols,
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_interval_join(
     spark: SparkSession,
     source_path: str,

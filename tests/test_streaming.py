@@ -124,6 +124,49 @@ def test_chunk_and_scrub_work_on_streams(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_dedup_suppresses_cross_batch_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark across micro-batch boundaries:
+    a full replay staged as a second source file (one-file triggers,
+    so the duplicates arrive in a LATER batch) must be suppressed —
+    whether a replayed key is caught by live state (within the
+    watermark horizon) or dropped as late data below the advanced
+    watermark, exactly one copy of every event survives."""
+    import datetime
+
+    from sslr_spark.streaming.pipeline import stream_dedup
+
+    src = str(tmp_path / "src")
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(minutes=i), f"t{i % 3}")
+            for i in range(50)
+        ],
+        "event_id long, ts timestamp, event_type string",
+    )
+    ev.coalesce(1).write.parquet(src)                 # first arrival
+    ev.coalesce(1).write.mode("append").parquet(src)  # full replay
+    out = str(tmp_path / "out")
+    stream_dedup(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        out,
+        str(tmp_path / "ckpt"),
+        key_cols=["event_id"],
+        select_cols=["event_id", "event_type"],
+        max_files_per_trigger=1,  # replay lands in its own batch
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 50  # not 100: every replayed copy suppressed
+    assert got.select("event_id").distinct().count() == 50
+    assert_df_equal(
+        got.select("event_id", "event_type"),
+        ev.select("event_id", "event_type"),
+        ["event_id"],
+    )
+
+
 def test_streaming_ingest_dedup_against_static_corpus(spark, tmp_path):
     """foreachBatch composition: each arriving micro-batch is deduped
     against the accepted corpus with the Bloom-prefiltered exact path
