@@ -438,6 +438,42 @@ def shard_manifest(
     )
 
 
+def shuffle_order(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training order: every row gets a
+    ``(shard, pos)`` address — shard by 60-bit hash, position within
+    the shard by hash order (ties on the key) — so the corpus reads
+    back in a reproducible pseudo-random order with NO RNG state:
+    re-runs, resumes from an arbitrary shard, and audits all see the
+    same permutation (the property `orderBy(rand())` loses the moment
+    a partition is retried).
+
+    Scale shape: one hash shuffle to shards (uniform regardless of
+    key skew) + a per-shard window sort — shard sizes are corpus/n,
+    so the sort never sees the whole corpus; there is no global sort
+    and no single ordered partition. A trainer consumes shards
+    independently (or round-robin) and each is internally shuffled.
+
+    Returns (key_col, shard, pos) with pos 0-based within shard.
+    """
+    order_hash = h60(
+        F.concat_ws(
+            ":",
+            F.lit(seed + ".pos"),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("\x00")),
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(order_hash, F.col(key_col))
+    return (
+        shard_assign(df, n_shards, key_col, seed)
+        .select(key_col, "shard", (F.row_number().over(w) - 1).alias("pos"))
+    )
+
+
 def source_cap(
     df: DataFrame,
     group_col: str,

@@ -2149,6 +2149,36 @@ left join agg on agg.shard = g.shard
 """
 
 
+def q_sample_shuffle_order(spark, sf_dir):
+    """Deterministic global training order (sampling.py shuffle_order):
+    every doc gets a reproducible (shard, pos) address — hash-sharded,
+    hash-ordered within shard, no RNG state to lose on retry. 8 shards
+    over documents."""
+    from sslr_spark.functions.sampling import shuffle_order
+
+    return shuffle_order(_docs(spark, sf_dir), 8)
+
+
+_SHUFFLE_KEY = h60_sql(
+    "concat('shuffle', ':', coalesce(cast(doc_id as varchar), chr(0)))"
+)
+_SHUFFLE_POS = h60_sql(
+    "concat('shuffle.pos', ':', coalesce(cast(doc_id as varchar), chr(0)))"
+)
+SQL_SAMPLE_SHUFFLE_ORDER = f"""
+with s as (
+  select doc_id,
+         cast({_SHUFFLE_KEY} % 8 as int) as shard,
+         {_SHUFFLE_POS} as oh
+  from documents
+)
+select doc_id, shard,
+       cast(row_number() over (partition by shard order by oh, doc_id) - 1
+            as int) as pos
+from s
+"""
+
+
 def q_sample_source_cap(spark, sf_dir):
     """Per-source document cap (sampling.py source_cap): keep at most
     10 docs per source by deterministic hash order — the per-domain /
@@ -2658,6 +2688,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_entropy": q_text_entropy,
     "text_gopher_flags": q_text_gopher_flags,
     "sample_source_cap": q_sample_source_cap,
+    "sample_shuffle_order": q_sample_shuffle_order,
     "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -2724,6 +2755,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_entropy": SQL_TEXT_ENTROPY,
     "text_gopher_flags": SQL_TEXT_GOPHER_FLAGS,
     "sample_source_cap": SQL_SAMPLE_SOURCE_CAP,
+    "sample_shuffle_order": SQL_SAMPLE_SHUFFLE_ORDER,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,

@@ -1196,6 +1196,37 @@ def test_winnowing_guarantee_and_stats(spark):
         assert isinstance(r.shared_ppm, int) and 0 <= r.shared_ppm <= 10**6
 
 
+def test_shuffle_order_is_reproducible_permutation(spark):
+    """(shard, pos) addresses form an exact permutation: positions are
+    contiguous 0..n_shard-1 within every shard, the whole assignment
+    reproduces bit-for-bit on re-run (no RNG), the order is not just
+    the key order, and the plan sorts per shard — never one global
+    partition."""
+    from sslr_spark.functions.sampling import shuffle_order
+    from tests.test_plans import plan_of
+
+    df = spark.range(3000).withColumnRenamed("id", "doc_id")
+    out = shuffle_order(df, 8)
+    rows = out.collect()
+    assert len(rows) == 3000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # contiguous, dense
+    # deterministic re-run
+    again = {(r.doc_id, r.shard, r.pos) for r in shuffle_order(df, 8).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    # genuinely shuffled: within a shard, pos order != doc_id order
+    s0 = sorted((r.pos, r.doc_id) for r in rows if r.shard == 0)
+    assert [d for _, d in s0] != sorted(d for _, d in s0)
+    # per-shard window, no global single-partition sort
+    p = plan_of(out)
+    assert "Window" in p
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
+
+
 def test_source_cap_deterministic_and_bounded(spark):
     from sslr_spark.functions.sampling import source_cap
 
