@@ -2302,6 +2302,80 @@ from m
 """
 
 
+def q_x_curation_pipeline(spark, sf_dir):
+    """The FULL curation chain as one verified key (curation.py
+    curate_documents): Gopher rule filter -> exact dedup -> per-lang
+    quality gate (thresholds over the survivors, not the raw corpus)
+    -> per-source cap -> shard assignment. Every stage is an
+    already-verified operator; this key proves the COMPOSITION —
+    stage order, survivor threading, threshold recomputation — is
+    hash-exact end-to-end against a single DuckDB CTE chain."""
+    from sslr_spark.curation import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir),
+        quality_weights=[_QW["n_tokens"], _QW["n_subtokens"],
+                         _QW["stopword_ratio"], _QW["mean_word_len"]],
+        quality_bias=_QW["bias"],
+        keep_fraction=0.6,
+        max_per_source=10,
+        n_shards=16,
+    ).df
+
+
+_CURATION_CAP_HASH = h60_sql(
+    "concat('cap', ':', coalesce(cast(doc_id as varchar), chr(0)))"
+)
+SQL_X_CURATION_PIPELINE = f"""
+with s1 as (
+  select d.doc_id, d.lang, d.source, d.text
+  from documents d
+  join ({SQL_TEXT_GOPHER_FLAGS}) g on g.doc_id = d.doc_id and g.keep
+),
+s2 as (
+  select * from s1
+  where doc_id in (select min(doc_id) from s1 group by md5(text))
+),
+sc as (
+  select q.doc_id, s2.lang,
+         cast(floor(q.score * 1e4 + 0.5) as int) as score_bp
+  from ({SQL_TEXT_QUALITY_SCORE}) q
+  join s2 on s2.doc_id = q.doc_id
+),
+h as (select lang, score_bp, count(*) as c from sc group by 1, 2),
+n as (select lang, count(*) as n from sc group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang, max(cum.score_bp) as threshold_bp
+  from cum join n on n.lang = cum.lang
+  where cum.cum >= ceil(0.6 * n.n)
+  group by cum.lang
+),
+s3 as (
+  select s2.doc_id, s2.lang, s2.source from s2
+  join sc on sc.doc_id = s2.doc_id
+  join thr on thr.lang = s2.lang
+  where sc.score_bp >= thr.threshold_bp
+),
+s4 as (
+  select doc_id, lang, source from (
+    select s3.*, row_number() over (
+      partition by source order by {_CURATION_CAP_HASH}, doc_id
+    ) as rn from s3
+  ) where rn <= 10
+)
+select doc_id, lang, source,
+       cast({_SHARD_KEY} % 16 as int) as shard
+from s4
+"""
+
+
 def q_text_bigram_logprob(spark, sf_dir):
     """Word-order perplexity proxy: per-doc mean conditional BIGRAM
     log-prob against a top-40 corpus bigram vocabulary
@@ -2672,6 +2746,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_ingest": q_x_stream_ingest,
     "x_stream_interval_join": q_x_stream_interval_join,
     "x_stream_dedup": q_x_stream_dedup,
+    "x_curation_pipeline": q_x_curation_pipeline,
     "files_roundtrip": q_files_roundtrip,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -2739,6 +2814,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_ingest": SQL_X_STREAM_INGEST,
     "x_stream_interval_join": SQL_X_STREAM_INTERVAL_JOIN,
     "x_stream_dedup": SQL_X_STREAM_DEDUP,
+    "x_curation_pipeline": SQL_X_CURATION_PIPELINE,
     "files_roundtrip": SQL_FILES_ROUNDTRIP,
     "sim_topk_binary": SQL_SIM_BINARY,
     "text_bigram_logprob": SQL_BIGRAM_LOGPROB,

@@ -1,0 +1,119 @@
+"""Curation pipeline composition tests (sslr_spark/curation.py):
+stage threading, funnel monotonicity, per-survivor threshold
+recomputation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+WEIGHTS = [0.02, -0.005, 1.0, 0.1]
+BIAS = -2.0
+
+
+def _docs(spark):
+    # 60 docs over 3 sources / 2 langs; doc 50+ are exact duplicates
+    # of doc 0; a few garbage docs (too short) for the gopher stage
+    rows = []
+    # 96 words, mean length >= 3, >= 2 stopwords: passes every rule
+    body = ("the cat and dog run with long words " * 12).strip()
+    for i in range(50):
+        rows.append(
+            (i, "en" if i % 2 == 0 else "de", f"s{i % 3}",
+             body + f" tail{i} " + "word " * (i % 7))
+        )
+    for i in range(50, 56):
+        rows.append((i, "en", "s0", rows[0][3]))  # exact dups of doc 0
+    for i in range(56, 60):
+        rows.append((i, "de", "s1", "too short"))  # gopher-killed
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+
+
+def test_curation_funnel_monotone_and_stages_bind(spark):
+    from sslr_spark.curation import curate_documents
+
+    res = curate_documents(
+        _docs(spark),
+        quality_weights=WEIGHTS,
+        quality_bias=BIAS,
+        keep_fraction=0.5,
+        max_per_source=8,
+        n_shards=4,
+        with_funnel=True,
+    )
+    f = res.funnel
+    assert list(f) == [
+        "input", "gopher", "exact_dedup", "quality_gate", "source_cap"
+    ]
+    vals = list(f.values())
+    assert vals[0] == 60
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # monotone
+    assert f["gopher"] == 56          # the 4 short docs die
+    assert f["exact_dedup"] == 50     # 6 replicas of doc 0 die
+    rows = res.df.collect()
+    assert len(rows) == f["source_cap"]
+    # source cap binds
+    per_src = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    assert max(per_src.values()) <= 8
+    assert set(r.shard for r in rows) <= set(range(4))
+
+
+def test_curation_gate_thresholds_use_survivors_not_raw_corpus(spark):
+    """The quality-gate threshold must be computed over the dedup
+    SURVIVORS: duplicate clusters would otherwise pile their copies
+    into the histogram and shift every language's cut."""
+    from sslr_spark.curation import curate_documents
+    from sslr_spark.functions.quality_model import quality_quantile_gate
+
+    docs = _docs(spark)
+    res = curate_documents(
+        docs,
+        quality_weights=WEIGHTS,
+        quality_bias=BIAS,
+        keep_fraction=0.5,
+        max_per_source=None,
+        n_shards=None,
+    )
+    got = {r.doc_id for r in res.df.collect()}
+    # replicate by hand: gopher keep -> exact dedup -> gate on survivors
+    from sslr_spark.functions.dedup import exact_dedup_groups
+    from sslr_spark.functions.text import gopher_flags
+
+    surv = docs.join(
+        gopher_flags(docs).filter("keep").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    surv = surv.join(
+        exact_dedup_groups(surv).select(
+            F.col("keep_id").alias("doc_id")
+        ),
+        "doc_id", "left_semi",
+    )
+    want = {
+        r.doc_id
+        for r in quality_quantile_gate(
+            surv, 0.5, weights=WEIGHTS, bias=BIAS
+        ).collect()
+    }
+    assert got == want
+
+
+def test_curation_stage_toggles(spark):
+    from sslr_spark.curation import curate_documents
+
+    docs = _docs(spark)
+    res = curate_documents(
+        docs,
+        quality_weights=WEIGHTS,
+        quality_bias=BIAS,
+        keep_fraction=1.0,        # gate off
+        gopher=False,
+        exact_dedup=False,
+        max_per_source=None,
+        n_shards=None,
+    )
+    assert res.df.count() == 60   # nothing filtered
+    assert res.df.columns == ["doc_id", "lang", "source"]
