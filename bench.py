@@ -401,6 +401,26 @@ def main() -> None:
         ).collect(),
     )
 
+    # ---- round-6 operator families ----------------------------------
+    from sslr_spark.queries_ext import (
+        q_sample_shuffle_order,
+        q_text_quality_gate,
+        q_x_curation_pipeline,
+    )
+
+    run(
+        "quality_gate",
+        lambda: q_text_quality_gate(spark, SF_DIR).count(),
+    )
+    run(
+        "shuffle_order",
+        lambda: q_sample_shuffle_order(spark, SF_DIR).count(),
+    )
+    run(
+        "curation_pipeline",
+        lambda: q_x_curation_pipeline(spark, SF_DIR).count(),
+    )
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 
