@@ -438,6 +438,46 @@ def shard_manifest(
     )
 
 
+def shard_diff(
+    old: DataFrame,
+    new: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "shard",
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental shard re-export: compare two corpus states' shard
+    manifests and report, per shard, whether its content changed — at
+    100 TB an export rewrites ONLY the changed shards (hash-stable
+    assignment means an appended/edited/deleted doc perturbs exactly
+    its own shard, so a small delta touches few of them).
+
+    One manifest aggregate per side (bounded output), a broadcast-
+    trivial n_shards-row join. Returns
+    (shard, old_rows, new_rows, old_sum, new_sum, changed)."""
+    mo = shard_manifest(old, n_shards, key_col, seed, content_cols).select(
+        "shard",
+        F.col("n_rows").alias("old_rows"),
+        F.col("content_sum").alias("old_sum"),
+    )
+    mn = shard_manifest(new, n_shards, key_col, seed, content_cols).select(
+        "shard",
+        F.col("n_rows").alias("new_rows"),
+        F.col("content_sum").alias("new_sum"),
+    )
+    return mo.join(mn, "shard").select(
+        "shard",
+        "old_rows",
+        "new_rows",
+        "old_sum",
+        "new_sum",
+        (
+            (F.col("old_rows") != F.col("new_rows"))
+            | (F.col("old_sum") != F.col("new_sum"))
+        ).alias("changed"),
+    )
+
+
 def shuffle_order(
     df: DataFrame,
     n_shards: int,

@@ -2179,6 +2179,56 @@ from s
 """
 
 
+def q_sample_shard_diff(spark, sf_dir):
+    """Incremental shard re-export detection (sampling.py shard_diff):
+    manifest-vs-manifest over 16 shards, old = documents missing every
+    97th doc, new = full corpus — an export pipeline rewrites only the
+    shards flagged changed. Hash-stable assignment keeps the delta's
+    blast radius to the touched shards."""
+    from sslr_spark.functions.sampling import shard_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 97 != 0)
+    return shard_diff(
+        old, docs, 16, content_cols=["doc_id", "lang", "n_chars", "text"]
+    )
+
+
+def _shard_manifest_cte(src: str) -> str:
+    """Full-cover 16-shard manifest (rows + content_sum) over ``src``
+    — the SQL twin of sampling.py shard_manifest's count/checksum
+    columns, empty shards emitted as zero rows."""
+    return f"""(
+  with s as (
+    select cast({_SHARD_KEY} % 16 as int) as shard,
+           {_SHARD_SIG} % 1000000000000 as sig
+    from {src}
+  ),
+  agg as (
+    select shard, cast(count(*) as bigint) as n_rows,
+           cast(sum(cast(sig as decimal(38,0))) % 1000000000000 as bigint)
+             as content_sum
+    from s group by shard
+  )
+  select g.shard, coalesce(agg.n_rows, 0) as n_rows,
+         coalesce(agg.content_sum, 0) as content_sum
+  from (select cast(range as int) as shard from range(0, 16)) g
+  left join agg on agg.shard = g.shard
+)"""
+
+
+SQL_SAMPLE_SHARD_DIFF = f"""
+select o.shard,
+       o.n_rows as old_rows, n.n_rows as new_rows,
+       o.content_sum as old_sum, n.content_sum as new_sum,
+       (o.n_rows != n.n_rows or o.content_sum != n.content_sum)
+         as changed
+from {_shard_manifest_cte(
+    "(select * from documents where doc_id % 97 != 0)")} o
+join {_shard_manifest_cte("documents")} n on n.shard = o.shard
+"""
+
+
 def q_sample_source_cap(spark, sf_dir):
     """Per-source document cap (sampling.py source_cap): keep at most
     10 docs per source by deterministic hash order — the per-domain /
@@ -2764,6 +2814,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_flags": q_text_gopher_flags,
     "sample_source_cap": q_sample_source_cap,
     "sample_shuffle_order": q_sample_shuffle_order,
+    "sample_shard_diff": q_sample_shard_diff,
     "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -2832,6 +2883,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_gopher_flags": SQL_TEXT_GOPHER_FLAGS,
     "sample_source_cap": SQL_SAMPLE_SOURCE_CAP,
     "sample_shuffle_order": SQL_SAMPLE_SHUFFLE_ORDER,
+    "sample_shard_diff": SQL_SAMPLE_SHARD_DIFF,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,

@@ -1196,6 +1196,27 @@ def test_winnowing_guarantee_and_stats(spark):
         assert isinstance(r.shared_ppm, int) and 0 <= r.shared_ppm <= 10**6
 
 
+def test_shard_diff_flags_only_touched_shards(spark):
+    """A one-doc delta flips exactly the shard that doc hashes into;
+    identical corpora diff clean across all full-cover rows."""
+    from sslr_spark.functions.sampling import shard_assign, shard_diff
+
+    df = spark.range(400).withColumnRenamed("id", "doc_id")
+    clean = shard_diff(df, df, 16).collect()
+    assert len(clean) == 16
+    assert not any(r.changed for r in clean)
+    new = df.filter(F.col("doc_id") != 123)
+    hit = {
+        r.shard
+        for r in shard_diff(df, new, 16).collect()
+        if r.changed
+    }
+    victim = shard_assign(
+        spark.createDataFrame([(123,)], "doc_id long"), 16
+    ).first().shard
+    assert hit == {victim}
+
+
 def test_shuffle_order_is_reproducible_permutation(spark):
     """(shard, pos) addresses form an exact permutation: positions are
     contiguous 0..n_shard-1 within every shard, the whole assignment
