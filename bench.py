@@ -33,8 +33,32 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-TMP = os.path.join(REPO, ".bench_tmp")
+# PRIVATE per-process subtree: .bench_tmp is shared with the query
+# catalog's _fresh_bench_dir work dirs (streaming targets, file-drop
+# round trips), and a concurrent correctness session's dirs live
+# there — wiping the whole root mid-run destroys that session's
+# staged streaming source under it (observed: x_stream_dedup row
+# mismatch when bench and a verify sweep overlapped). Bench removes
+# ONLY what it owns; stale bench- dirs from crashed runs (> 6 h) are
+# swept like _fresh_bench_dir sweeps its own prefixes.
+_TMP_ROOT = os.path.join(REPO, ".bench_tmp")
+TMP = os.path.join(_TMP_ROOT, f"bench-{os.getpid()}")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+
+def _sweep_stale_bench_dirs() -> None:
+    import time
+
+    if not os.path.isdir(_TMP_ROOT):
+        return
+    cutoff = time.time() - 6 * 3600
+    for d in os.listdir(_TMP_ROOT):
+        p = os.path.join(_TMP_ROOT, d)
+        try:
+            if d.startswith("bench-") and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def main() -> None:
@@ -47,6 +71,7 @@ def main() -> None:
     from sslr_spark.operators.updates import sync_updates
     from sslr_spark.operators.deletes import sync_deletes
 
+    _sweep_stale_bench_dirs()
     shutil.rmtree(TMP, ignore_errors=True)
     os.makedirs(TMP, exist_ok=True)
     spark = get_spark(app_name="sslr_bench")

@@ -312,6 +312,45 @@ def topk_ngrams(
     )
 
 
+def bpe_merge_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """Top-k BPE merge candidates: adjacent-character pair counts
+    weighted by word frequency — one iteration of byte-pair-encoding
+    tokenizer training, the counting step that dominates training a
+    tokenizer over a pretraining corpus.
+
+    Scale shape — the two-level plan real BPE trainers use: first
+    collapse the token stream to the (word, freq) VOCABULARY (one
+    map-side-combined aggregate; vocabulary cardinality, not corpus
+    cardinality), then explode pairs from each DISTINCT word exactly
+    once with its frequency as the weight. A 100 TB corpus has
+    billions of token occurrences but a vocabulary in the millions —
+    pair explosion over the vocabulary is ~1000x less work than over
+    the raw token stream, with identical counts. Final top-k is
+    TakeOrderedAndProject (k rows per partition, no global sort);
+    ties break on the pair text for engine-stable output."""
+    toks = F.explode(words(F.lower(F.col(text_col)))).alias("w")
+    vocab = (
+        df.select(toks)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = F.explode(
+        F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+        )
+    ).alias("pair")
+    return (
+        vocab.select(pairs, "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
 def length_stats(
     df: DataFrame, strata_col: str = "lang", len_col: str = "n_chars"
 ) -> DataFrame:

@@ -1791,6 +1791,37 @@ group by lang
 """
 
 
+def q_text_bpe_pairs(spark, sf_dir):
+    """Top-50 BPE merge candidates (functions/text.py
+    bpe_merge_pairs): adjacent-char pair counts weighted by word
+    frequency — tokenizer-training's counting step, via the
+    vocabulary-collapse two-level plan."""
+    return X.bpe_merge_pairs(_docs(spark, sf_dir), k=50)
+
+
+SQL_TEXT_BPE_PAIRS = """
+with tok as (
+  select unnest(case when length(trim(lower(text))) = 0 then []
+                else string_split_regex(trim(lower(text)), '\\s+') end)
+           as w
+  from documents
+),
+v as (
+  select w, count(*) as freq from tok group by w
+),
+p as (
+  select unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) as pair,
+         freq
+  from v where length(w) >= 2
+)
+select pair, cast(sum(freq) as bigint) as cnt
+from p group by pair
+order by cnt desc, pair
+limit 50
+"""
+
+
 def q_text_topk_ngrams(spark, sf_dir):
     """Corpus-level top-20 word bigrams (boilerplate / vocabulary
     probe; functions/text.py:topk_ngrams)."""
@@ -2815,6 +2846,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_source_cap": q_sample_source_cap,
     "sample_shuffle_order": q_sample_shuffle_order,
     "sample_shard_diff": q_sample_shard_diff,
+    "text_bpe_pairs": q_text_bpe_pairs,
     "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -2884,6 +2916,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_source_cap": SQL_SAMPLE_SOURCE_CAP,
     "sample_shuffle_order": SQL_SAMPLE_SHUFFLE_ORDER,
     "sample_shard_diff": SQL_SAMPLE_SHARD_DIFF,
+    "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
