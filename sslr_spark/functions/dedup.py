@@ -769,6 +769,88 @@ def lsh_band_buckets(
     )
 
 
+def lsh_candidates(
+    sh: DataFrame, n_hashes: int, n_bands: int, hash_mode: str = "portable"
+) -> DataFrame:
+    """Raw banded-LSH candidate pairs over a distinct (doc_id,
+    shingle) index — bucket collisions BEFORE any Jaccard
+    verification. Shared by :func:`minhash_lsh_pairs` (which verifies
+    them) and :func:`minhash_calibration` (which measures them)."""
+    sigs = minhash_signatures(sh, n_hashes, hash_mode)
+    buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands, hash_mode)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.05,
+    hash_mode: str = "portable",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Measure a MinHash-LSH parameterization against exact-Jaccard
+    ground truth: one row of counts — true pairs at ``threshold``,
+    raw LSH candidates, their intersection, and the derived
+    misses/false-candidates. This is how band/row settings are
+    CHOSEN: recall (TP/true) says whether the S-curve catches the
+    pairs dedup must find; false candidates price the verification
+    stage banding is supposed to bound. Run on a sample before
+    committing a parameterization to a 100 TB pass.
+
+    Pure counts (bigint) — hash-exact by construction. The ground
+    truth is the plain inverted-index generator, so calibration cost
+    is quadratic in hot-shingle fan-out like any exact baseline:
+    sample-sized inputs, by design."""
+    _entry_release()
+    sh = _persist(
+        _cap_hot_shingles(
+            shingles(df, text_col, shingle_n), max_shingle_doc_freq
+        )
+    )
+    cand = lsh_candidates(sh, n_hashes, n_bands, hash_mode)
+    truth = (
+        _pairwise_jaccard(sh, "doc_id")
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("key_a").alias("doc_a"), F.col("key_b").alias("doc_b"))
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    tp = (
+        cand.join(truth, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("true_positives"))
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(tp)
+        .select(
+            "n_true",
+            "n_candidates",
+            "true_positives",
+            (F.col("n_true") - F.col("true_positives")).alias(
+                "false_negatives"
+            ),
+            (F.col("n_candidates") - F.col("true_positives")).alias(
+                "false_positives"
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -799,22 +881,7 @@ def minhash_lsh_pairs(
             shingles(df, text_col, shingle_n), max_shingle_doc_freq
         )
     )
-    sigs = minhash_signatures(sh, n_hashes, hash_mode)
-    buckets = lsh_band_buckets(sigs, n_bands, n_hashes // n_bands, hash_mode)
-
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = lsh_candidates(sh, n_hashes, n_bands, hash_mode)
 
     # exact-verify candidates with true Jaccard over shingle sets
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

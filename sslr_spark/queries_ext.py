@@ -566,6 +566,45 @@ where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.02
 )
 
 
+def q_dedup_minhash_calibration(spark, sf_dir):
+    """MinHash-LSH parameter calibration (dedup.py
+    minhash_calibration): one row of counts comparing the 16-hash /
+    4-band candidate set against exact-Jaccard truth at t=0.05 —
+    recall and false-candidate cost, the numbers band/row settings
+    are chosen from before a 100 TB dedup pass."""
+    return D.minhash_calibration(_docs(spark, sf_dir), threshold=0.05)
+
+
+SQL_DEDUP_MINHASH_CALIBRATION = (
+    _MINHASH_CTES
+    + """,
+tinter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+truth as (
+  select doc_a, doc_b from tinter
+  join sizes sa on sa.doc_id = doc_a
+  join sizes sb on sb.doc_id = doc_b
+  where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.05
+),
+counts as (
+  select
+    (select count(*) from truth) as n_true,
+    (select count(*) from cand) as n_candidates,
+    (select count(*) from cand c
+       join truth t on t.doc_a = c.doc_a and t.doc_b = c.doc_b)
+      as true_positives
+)
+select n_true, n_candidates, true_positives,
+       n_true - true_positives as false_negatives,
+       n_candidates - true_positives as false_positives
+from counts
+"""
+)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over the 3-gram-Jaccard
     pair graph; cluster_id = smallest member (the keeper). Spark runs
@@ -2847,6 +2886,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shuffle_order": q_sample_shuffle_order,
     "sample_shard_diff": q_sample_shard_diff,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -2917,6 +2957,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_shuffle_order": SQL_SAMPLE_SHUFFLE_ORDER,
     "sample_shard_diff": SQL_SAMPLE_SHARD_DIFF,
     "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
+    "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,

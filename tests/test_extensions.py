@@ -1196,6 +1196,31 @@ def test_winnowing_guarantee_and_stats(spark):
         assert isinstance(r.shared_ppm, int) and 0 <= r.shared_ppm <= 10**6
 
 
+def test_minhash_calibration_counts_consistent(spark):
+    """Calibration counts must be internally consistent and catch
+    planted near-identical pairs: identical docs collide in EVERY
+    band (TP), unrelated docs collide in none, and the derived
+    FN/FP columns reconcile with the raw counts."""
+    from sslr_spark.functions.dedup import minhash_calibration
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(10):  # 5 identical pairs -> J = 1.0, always recalled
+        rows.append((i, base + f" pair{i // 2}"))
+    for i in range(10, 30):  # unrelated docs
+        rows.append((i, f"unique u{i} v{i} w{i} x{i} y{i} z{i} q{i}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # t=0.9: only the identical pairs qualify (cross-pair base docs
+    # share exactly 8 of 10 union shingles -> J = 0.8, excluded)
+    r = minhash_calibration(df, threshold=0.9).first()
+    assert r.n_true == 5
+    assert r.true_positives == 5          # J=1.0 pairs collide in all bands
+    assert r.false_negatives == 0
+    assert r.false_negatives == r.n_true - r.true_positives
+    assert r.false_positives == r.n_candidates - r.true_positives
+    assert r.false_positives >= 0
+
+
 def test_shard_diff_flags_only_touched_shards(spark):
     """A one-doc delta flips exactly the shard that doc hashes into;
     identical corpora diff clean across all full-cover rows."""
