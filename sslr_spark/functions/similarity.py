@@ -645,6 +645,129 @@ def topk_binary(
     )
 
 
+def _topk_per_query_salted(
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Salted two-phase top-k per ``query_id`` over scored candidate
+    rows (must carry query_id, ``id_col``, cos_sim; other columns ride
+    along): phase 1 cuts to the local top-k within (query, id-salt)
+    partitions — each 1/salt of the corpus — and phase 2 re-ranks
+    only the ``salt_partitions * k`` survivors per query. No
+    partition ever holds a full query's candidate set. Adds ``__fr``
+    (1-based final rank). Shared by :func:`hard_negatives` and
+    :func:`ivf_recall` so the scale-safe cut cannot drift between
+    the ops that need it."""
+    from pyspark.sql import Window
+
+    salted = cand.withColumn(
+        "__salt", F.pmod(F.col(id_col), F.lit(salt_partitions))
+    )
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("__fr", F.row_number().over(w2))
+        .filter(F.col("__fr") <= k)
+        .drop("__salt", "__rn")
+    )
+
+
+def ivf_recall(
+    df: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt_partitions: int = 8,
+) -> DataFrame:
+    """Measure an IVF parameterization against exact ground truth:
+    per query, how many of the true top-``k`` neighbors the
+    ``n_probe``-cell pruned scan recovers — recall@k, the number an
+    n_probe setting is chosen from (the ANN twin of
+    dedup.minhash_calibration). Run on a query sample before
+    committing a probe budget to a 100 TB serving config.
+
+    Both sides are deterministic (cosine round-6, ties on id; fixed
+    centroids) and both use the salted two-phase top-k cut, so the
+    measurement itself scales: truth is the brute-force pass you pay
+    once per calibration, not per query at serving time.
+
+    Returns one row per query: (query_id, recalled, k) — bigint
+    counts, hash-exact."""
+    from pyspark.sql import Window
+
+    indexed, cents = ivf_index_fixed(df, centroid_ids, vec_col, id_col)
+    qs = df.filter(F.col(id_col).isin([int(q) for q in query_ids])).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    # probe cells per query: queries x centroids is (n_queries x
+    # n_cells) rows — tiny by construction, window is fine here
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qsim").desc(), F.col("cell")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("__qsim", F.round(cosine_expr("centroid", "__qvec"), 9))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "cell", "__qvec")
+    )
+
+    def scored(base: DataFrame) -> DataFrame:
+        return (
+            base.filter(F.col(id_col) != F.col("query_id"))
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    F.try_divide(
+                        dot_expr(vec_col, "__qvec"),
+                        norm_expr(vec_col) * norm_expr("__qvec"),
+                    ),
+                    6,
+                ),
+            )
+            .filter(F.col("cos_sim").isNotNull())
+        )
+
+    approx = _topk_per_query_salted(
+        scored(
+            indexed.join(
+                F.broadcast(probes), F.col("__cell") == F.col("cell")
+            )
+        ),
+        k, id_col, salt_partitions,
+    ).select("query_id", id_col)
+    truth = _topk_per_query_salted(
+        scored(df.crossJoin(F.broadcast(qs))), k, id_col, salt_partitions
+    ).select("query_id", id_col)
+    hits = (
+        approx.join(truth, ["query_id", id_col])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("recalled"))
+    )
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("recalled", F.lit(0).cast("long")).alias("recalled"),
+            F.lit(k).cast("long").alias("k"),
+        )
+    )
+
+
 def hard_negatives(
     df: DataFrame,
     query_ids: list[int],
@@ -674,8 +797,6 @@ def hard_negatives(
     for phase 2; no partition ever holds a full query's candidate
     set. Zero-norm vectors drop via try_divide (ANSI-safe), matching
     the topk_* contract."""
-    from pyspark.sql import Window
-
     qs = (
         df.filter(F.col(id_col).isin([int(q) for q in query_ids]))
         .select(
@@ -701,30 +822,13 @@ def hard_negatives(
             ),
         )
         .filter(F.col("cos_sim").isNotNull())
-        .withColumn(
-            "__salt", F.pmod(F.col(id_col), F.lit(salt_partitions))
-        )
     )
-    w1 = Window.partitionBy("query_id", "__salt").orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    survivors = (
-        cand.withColumn("__rn", F.row_number().over(w1))
-        .filter(F.col("__rn") <= k)
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        survivors.withColumn("__fr", F.row_number().over(w2))
-        .filter(F.col("__fr") <= k)
-        .select(
-            "query_id",
-            F.col(id_col).alias("neg_id"),
-            F.col(label_col).alias("neg_label"),
-            "cos_sim",
-            F.col("__fr").alias("neg_rank"),
-        )
+    return _topk_per_query_salted(cand, k, id_col, salt_partitions).select(
+        "query_id",
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+        "cos_sim",
+        F.col("__fr").alias("neg_rank"),
     )
 
 

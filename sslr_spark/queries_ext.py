@@ -998,6 +998,89 @@ _PQ_CW_IDS = list(range(100, 116))  # ks=16 codewords, m=16 subspaces
 _PQ_M, _PQ_DSUB = 16, 4
 
 
+def q_sim_ivf_recall(spark, sf_dir):
+    """IVF probe-budget calibration (similarity.py ivf_recall):
+    recall@10 of the 2-of-8-cell pruned scan vs exact brute force,
+    per query — the number an n_probe setting is chosen from (the
+    ANN twin of dedup_minhash_calibration). Four sample queries;
+    both sides run the salted two-phase top-k cut."""
+    return S.ivf_recall(
+        _emb(spark, sf_dir), _IVF_CENT_IDS, [0, 20, 40, 60],
+        k=10, n_probe=2,
+    )
+
+
+SQL_SIM_IVF_RECALL = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings where vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+q as (
+  select vec_id as query_id, embedding as qvec
+  from embeddings where vec_id in (0, 20, 40, 60)
+),
+assigned as (
+  select vec_id, cell from (
+    select e.vec_id, c.cell,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+probes as (
+  select query_id, cell from (
+    select q.query_id, c.cell,
+           row_number() over (
+             partition by q.query_id
+             order by round({_cos_sql('c.centroid', 'q.qvec')}, 9) desc,
+                      c.cell
+           ) as prn
+    from q cross join cents c
+  ) where prn <= 2
+),
+scored as (
+  select q.query_id, e.vec_id,
+         round({_cos_sql('e.embedding', 'q.qvec')}, 6) as cos_sim
+  from embeddings e
+  cross join q
+  where e.vec_id != q.query_id
+    and {_NORM.format(a='e.embedding')} > 0
+    and {_NORM.format(a='q.qvec')} > 0
+),
+truth as (
+  select query_id, vec_id from (
+    select scored.*, row_number() over (
+      partition by query_id order by cos_sim desc, vec_id
+    ) as rn from scored
+  ) where rn <= 10
+),
+approx as (
+  select query_id, vec_id from (
+    select s.query_id, s.vec_id, s.cos_sim, row_number() over (
+      partition by s.query_id order by s.cos_sim desc, s.vec_id
+    ) as rn
+    from scored s
+    join assigned a on a.vec_id = s.vec_id
+    join probes p on p.query_id = s.query_id and p.cell = a.cell
+  ) where rn <= 10
+),
+hits as (
+  select a.query_id, count(*) as recalled
+  from approx a join truth t
+    on t.query_id = a.query_id and t.vec_id = a.vec_id
+  group by a.query_id
+)
+select q.query_id,
+       cast(coalesce(hits.recalled, 0) as bigint) as recalled,
+       cast(10 as bigint) as k
+from q left join hits on hits.query_id = q.query_id
+"""
+
+
 def q_sim_topk_pq(spark, sf_dir):
     """Top-10 cosine via product quantization (similarity.py
     pq_topk_fixed): 64 dims -> 16 sub-codes (16x scan compression),
@@ -2887,6 +2970,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_shard_diff": q_sample_shard_diff,
     "text_bpe_pairs": q_text_bpe_pairs,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
+    "sim_ivf_recall": q_sim_ivf_recall,
     "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -2958,6 +3042,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_shard_diff": SQL_SAMPLE_SHARD_DIFF,
     "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
     "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
+    "sim_ivf_recall": SQL_SIM_IVF_RECALL,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,

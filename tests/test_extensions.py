@@ -1196,6 +1196,24 @@ def test_winnowing_guarantee_and_stats(spark):
         assert isinstance(r.shared_ppm, int) and 0 <= r.shared_ppm <= 10**6
 
 
+def test_ivf_recall_full_probe_is_perfect(spark, emb):
+    """Recall calibration sanity: probing ALL cells must recover the
+    exact top-k for every query (the pruned scan degenerates to brute
+    force), and a 1-cell probe can only do worse or equal."""
+    from sslr_spark.functions.similarity import ivf_recall
+
+    cents = [1, 2, 3, 4, 5, 6, 7, 8]
+    full = ivf_recall(emb, cents, [0, 20], k=10, n_probe=len(cents))
+    rows = {r.query_id: r.recalled for r in full.collect()}
+    assert rows == {0: 10, 20: 10}
+    one = {
+        r.query_id: r.recalled
+        for r in ivf_recall(emb, cents, [0, 20], k=10, n_probe=1).collect()
+    }
+    assert all(one[q] <= 10 for q in one)
+    assert set(one) == {0, 20}
+
+
 def test_minhash_calibration_counts_consistent(spark):
     """Calibration counts must be internally consistent and catch
     planted near-identical pairs: identical docs collide in EVERY
