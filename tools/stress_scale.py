@@ -208,6 +208,37 @@ def main() -> None:
         ).groupBy("split").count().collect()
     release_caches()
 
+    # round-6 ops over the same K x corpus: the gate's histogram is
+    # bounded (|langs| x 10001) regardless of K; shuffle_order's
+    # window is per-shard (corpus/64); the curation chain composes
+    # all of them lazily; BPE pair counts collapse to the vocabulary
+    # first (vocab grows slower than the corpus); shard_diff is two
+    # bounded manifests.
+    from sslr_spark.curation import curate_documents
+    from sslr_spark.functions.quality_model import quality_quantile_gate
+    from sslr_spark.functions.sampling import shard_diff, shuffle_order
+    from sslr_spark.functions.text import bpe_merge_pairs
+
+    _QW = [0.02, -0.005, 1.0, 0.1]
+    with timed("quality_gate"):
+        quality_quantile_gate(
+            docs_scaled, 0.6, weights=_QW, bias=-2.0
+        ).count()
+    with timed("shuffle_order"):
+        shuffle_order(docs_scaled, 64).count()
+    with timed("curation_pipeline"):
+        curate_documents(
+            docs_scaled, quality_weights=_QW, quality_bias=-2.0,
+            keep_fraction=0.6, max_per_source=10 * k, n_shards=64,
+        ).df.count()
+    with timed("bpe_pairs"):
+        bpe_merge_pairs(docs_scaled, k=50).collect()
+    with timed("shard_diff"):
+        shard_diff(
+            docs_scaled.filter(F.col("doc_id") % 97 != 0),
+            docs_scaled, 64,
+        ).count()
+
     # prefix-filtered Jaccard: the CANDIDATE-SPACE cut, on the shape
     # the PPJoin filter exists for — a boilerplate-heavy corpus where
     # every document shares COMMON shingles (so the plain inverted-
