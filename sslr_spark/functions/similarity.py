@@ -836,6 +836,139 @@ def hard_negatives(
 # product quantization (PQ) — m sub-codes, ADC scan
 # ------------------------------------------------------------------
 
+def pq_train(
+    df: DataFrame,
+    m: int = 16,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with distributed KMeans — the
+    production counterpart of the fixed-codebook path, exactly as
+    ``ivf_index`` (KMeans) pairs with ``ivf_index_fixed``: train here
+    on a sample, publish the codebooks, and encode/serve through
+    :func:`pq_encode_with_books` / :func:`pq_topk_from_codes`, whose
+    plans are identical to the verification-grade fixed path (the
+    oracle pins the plan via fixed codebooks; this trains better
+    literals for the same plan).
+
+    Vectors are unit-normalized with the same quantized norm the
+    encoders use, then each of the ``m`` dim/m-wide slices is fit
+    with its own KMeans(ks) — m independent distributed fits over
+    the (sampled) corpus. Returns codebooks[subspace][codeword][dim],
+    codewords ordered by KMeans center index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sq = F.aggregate(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e12)
+                + F.lit(0.5)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    unit = df.select(
+        F.when(
+            sq == 0, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        .otherwise(
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double")
+                / F.sqrt(sq.cast("double") / F.lit(1e12)),
+            )
+        )
+        .alias("__u")
+    ).cache()
+    books: list[list[list[float]]] = []
+    try:
+        for j in range(m):
+            sub = unit.select(
+                array_to_vector(
+                    F.slice(F.col("__u"), j * dsub + 1, dsub)
+                ).alias("__s")
+            )
+            model = KMeans(
+                k=ks, seed=seed + j, featuresCol="__s",
+                predictionCol="__c",
+            ).fit(sub)
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        unit.unpersist()
+    return books
+
+
+def pq_encode_with_books(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode with PUBLISHED codebooks (e.g. from :func:`pq_train`):
+    the same Arrow-batched integer-quantized scoring as
+    pq_encode_arrow, minus the codebook derivation — the serving-side
+    encode for new batches against a frozen index, append-stable by
+    construction (frozen books => stable codes)."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    bk = np.asarray(books, dtype=np.float64)
+    cwsq_int = np.asarray(
+        [[_sumsq_int(cw) for cw in books[j]] for j in range(m)],
+        dtype=np.int64,
+    )
+    cwsq_d = cwsq_int / 1e12
+
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", __codes array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf):
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                s_int = (
+                    np.floor((x * x) * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+                )
+                xs = x.reshape(len(pdf), m, dsub)
+                prods = xs[:, :, None, :] * bk[None, :, :, :]
+                dot_int = (
+                    np.floor(prods * 1e12 + 0.5).astype(np.int64).sum(axis=3)
+                )
+                rt = np.sqrt(s_int / 1e12)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = (
+                        cwsq_d[None, :, :]
+                        - (2.0 * (dot_int / 1e12)) / rt[:, None, None]
+                    )
+                d = np.where(
+                    (s_int == 0)[:, None, None], cwsq_d[None, :, :], d
+                )
+                d_q = np.floor(d * 1e9 + 0.5).astype(np.int64)
+                pdf = pdf.copy()
+                pdf["__codes"] = [
+                    c.tolist() for c in d_q.argmin(axis=2).astype("int32")
+                ]
+            else:
+                pdf = pdf.copy()
+                pdf["__codes"] = []
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
 def pq_encode_fixed(
     df: DataFrame,
     codebook_ids: list[int],
@@ -1254,8 +1387,6 @@ def pq_encode_arrow(
     just non-adversarial ones.
 
     Returns (encoded df with ``__codes``, normalized codebooks)."""
-    import numpy as np
-
     rows = (
         df.filter(F.col(id_col).isin(list(codebook_ids)))
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cw"))
@@ -1273,49 +1404,7 @@ def pq_encode_arrow(
     books = [
         [u[j * dsub:(j + 1) * dsub] for u in units] for j in range(m)
     ]
-    bk = np.asarray(books, dtype=np.float64)          # (m, ks, dsub)
-    cwsq_int = np.asarray(
-        [[_sumsq_int(cw) for cw in books[j]] for j in range(m)],
-        dtype=np.int64,
-    )                                                 # (m, ks)
-    cwsq_d = cwsq_int / 1e12                          # (m, ks) exact inputs
-
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + ", __codes array<int>"
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf):
-                x = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )                                      # (n, dim)
-                s_int = (
-                    np.floor((x * x) * 1e12 + 0.5).astype(np.int64).sum(axis=1)
-                )                                      # (n,)
-                xs = x.reshape(len(pdf), m, dsub)      # (n, m, dsub)
-                prods = xs[:, :, None, :] * bk[None, :, :, :]
-                dot_int = (
-                    np.floor(prods * 1e12 + 0.5)
-                    .astype(np.int64)
-                    .sum(axis=3)
-                )                                      # (n, m, ks)
-                rt = np.sqrt(s_int / 1e12)             # (n,)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    d = (
-                        cwsq_d[None, :, :]
-                        - (2.0 * (dot_int / 1e12)) / rt[:, None, None]
-                    )
-                d = np.where(
-                    (s_int == 0)[:, None, None], cwsq_d[None, :, :], d
-                )
-                d_q = np.floor(d * 1e9 + 0.5).astype(np.int64)
-                codes = d_q.argmin(axis=2).astype("int32")  # first min
-                pdf = pdf.copy()
-                pdf["__codes"] = [c.tolist() for c in codes]
-            else:
-                pdf = pdf.copy()
-                pdf["__codes"] = []
-            yield pdf
-
-    return df.mapInPandas(encode, out_schema), books
+    # the numpy kernel itself lives in pq_encode_with_books (one copy
+    # serves the fixed-codebook path here and the pq_train serving
+    # path) — this wrapper only derives the codebooks
+    return pq_encode_with_books(df, books, vec_col), books

@@ -1049,6 +1049,56 @@ def test_pq_encode_codes_shape_and_determinism(spark, emb):
     assert self_codes == again
 
 
+def test_pq_train_codebooks_encode_and_beat_fixed_distortion(spark, emb):
+    """pq_train (per-subspace distributed KMeans) is the production
+    codebook path: trained books must be well-formed, encode
+    deterministically through the shared kernel, and give LOWER mean
+    quantized distortion than codebooks grabbed from arbitrary rows —
+    the property that makes training worth running."""
+    from sslr_spark.functions.similarity import (
+        pq_encode_arrow,
+        pq_encode_with_books,
+        pq_train,
+    )
+
+    m, ks = 16, 16
+    trained = pq_train(emb, m=m, ks=ks, seed=7)
+    assert len(trained) == m and all(len(b) == ks for b in trained)
+    assert all(len(cw) == 4 for b in trained for cw in b)
+    enc = pq_encode_with_books(emb, trained)
+    rows = enc.select("vec_id", "__codes").collect()
+    assert all(len(r["__codes"]) == m for r in rows)
+    assert all(0 <= c < ks for r in rows for c in r["__codes"])
+    again = {
+        r["vec_id"]: list(r["__codes"])
+        for r in pq_encode_with_books(emb, trained)
+        .select("vec_id", "__codes").collect()
+    }
+    assert again == {r["vec_id"]: list(r["__codes"]) for r in rows}
+
+    def distortion(books, encoded):
+        # mean squared L2 between each unit vector's subspaces and its
+        # assigned codewords, via the books and codes (driver-side on
+        # the 500-row fixture)
+        import numpy as np
+
+        from sslr_spark.functions.similarity import _unit_quantized
+
+        bk = np.asarray(books)
+        total, n = 0.0, 0
+        for r in encoded.select("embedding", "__codes").collect():
+            u = np.asarray(_unit_quantized(r["embedding"])).reshape(m, -1)
+            cw = bk[np.arange(m), np.asarray(r["__codes"])]
+            total += float(((u - cw) ** 2).sum())
+            n += 1
+        return total / n
+
+    fixed_enc, fixed_books = pq_encode_arrow(
+        emb, list(range(100, 116)), m=m
+    )
+    assert distortion(trained, enc) < distortion(fixed_books, fixed_enc)
+
+
 def test_pq_arrow_encoder_equals_expression_encoder(spark, emb):
     """The numpy/einsum production encoder must assign the SAME code
     in every subspace as the JVM expression encoder (both compute the
