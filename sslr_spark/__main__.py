@@ -36,9 +36,35 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="write the pass result as JSON to this path",
     )
+    parser.add_argument(
+        "-curate",
+        default=None,
+        metavar="CFG",
+        help="run a curation pipeline config (see sslr_spark.curation) "
+        "instead of a sync job; prints the funnel report as JSON",
+    )
     args = parser.parse_args(argv)
 
     from sslr_spark.config import ConfigError, load_config
+
+    if args.curate:
+        import json as _json
+
+        from sslr_spark.curation import load_curation_config, run_curation
+        from sslr_spark.session import get_spark as _get_spark
+
+        try:
+            ccfg = load_curation_config(args.curate)
+        except (ConfigError, OSError, ValueError) as e:
+            print(f"config error: {e}", file=sys.stderr)
+            return 3
+        try:
+            report = run_curation(_get_spark(), ccfg)
+        except Exception as e:
+            print(f"job error: {e}", file=sys.stderr)
+            return 1
+        print(_json.dumps(report))
+        return 0
 
     try:
         config = load_config(args.cfg)

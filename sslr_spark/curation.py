@@ -30,14 +30,121 @@ aggregate per stage and is off by default.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sslr_spark.config import ConfigError
 from sslr_spark.functions.dedup import exact_dedup_groups
 from sslr_spark.functions.quality_model import quality_quantile_gate
 from sslr_spark.functions.sampling import shard_assign, source_cap
 from sslr_spark.functions.text import gopher_flags
+
+
+@dataclass
+class CurationConfig:
+    """Declarative curation job: the LLM-pipeline twin of the sync
+    engine's JSON config — same unknown-key-rejection ethos
+    (reference internal/config.go:97-113), run via
+    ``python -m sslr_spark -curate cfg.json``."""
+
+    source: str = ""            # parquet dir holding the input table
+    output: str = ""            # parquet dir the curated table lands in
+    table: str = "documents"
+    output_table: str = "curated"
+    quality_weights: list[float] = field(default_factory=list)
+    quality_bias: float = 0.0
+    keep_fraction: float = 0.6
+    max_per_source: int | None = None
+    n_shards: int | None = 16
+    gopher: bool = True
+    exact_dedup: bool = True
+    text_column: str = "text"
+    key_column: str = "doc_id"
+    lang_column: str = "lang"
+    source_column: str = "source"
+
+
+_KNOWN_CURATION = {
+    "source", "output", "table", "outputTable", "qualityWeights",
+    "qualityBias", "keepFraction", "maxPerSource", "nShards", "gopher",
+    "exactDedup", "textColumn", "keyColumn", "langColumn", "sourceColumn",
+}
+
+
+def load_curation_config(path_or_text: str) -> CurationConfig:
+    """JSON file path or JSON string -> validated CurationConfig.
+    Unknown keys reject loudly; quality weights/bias are required when
+    the gate is on (keepFraction < 1) because silent default weights
+    would silently change which documents survive."""
+    import json
+
+    text = path_or_text
+    if not path_or_text.lstrip().startswith("{"):
+        with open(path_or_text, encoding="utf-8") as f:
+            text = f.read()
+    raw: dict[str, Any] = json.loads(text)
+    raw = {k: v for k, v in raw.items() if not k.startswith("/*")}
+    unknown = set(raw) - _KNOWN_CURATION
+    if unknown:
+        raise ConfigError(f"unknown curation config key(s): {sorted(unknown)}")
+    for req in ("source", "output"):
+        if not raw.get(req):
+            raise ConfigError(f"curation config requires {req!r}")
+    cfg = CurationConfig(
+        source=raw["source"],
+        output=raw["output"],
+        table=raw.get("table", "documents"),
+        output_table=raw.get("outputTable", "curated"),
+        quality_weights=[float(w) for w in raw.get("qualityWeights", [])],
+        quality_bias=float(raw.get("qualityBias", 0.0)),
+        keep_fraction=float(raw.get("keepFraction", 0.6)),
+        max_per_source=raw.get("maxPerSource"),
+        n_shards=raw.get("nShards", 16),
+        gopher=bool(raw.get("gopher", True)),
+        exact_dedup=bool(raw.get("exactDedup", True)),
+        text_column=raw.get("textColumn", "text"),
+        key_column=raw.get("keyColumn", "doc_id"),
+        lang_column=raw.get("langColumn", "lang"),
+        source_column=raw.get("sourceColumn", "source"),
+    )
+    if cfg.keep_fraction < 1.0 and len(cfg.quality_weights) != 4:
+        raise ConfigError(
+            "qualityWeights must list exactly 4 weights (n_tokens, "
+            "n_subtokens, stopword_ratio, mean_word_len) when "
+            "keepFraction < 1"
+        )
+    return cfg
+
+
+def run_curation(spark, cfg: CurationConfig) -> dict:
+    """Execute a CurationConfig end-to-end: read the input table, run
+    :func:`curate_documents` with the funnel on, write the curated
+    table atomically, and return the report (per-stage survivor
+    counts + written rows)."""
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    src = ParquetDatabase(spark, cfg.source)
+    out = ParquetDatabase(spark, cfg.output)
+    res = curate_documents(
+        src.read(cfg.table),
+        quality_weights=cfg.quality_weights,
+        quality_bias=cfg.quality_bias,
+        keep_fraction=cfg.keep_fraction,
+        max_per_source=cfg.max_per_source,
+        n_shards=cfg.n_shards,
+        gopher=cfg.gopher,
+        exact_dedup=cfg.exact_dedup,
+        text_col=cfg.text_column,
+        key_col=cfg.key_column,
+        lang_col=cfg.lang_column,
+        source_col=cfg.source_column,
+        with_funnel=True,
+    )
+    out.overwrite(cfg.output_table, res.df)
+    rows = out.table_rows(cfg.output_table)
+    return {"funnel": res.funnel, "written_rows": rows}
 
 
 @dataclass

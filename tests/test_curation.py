@@ -101,6 +101,51 @@ def test_curation_gate_thresholds_use_survivors_not_raw_corpus(spark):
     assert got == want
 
 
+def test_curation_config_cli_end_to_end(spark, tmp_path, capsys):
+    """Config-driven curation through the CLI surface: load a JSON
+    config (unknown keys reject, exit 3), run the chain, write the
+    curated table, print the funnel report."""
+    import json
+
+    from sslr_spark.__main__ import main
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    src = ParquetDatabase(spark, str(tmp_path / "in"))
+    src.overwrite("documents", _docs(spark))
+    cfg = tmp_path / "curate.json"
+    cfg.write_text(
+        json.dumps(
+            {
+                "source": str(tmp_path / "in"),
+                "output": str(tmp_path / "out"),
+                "qualityWeights": WEIGHTS,
+                "qualityBias": BIAS,
+                "keepFraction": 0.5,
+                "maxPerSource": 8,
+                "nShards": 4,
+            }
+        )
+    )
+    assert main(["-curate", str(cfg)]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["funnel"]["input"] == 60
+    assert report["funnel"]["gopher"] == 56
+    assert report["written_rows"] == report["funnel"]["source_cap"]
+    out = ParquetDatabase(spark, str(tmp_path / "out"))
+    assert out.read("curated").columns == ["doc_id", "lang", "source", "shard"]
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"source": "/s", "output": "/o", "bogus": 1}')
+    assert main(["-curate", str(bad)]) == 3
+    # gate on without weights rejects loudly (silent defaults would
+    # silently change which documents survive)
+    nw = tmp_path / "noweights.json"
+    nw.write_text(
+        json.dumps({"source": "/s", "output": "/o", "keepFraction": 0.5})
+    )
+    assert main(["-curate", str(nw)]) == 3
+
+
 def test_curation_stage_toggles(spark):
     from sslr_spark.curation import curate_documents
 
