@@ -1049,6 +1049,32 @@ def test_pq_encode_codes_shape_and_determinism(spark, emb):
     assert self_codes == again
 
 
+def test_pq_adc_preranking_recall_floor_vs_bruteforce(spark, emb):
+    """Blind-spot guard the oracle CANNOT provide: the DuckDB oracle
+    replays the engine's own ADC formula, so a semantic regression
+    that degrades code quality (a bad scale factor, a broken slice
+    offset) could stay hash-green while ranking garbage. Pin recall
+    against brute-force truth instead: at rerank_factor=4 the ADC cut
+    must recover a healthy share of the true top-10 (measured 8/9/4
+    on queries 0/20/40 — floor set with slack below)."""
+    from sslr_spark.functions.similarity import pq_topk_fixed, topk_bruteforce
+
+    cw = list(range(100, 116))
+    total = 0
+    for q in (0, 20, 40):
+        t = {r.vec_id for r in topk_bruteforce(emb, q, 10).collect()}
+        p = {
+            r.vec_id
+            for r in pq_topk_fixed(
+                emb, cw, q, k=10, m=16, arrow=True
+            ).collect()
+        }
+        overlap = len(t & p)
+        total += overlap
+        assert overlap >= 3, (q, overlap)  # any single query stays sane
+    assert total >= 15  # ~half the true neighbors across the panel
+
+
 def test_pq_train_codebooks_encode_and_beat_fixed_distortion(spark, emb):
     """pq_train (per-subspace distributed KMeans) is the production
     codebook path: trained books must be well-formed, encode
