@@ -207,6 +207,80 @@ def decode_media(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(decode, MEDIA_SCHEMA)
 
 
+def resize_bmp(b: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a 24-bit BMP, byte-level and
+    codec-free: parse the header, index the source pixel grid
+    (stride-aligned rows), resample with ``src = dst * src_dim //
+    dst_dim``, re-emit a complete BMP. Vectorized per image with
+    numpy fancy indexing — the same kernel shape a real image
+    pipeline runs, just without a compressed codec in front."""
+    import numpy as np
+
+    dims = parse_bmp(b)
+    if dims is None:
+        raise ValueError("not a BMP")
+    w, h = dims
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMPs supported, got {bpp}")
+    off = struct.unpack_from("<I", b, 10)[0]
+    stride = ((w * 3 + 3) // 4) * 4
+    px = (
+        np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    ys = np.arange(new_h) * h // new_h
+    xs = np.arange(new_w) * w // new_w
+    sampled = px[np.ix_(ys, xs)]                      # (new_h, new_w, 3)
+    nstride = ((new_w * 3 + 3) // 4) * 4
+    rows = np.zeros((new_h, nstride), dtype=np.uint8)
+    rows[:, : new_w * 3] = sampled.reshape(new_h, new_w * 3)
+    data = rows.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, new_w, new_h, 1, 24, 0, len(data),
+        2835, 2835, 0, 0,
+    )
+    return header + dib + data
+
+
+def resize_media(
+    binary_df: DataFrame, num: int = 1, den: int = 2
+) -> DataFrame:
+    """Arrow-batched media resize: BMP payloads downscale by
+    ``num/den`` (dimension >= 1 enforced) through the REAL byte-level
+    resampler; non-image payloads (WAV, unknown) pass through
+    untouched — the sniff-and-dispatch shape a mixed-modality column
+    needs. Pure per-row map, embarrassingly parallel."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                dims = parse_bmp(b)
+                if dims is not None:
+                    w, h = dims
+                    out.append(
+                        resize_bmp(
+                            b, max(1, w * num // den), max(1, h * num // den)
+                        )
+                    )
+                else:
+                    out.append(b)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+    return binary_df.select("doc_id", "payload").mapInPandas(rs, out_schema)
+
+
 def make_bmp(width: int, height: int) -> bytes:
     """A complete, viewer-openable 24-bit BMP of the given dimensions
     (zeroed pixels, 4-byte-aligned row stride)."""

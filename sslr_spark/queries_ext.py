@@ -1533,6 +1533,46 @@ from documents where doc_id < 300
 """
 
 
+def q_mm_resize(spark, sf_dir):
+    """REAL image resize, end-to-end verified: synthesized BMPs
+    downscale by 1/2 through the byte-level nearest-neighbor
+    resampler (multimodal.py resize_bmp), WAVs pass through the
+    dispatch untouched, and decode_media parses the RESULT bytes —
+    the oracle predicts every field from the construction+resize
+    formulas, so any stride, header, or resample-bounds bug in the
+    resizer diverges from it."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return M.decode_media(M.resize_media(M.synthesize_media(docs)))
+
+
+# decode_media over resize_media(synthesize_media(...)): BMPs have
+# halved dims (floor, min 1) and recomputed stride/bytes; WAVs are
+# byte-identical to SQL_MM_DECODE_REAL's
+SQL_MM_RESIZE = """
+select doc_id,
+       case when doc_id % 2 = 0 then 'bmp' else 'wav' end as fmt,
+       cast(case when doc_id % 2 = 0
+                 then 54 + (((greatest(1, (4 + doc_id % 29) // 2) * 3 + 3)
+                             // 4) * 4)
+                          * greatest(1, (4 + n_chars % 31) // 2)
+                 else 44 + (100 + n_chars % 400) * 2 end as bigint)
+         as n_bytes,
+       cast(case when doc_id % 2 = 0
+                 then greatest(1, (4 + doc_id % 29) // 2) end as int)
+         as width,
+       cast(case when doc_id % 2 = 0
+                 then greatest(1, (4 + n_chars % 31) // 2) end as int)
+         as height,
+       cast(case when doc_id % 2 = 1 then 8000 * (1 + doc_id % 5) end
+            as int) as sample_rate,
+       cast(case when doc_id % 2 = 1
+                 then ((100 + n_chars % 400) * 2 * 1000)
+                      // (8000 * (1 + doc_id % 5) * 2) end
+            as int) as duration_ms
+from documents where doc_id < 300
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -3009,6 +3049,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_blocked": q_sim_knn_blocked,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_real": q_mm_decode_real,
+    "mm_resize": q_mm_resize,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
@@ -3081,6 +3122,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_knn_blocked": SQL_SIM_KNN,
     "mm_binary_meta": SQL_MM_META,
     "mm_decode_real": SQL_MM_DECODE_REAL,
+    "mm_resize": SQL_MM_RESIZE,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_frame_sample": SQL_MM_FRAMES,
