@@ -909,6 +909,68 @@ where bit_count(xor(a.simhash, b.simhash)) <= 4
 """
 
 
+def q_dedup_simhash_calibration(spark, sf_dir):
+    """SimHash proxy-quality calibration (dedup.py
+    simhash_calibration): one row of counts comparing the hamming<=8
+    prediction against exact-Jaccard truth at t=0.05 — recall AND the
+    false-positive verification bill the sketch would incur, measured
+    before trusting a hamming threshold at scale."""
+    return D.simhash_calibration(
+        _docs(spark, sf_dir), max_hamming=8, threshold=0.05
+    )
+
+
+SQL_DEDUP_SIMHASH_CALIBRATION = f"""
+with wc as (
+  select doc_id, word, count(*) as freq,
+         {h60_sql('word')} as h
+  from (select doc_id, unnest({W_SQL}) as word from documents)
+  group by doc_id, word
+),
+per_bit as (
+  select doc_id, b, sum(freq * (((h >> b) & 1) * 2 - 1)) as s
+  from wc, (select unnest(generate_series(0, 31)) as b)
+  group by doc_id, b
+),
+fp as (
+  select doc_id,
+         sum(case when s > 0 then (cast(1 as bigint) << b) else 0 end)
+           as simhash
+  from per_bit group by doc_id
+),
+pred as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from fp a join fp b on a.doc_id < b.doc_id
+  where bit_count(xor(a.simhash, b.simhash)) <= 8
+),
+{_shingles_cte(3)},
+sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+tinter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+truth as (
+  select doc_a, doc_b from tinter
+  join sizes sa on sa.doc_id = doc_a
+  join sizes sb on sb.doc_id = doc_b
+  where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.05
+),
+counts as (
+  select
+    (select count(*) from truth) as n_true,
+    (select count(*) from pred) as n_predicted,
+    (select count(*) from pred p
+       join truth t on t.doc_a = p.doc_a and t.doc_b = p.doc_b)
+      as true_positives
+)
+select n_true, n_predicted, true_positives,
+       n_true - true_positives as false_negatives,
+       n_predicted - true_positives as false_positives
+from counts
+"""
+
+
 _DOT = (
     "list_sum(list_transform(generate_series(1, len({a})), "
     "i -> cast({a}[i] as double) * cast({b}[i] as double)))"
@@ -3011,6 +3073,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_pairs": q_text_bpe_pairs,
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "dedup_simhash_calibration": q_dedup_simhash_calibration,
     "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -3084,6 +3147,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_bpe_pairs": SQL_TEXT_BPE_PAIRS,
     "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
+    "dedup_simhash_calibration": SQL_DEDUP_SIMHASH_CALIBRATION,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
