@@ -1315,6 +1315,24 @@ def test_minhash_calibration_counts_consistent(spark):
     assert r.false_positives >= 0
 
 
+def test_simhash_calibration_counts_consistent(spark):
+    """Identical docs have identical sketches (hamming 0) and Jaccard
+    1.0 — always recalled at any threshold; derived columns reconcile
+    with the raw counts."""
+    from sslr_spark.functions.dedup import simhash_calibration
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta " + f"p{i // 2}")
+            for i in range(8)]
+    rows += [(100 + i, f"unrelated u{i} v{i} w{i} x{i} y{i} z{i}")
+             for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = simhash_calibration(df, max_hamming=3, threshold=0.9).first()
+    assert r.n_true == 4                      # the identical pairs
+    assert r.true_positives == 4              # hamming 0 <= 3
+    assert r.false_negatives == r.n_true - r.true_positives == 0
+    assert r.false_positives == r.n_predicted - r.true_positives >= 0
+
+
 def test_shard_diff_flags_only_touched_shards(spark):
     """A one-doc delta flips exactly the shard that doc hashes into;
     identical corpora diff clean across all full-cover rows."""
