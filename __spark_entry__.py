@@ -72,6 +72,7 @@ _HEAD_KEYS = [
     "sim_ivf_recall",
     "mm_resize",
     "dedup_simhash_calibration",
+    "dedup_cluster_sizes",
     # code changed THIS round (r6) — PQ scoring went per-term-integer
     # quantized in every engine, the prefix-join ceiling gained the
     # one-ppm rounding-band slack (both jaccard keys share the
@@ -121,13 +122,13 @@ _HEAD_KEYS = [
     "j3_range_repair",
     "j4_hash_diff",
     "d1_delete_by_keyset",
-    "d2_range_delete",
     # 50 head entries — exactly the driver window this round.
 ]
 _TAIL_KEYS = [
     # r04-latest but triple-green (r01+r02+r04) with unchanged code —
     # the only keys that didn't fit the 50 window; first in line for
     # the r07 head:
+    "d2_range_delete",
     "t6_event_window_agg",
     "x_asof_join",
     "x_json_extract",

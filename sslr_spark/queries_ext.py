@@ -659,6 +659,35 @@ SQL_DEDUP_CLUSTERS = (
 )
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Corpus duplication profile: near-dup cluster size histogram
+    (how many clusters of 2, of 3, ...) — the first number a curation
+    report shows and the one that decides whether dedup is worth a
+    full pass. Two bounded aggregates over the star-resolved cluster
+    labels; singleton docs (no near-dup) are excluded since the pair
+    graph only contains linked docs."""
+    pairs = D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.05)
+    clusters = D.dup_clusters_star(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+SQL_DEDUP_CLUSTER_SIZES = (
+    "with " + _CLUSTERS_CTE + """
+, sizes2 as (
+  select cluster_id, count(*) as cluster_size
+  from clusters group by cluster_id
+)
+select cluster_size, cast(count(*) as bigint) as n_clusters
+from sizes2 group by cluster_size
+"""
+)
+
+
 def q_x_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix: shingle-set Jaccard between
     every source pair — which feeds are re-crawls of each other."""
@@ -3074,6 +3103,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_calibration": q_dedup_minhash_calibration,
     "sim_ivf_recall": q_sim_ivf_recall,
     "dedup_simhash_calibration": q_dedup_simhash_calibration,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "text_bm25_topk": q_text_bm25_topk,
     "sample_shard_manifest": q_sample_shard_manifest,
     "sim_hard_negatives": q_sim_hard_negatives,
@@ -3148,6 +3178,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_minhash_calibration": SQL_DEDUP_MINHASH_CALIBRATION,
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
     "dedup_simhash_calibration": SQL_DEDUP_SIMHASH_CALIBRATION,
+    "dedup_cluster_sizes": SQL_DEDUP_CLUSTER_SIZES,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
