@@ -115,6 +115,10 @@ def load_curation_config(path_or_text: str) -> CurationConfig:
             "n_subtokens, stopword_ratio, mean_word_len) when "
             "keepFraction < 1"
         )
+    if not 0.0 < cfg.keep_fraction <= 1.0:
+        raise ConfigError(
+            f"keepFraction must be in (0, 1], got {cfg.keep_fraction}"
+        )
     return cfg
 
 
@@ -179,25 +183,41 @@ def curate_documents(
     survivors after each stage (one aggregate per stage — leave off
     in production and read counts from the shard manifest instead).
     """
+    if keep_fraction is not None and not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
     funnel: dict[str, int] = {}
 
     def tick(name: str, frame: DataFrame) -> None:
         if with_funnel:
             funnel[name] = frame.count()
 
-    cur = df.select(key_col, lang_col, source_col, text_col)
+    # the stage operators (gopher_flags, exact_dedup_groups,
+    # quality_quantile_gate) key their outputs on 'doc_id'; thread a
+    # caller key through by renaming at the boundary (and back below)
+    if key_col != "doc_id":
+        if "doc_id" in df.columns:
+            raise ValueError(
+                f"key_col={key_col!r} conflicts with an existing "
+                "'doc_id' column — the stage operators key on doc_id"
+            )
+        df = df.withColumnRenamed(key_col, "doc_id")
+    kc = "doc_id"
+
+    cur = df.select(kc, lang_col, source_col, text_col)
     tick("input", cur)
 
     if gopher:
-        keep = gopher_flags(df, text_col).filter("keep").select(key_col)
-        cur = cur.join(keep, key_col, "left_semi")
+        keep = gopher_flags(df, text_col).filter("keep").select(kc)
+        cur = cur.join(keep, kc, "left_semi")
         tick("gopher", cur)
 
     if exact_dedup:
         keepers = exact_dedup_groups(cur, text_col).select(
-            F.col("keep_id").alias(key_col)
+            F.col("keep_id").alias(kc)
         )
-        cur = cur.join(keepers, key_col, "left_semi")
+        cur = cur.join(keepers, kc, "left_semi")
         tick("exact_dedup", cur)
 
     if keep_fraction is not None and keep_fraction < 1.0:
@@ -208,15 +228,17 @@ def curate_documents(
             text_col=text_col,
             weights=quality_weights,
             bias=quality_bias,
-        ).select(key_col)
-        cur = cur.join(kept, key_col, "left_semi")
+        ).select(kc)
+        cur = cur.join(kept, kc, "left_semi")
         tick("quality_gate", cur)
 
     if max_per_source is not None:
-        cur = source_cap(cur, source_col, max_per_source, key_col)
+        cur = source_cap(cur, source_col, max_per_source, kc)
         tick("source_cap", cur)
 
-    out = cur.select(key_col, lang_col, source_col)
+    out = cur.select(kc, lang_col, source_col)
     if n_shards:
-        out = shard_assign(out, n_shards, key_col)
+        out = shard_assign(out, n_shards, kc)
+    if key_col != kc:
+        out = out.withColumnRenamed(kc, key_col)
     return CurationResult(out, funnel)

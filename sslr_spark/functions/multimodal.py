@@ -213,23 +213,41 @@ def resize_bmp(b: bytes, new_w: int, new_h: int) -> bytes:
     (stride-aligned rows), resample with ``src = dst * src_dim //
     dst_dim``, re-emit a complete BMP. Vectorized per image with
     numpy fancy indexing — the same kernel shape a real image
-    pipeline runs, just without a compressed codec in front."""
+    pipeline runs, just without a compressed codec in front.
+
+    Handles top-down sources (negative BITMAPINFOHEADER height): rows
+    are flipped to bottom-up order before resampling so the emitted
+    bottom-up BMP shows the same image. Raises ValueError for
+    anything it cannot resize losslessly-in-structure (non-24bpp,
+    BITMAPCOREHEADER, truncated pixel data) — callers that want
+    pass-through semantics catch it (:func:`resize_media` does)."""
     import numpy as np
 
-    dims = parse_bmp(b)
-    if dims is None:
-        raise ValueError("not a BMP")
-    w, h = dims
+    if len(b) < 30 or b[:2] != b"BM":
+        raise ValueError("not a BMP (or truncated header)")
+    hsz = struct.unpack_from("<I", b, 14)[0]
+    if hsz < 40:
+        raise ValueError(f"unsupported DIB header size {hsz}")
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h_signed}")
     bpp = struct.unpack_from("<H", b, 28)[0]
     if bpp != 24:
         raise ValueError(f"only 24-bit BMPs supported, got {bpp}")
     off = struct.unpack_from("<I", b, 10)[0]
     stride = ((w * 3 + 3) // 4) * 4
+    if off + stride * h > len(b):
+        raise ValueError("truncated BMP pixel data")
     px = (
         np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
         .reshape(h, stride)[:, : w * 3]
         .reshape(h, w, 3)
     )
+    if h_signed < 0:
+        # top-down source: flip to the bottom-up row order the emitted
+        # header declares, so the visual content is preserved
+        px = px[::-1]
     ys = np.arange(new_h) * h // new_h
     xs = np.arange(new_w) * w // new_w
     sampled = px[np.ix_(ys, xs)]                      # (new_h, new_w, 3)
@@ -248,11 +266,14 @@ def resize_bmp(b: bytes, new_w: int, new_h: int) -> bytes:
 def resize_media(
     binary_df: DataFrame, num: int = 1, den: int = 2
 ) -> DataFrame:
-    """Arrow-batched media resize: BMP payloads downscale by
+    """Arrow-batched media resize: 24-bit BMP payloads downscale by
     ``num/den`` (dimension >= 1 enforced) through the REAL byte-level
-    resampler; non-image payloads (WAV, unknown) pass through
-    untouched — the sniff-and-dispatch shape a mixed-modality column
-    needs. Pure per-row map, embarrassingly parallel."""
+    resampler; everything else — WAV, unknown formats, and BMP
+    variants the resampler does not support (non-24bpp, core-header,
+    truncated) — passes through UNTOUCHED rather than failing the
+    job: one odd payload in a 100 TB column must not kill the stage.
+    The sniff-and-dispatch shape a mixed-modality column needs. Pure
+    per-row map, embarrassingly parallel."""
 
     out_schema = T.StructType(
         [
@@ -269,13 +290,13 @@ def resize_media(
                 dims = parse_bmp(b)
                 if dims is not None:
                     w, h = dims
-                    out.append(
-                        resize_bmp(
+                    try:
+                        b = resize_bmp(
                             b, max(1, w * num // den), max(1, h * num // den)
                         )
-                    )
-                else:
-                    out.append(b)
+                    except (ValueError, struct.error):
+                        pass  # unsupported/corrupt BMP: pass through
+                out.append(b)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
     return binary_df.select("doc_id", "payload").mapInPandas(rs, out_schema)

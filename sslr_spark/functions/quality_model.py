@@ -90,6 +90,13 @@ def quality_quantile_gate(
     if weights is None or bias is None:
         raise ValueError("quality_quantile_gate needs the published "
                          "model weights and bias")
+    if not 0.0 < keep_fraction <= 1.0:
+        # <=0 would keep the top tie-run per group (cum >= ceil(0)=0
+        # matches the first histogram row); >1 would silently drop
+        # every group (no row reaches the cumulative target)
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
     scored = (
         quality_score(df, weights, bias, text_col)
         .join(df.select("doc_id", by), "doc_id")

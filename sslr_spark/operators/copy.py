@@ -50,7 +50,10 @@ class CopyProgressReporter:
     cumulative row count crosses a reference tier boundary
     (internal/copy.go:78-88 — 10k/100k/500k cadence). Rows are
     estimated as ``expected_rows * completed_tasks / total_tasks``
-    (the exact count still comes from the observe metric at the end);
+    over the stages SUBMITTED SO FAR — early in a multi-stage job the
+    estimate is submitted-stage-relative and can run ahead of true
+    progress until later stages register; ticks are monotone and the
+    exact count still comes from the observe metric at the end;
     the sync path knows expected_rows for free from its A1 watermark
     probe. On a multi-hour 100 TB copy this is the only signal an
     operator has that the job is advancing — the reference's users
@@ -112,6 +115,12 @@ class CopyProgressReporter:
 
     def __enter__(self) -> "CopyProgressReporter":
         if self.expected is not None:
+            # save the caller's job group so __exit__ can restore it
+            # instead of clobbering it with a blank one
+            self._prior_group = self.sc.getLocalProperty("spark.jobGroup.id")
+            self._prior_desc = self.sc.getLocalProperty(
+                "spark.job.description"
+            )
             self.sc.setJobGroup(self.group, f"sslr copy {self.table}")
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
@@ -121,8 +130,13 @@ class CopyProgressReporter:
         if self._thread is not None:
             self._stop.set()
             self._thread.join(timeout=10)
-            # leave no ambient job group behind for later jobs
-            self.sc.setJobGroup("", "")
+            # restore the caller's job group (or clear ours if none)
+            if self._prior_group:
+                self.sc.setJobGroup(
+                    self._prior_group, self._prior_desc or ""
+                )
+            else:
+                self.sc.setJobGroup("", "")
 
 
 def filtered_source(

@@ -246,6 +246,7 @@ def streaming_neardup_ingest(
     trigger_seconds: float | None = None,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
+    force: bool = False,
 ):
     """Continuous near-dup-deduped ingest: every arriving micro-batch
     is collapsed within itself, probed against the ACCEPTED corpus's
@@ -282,7 +283,10 @@ def streaming_neardup_ingest(
     legitimately change which member of a near-dup pair wins, so
     results may differ from the original run and stale high-epoch
     partitions are never reconciled. Rebuild into a FRESH target
-    instead (the epoch-0-on-used-target case logs a warning).
+    instead: the epoch-0-on-used-target case RAISES (a warning is too
+    easy to miss in the driver logs of a 100 TB rebuild misroute);
+    pass ``force=True`` to acknowledge the rebuild semantics and
+    proceed anyway (the acknowledgement still logs a warning).
 
     LSH parameters (``shingle_n / n_hashes / n_bands / hash_mode``)
     are baked into the stored index — keep them constant for the life
@@ -351,17 +355,18 @@ def streaming_neardup_ingest(
         fresh = None
         index_ready = _has_committed_data(bk_table)
         if int(epoch_id) == 0 and index_ready:
-            import warnings
-
-            warnings.warn(
+            msg = (
                 "streaming_neardup_ingest: epoch 0 over an already-"
                 "populated target — this is a rebuild with a fresh "
                 "checkpoint, not a crash replay; stale higher-epoch "
                 "partitions are not reconciled. Rebuild into a fresh "
-                "target instead.",
-                RuntimeWarning,
-                stacklevel=2,
+                "target instead, or pass force=True to acknowledge."
             )
+            if not force:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         # cache_scope: incremental_minhash_dedup's entry-release would
         # otherwise unpersist the in-batch pair generator's shingle
         # cache before any write action materializes survivors —

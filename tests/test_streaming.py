@@ -269,16 +269,34 @@ def test_streaming_neardup_ingest_with_self_maintaining_index(
     }
     assert idx_docs == {1, 3, 11}
 
-    # fresh-checkpoint REBUILD over the same target (warned against in
-    # general — changed batch boundaries can change near-dup winners;
-    # here the data is boundary-stable): every file replays as epoch 0
-    # and the epoch-excluding index load + per-epoch partition
-    # overwrite leave the accepted set unchanged — the same machinery
-    # that makes a checkpointed same-epoch crash replay exactly-once
+    # fresh-checkpoint REBUILD over the same target (dangerous in
+    # general — changed batch boundaries can change near-dup winners):
+    # without force=True the epoch-0-on-populated-target misroute is
+    # now a HARD ERROR (a warning is too easy to miss in driver logs)
     import shutil
 
+    import pytest
+
     shutil.rmtree(ckpt)
-    run()
+    with pytest.raises(Exception, match="already-.?populated"):
+        q = streaming_neardup_ingest(
+            spark, src_dir, batch1.schema, target, ckpt,
+            jaccard_threshold=0.5,
+        )
+        q.awaitTermination()
+
+    # force=True acknowledges the rebuild semantics (still warns):
+    # every file replays as epoch 0 and the epoch-excluding index load
+    # + per-epoch partition overwrite leave the accepted set unchanged
+    # (here the data is boundary-stable) — the same machinery that
+    # makes a checkpointed same-epoch crash replay exactly-once
+    shutil.rmtree(ckpt)
+    with pytest.warns(RuntimeWarning, match="already-.?populated"):
+        q = streaming_neardup_ingest(
+            spark, src_dir, batch1.schema, target, ckpt,
+            jaccard_threshold=0.5, force=True,
+        )
+        q.awaitTermination(180)
     rows = target.read("accepted").collect()
     assert {r["doc_id"] for r in rows} == {1, 3, 11}
     assert len(rows) == 3
