@@ -4,16 +4,17 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 Two decode tiers:
 
 - :func:`decode_media` is a REAL decoder for headered formats — BMP
-  dimensions and WAV sample rate / duration parse straight out of the
-  file bytes with ``struct``, no codec library needed. This is the
-  production shape end-to-end: magic-number sniffing, header-offset
-  arithmetic, chunk walking, all inside the Arrow batch loop.
+  and PNG dimensions, JPEG dimensions (SOF marker walk), and WAV
+  sample rate / duration all parse straight out of the file bytes
+  with ``struct``, no codec library needed. This is the production
+  shape end-to-end: magic-number sniffing, header-offset arithmetic,
+  chunk/marker walking, all inside the Arrow batch loop.
 - :func:`decode_metadata` keeps the clearly-marked deterministic STUB
-  for formats that genuinely need a codec (JPEG/MP4/...; the container
-  ships none) — everything Spark-side (binary representation, output
-  schema, batch shape, embarrassingly-parallel partitioning) is real
-  and tested; swap `_decode_stub` for PIL/ffmpeg and nothing else
-  changes.
+  for the parts that genuinely need a codec (JPEG/MP4 PIXEL data;
+  the container ships none) — everything Spark-side (binary
+  representation, output schema, batch shape, embarrassingly-parallel
+  partitioning) is real and tested; swap `_decode_stub` for
+  PIL/ffmpeg and nothing else changes.
 """
 
 from __future__ import annotations
@@ -144,10 +145,61 @@ def parse_wav(b: bytes) -> tuple[int, int] | None:
     return rate, data_size * 1000 // byte_rate
 
 
+def parse_png(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a PNG: 8-byte signature, then the IHDR
+    chunk is REQUIRED to be first (PNG spec §5.6) — its 13-byte data
+    carries width/height as big-endian uint32 at file bytes 16-23."""
+    if len(b) < 24 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", b, 16)
+    if w <= 0 or h <= 0 or w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+        return None
+    return w, h
+
+
+def parse_jpeg(b: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG by walking its marker segments:
+    after SOI, each segment is FF <marker> <len:u16be> <payload>;
+    dimensions live in the frame header (SOF0..SOF15, excluding the
+    non-frame C4/C8/CC markers) as big-endian height/width at payload
+    bytes 1-4. Standalone markers (RST0-7, TEM) and FF fill bytes are
+    skipped; the walk stops at SOS/EOI (no frame header seen)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None  # lost sync: not a marker where one must be
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
+            return None
+        seg_len = struct.unpack_from(">H", b, pos + 2)[0]
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(b):
+                return None
+            h, w = struct.unpack_from(">HH", b, pos + 5)
+            if w == 0 or h == 0:
+                return None
+            return w, h
+        pos += 2 + seg_len
+    return None
+
+
 def decode_media(binary_df: DataFrame) -> DataFrame:
     """REAL metadata decode for headered media formats, Arrow-batched:
-    sniffs the magic number per payload and parses BMP dimensions /
-    WAV rate+duration straight from the bytes (:func:`parse_bmp`,
+    sniffs the magic number per payload and parses BMP/PNG/JPEG
+    dimensions / WAV rate+duration straight from the bytes
+    (:func:`parse_bmp`, :func:`parse_png`, :func:`parse_jpeg`,
     :func:`parse_wav`). Unknown formats pass through with fmt
     'unknown' and null media fields — triage them with
     :func:`binary_meta` before spending codec cost. Pure per-row
@@ -168,12 +220,21 @@ def decode_media(binary_df: DataFrame) -> DataFrame:
             for p in pdf["payload"]:
                 b = bytes(p)
                 out["n_bytes"].append(len(b))
-                bmp = parse_bmp(b)
-                wav = parse_wav(b) if bmp is None else None
-                if bmp is not None:
-                    out["fmt"].append("bmp")
-                    out["width"].append(bmp[0])
-                    out["height"].append(bmp[1])
+                dims = fmt = None
+                for name, parser in (
+                    ("bmp", parse_bmp),
+                    ("png", parse_png),
+                    ("jpeg", parse_jpeg),
+                ):
+                    dims = parser(b)
+                    if dims is not None:
+                        fmt = name
+                        break
+                wav = parse_wav(b) if dims is None else None
+                if dims is not None:
+                    out["fmt"].append(fmt)
+                    out["width"].append(dims[0])
+                    out["height"].append(dims[1])
                     out["sample_rate"].append(None)
                     out["duration_ms"].append(None)
                 elif wav is not None:
@@ -315,6 +376,61 @@ def make_bmp(width: int, height: int) -> bytes:
     return header + dib + data
 
 
+def make_png(width: int, height: int) -> bytes:
+    """A complete, viewer-openable 8-bit RGB PNG of the given
+    dimensions: real IHDR/IDAT/IEND chunks with correct CRCs,
+    deterministic pixel formula, and zlib level 0 (STORED deflate
+    blocks) so the compressed size — hence the total file size — is a
+    pure formula of the dimensions: raw = height*(1 + 3*width) scanline
+    bytes, IDAT data = 11 + raw for raw <= 65535 (2-byte zlib header +
+    one 5-byte stored-block header + raw + 4-byte adler32), total =
+    68 + raw. That predictability is what lets the decode oracle pin
+    every output field without parsing bytes."""
+    import zlib
+
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type None
+        for x in range(width):
+            raw += bytes(
+                ((x * 7 + y * 13) % 256, (x + y) % 256, (x * 3) % 256)
+            )
+    comp = zlib.compress(bytes(raw), 0)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(width: int, height: int, com_pad: int = 0) -> bytes:
+    """A minimal JPEG whose marker stream exercises the SOF walk:
+    SOI, a COM segment of ``com_pad`` filler bytes (the walk must
+    skip it by its declared length), a baseline SOF0 frame header
+    carrying the dimensions, EOI. Header-only — no entropy-coded
+    data, which :func:`parse_jpeg` (like any header sniffer) never
+    reads. Total size = 21 + com_pad bytes, a pure formula."""
+    com = b"\xff\xfe" + struct.pack(">H", 2 + com_pad) + bytes(com_pad)
+    sof = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, height, width, 1)
+        + bytes((1, 0x11, 0))  # component 1, 1x1 sampling, q-table 0
+    )
+    return b"\xff\xd8" + com + sof + b"\xff\xd9"
+
+
 def make_wav(sample_rate: int, n_samples: int) -> bytes:
     """A complete 16-bit mono PCM WAV (silence) at the given rate."""
     data = bytes(n_samples * 2)
@@ -353,6 +469,55 @@ def synthesize_media(df: DataFrame) -> DataFrame:
                 else:
                     payloads.append(
                         make_wav(8000 * (1 + d % 5), 100 + c % 400)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return df.select("doc_id", "n_chars").mapInPandas(build, out_schema)
+
+
+def synthesize_media_all(df: DataFrame) -> DataFrame:
+    """Four-format deterministic media corpus over (doc_id, n_chars)
+    — the PNG/JPEG extension of :func:`synthesize_media`:
+
+    - doc_id % 4 == 0 -> BMP   w = 4 + doc_id % 29, h = 4 + n_chars % 31
+    - doc_id % 4 == 1 -> WAV   rate = 8000 * (1 + doc_id % 5),
+                               samples = 100 + n_chars % 400
+    - doc_id % 4 == 2 -> PNG   w = 3 + doc_id % 37, h = 3 + n_chars % 23
+                               (stored-deflate: size is a formula too)
+    - doc_id % 4 == 3 -> JPEG  w = 5 + n_chars % 41, h = 5 + doc_id % 19,
+                               COM padding doc_id % 17
+
+    Same verification shape as synthesize_media: every decoded field
+    (fmt, n_bytes, width, height, rate, duration) is a plain column
+    formula the oracle predicts WITHOUT parsing — construct from
+    formulas, decode from BYTES, compare. Arrow-batched map."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                kind = d % 4
+                if kind == 0:
+                    payloads.append(make_bmp(4 + d % 29, 4 + c % 31))
+                elif kind == 1:
+                    payloads.append(
+                        make_wav(8000 * (1 + d % 5), 100 + c % 400)
+                    )
+                elif kind == 2:
+                    payloads.append(make_png(3 + d % 37, 3 + c % 23))
+                else:
+                    payloads.append(
+                        make_jpeg(5 + c % 41, 5 + d % 19, com_pad=d % 17)
                     )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}

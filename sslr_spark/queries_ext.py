@@ -1664,6 +1664,56 @@ from documents where doc_id < 300
 """
 
 
+def q_mm_decode_png_jpeg(spark, sf_dir):
+    """REAL PNG + JPEG header decode joining the BMP/WAV family
+    (multimodal.py parse_png / parse_jpeg): documents rows become
+    genuine four-format media files (synthesize_media_all — PNGs with
+    real IHDR/IDAT/IEND chunks and CRCs, stored-deflate so even the
+    compressed size is a formula; JPEGs whose marker stream forces
+    the SOF walk past a COM segment), then decode_media parses every
+    field back OUT OF THE BYTES: PNG big-endian IHDR dims, JPEG SOF0
+    height/width via the marker-length walk. The oracle predicts all
+    fields from the construction formulas alone — any endianness,
+    chunk-offset, or marker-walk bug diverges from it."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return M.decode_media(M.synthesize_media_all(docs))
+
+
+# predicts decode_media over synthesize_media_all by doc_id % 4:
+# 0 -> BMP (w=4+id%29, h=4+n%31, bytes=54+stride*h);
+# 1 -> WAV (rate=8000*(1+id%5), samples=100+n%400, bytes=44+2*samples);
+# 2 -> PNG (w=3+id%37, h=3+n%23; stored-deflate: raw=h*(1+3w) scanline
+#      bytes, IDAT=11+raw, total=68+raw);
+# 3 -> JPEG (w=5+n%41, h=5+id%19, COM pad id%17, total=21+pad)
+SQL_MM_DECODE_PNG_JPEG = """
+select doc_id,
+       case doc_id % 4 when 0 then 'bmp' when 1 then 'wav'
+                       when 2 then 'png' else 'jpeg' end as fmt,
+       cast(case doc_id % 4
+            when 0 then 54 + ((((4 + doc_id % 29) * 3 + 3) // 4) * 4)
+                            * (4 + n_chars % 31)
+            when 1 then 44 + (100 + n_chars % 400) * 2
+            when 2 then 68 + (3 + n_chars % 23)
+                            * (1 + 3 * (3 + doc_id % 37))
+            else 21 + doc_id % 17 end as bigint) as n_bytes,
+       cast(case doc_id % 4 when 0 then 4 + doc_id % 29
+                            when 2 then 3 + doc_id % 37
+                            when 3 then 5 + n_chars % 41 end as int)
+         as width,
+       cast(case doc_id % 4 when 0 then 4 + n_chars % 31
+                            when 2 then 3 + n_chars % 23
+                            when 3 then 5 + doc_id % 19 end as int)
+         as height,
+       cast(case when doc_id % 4 = 1 then 8000 * (1 + doc_id % 5) end
+            as int) as sample_rate,
+       cast(case when doc_id % 4 = 1
+                 then ((100 + n_chars % 400) * 2 * 1000)
+                      // (8000 * (1 + doc_id % 5) * 2) end
+            as int) as duration_ms
+from documents where doc_id < 400
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -3142,6 +3192,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_blocked": q_sim_knn_blocked,
     "mm_binary_meta": q_mm_binary_meta,
     "mm_decode_real": q_mm_decode_real,
+    "mm_decode_png_jpeg": q_mm_decode_png_jpeg,
     "mm_resize": q_mm_resize,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
@@ -3217,6 +3268,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_knn_blocked": SQL_SIM_KNN,
     "mm_binary_meta": SQL_MM_META,
     "mm_decode_real": SQL_MM_DECODE_REAL,
+    "mm_decode_png_jpeg": SQL_MM_DECODE_PNG_JPEG,
     "mm_resize": SQL_MM_RESIZE,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
