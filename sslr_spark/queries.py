@@ -139,29 +139,86 @@ union all select * from new
 """
 
 
+_S5_TABLES = ["lineitem", "orders", "documents", "embeddings"]
+
+
 def q_s5_catalog_schema(spark, sf_dir):
     """S5: catalog schema scan (reference extractTableSchema,
-    internal/schemas.go:91-139) — the table's schema as rows.
-    Rows-only check: type-name spellings differ across engines."""
-    li = _t(spark, sf_dir, "lineitem")
-    rows = [
-        (i, f.name, f.dataType.simpleString()) for i, f in enumerate(li.schema.fields)
+    internal/schemas.go:91-139) as HASH-VERIFIED rows: the adapter's
+    schema projected to engine-agnostic (table, ordinal, column,
+    type_class, nullable) — coarse type classes are the granularity
+    at which a Spark StructType and DuckDB's information_schema agree
+    (the engine-spelled pg_catalog form stays live-PG-tested in
+    sources/ddl.py). Four tables covering int64/int32/float64/string/
+    timestamp/array classes."""
+    from functools import reduce
+
+    from sslr_spark.sources.ddl import schema_projection
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    db = ParquetDatabase(spark, sf_dir)
+    parts = [
+        schema_projection(spark, db.schema(t), t) for t in _S5_TABLES
     ]
-    return spark.createDataFrame(
-        rows, "ordinal int, column_name string, data_type string"
-    )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# DuckDB replays the projection from ITS OWN catalog over the same
+# parquet views — a genuinely independent second catalog
+# implementation agreeing on the classes, not a re-serialization
+SQL_S5 = f"""
+select table_name, cast(ordinal_position as int) as ordinal,
+       column_name,
+       case when data_type like 'DECIMAL%' then 'decimal'
+            when data_type like '%[]' then 'array'
+            when data_type in ('STRUCT', 'MAP') then 'nested'
+            when data_type = 'BIGINT' then 'int64'
+            when data_type = 'INTEGER' then 'int32'
+            when data_type = 'SMALLINT' then 'int16'
+            when data_type = 'TINYINT' then 'int8'
+            when data_type = 'DOUBLE' then 'float64'
+            when data_type in ('FLOAT', 'REAL') then 'float32'
+            when data_type = 'VARCHAR' then 'string'
+            when data_type = 'BOOLEAN' then 'bool'
+            when data_type = 'DATE' then 'date'
+            when data_type like 'TIMESTAMP%' then 'timestamp'
+            when data_type = 'BLOB' then 'binary'
+            else 'other' end as type_class,
+       (is_nullable = 'YES') as nullable
+from information_schema.columns
+where table_name in ({", ".join(f"'{t}'" for t in _S5_TABLES)})
+"""
+
+
+_S7_PROBES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+    "no_such_table", "lineitem_archive",
+]
 
 
 def q_s7_object_exists(spark, sf_dir):
     """S7: object-existence probes (reference objectExists,
-    internal/schemas.go:195-200). Rows-only: catalog metadata op."""
-    import os
+    internal/schemas.go:195-200) as HASH-VERIFIED rows: the adapter's
+    catalog check over all ten real tables plus two absent names;
+    DuckDB answers the same probes from its information_schema."""
+    from sslr_spark.sources.ddl import existence_probe
+    from sslr_spark.sources.parquet import ParquetDatabase
 
-    names = ["lineitem", "orders", "no_such_table"]
-    rows = [
-        (n, os.path.exists(f"{sf_dir}/{n}.parquet")) for n in names
-    ]
-    return spark.createDataFrame(rows, "table_name string, table_exists boolean")
+    return existence_probe(
+        spark, ParquetDatabase(spark, sf_dir), _S7_PROBES
+    )
+
+
+SQL_S7 = f"""
+with probes(table_name) as (
+  values {", ".join(f"('{n}')" for n in _S7_PROBES)}
+)
+select p.table_name,
+       exists(select 1 from information_schema.tables t
+              where t.table_name = p.table_name) as table_exists
+from probes p
+"""
 
 
 # --------------------------------------------------------------------
@@ -685,6 +742,8 @@ CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 CORE_ORACLES: dict[str, str] = {
     "s1_full_filtered_scan": SQL_S1,
     "s2_incremental_scan": SQL_S2,
+    "s5_catalog_schema": SQL_S5,
+    "s7_object_exists": SQL_S7,
     "s9_state_upsert": SQL_S9,
     "a1_watermark_probe": SQL_A1,
     "a2_table_length": SQL_A2,

@@ -202,3 +202,76 @@ def create_schema_ddl(table: str) -> str:
 
 def drop_table_ddl(table: str) -> str:
     return f"drop table {table}"
+
+
+# -- engine-agnostic catalog projections (S5 / S7) ---------------------
+#
+# The reference's catalog scans are pg_catalog queries
+# (internal/schemas.go:91-139 extractTableSchema, :195-200
+# objectExists). Against live PostgreSQL the verbatim queries above
+# replay them; for NON-Postgres adapters the same semantics project
+# engine-agnostically — coarse type CLASSES instead of engine type
+# spellings, so any catalog (Spark StructType, DuckDB
+# information_schema, pg_catalog) emits identical rows and the driver
+# can hash-check the operator end-to-end.
+
+_TYPE_CLASSES = {
+    "long": "int64",
+    "bigint": "int64",
+    "integer": "int32",
+    "int": "int32",
+    "short": "int16",
+    "smallint": "int16",
+    "byte": "int8",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "real": "float32",
+    "string": "string",
+    "varchar": "string",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+
+def type_class(dt: T.DataType) -> str:
+    """Coarse, engine-agnostic class of a Spark type: int64/int32/
+    float64/string/timestamp/decimal/array/nested/... — the
+    granularity at which heterogeneous catalogs can agree."""
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.MapType, T.StructType)):
+        return "nested"
+    return _TYPE_CLASSES.get(dt.simpleString(), "other")
+
+
+def schema_projection(spark, schema: T.StructType, table_name: str):
+    """S5 as verifiable rows: (table_name, ordinal, column_name,
+    type_class, nullable) from an adapter-provided schema — the
+    engine-agnostic twin of extractTableSchema
+    (internal/schemas.go:91-139). Ordinals are 1-based to match
+    information_schema/pg_attribute conventions."""
+    rows = [
+        (table_name, i + 1, f.name, type_class(f.dataType), bool(f.nullable))
+        for i, f in enumerate(schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, ordinal int, column_name string, "
+        "type_class string, nullable boolean",
+    )
+
+
+def existence_probe(spark, db, names: list[str]):
+    """S7 as verifiable rows: (table_name, table_exists) for a probe
+    list, via the adapter's catalog check (objectExists,
+    internal/schemas.go:195-200)."""
+    rows = [(n, bool(db.table_exists(n))) for n in names]
+    return spark.createDataFrame(
+        rows, "table_name string, table_exists boolean"
+    )
