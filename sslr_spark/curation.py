@@ -5,13 +5,19 @@ run them:
 
   1. rule filter   — Gopher rule battery (text.py gopher_flags.keep)
   2. exact dedup   — content-hash keeper (dedup.py exact_dedup_groups)
-  3. quality gate  — per-language exact-quantile model-score cut
+  3. near dedup    — optional MinHash-LSH pass (dedup.py
+                     minhash_lsh_pairs -> dup_clusters_star ->
+                     cluster_keep_best, longest member kept): exact
+                     dedup only removes byte-identical copies; the
+                     re-crawls and boilerplate variants production
+                     pipelines fight need the near-dup stage
+  4. quality gate  — per-language exact-quantile model-score cut
                      (quality_model.py quality_quantile_gate),
                      thresholds computed over the SURVIVORS of the
                      earlier stages (gating before dedup would let
                      duplicate clusters distort the distribution)
-  4. source cap    — at most N docs per source (sampling.py source_cap)
-  5. shard assign  — deterministic export shards (sampling.py
+  5. source cap    — at most N docs per source (sampling.py source_cap)
+  6. shard assign  — deterministic export shards (sampling.py
                      shard_assign)
 
 Every stage is the already-verified operator — this module adds only
@@ -60,6 +66,8 @@ class CurationConfig:
     n_shards: int | None = 16
     gopher: bool = True
     exact_dedup: bool = True
+    near_dup: bool = False
+    near_dup_threshold: float = 0.5
     text_column: str = "text"
     key_column: str = "doc_id"
     lang_column: str = "lang"
@@ -69,7 +77,8 @@ class CurationConfig:
 _KNOWN_CURATION = {
     "source", "output", "table", "outputTable", "qualityWeights",
     "qualityBias", "keepFraction", "maxPerSource", "nShards", "gopher",
-    "exactDedup", "textColumn", "keyColumn", "langColumn", "sourceColumn",
+    "exactDedup", "nearDup", "nearDupThreshold", "textColumn",
+    "keyColumn", "langColumn", "sourceColumn",
 }
 
 
@@ -104,6 +113,8 @@ def load_curation_config(path_or_text: str) -> CurationConfig:
         n_shards=raw.get("nShards", 16),
         gopher=bool(raw.get("gopher", True)),
         exact_dedup=bool(raw.get("exactDedup", True)),
+        near_dup=bool(raw.get("nearDup", False)),
+        near_dup_threshold=float(raw.get("nearDupThreshold", 0.5)),
         text_column=raw.get("textColumn", "text"),
         key_column=raw.get("keyColumn", "doc_id"),
         lang_column=raw.get("langColumn", "lang"),
@@ -140,6 +151,8 @@ def run_curation(spark, cfg: CurationConfig) -> dict:
         n_shards=cfg.n_shards,
         gopher=cfg.gopher,
         exact_dedup=cfg.exact_dedup,
+        near_dup=cfg.near_dup,
+        near_dup_threshold=cfg.near_dup_threshold,
         text_col=cfg.text_column,
         key_col=cfg.key_column,
         lang_col=cfg.lang_column,
@@ -170,6 +183,8 @@ def curate_documents(
     n_shards: int | None = 16,
     gopher: bool = True,
     exact_dedup: bool = True,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.5,
     text_col: str = "text",
     key_col: str = "doc_id",
     lang_col: str = "lang",
@@ -219,6 +234,30 @@ def curate_documents(
         )
         cur = cur.join(keepers, kc, "left_semi")
         tick("exact_dedup", cur)
+
+    if near_dup:
+        # MinHash-LSH over the exact-dedup survivors: banded equi-join
+        # candidates, Jaccard-verified pairs, O(log n) star clustering,
+        # longest-member keeper (ties -> smallest key). Only the
+        # cluster LOSERS leave — docs with no near-dup pass untouched.
+        from sslr_spark.functions.dedup import (
+            cluster_keep_best,
+            dup_clusters_star,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            cur, text_col, jaccard_threshold=near_dup_threshold
+        )
+        clusters = dup_clusters_star(pairs)
+        best = cluster_keep_best(clusters, cur, F.length(F.col(text_col)))
+        losers = (
+            clusters.join(best.select("cluster_id", "keep_id"), "cluster_id")
+            .filter(F.col(kc) != F.col("keep_id"))
+            .select(kc)
+        )
+        cur = cur.join(losers, kc, "left_anti")
+        tick("near_dup", cur)
 
     if keep_fraction is not None and keep_fraction < 1.0:
         kept = quality_quantile_gate(

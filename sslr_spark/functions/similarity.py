@@ -1361,6 +1361,413 @@ def ivfpq_topk_fixed(
     )
 
 
+def _codebooks_from_ids(
+    df: DataFrame,
+    codebook_ids: list[int],
+    m: int,
+    vec_col: str,
+    id_col: str,
+) -> tuple[list[list[list[float]]], int]:
+    """Collect the caller-fixed codebook vectors (bounded: ks rows),
+    unit-normalize with the quantized norm, slice into m per-subspace
+    codebooks. Returns (books[subspace][codeword][dim], dsub)."""
+    rows = (
+        df.filter(F.col(id_col).isin(list(codebook_ids)))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cw"))
+        .collect()
+    )
+    rows.sort(key=lambda r: r.cid)
+    if not rows:
+        raise ValueError("no codebook vectors found")
+    dim = len(rows[0].cw)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    units = [_unit_quantized(r.cw) for r in rows]
+    return [
+        [u[j * dsub:(j + 1) * dsub] for u in units] for j in range(m)
+    ], dsub
+
+
+def pq_encode_residual_fixed(
+    indexed: DataFrame,
+    books: list[list[list[float]]],
+    cent_units: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """RESIDUAL PQ encoder (the FAISS IVFADC layout): instead of the
+    raw vector, each row encodes ``r = unit(x) - unit(centroid(cell))``
+    — residuals concentrate around zero, so the same code budget
+    spends its codewords on a tighter distribution and ADC ranks
+    better at equal bytes (Jegou et al., "Product Quantization for
+    Nearest Neighbor Search", §IV).
+
+    Determinism contract (same as pq_encode_fixed): unit(x) divides
+    by the quantized norm (one exactly-rounded IEEE divide per
+    element), the residual is one IEEE subtract of engine-identical
+    doubles, every dot term quantizes to a bigint before summation,
+    and the reduced score ``||cw||^2 - 2*dot(r_sub, cw)`` (the
+    per-row ||r_sub||^2 constant is dropped — same argmin) combines
+    the integers through single IEEE ops. No division by the residual
+    norm anywhere, so no zero-norm guard is needed. Pure per-row map:
+    zero shuffle, zero row amplification."""
+    m = len(books)
+    dsub = len(books[0][0])
+    cwsq = [[_sumsq_int(cw) for cw in books[j]] for j in range(m)]
+    s_int = F.aggregate(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e12)
+                + F.lit(0.5)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    unit = F.when(
+        s_int == 0, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.sqrt(s_int.cast("double") / F.lit(1e12)),
+        )
+    )
+    cu = F.element_at(F.lit(cent_units), F.col(cell_col) + 1)
+    resid = F.zip_with(unit, cu, lambda a, b: a - b)
+    code_cols = []
+    for j in range(m):
+        # NB: the lambda must stay single-parameter — PySpark reads a
+        # second parameter (even a default) as an (element, index)
+        # lambda; rsub binds by closure, consumed within this iteration
+        rsub = F.slice(resid, j * dsub + 1, dsub)
+
+        def _dot(cw, rs=None, _rsub=rsub):
+            return F.aggregate(
+                F.zip_with(
+                    _rsub,
+                    cw,
+                    lambda x, y: F.floor(x * y * F.lit(1e12) + F.lit(0.5)),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            )
+
+        dots = F.transform(F.lit(books[j]), lambda cw: _dot(cw))
+        scores = F.zip_with(
+            dots,
+            F.lit(cwsq[j]),
+            lambda dt, cq: F.floor(
+                (
+                    cq.cast("double") / F.lit(1e12)
+                    - (F.lit(2.0) * (dt.cast("double") / F.lit(1e12)))
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ),
+        )
+        code_cols.append(
+            (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+        )
+    return indexed.withColumn("__codes", F.array(*code_cols))
+
+
+def residualize_codebooks(
+    df: DataFrame,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Codebooks that live in RESIDUAL space: each codebook source
+    vector is residualized against its own assigned cell —
+    ``unit(cb) - unit(centroid(cell(cb)))`` — then sliced per
+    subspace, exactly as :func:`pq_encode_residual_fixed` residualizes
+    the data. This matters: residual encoding with codewords drawn
+    from RAW vector space loses to the raw path (the codebook
+    distribution mismatches the residual distribution — measured by
+    the calibration test), while residual-space codewords beat it at
+    the same byte budget. The production analog trains KMeans on
+    residual samples (FAISS IVFADC); this is its deterministic
+    fixed-vector counterpart. All driver-side, bounded (ks + n_cells
+    rows collected)."""
+    cent_rows = (
+        df.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c"))
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r.cid)
+    cent_units = [_unit_quantized(r.c) for r in cent_rows]
+    cb_rows = (
+        df.filter(F.col(id_col).isin(list(codebook_ids)))
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cw"))
+        .collect()
+    )
+    cb_rows.sort(key=lambda r: r.cid)
+    if not cb_rows:
+        raise ValueError("no codebook vectors found")
+    dim = len(cb_rows[0].cw)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    resids = []
+    for r in cb_rows:
+        u = _unit_quantized(r.cw)
+        # assign to the cell the quantizer would pick (argmax cosine,
+        # ties to the lower cell — mirrors ivf_index_fixed)
+        best_cell, best_sim = 0, None
+        for cell, cr in enumerate(cent_rows):
+            nn = _l2(r.cw) * _l2(cr.c)
+            sim = (
+                round(
+                    sum(float(a) * float(b) for a, b in zip(r.cw, cr.c))
+                    / nn,
+                    9,
+                )
+                if nn
+                else 0.0
+            )
+            if best_sim is None or sim > best_sim:
+                best_cell, best_sim = cell, sim
+        cu = cent_units[best_cell]
+        resids.append([u[i] - cu[i] for i in range(dim)])
+    return [
+        [rv[j * dsub:(j + 1) * dsub] for rv in resids] for j in range(m)
+    ]
+
+
+def pq_train_residual(
+    indexed: DataFrame,
+    cent_units: list[list[float]],
+    m: int = 16,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    cell_col: str = "__cell",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks on RESIDUALS — the true FAISS
+    IVFADC trainer: fit KMeans over ``unit(x) - unit(centroid(cell))``
+    samples so the codewords live in residual space. This is what
+    makes residual encoding actually win: with TRAINED centroids the
+    residuals concentrate near zero and a pooled residual codebook
+    covers them tightly, whereas codewords drawn from raw vector
+    space mismatch the residual distribution and LOSE to the raw
+    path at equal budget (measured in the calibration test). Same
+    distributed m-independent-fits shape as :func:`pq_train`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(cent_units[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    s_int = F.aggregate(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e12)
+                + F.lit(0.5)
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    unit = F.when(
+        s_int == 0, F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.sqrt(s_int.cast("double") / F.lit(1e12)),
+        )
+    )
+    cu = F.element_at(F.lit(cent_units), F.col(cell_col) + 1)
+    res_df = indexed.select(
+        F.zip_with(unit, cu, lambda a, b: a - b).alias("__r")
+    ).cache()
+    books: list[list[list[float]]] = []
+    try:
+        for j in range(m):
+            sub = res_df.select(
+                array_to_vector(
+                    F.slice(F.col("__r"), j * dsub + 1, dsub)
+                ).alias("__s")
+            )
+            model = KMeans(
+                k=ks, seed=seed + j, featuresCol="__s",
+                predictionCol="__c",
+            ).fit(sub)
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        res_df.unpersist()
+    return books
+
+
+def ivfpq_topk_serve(
+    indexed: DataFrame,
+    cents: DataFrame,
+    books: list[list[list[float]]],
+    query_vec_id: int,
+    k: int = 10,
+    n_probe: int = 3,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+) -> DataFrame:
+    """Serve an IVF-PQ top-k query against ANY (indexed, cents,
+    books) triple — trained (ivf_index + pq_train/pq_train_residual)
+    or fixed (ivf_index_fixed + id-derived books). ``residual=True``
+    scores against residual-encoded codes with per-cell ADC tables;
+    ``residual=False`` is the raw-vector layout with one
+    cell-independent table. Shared by :func:`ivfpq_topk_fixed` and
+    :func:`ivfpq_topk_residual` (their oracle-verified forms) and by
+    the trained-quantizer calibration."""
+    import math
+
+    m = len(books)
+    dsub = len(books[0][0])
+    cent_rows = sorted(cents.collect(), key=lambda r: r.cell)  # bounded
+    cent_units = [_unit_quantized(r.centroid) for r in cent_rows]
+    if residual:
+        encoded = pq_encode_residual_fixed(
+            indexed, books, cent_units, vec_col
+        )
+    else:
+        encoded = pq_encode_with_books(indexed, books, vec_col)
+
+    qrow = (
+        indexed.filter(F.col(id_col) == query_vec_id).select(vec_col).take(1)
+    )
+    if not qrow:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qvec = [float(x) for x in qrow[0][0]]
+    q = indexed.sparkSession.createDataFrame(
+        [(qvec,)],
+        f"__qvec {indexed.schema[vec_col].dataType.simpleString()}",
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__qsim", F.round(cosine_expr("centroid", "__qvec"), 9))
+        .orderBy(F.col("__qsim").desc(), F.col("cell"))
+        .limit(n_probe)
+        .select(F.col("cell").alias("__probe_cell"))
+    )
+    cwsq = [[_sumsq_int(cw) for cw in books[j]] for j in range(m)]
+    if residual:
+        # per-cell ADC tables: the query residual differs per cell, so
+        # the table is indexed (cell, subspace, codeword) — bounded
+        # (n_cells * m * ks integers), driver-computed once per query.
+        # UNLIKE the encode argmin (and unlike the non-residual path,
+        # where it is cell-independent), the ||rq_sub||^2 term must
+        # STAY: it is constant across codewords but differs ACROSS
+        # CELLS, and candidates from different probed cells compare by
+        # total ADC — dropping it would make far cells look close.
+        qu = _unit_quantized(qvec)
+        adc = None
+        for j in range(m):
+            dtab_j = []
+            for cu in cent_units:
+                rq = [qu[i] - cu[i] for i in range(len(qu))]
+                rsub = rq[j * dsub:(j + 1) * dsub]
+                rqsq = _sumsq_int(rsub)
+                dtab_j.append(
+                    [
+                        int(
+                            math.floor(
+                                (
+                                    rqsq / 1e12
+                                    + cwsq[j][c] / 1e12
+                                    - 2.0
+                                    * (_dot_int(rsub, books[j][c]) / 1e12)
+                                )
+                                * 1_000_000
+                                + 0.5
+                            )
+                        )
+                        for c in range(len(books[j]))
+                    ]
+                )
+            term = F.element_at(
+                F.element_at(F.lit(dtab_j), F.col("__cell") + 1),
+                F.element_at("__codes", j + 1) + 1,
+            )
+            adc = term if adc is None else adc + term
+    else:
+        adc = _pq_adc_expr(qvec, books, m)
+    cand = (
+        encoded.join(
+            F.broadcast(probe), F.col("__cell") == F.col("__probe_cell")
+        )
+        .filter(F.col(id_col) != query_vec_id)
+        .withColumn("adc_dist", adc.cast("long"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col))
+        .limit(k * rerank_factor)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            "adc_dist",
+            F.round(
+                F.try_divide(
+                    dot_expr(vec_col, "__qvec"),
+                    norm_expr(vec_col) * norm_expr("__qvec"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_topk_residual(
+    df: DataFrame,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 16,
+    n_probe: int = 3,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding — the standard FAISS IVFADC
+    pairing: the coarse quantizer prunes the scan to ``n_probe``
+    cells, PQ codes of the per-cell RESIDUALS rank within them, exact
+    cosine reranks the bounded cut. Against :func:`ivfpq_topk_fixed`
+    (raw-vector codes) only the encoded quantity changes; the ADC
+    table becomes (cell, subspace, codeword)-indexed because the
+    query's residual differs per probed cell.
+
+    100 TB shape unchanged from ivfpq_topk_fixed: cells are partition
+    prunes, the per-cell scan reads m small ints, the per-cell ADC
+    tables are driver-computed bounded literals (n_cells x m x ks),
+    and the only full-width reads are the rerank rows. Fully
+    deterministic (both quantizers fixed, residuals exactly-rounded
+    IEEE ops) — the DuckDB oracle replays every stage."""
+    indexed, cents = ivf_index_fixed(df, centroid_ids, vec_col, id_col)
+    if books is None:
+        # oracle-parity default: codewords straight from the fixed ids
+        # (raw space). For QUALITY pass residual-space books —
+        # pq_train_residual (trained) or residualize_codebooks (fixed)
+        books, _ = _codebooks_from_ids(df, codebook_ids, m, vec_col, id_col)
+    return ivfpq_topk_serve(
+        indexed, cents, books, query_vec_id,
+        k=k, n_probe=n_probe, rerank_factor=rerank_factor,
+        vec_col=vec_col, id_col=id_col, residual=True,
+    )
+
+
 def pq_encode_arrow(
     df: DataFrame,
     codebook_ids: list[int],

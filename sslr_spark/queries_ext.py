@@ -850,6 +850,78 @@ from events
 """
 
 
+def q_x_stream_sessionize(spark, sf_dir):
+    """CUSTOM stateful streaming operator (streaming/pipeline.py
+    stream_sessionize, applyInPandasWithState + event-time timeout):
+    gap-timeout sessions per user over a REAL Structured Streaming
+    execution. The events stage as one micro-batch; two sentinel
+    micro-batches (far-future timestamps under synthetic user ids)
+    advance the watermark past every real session's ``last + gap``
+    timeout so the state store provably flushes every session — the
+    streaming output then equals the batch gaps-and-islands
+    sessionization the oracle computes with a lag/cumsum CTE."""
+    import os
+
+    from sslr_spark.queries import read_events
+    from sslr_spark.streaming.pipeline import stream_sessionize
+
+    gap_min, wm_min = 240, 10
+    work = _fresh_bench_dir("stream_sess")
+    src = os.path.join(work, "src")
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    ev.coalesce(1).write.parquet(src)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    s1 = max_us + (gap_min + wm_min) * 60_000_000 + 60_000_000
+    s2 = s1 + wm_min * 60_000_000 + 60_000_000
+    for i, sent_us in enumerate((s1, s2), start=1):
+        spark.createDataFrame(
+            [(-i, sent_us)], "user_id long, ts_us long"
+        ).select(
+            "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(work, "out")
+    stream_sessionize(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        out,
+        os.path.join(work, "ckpt"),
+        gap_minutes=gap_min,
+        watermark=f"{wm_min} minutes",
+        max_files_per_trigger=1,
+    )
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+SQL_X_STREAM_SESSIONIZE = """
+with e as (
+  select user_id, epoch_us(cast(ts as timestamp)) as ts_us from events
+),
+m as (
+  select user_id, ts_us,
+         case when ts_us - lag(ts_us) over (
+                partition by user_id order by ts_us
+              ) > cast(240 as bigint) * 60 * 1000000
+              then 1 else 0 end as brk
+  from e
+),
+s as (
+  select user_id, ts_us,
+         sum(brk) over (partition by user_id order by ts_us
+                        rows between unbounded preceding and current row)
+           as sess
+  from m
+)
+select user_id,
+       min(ts_us) as session_start_us,
+       max(ts_us) as session_end_us,
+       cast(count(*) as bigint) as n_events
+from s group by user_id, sess
+"""
+
+
 def q_x_stream_ingest(spark, sf_dir):
     """The STREAMING near-dup ingest run end-to-end as one availableNow
     epoch over the documents table: readStream -> foreachBatch
@@ -1377,6 +1449,137 @@ qd as (
 adc as (
   select codes.vec_id, cast(sum(qd.dq) as bigint) as adc_dist
   from codes join qd on qd.j = codes.j and qd.c = codes.c
+  group by codes.vec_id
+),
+cand as (select * from adc order by adc_dist, vec_id limit 40)
+select cand.vec_id, cand.adc_dist,
+       round({_cos_sql('e.embedding', 'q.qvec')}, 6) as cos_sim
+from cand
+join embeddings e on e.vec_id = cand.vec_id
+cross join q
+where {_NORM.format(a='e.embedding')} > 0 and {_NORM.format(a='q.qvec')} > 0
+order by cos_sim desc, cand.vec_id
+limit 10
+"""
+
+
+def q_sim_topk_ivfpq_residual(spark, sf_dir):
+    """IVF-PQ with RESIDUAL encoding (similarity.py
+    ivfpq_topk_residual — the standard FAISS IVFADC layout): PQ codes
+    quantize ``unit(x) - unit(centroid(cell))`` instead of the raw
+    vector, so the same 16-byte budget covers the tighter residual
+    distribution; the ADC table becomes (cell, subspace, codeword)-
+    indexed because the query residual differs per probed cell. Both
+    quantizers fixed, every residual an exactly-rounded IEEE op —
+    the full pipeline replays in DuckDB."""
+    return S.ivfpq_topk_residual(
+        _emb(spark, sf_dir),
+        _IVF_CENT_IDS,
+        _PQ_CW_IDS,
+        query_vec_id=0,
+        k=10,
+        m=_PQ_M,
+        n_probe=3,
+    )
+
+
+# residual reduced score: ||cw||^2 - 2*dot(r_sub, cw) — no division,
+# so no zero-norm case; {dot}/{cwsq} are the integer-quantized parts.
+# Valid for the ENCODE argmin only (the dropped ||r_sub||^2 is
+# constant across codewords).
+_PQ_D_RESID = (
+    "cast({cwsq} as double) / 1e12 - "
+    "(2.0 * (cast({dot} as double) / 1e12))"
+)
+# query-side table: ||rq_sub||^2 must STAY — it differs per probed
+# CELL, and candidates from different cells compare by total ADC
+_PQ_D_RESID_Q = (
+    "cast({rqsq} as double) / 1e12 + cast({cwsq} as double) / 1e12 - "
+    "(2.0 * (cast({dot} as double) / 1e12))"
+)
+SQL_SIM_TOPK_IVFPQ_RESIDUAL = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid,
+         {_pq_unit('embedding')} as cuv
+  from embeddings where vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+q as (select embedding as qvec from embeddings where vec_id = 0),
+quv as (select {_pq_unit('embedding')} as qu
+        from embeddings where vec_id = 0),
+assigned as (
+  select vec_id, cell from (
+    select e.vec_id, c.cell,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+probe as (
+  select cell from (
+    select c.cell,
+           row_number() over (
+             order by round({_cos_sql('c.centroid', 'qvec')}, 9) desc, c.cell
+           ) as prn
+    from cents c cross join q
+  ) where prn <= 3
+),
+cw as (
+  select row_number() over (order by vec_id) - 1 as c,
+         {_pq_unit('embedding')} as cwv
+  from embeddings where vec_id in ({', '.join(map(str, _PQ_CW_IDS))})
+),
+eb as (
+  select e.vec_id, a.cell,
+         list_transform(generate_series(1, len(e.eu)),
+                        i -> e.eu[i] - c.cuv[i]) as r
+  from (select vec_id, {_pq_unit('embedding')} as eu from embeddings) e
+  join assigned a on a.vec_id = e.vec_id
+  join probe p on p.cell = a.cell
+  join cents c on c.cell = a.cell
+  where e.vec_id != 0
+),
+enc as (
+  select e.vec_id, e.cell, j.j, cw.c,
+         cast(floor(({_PQ_D_RESID.format(
+             dot=_PQ_SLICE_DOT.format(a='e.r', b='cw.cwv'),
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}) * 1e9
+                    + 0.5) as bigint) as d
+  from eb e
+  cross join generate_series(0, {_PQ_M - 1}) as j(j)
+  cross join cw
+),
+codes as (
+  select vec_id, cell, j, c from (
+    select enc.*, row_number() over (
+      partition by vec_id, j order by d, c
+    ) as rn from enc
+  ) where rn = 1
+),
+qr as (
+  select c.cell,
+         list_transform(generate_series(1, len(quv.qu)),
+                        i -> quv.qu[i] - c.cuv[i]) as rq
+  from cents c
+  join probe p on p.cell = c.cell
+  cross join quv
+),
+qd as (
+  select qr.cell, j.j, cw.c,
+         cast(floor(({_PQ_D_RESID_Q.format(
+             rqsq=_PQ_SLICE_SQ.format(a='qr.rq'),
+             dot=_PQ_SLICE_DOT.format(a='qr.rq', b='cw.cwv'),
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}) * 1000000
+                    + 0.5) as bigint) as dq
+  from qr cross join generate_series(0, {_PQ_M - 1}) as j(j) cross join cw
+),
+adc as (
+  select codes.vec_id, cast(sum(qd.dq) as bigint) as adc_dist
+  from codes
+  join qd on qd.cell = codes.cell and qd.j = codes.j and qd.c = codes.c
   group by codes.vec_id
 ),
 cand as (select * from adc order by adc_dist, vec_id limit 40)
@@ -2760,6 +2963,132 @@ from s4
 """
 
 
+def q_x_curation_pipeline_neardup(spark, sf_dir):
+    """The curation chain WITH the near-dup stage production pipelines
+    run between exact dedup and the quality gate (curation.py,
+    near_dup=True): MinHash-LSH candidate pairs over the exact-dedup
+    survivors, O(log n) star clustering, longest-member keeper. The
+    whole six-stage composition — including threshold recomputation
+    over the post-near-dup survivor distribution — replays as one
+    DuckDB CTE chain with a recursive-CTE clustering stage."""
+    from sslr_spark.curation import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir),
+        quality_weights=[_QW["n_tokens"], _QW["n_subtokens"],
+                         _QW["stopword_ratio"], _QW["mean_word_len"]],
+        quality_bias=_QW["bias"],
+        keep_fraction=0.6,
+        max_per_source=10,
+        n_shards=16,
+        near_dup=True,
+        near_dup_threshold=0.5,
+    ).df
+
+
+# The near-dup stage runs over the s2 survivors; LSH bucket signatures
+# and pair Jaccard are PER-DOC/PER-PAIR quantities, so computing the
+# corpus-wide candidate set (_MINHASH_CTES) and filtering both
+# endpoints into s2 is identical to running LSH over s2 alone.
+SQL_X_CURATION_PIPELINE_NEARDUP = (
+    _MINHASH_CTES
+    + f""",
+s1 as (
+  select d.doc_id, d.lang, d.source, d.text
+  from documents d
+  join ({SQL_TEXT_GOPHER_FLAGS}) g on g.doc_id = d.doc_id and g.keep
+),
+s2 as (
+  select * from s1
+  where doc_id in (select min(doc_id) from s1 group by md5(text))
+),
+ndp as (
+  select i.doc_a, i.doc_b
+  from inter i
+  join sizes sa on sa.doc_id = i.doc_a
+  join sizes sb on sb.doc_id = i.doc_b
+  where round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    and i.doc_a in (select doc_id from s2)
+    and i.doc_b in (select doc_id from s2)
+),
+edges as (
+  select doc_a as src, doc_b as dst from ndp
+  union
+  select doc_b as src, doc_a as dst from ndp
+),
+reach as (
+  with recursive r(src, dst) as (
+    select src, dst from edges
+    union
+    select r.src, e.dst from r join edges e on r.dst = e.src
+  )
+  select * from r
+),
+clus as (
+  select src as doc_id, least(src, min(dst)) as cluster_id
+  from reach group by src
+),
+nd_scored as (
+  select c.cluster_id, s2.doc_id, length(s2.text) as sc
+  from clus c join s2 on s2.doc_id = c.doc_id
+),
+nd_best as (select cluster_id, max(sc) as best from nd_scored group by 1),
+nd_keep as (
+  select b.cluster_id, min(s.doc_id) as keep_id
+  from nd_best b join nd_scored s
+    on s.cluster_id = b.cluster_id and s.sc is not distinct from b.best
+  group by 1
+),
+nd_losers as (
+  select s.doc_id from nd_scored s
+  join nd_keep k on k.cluster_id = s.cluster_id
+  where s.doc_id != k.keep_id
+),
+s2b as (
+  select * from s2
+  where doc_id not in (select doc_id from nd_losers)
+),
+sc as (
+  select q.doc_id, s2b.lang,
+         cast(floor(q.score * 1e4 + 0.5) as int) as score_bp
+  from ({SQL_TEXT_QUALITY_SCORE}) q
+  join s2b on s2b.doc_id = q.doc_id
+),
+h as (select lang, score_bp, count(*) as c from sc group by 1, 2),
+n as (select lang, count(*) as n from sc group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang, max(cum.score_bp) as threshold_bp
+  from cum join n on n.lang = cum.lang
+  where cum.cum >= ceil(0.6 * n.n)
+  group by cum.lang
+),
+s3 as (
+  select s2b.doc_id, s2b.lang, s2b.source from s2b
+  join sc on sc.doc_id = s2b.doc_id
+  join thr on thr.lang = s2b.lang
+  where sc.score_bp >= thr.threshold_bp
+),
+s4 as (
+  select doc_id, lang, source from (
+    select s3.*, row_number() over (
+      partition by source order by {_CURATION_CAP_HASH}, doc_id
+    ) as rn from s3
+  ) where rn <= 10
+)
+select doc_id, lang, source,
+       cast({_SHARD_KEY} % 16 as int) as shard
+from s4
+"""
+)
+
+
 def q_text_bigram_logprob(spark, sf_dir):
     """Word-order perplexity proxy: per-doc mean conditional BIGRAM
     log-prob against a top-40 corpus bigram vocabulary
@@ -3130,7 +3459,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_ingest": q_x_stream_ingest,
     "x_stream_interval_join": q_x_stream_interval_join,
     "x_stream_dedup": q_x_stream_dedup,
+    "x_stream_sessionize": q_x_stream_sessionize,
     "x_curation_pipeline": q_x_curation_pipeline,
+    "x_curation_pipeline_neardup": q_x_curation_pipeline_neardup,
     "files_roundtrip": q_files_roundtrip,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -3159,6 +3490,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_hard_negatives": q_sim_hard_negatives,
     "sim_topk_pq": q_sim_topk_pq,
     "sim_topk_ivfpq": q_sim_topk_ivfpq,
+    "sim_topk_ivfpq_residual": q_sim_topk_ivfpq_residual,
     "text_unigram_logprob": q_text_unigram_logprob,
     "text_chunk": q_text_chunk,
     "pack_token_budget": q_pack_token_budget,
@@ -3206,7 +3538,9 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_ingest": SQL_X_STREAM_INGEST,
     "x_stream_interval_join": SQL_X_STREAM_INTERVAL_JOIN,
     "x_stream_dedup": SQL_X_STREAM_DEDUP,
+    "x_stream_sessionize": SQL_X_STREAM_SESSIONIZE,
     "x_curation_pipeline": SQL_X_CURATION_PIPELINE,
+    "x_curation_pipeline_neardup": SQL_X_CURATION_PIPELINE_NEARDUP,
     "files_roundtrip": SQL_FILES_ROUNDTRIP,
     "sim_topk_binary": SQL_SIM_BINARY,
     "text_bigram_logprob": SQL_BIGRAM_LOGPROB,
@@ -3235,6 +3569,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,
     "sim_topk_pq": SQL_SIM_TOPK_PQ,
     "sim_topk_ivfpq": SQL_SIM_TOPK_IVFPQ,
+    "sim_topk_ivfpq_residual": SQL_SIM_TOPK_IVFPQ_RESIDUAL,
     "text_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "text_chunk": SQL_TEXT_CHUNK,
     "pack_token_budget": SQL_PACK_TOKEN_BUDGET,

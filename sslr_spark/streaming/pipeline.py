@@ -903,3 +903,147 @@ def stream_interval_join(
         .start()
     )
     q.awaitTermination()
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start_us", T.LongType(), False),
+        T.StructField("session_end_us", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 240,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """CUSTOM stateful streaming operator: gap-timeout sessionization
+    via ``applyInPandasWithState`` — the arbitrary-state primitive the
+    built-in streaming operators (windowed agg, dropDuplicates*,
+    stream-stream join) cannot express, because a session's extent
+    depends on the DATA (the gap structure), not on a fixed window.
+
+    Per user, consecutive events less than ``gap_minutes`` apart
+    belong to one session. Within a micro-batch, sessions separated
+    by a closed gap emit immediately; the trailing open session per
+    user persists as (start, last, n) state with an EVENT-TIME
+    TIMEOUT at ``last + gap`` — when the watermark passes that
+    instant no event can extend the session any more (later arrivals
+    would be dropped as late), so the state emits and is removed.
+    State is therefore bounded by the set of users active within the
+    lateness horizon — nothing lives past its watermarked timeout.
+
+    Out-of-order events inside the watermark horizon MERGE into the
+    open session interval (start=min, last=max) — an aggregate-state
+    sessionizer cannot re-split an interval it already merged, which
+    is the standard applyInPandasWithState trade (same as Spark's own
+    session-window aggregation).
+
+    Event times travel as tz-free epoch MICROSECONDS alongside the
+    watermark column — the pandas view of a TIMESTAMP column is
+    session-tz wall clock, which would corrupt epoch arithmetic under
+    a non-UTC driver session (the hostile-config matrix runs one).
+
+    Scale shape: state partitions by ``key_col``; per-key payload is
+    three longs regardless of session length (never the events
+    themselves); emission is append-mode incremental. One
+    availableNow pass drains the source and appends closed sessions
+    to ``out_dir`` as parquet.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def sessionize(key, pdfs, state):
+        (user,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["__ts_us"])
+        ts.sort()
+        cur = tuple(state.get) if state.exists else None
+        out_start, out_end, out_n = [], [], []
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_us:
+                # within gap of the session's last event: extend/merge
+                cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
+            else:
+                out_start.append(cur[0])
+                out_end.append(cur[1])
+                out_n.append(cur[2])
+                cur = (t, t, 1)
+        # trailing open session: persist, time out at last + gap (an
+        # event arriving after that instant is below the watermark and
+        # would be dropped, so the session is provably closed)
+        state.update(cur)
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        if out_start:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(out_start),
+                    "session_start_us": out_start,
+                    "session_end_us": out_end,
+                    "n_events": out_n,
+                }
+            )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_path)
+    df = _event_time(df, ts_col).withWatermark(ts_col, watermark)
+    sessions = (
+        df.select(
+            F.col(key_col),
+            F.col(ts_col),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            sessionize,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

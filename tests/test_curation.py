@@ -61,6 +61,39 @@ def test_curation_funnel_monotone_and_stages_bind(spark):
     assert set(r.shard for r in rows) <= set(range(4))
 
 
+def test_curation_neardup_stage_drops_near_copies_keeps_longest(spark):
+    """near_dup=True inserts the MinHash-LSH stage between exact dedup
+    and the gate: edited re-crawls (non-identical, high Jaccard)
+    collapse to the LONGEST cluster member; unrelated docs pass."""
+    from sslr_spark.curation import curate_documents
+
+    body = ("the cat and dog run with long words " * 12).strip()
+    other = ("the fox and bird sit with tall green trees " * 12).strip()
+    rows = [
+        (0, "en", "s0", body),
+        (1, "en", "s0", body + " tiny edit"),       # near-dup, longest
+        (2, "en", "s1", other),                     # unrelated
+        (3, "en", "s1", body + " x"),               # near-dup of 0/1
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    res = curate_documents(
+        df,
+        quality_weights=WEIGHTS,
+        quality_bias=BIAS,
+        keep_fraction=1.0,  # isolate the near-dup stage
+        n_shards=None,
+        near_dup=True,
+        near_dup_threshold=0.5,
+        with_funnel=True,
+    )
+    kept = {r.doc_id for r in res.df.collect()}
+    assert kept == {1, 2}  # longest member of {0,1,3} wins; 2 passes
+    assert res.funnel["near_dup"] == 2
+    assert res.funnel["exact_dedup"] == 4
+
+
 def test_curation_gate_thresholds_use_survivors_not_raw_corpus(spark):
     """The quality-gate threshold must be computed over the dedup
     SURVIVORS: duplicate clusters would otherwise pile their copies

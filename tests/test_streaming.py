@@ -717,3 +717,58 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     )
     got = {(r.left_id, r.right_id) for r in spark.read.parquet(out).collect()}
     assert got == {(1, 2), (1, 3)}
+
+
+def test_stream_sessionize_state_survives_checkpoint_restart(
+    spark, tmp_path
+):
+    """Kill-and-resume through the checkpoint: run 1 drains a batch
+    whose trailing sessions stay OPEN in the state store; run 2 (a
+    fresh query over the same checkpoint) extends one user's history
+    — the open session must close against state recovered from the
+    checkpoint, and watermark-advancing sentinels must flush the
+    rest. Final output equals the batch gaps-and-islands answer."""
+    from sslr_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000_000  # epoch micros
+    minute = 60_000_000
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "user_id long, ts_us long").select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = None
+
+    def run():
+        stream_sessionize(
+            spark, src, schema, out, ckpt,
+            gap_minutes=10, watermark="2 minutes",
+            max_files_per_trigger=1,
+        )
+
+    # run 1: two users, trailing sessions left OPEN in state
+    write_file([(1, t0), (1, t0 + 2 * minute), (2, t0 + minute)])
+    schema = spark.read.parquet(src).schema
+    run()  # "crash": the query ends with open sessions checkpointed
+
+    # run 2: user 1 returns after a closed gap; sentinels flush
+    write_file([(1, t0 + 60 * minute)])
+    write_file([(-1, t0 + 300 * minute)])
+    write_file([(-2, t0 + 400 * minute)])
+    run()
+
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id >= 0").collect()
+    }
+    assert got == {
+        (1, t0, t0 + 2 * minute, 2),          # closed by run-2 gap,
+                                              # built from RECOVERED state
+        (1, t0 + 60 * minute, t0 + 60 * minute, 1),  # flushed by timeout
+        (2, t0 + minute, t0 + minute, 1),            # flushed by timeout
+    }
