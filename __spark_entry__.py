@@ -52,82 +52,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # in dict insertion order; with >50 registered queries some keys rotate
 # out of the window each round.  Ordering policy:
 #   HEAD — keys that have never (or least recently) been driver-verified,
-#     plus keys new this round, so every query earns a hash-checked
-#     CORRECTNESS row as early as possible.
-#   TAIL — keys safe to fall outside the window: the no-oracle rows-only
-#     stubs (their driver row carries no hash information) and keys
-#     hash-verified green in BOTH prior rounds with unchanged code.
+#     plus keys new or code-changed this round, so every query earns a
+#     hash-checked CORRECTNESS row as early as possible.
+#   TAIL — keys safe to fall outside the window: hash-verified green in
+#     recent rounds with unchanged code (freshest evidence last).
+# As of r7 every registered key is oracle-backed — the former rows-only
+# catalog stubs (s5/s7) are hash-checked via engine-agnostic projections.
 _HEAD_KEYS = [
-    # NEW this round (r6): real BMP/WAV header decode (oracle-predicted
-    # from the synthesis formulas) and the per-language exact-quantile
-    # quality gate:
+    # NEW this round (r7): real PNG/JPEG header decode, the
+    # applyInPandasWithState gap-timeout sessionizer, residual IVF-PQ
+    # (FAISS IVFADC layout), the near-dup curation stage, and the
+    # s5/s7 catalog keys UPGRADED from rows-only to hash-checked
+    # (engine-agnostic schema/existence projections DuckDB replays
+    # from its own information_schema):
+    "mm_decode_png_jpeg",
+    "x_stream_sessionize",
+    "sim_topk_ivfpq_residual",
+    "x_curation_pipeline_neardup",
+    "s5_catalog_schema",
+    "s7_object_exists",
+    # code changed THIS round (r7): decode_media grew the PNG/JPEG
+    # sniff branches (mm keys route through it), resize_media gained
+    # the unsupported-BMP pass-through, and curate_documents gained
+    # key-column threading + the near-dup stage hook:
     "mm_decode_real",
-    "text_quality_gate",
-    "x_stream_dedup",
-    "sample_shuffle_order",
-    "x_curation_pipeline",
-    "sample_shard_diff",
-    "text_bpe_pairs",
-    "dedup_minhash_calibration",
-    "sim_ivf_recall",
     "mm_resize",
-    "dedup_simhash_calibration",
-    "dedup_cluster_sizes",
-    # code changed THIS round (r6) — PQ scoring went per-term-integer
-    # quantized in every engine, the prefix-join ceiling gained the
-    # one-ppm rounding-band slack (both jaccard keys share the
-    # filter convention), the shard manifest grew full-cover zero
-    # rows, and dedup_clusters' query path now defaults to the
-    # O(log n) star algorithm (routed late in r5, never
-    # driver-verified through it):
-    "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
-    "sample_shard_manifest",
-    "dedup_clusters",
-    # updates.py changed (metadata-only staleness probe, progress
-    # wiring) — the sync-path keys route through it:
-    "s2_incremental_scan",
-    "a1_watermark_probe",
-    "t3_staleness_check",
-    "j2_upsert_merge",
-    # oldest evidence in the registry (latest green row is r03):
-    "s1_full_filtered_scan",
-    "s9_state_upsert",
-    "a4_bucket_fingerprint",
-    "o3_key_at_offset",
-    "sample_stratified",
-    "x_funnel",
-    "x_pivot",
-    "x_rollup",
-    "x_topk_per_group",
-    "x_tpch_q1",
-    # r04-latest evidence, shallowest green history first:
-    "text_bigram_logprob",
-    "x_bloom_membership",
-    "text_unigram_logprob",
-    "dedup_incremental",
-    "sim_topk_quantized",
-    "sample_hash_split",
-    "text_repetition",
-    "dedup_contamination",
-    "mm_extract_features",
-    "a2_table_length",
-    "a3_min_key_probe",
-    "o1_event_sessionize",
-    "o2_pagination_window",
-    "p6_key_range_scan",
-    "j1_semi_join_keyset",
-    "j3_range_repair",
-    "j4_hash_diff",
-    "d1_delete_by_keyset",
-    # 50 head entries — exactly the driver window this round.
-]
-_TAIL_KEYS = [
-    # r04-latest but triple-green (r01+r02+r04) with unchanged code —
-    # the only keys that didn't fit the 50 window; first in line for
-    # the r07 head:
+    "x_curation_pipeline",
+    # r04-latest evidence, rotating into the window per the
+    # no-key-older-than-r05 policy (triple-green r01+r02+r04,
+    # unchanged code):
     "d2_range_delete",
     "t6_event_window_agg",
     "x_asof_join",
@@ -149,7 +102,7 @@ _TAIL_KEYS = [
     "x_date_rollup",
     "x_join_star",
     "x_scalar_functions",
-    # hash-green in r05 with code unchanged this round:
+    # oldest r05 evidence next (hash-green r05, unchanged code):
     "text_entropy",
     "files_roundtrip",
     "sim_topk_binary",
@@ -170,6 +123,11 @@ _TAIL_KEYS = [
     "mm_frame_sample",
     "x_cumulative_window",
     "mix_allocation",
+    # 50 head entries — exactly the driver window this round.
+]
+_TAIL_KEYS = [
+    # remaining r05-green keys (unchanged code) — first in line for
+    # the r08 head:
     "text_topk_ngrams",
     "text_length_stats",
     "text_chunk",
@@ -192,9 +150,55 @@ _TAIL_KEYS = [
     "text_quality_score",
     "x_anomaly_zscore",
     "sample_mix_execute",
-    # rows-only by design — no hash info in their driver row:
-    "s5_catalog_schema",
-    "s7_object_exists",
+    # r06-green with unchanged code (two consecutive green rounds for
+    # most — the safest keys to leave outside the window):
+    "text_quality_gate",
+    "x_stream_dedup",
+    "sample_shuffle_order",
+    "sample_shard_diff",
+    "text_bpe_pairs",
+    "dedup_minhash_calibration",
+    "sim_ivf_recall",
+    "dedup_simhash_calibration",
+    "dedup_cluster_sizes",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sample_shard_manifest",
+    "dedup_clusters",
+    "s2_incremental_scan",
+    "a1_watermark_probe",
+    "t3_staleness_check",
+    "j2_upsert_merge",
+    "s1_full_filtered_scan",
+    "s9_state_upsert",
+    "a4_bucket_fingerprint",
+    "o3_key_at_offset",
+    "sample_stratified",
+    "x_funnel",
+    "x_pivot",
+    "x_rollup",
+    "x_topk_per_group",
+    "x_tpch_q1",
+    "text_bigram_logprob",
+    "x_bloom_membership",
+    "text_unigram_logprob",
+    "dedup_incremental",
+    "sim_topk_quantized",
+    "sample_hash_split",
+    "text_repetition",
+    "dedup_contamination",
+    "mm_extract_features",
+    "a2_table_length",
+    "a3_min_key_probe",
+    "o1_event_sessionize",
+    "o2_pagination_window",
+    "p6_key_range_scan",
+    "j1_semi_join_keyset",
+    "j3_range_repair",
+    "j4_hash_diff",
+    "d1_delete_by_keyset",
 ]
 
 
