@@ -446,6 +446,35 @@ def main() -> None:
         lambda: q_x_curation_pipeline(spark, SF_DIR).count(),
     )
 
+    # ---- round-7 operator families ----------------------------------
+    from sslr_spark.queries_ext import (
+        q_mm_decode_png_jpeg,
+        q_sim_topk_ivfpq_residual,
+        q_x_curation_pipeline_neardup,
+        q_x_stream_sessionize,
+    )
+
+    run(
+        "mm_decode_headers",
+        lambda: q_mm_decode_png_jpeg(spark, SF_DIR).count(),
+    )
+    run(
+        "ivfpq_residual",
+        lambda: q_sim_topk_ivfpq_residual(spark, SF_DIR).collect(),
+    )
+    run(
+        "curation_neardup",
+        lambda: q_x_curation_pipeline_neardup(spark, SF_DIR).count(),
+        reset=DD.release_caches,
+    )
+    DD.release_caches()
+    # real Structured Streaming execution end-to-end: stage + three
+    # availableNow micro-batches + state flush (fresh work dir per rep)
+    run(
+        "stream_sessionize",
+        lambda: q_x_stream_sessionize(spark, SF_DIR).count(),
+    )
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 

@@ -1619,6 +1619,7 @@ def ivfpq_topk_serve(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     residual: bool = False,
+    unit_centroids: bool = True,
 ) -> DataFrame:
     """Serve an IVF-PQ top-k query against ANY (indexed, cents,
     books) triple — trained (ivf_index + pq_train/pq_train_residual)
@@ -1627,13 +1628,26 @@ def ivfpq_topk_serve(
     ``residual=False`` is the raw-vector layout with one
     cell-independent table. Shared by :func:`ivfpq_topk_fixed` and
     :func:`ivfpq_topk_residual` (their oracle-verified forms) and by
-    the trained-quantizer calibration."""
+    the trained-quantizer calibration.
+
+    ``unit_centroids`` picks the cell reference vector residuals are
+    taken against: True unit-normalizes the centroid — correct when
+    centroids are corpus VECTORS (the fixed quantizer), whose norms
+    are arbitrary; False uses the raw centroid — correct for KMEANS
+    centers, which are means of unit vectors and live INSIDE the unit
+    ball (||mean|| < 1 on spread data; stretching such a center to
+    norm 1 moves it AWAY from its cluster and inflates every residual
+    past the raw vectors' own norm — measured: it flips the
+    residual-vs-raw calibration from winning to losing)."""
     import math
 
     m = len(books)
     dsub = len(books[0][0])
     cent_rows = sorted(cents.collect(), key=lambda r: r.cell)  # bounded
-    cent_units = [_unit_quantized(r.centroid) for r in cent_rows]
+    if unit_centroids:
+        cent_units = [_unit_quantized(r.centroid) for r in cent_rows]
+    else:
+        cent_units = [[float(x) for x in r.centroid] for r in cent_rows]
     if residual:
         encoded = pq_encode_residual_fixed(
             indexed, books, cent_units, vec_col
