@@ -327,14 +327,16 @@ def resize_bmp(b: bytes, new_w: int, new_h: int) -> bytes:
 def resize_media(
     binary_df: DataFrame, num: int = 1, den: int = 2
 ) -> DataFrame:
-    """Arrow-batched media resize: 24-bit BMP payloads downscale by
-    ``num/den`` (dimension >= 1 enforced) through the REAL byte-level
-    resampler; everything else — WAV, unknown formats, and BMP
-    variants the resampler does not support (non-24bpp, core-header,
-    truncated) — passes through UNTOUCHED rather than failing the
-    job: one odd payload in a 100 TB column must not kill the stage.
-    The sniff-and-dispatch shape a mixed-modality column needs. Pure
-    per-row map, embarrassingly parallel."""
+    """Arrow-batched media resize: 24-bit BMP and 8-bit-RGB PNG
+    payloads downscale by ``num/den`` (dimension >= 1 enforced)
+    through the REAL byte-level resamplers (:func:`resize_bmp`,
+    :func:`resize_png` — the PNG path genuinely inflates, unfilters,
+    resamples, and re-emits); everything else — WAV, JPEG (entropy-
+    coded pixels need a codec), unknown formats, and BMP/PNG variants
+    the resamplers do not support — passes through UNTOUCHED rather
+    than failing the job: one odd payload in a 100 TB column must not
+    kill the stage. The sniff-and-dispatch shape a mixed-modality
+    column needs. Pure per-row map, embarrassingly parallel."""
 
     out_schema = T.StructType(
         [
@@ -349,14 +351,20 @@ def resize_media(
             for p in pdf["payload"]:
                 b = bytes(p)
                 dims = parse_bmp(b)
-                if dims is not None:
-                    w, h = dims
-                    try:
+                png_dims = parse_png(b) if dims is None else None
+                try:
+                    if dims is not None:
+                        w, h = dims
                         b = resize_bmp(
                             b, max(1, w * num // den), max(1, h * num // den)
                         )
-                    except (ValueError, struct.error):
-                        pass  # unsupported/corrupt BMP: pass through
+                    elif png_dims is not None:
+                        w, h = png_dims
+                        b = resize_png(
+                            b, max(1, w * num // den), max(1, h * num // den)
+                        )
+                except (ValueError, struct.error):
+                    pass  # unsupported/corrupt image: pass through
                 out.append(b)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
 
@@ -374,6 +382,129 @@ def make_bmp(width: int, height: int) -> bytes:
         2835, 2835, 0, 0,
     )
     return header + dib + data
+
+
+def _png_chunks(b: bytes):
+    """Yield (type, data) for each chunk of a PNG byte string."""
+    pos = 8
+    while pos + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, pos)[0]
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        yield typ, data
+        pos += 12 + ln
+        if typ == b"IEND":
+            break
+
+
+def png_to_pixels(b: bytes):
+    """REAL PNG pixel decode for 8-bit RGB (color type 2,
+    non-interlaced) — pure stdlib + numpy, no codec library: walk the
+    chunks, zlib-inflate the concatenated IDAT stream, and UNFILTER
+    every scanline per the PNG spec (filters 0-4: None, Sub, Up,
+    Average, Paeth). Returns an (h, w, 3) uint8 array. Raises
+    ValueError for PNG variants outside that profile (palette,
+    alpha, 16-bit, interlaced) — callers wanting pass-through
+    semantics catch it (:func:`resize_media` does)."""
+    import numpy as np
+    import zlib
+
+    dims = parse_png(b)
+    if dims is None:
+        raise ValueError("not a PNG")
+    w, h = dims
+    depth, color, _comp, _filt, interlace = struct.unpack_from(
+        ">BBBBB", b, 24
+    )
+    if (depth, color, interlace) != (8, 2, 0):
+        raise ValueError(
+            f"only 8-bit RGB non-interlaced PNGs supported, got "
+            f"depth={depth} color={color} interlace={interlace}"
+        )
+    idat = b"".join(d for t, d in _png_chunks(b) if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, dtype=np.int32
+        )
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:
+            # Sub/Average/Paeth need the in-progress row — sequential
+            # in x but vectorizable per pixel-group; scanlines are
+            # short, rows are the parallel unit at corpus scale
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:      # Sub
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ft == 3:    # Average
+                    rec[x] = (line[x] + (a + bb) // 2) & 0xFF
+                elif ft == 4:    # Paeth
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        bb if pb <= pc else c
+                    )
+                    rec[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def pixels_to_png(px) -> bytes:
+    """(h, w, 3) uint8 array -> complete 8-bit RGB PNG (filter None
+    per scanline, stored-deflate IDAT so the output size is the same
+    68 + h*(1+3w) formula :func:`make_png` documents)."""
+    import zlib
+
+    h, w = px.shape[0], px.shape[1]
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    comp = zlib.compress(raw, 0)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp)
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(b: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor PNG resize, codec-free: inflate +
+    unfilter (:func:`png_to_pixels`), resample with ``src = dst *
+    src_dim // dst_dim`` (the same kernel as :func:`resize_bmp`),
+    re-emit (:func:`pixels_to_png`)."""
+    import numpy as np
+
+    px = png_to_pixels(b)
+    h, w = px.shape[0], px.shape[1]
+    ys = np.arange(new_h) * h // new_h
+    xs = np.arange(new_w) * w // new_w
+    return pixels_to_png(px[np.ix_(ys, xs)])
 
 
 def make_png(width: int, height: int) -> bytes:

@@ -1917,6 +1917,51 @@ from documents where doc_id < 400
 """
 
 
+def q_mm_resize_multi(spark, sf_dir):
+    """REAL multi-format image resize, end-to-end verified: the
+    four-format corpus downscales by 1/2 through the byte-level
+    resamplers — BMPs via the stride-grid kernel, PNGs via genuine
+    inflate -> unfilter -> resample -> re-emit (multimodal.py
+    resize_png; stored-deflate output keeps the byte size a formula)
+    — while WAVs and JPEGs (entropy-coded pixels need a codec) pass
+    through the dispatch untouched; decode_media then parses the
+    RESULT bytes. The oracle predicts every field from the
+    construction+resize formulas, so any unfilter, stride, or
+    re-emit bug in either resampler diverges from it."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return M.decode_media(M.resize_media(M.synthesize_media_all(docs)))
+
+
+SQL_MM_RESIZE_MULTI = """
+select doc_id,
+       case doc_id % 4 when 0 then 'bmp' when 1 then 'wav'
+                       when 2 then 'png' else 'jpeg' end as fmt,
+       cast(case doc_id % 4
+            when 0 then 54 + (((greatest(1, (4 + doc_id % 29) // 2) * 3
+                                + 3) // 4) * 4)
+                            * greatest(1, (4 + n_chars % 31) // 2)
+            when 1 then 44 + (100 + n_chars % 400) * 2
+            when 2 then 68 + greatest(1, (3 + n_chars % 23) // 2)
+                            * (1 + 3 * greatest(1, (3 + doc_id % 37) // 2))
+            else 21 + doc_id % 17 end as bigint) as n_bytes,
+       cast(case doc_id % 4
+            when 0 then greatest(1, (4 + doc_id % 29) // 2)
+            when 2 then greatest(1, (3 + doc_id % 37) // 2)
+            when 3 then 5 + n_chars % 41 end as int) as width,
+       cast(case doc_id % 4
+            when 0 then greatest(1, (4 + n_chars % 31) // 2)
+            when 2 then greatest(1, (3 + n_chars % 23) // 2)
+            when 3 then 5 + doc_id % 19 end as int) as height,
+       cast(case when doc_id % 4 = 1 then 8000 * (1 + doc_id % 5) end
+            as int) as sample_rate,
+       cast(case when doc_id % 4 = 1
+                 then ((100 + n_chars % 400) * 2 * 1000)
+                      // (8000 * (1 + doc_id % 5) * 2) end
+            as int) as duration_ms
+from documents where doc_id < 400
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -3526,6 +3571,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_real": q_mm_decode_real,
     "mm_decode_png_jpeg": q_mm_decode_png_jpeg,
     "mm_resize": q_mm_resize,
+    "mm_resize_multi": q_mm_resize_multi,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
@@ -3605,6 +3651,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_decode_real": SQL_MM_DECODE_REAL,
     "mm_decode_png_jpeg": SQL_MM_DECODE_PNG_JPEG,
     "mm_resize": SQL_MM_RESIZE,
+    "mm_resize_multi": SQL_MM_RESIZE_MULTI,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_frame_sample": SQL_MM_FRAMES,

@@ -382,3 +382,80 @@ def test_hard_negatives_windows_are_salted(spark):
     assert "windowspecdefinition(query_id" in p
     # the query side is broadcast, the corpus side never is
     assert "BroadcastExchange" in p
+
+
+def test_residual_encode_is_pure_map_no_shuffle(spark):
+    """Residual PQ encode (cell lookup from a literal table + residual
+    zip_with + per-subspace argmin) must stay a pure per-row map —
+    any Exchange means the 100 TB encode pass shuffles the corpus."""
+    from sslr_spark.functions.similarity import (
+        _codebooks_from_ids,
+        _unit_quantized,
+        ivf_index_fixed,
+        pq_encode_residual_fixed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    indexed, cents = ivf_index_fixed(emb, [1, 2, 3, 4, 5, 6, 7, 8])
+    cent_units = [
+        _unit_quantized(r.centroid)
+        for r in sorted(cents.collect(), key=lambda r: r.cell)
+    ]
+    books, _ = _codebooks_from_ids(
+        emb, list(range(100, 116)), 16, "embedding", "vec_id"
+    )
+    p = plan_of(pq_encode_residual_fixed(indexed, books, cent_units))
+    assert "Exchange" not in p
+    assert "Window" not in p
+
+
+def test_ivfpq_residual_candidate_cut_is_take_ordered(spark):
+    """The residual path's ADC cut must plan as TakeOrdered over the
+    probe-pruned scan (never a global sort or unpartitioned window),
+    and the probe side must broadcast."""
+    from sslr_spark.functions.similarity import ivfpq_topk_residual
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(
+        ivfpq_topk_residual(
+            emb, [1, 2, 3, 4, 5, 6, 7, 8], list(range(100, 116)),
+            query_vec_id=0, m=16, n_probe=3,
+        )
+    )
+    assert "Window" not in p
+    assert "TakeOrdered" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_media_synthesis_and_decode_are_narrow(spark):
+    """synthesize_media_all -> decode_media is two chained Arrow map
+    stages — embarrassingly parallel, no shuffle anywhere."""
+    from sslr_spark.functions.multimodal import (
+        decode_media,
+        synthesize_media_all,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_of(decode_media(synthesize_media_all(docs)))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_curation_neardup_stage_has_no_cartesian(spark):
+    """The near-dup stage inside the curation chain must keep the
+    banded-LSH equi-join shape — no cartesian product anywhere in the
+    six-stage composed plan."""
+    from sslr_spark.curation import curate_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    res = curate_documents(
+        docs,
+        quality_weights=[0.02, -0.005, 1.0, 0.1],
+        quality_bias=-2.0,
+        keep_fraction=0.6,
+        near_dup=True,
+        n_shards=16,
+    )
+    p = plan_of(res.df)
+    assert "CartesianProduct" not in p

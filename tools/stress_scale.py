@@ -239,6 +239,100 @@ def main() -> None:
             docs_scaled, 64,
         ).count()
 
+    # round-7 ops over the same K x corpus. The four-format header
+    # decode and residual encode are pure per-row maps (must scale
+    # linearly, zero shuffle); the near-dup curation stage's candidate
+    # join is capped by max_shingle_doc_freq below the replica count
+    # (same reasoning as leakage_safe_split); sessionization state is
+    # per-user triples regardless of events-per-user.
+    from sslr_spark.functions.multimodal import (
+        decode_media,
+        synthesize_media_all,
+    )
+
+    with timed("mm_decode_headers"):
+        decode_media(
+            synthesize_media_all(docs_scaled.select("doc_id", "n_chars"))
+        ).groupBy("fmt").count().collect()
+
+    with timed("curation_neardup"):
+        # replicas are near-dups of their base doc by construction, so
+        # the star clusters genuinely grow with K — the stage's stress
+        from sslr_spark.functions.dedup import (
+            cluster_keep_best,
+            dup_clusters_star,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            docs_scaled, "text", jaccard_threshold=0.5,
+            max_shingle_doc_freq=max(2, min(20, k - 1)),
+        )
+        clusters = dup_clusters_star(pairs)
+        cluster_keep_best(
+            clusters, docs_scaled, F.length(F.col("text"))
+        ).count()
+    release_caches()
+
+    from sslr_spark.functions.similarity import (
+        ivf_index_fixed,
+        ivfpq_topk_serve,
+        _codebooks_from_ids,
+    )
+
+    ebase = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    espan = ebase.agg(F.max("vec_id")).first()[0] + 1
+    emb_scaled = None
+    for i in range(k):
+        part = ebase.withColumn("vec_id", F.col("vec_id") + F.lit(i * espan))
+        emb_scaled = part if emb_scaled is None else emb_scaled.unionByName(part)
+    emb_tbl = ParquetDatabase(spark, os.path.join(TMP, "emb"))
+    emb_tbl.overwrite("embeddings", emb_scaled)
+    emb_scaled = emb_tbl.read("embeddings")
+    with timed("ivfpq_residual"):
+        indexed, cents = ivf_index_fixed(
+            emb_scaled, [1, 2, 3, 4, 5, 6, 7, 8]
+        )
+        books, _ = _codebooks_from_ids(
+            emb_scaled, list(range(100, 116)), 16, "embedding", "vec_id"
+        )
+        ivfpq_topk_serve(
+            indexed, cents, books, 0, k=10, n_probe=3, residual=True,
+        ).collect()
+
+    from sslr_spark.streaming.pipeline import stream_sessionize
+    from sslr_spark.queries import read_events
+
+    evb = read_events(spark, SF_DIR).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    uspan = evb.agg(F.max("user_id")).first()[0] + 1
+    ev_scaled = None
+    for i in range(k):
+        part = evb.withColumn("user_id", F.col("user_id") + F.lit(i * uspan))
+        ev_scaled = part if ev_scaled is None else ev_scaled.unionByName(part)
+    sess_src = os.path.join(TMP, "sess_src")
+    # one file => one data micro-batch: unordered multi-file arrival
+    # would drop below-watermark events and shrink the measured work
+    ev_scaled.coalesce(1).write.parquet(sess_src)
+    max_us = evb.agg(F.max(F.unix_micros("ts"))).first()[0]
+    for i, sent_us in enumerate(
+        (max_us + 260 * 60_000_000, max_us + 280 * 60_000_000), start=1
+    ):
+        spark.createDataFrame(
+            [(-i, sent_us)], "user_id long, ts_us long"
+        ).select(
+            "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(sess_src)
+    with timed("stream_sessionize"):
+        stream_sessionize(
+            spark, sess_src, spark.read.parquet(sess_src).schema,
+            os.path.join(TMP, "sess_out"), os.path.join(TMP, "sess_ckpt"),
+            gap_minutes=240, watermark="10 minutes",
+            max_files_per_trigger=1,
+        )
+        spark.read.parquet(os.path.join(TMP, "sess_out")).count()
+
     # prefix-filtered Jaccard: the CANDIDATE-SPACE cut, on the shape
     # the PPJoin filter exists for — a boilerplate-heavy corpus where
     # every document shares COMMON shingles (so the plain inverted-
