@@ -1962,6 +1962,46 @@ from documents where doc_id < 400
 """
 
 
+def q_mm_resample_audio(spark, sf_dir):
+    """REAL audio resample, end-to-end verified — the audio twin of
+    the image resizes: synthesized WAVs (16-bit mono PCM, rates
+    8000-40000 Hz) resample to 8 kHz through the byte-level
+    nearest-sample kernel (multimodal.py resample_wav: RIFF chunk
+    walk, int16 fancy-index, re-emit), BMPs pass through the
+    dispatch untouched, and decode_media parses the RESULT bytes.
+    The oracle predicts the resampled rate, byte size, and duration
+    from the synthesis formulas — any chunk-walk, sample-index, or
+    header-re-emit bug diverges from it."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return M.decode_media(
+        M.resample_audio(M.synthesize_media(docs), target_rate=8000)
+    )
+
+
+# WAVs: old_rate = 8000*(1+id%5), old_n = 100+n_chars%400,
+# new_n = old_n * 8000 // old_rate = old_n // (1+id%5);
+# decode duration = (2*new_n)*1000 // (8000*2). BMPs unchanged.
+SQL_MM_RESAMPLE_AUDIO = """
+select doc_id,
+       case when doc_id % 2 = 0 then 'bmp' else 'wav' end as fmt,
+       cast(case when doc_id % 2 = 0
+                 then 54 + ((((4 + doc_id % 29) * 3 + 3) // 4) * 4)
+                          * (4 + n_chars % 31)
+                 else 44 + ((100 + n_chars % 400) // (1 + doc_id % 5)) * 2
+            end as bigint) as n_bytes,
+       cast(case when doc_id % 2 = 0 then 4 + doc_id % 29 end as int)
+         as width,
+       cast(case when doc_id % 2 = 0 then 4 + n_chars % 31 end as int)
+         as height,
+       cast(case when doc_id % 2 = 1 then 8000 end as int) as sample_rate,
+       cast(case when doc_id % 2 = 1
+                 then (((100 + n_chars % 400) // (1 + doc_id % 5)) * 2
+                       * 1000) // 16000 end
+            as int) as duration_ms
+from documents where doc_id < 300
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -3572,6 +3612,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_png_jpeg": q_mm_decode_png_jpeg,
     "mm_resize": q_mm_resize,
     "mm_resize_multi": q_mm_resize_multi,
+    "mm_resample_audio": q_mm_resample_audio,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
@@ -3652,6 +3693,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_decode_png_jpeg": SQL_MM_DECODE_PNG_JPEG,
     "mm_resize": SQL_MM_RESIZE,
     "mm_resize_multi": SQL_MM_RESIZE_MULTI,
+    "mm_resample_audio": SQL_MM_RESAMPLE_AUDIO,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_frame_sample": SQL_MM_FRAMES,
