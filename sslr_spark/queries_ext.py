@@ -1471,7 +1471,10 @@ def q_sim_topk_ivfpq_residual(spark, sf_dir):
     distribution; the ADC table becomes (cell, subspace, codeword)-
     indexed because the query residual differs per probed cell. Both
     quantizers fixed, every residual an exactly-rounded IEEE op —
-    the full pipeline replays in DuckDB."""
+    the full pipeline replays in DuckDB. arrow=True runs the numpy
+    encoder (bit-identical by the shared determinism contract,
+    equality-tested vs the expression path — same pairing as the
+    other PQ keys' encode)."""
     return S.ivfpq_topk_residual(
         _emb(spark, sf_dir),
         _IVF_CENT_IDS,
@@ -1480,6 +1483,7 @@ def q_sim_topk_ivfpq_residual(spark, sf_dir):
         k=10,
         m=_PQ_M,
         n_probe=3,
+        arrow=True,
     )
 
 

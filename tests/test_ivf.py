@@ -174,3 +174,42 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
     # sanity floor: the 3-of-8-cell pruned scan at rerank_factor=1
     # (no exact-rerank safety net) still recalls a solid fraction
     assert tot_res >= 15, tot_res  # >= 30% across 5 queries
+
+
+def test_residual_encoders_expression_and_arrow_bit_identical(spark):
+    """The numpy residual encoder must produce byte-for-byte the same
+    codes as the expression encoder on every row — the determinism
+    contract both implement (per-term bigint quantization, identical
+    IEEE op sequence, first-match argmin)."""
+    from sslr_spark.functions.similarity import (
+        _codebooks_from_ids,
+        _unit_quantized,
+        ivf_index_fixed,
+        pq_encode_residual_arrow,
+        pq_encode_residual_fixed,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    indexed, cents = ivf_index_fixed(emb, [1, 2, 3, 4, 5, 6, 7, 8])
+    cent_units = [
+        _unit_quantized(r.centroid)
+        for r in sorted(cents.collect(), key=lambda r: r.cell)
+    ]
+    books, _ = _codebooks_from_ids(
+        emb, list(range(100, 116)), 16, "embedding", "vec_id"
+    )
+    expr = {
+        r["vec_id"]: list(r["__codes"])
+        for r in pq_encode_residual_fixed(
+            indexed, books, cent_units
+        ).select("vec_id", "__codes").collect()
+    }
+    arrow = {
+        r["vec_id"]: list(r["__codes"])
+        for r in pq_encode_residual_arrow(
+            indexed, books, cent_units
+        ).select("vec_id", "__codes").collect()
+    }
+    assert expr == arrow

@@ -298,6 +298,8 @@ def main() -> None:
         )
         ivfpq_topk_serve(
             indexed, cents, books, 0, k=10, n_probe=3, residual=True,
+            arrow=True,  # the production encoder; the expression
+            # form pays ~3 ms/(row*subspace) interpreted-lambda cost
         ).collect()
 
     from sslr_spark.streaming.pipeline import stream_sessionize
