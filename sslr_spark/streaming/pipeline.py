@@ -957,6 +957,15 @@ def stream_sessionize(
     is the standard applyInPandasWithState trade (same as Spark's own
     session-window aggregation).
 
+    Late-event contract (pinned by test): Spark does NOT auto-filter
+    below-watermark rows into applyInPandasWithState, so the operator
+    enforces CLOSED-SESSION IMMUTABILITY itself — an event more than
+    ``gap`` older than the open session's start belongs to a session
+    that already emitted and is DROPPED (it can neither resurrect the
+    closed session nor glue onto the newer one it has no business
+    in). Events within ``gap`` of the open session's start merge
+    backward (start=min).
+
     Event times travel as tz-free epoch MICROSECONDS alongside the
     watermark column — the pandas view of a TIMESTAMP column is
     session-tz wall clock, which would corrupt epoch arithmetic under
@@ -996,6 +1005,12 @@ def stream_sessionize(
         for t in ts:
             if cur is None:
                 cur = (t, t, 1)
+            elif t < cur[0] - gap_us:
+                # below the open session's own horizon: belongs to a
+                # session that already closed and emitted — DROP (see
+                # the late-event contract; Spark does not pre-filter
+                # late rows into this operator)
+                continue
             elif t - cur[1] <= gap_us:
                 # within gap of the session's last event: extend/merge
                 cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
@@ -1004,9 +1019,13 @@ def stream_sessionize(
                 out_end.append(cur[1])
                 out_n.append(cur[2])
                 cur = (t, t, 1)
-        # trailing open session: persist, time out at last + gap (an
-        # event arriving after that instant is below the watermark and
-        # would be dropped, so the session is provably closed)
+        # trailing open session: persist, time out at last + gap. The
+        # timeout fires only once the WATERMARK passes last + gap, so
+        # an in-horizon arrival always finds the state alive; an event
+        # arriving later still (beyond the lateness bound the
+        # watermark declares) finds no state and starts a fresh
+        # session — the standard once-state-expires trade of
+        # watermarked processing, same as dropDuplicatesWithinWatermark
         state.update(cur)
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
         if out_start:

@@ -772,3 +772,44 @@ def test_stream_sessionize_state_survives_checkpoint_restart(
         (1, t0 + 60 * minute, t0 + 60 * minute, 1),  # flushed by timeout
         (2, t0 + minute, t0 + minute, 1),            # flushed by timeout
     }
+
+
+def test_stream_sessionize_drops_below_watermark_events(spark, tmp_path):
+    """T9 semantics pinned: an event arriving BELOW the advanced
+    watermark is dropped before the stateful operator — it must not
+    resurrect or extend an already-closed session (the documented
+    Structured Streaming late-data contract; it is also what makes
+    the state-timeout closure provably safe)."""
+    from sslr_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "late_src")
+    out = str(tmp_path / "late_out")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000_000
+    minute = 60_000_000
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "user_id long, ts_us long").select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_file([(1, t0)])
+    write_file([(1, t0 + 100 * minute)])   # advances wm to t0+98min
+    write_file([(1, t0 + 1 * minute)])     # LATE: below the watermark
+    write_file([(-1, t0 + 500 * minute)])  # sentinels flush timeouts
+    write_file([(-2, t0 + 600 * minute)])
+    stream_sessionize(
+        spark, src, spark.read.parquet(src).schema, out,
+        str(tmp_path / "late_ckpt"),
+        gap_minutes=10, watermark="2 minutes", max_files_per_trigger=1,
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id >= 0").collect()
+    }
+    # the late t0+1min event influenced NOTHING: session 1 stays a
+    # singleton (n_events=1), and no extra session appears for it
+    assert got == {
+        (1, t0, t0, 1),
+        (1, t0 + 100 * minute, t0 + 100 * minute, 1),
+    }
