@@ -195,11 +195,95 @@ def parse_jpeg(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_mp4(b: bytes) -> tuple[int, int, int] | None:
+    """(width, height, duration_ms) from an ISO-BMFF / MP4 container
+    by walking its box tree — pure byte arithmetic, no codec: each
+    box is ``size:u32be + type:4``; the movie header (moov/mvhd v0)
+    carries timescale+duration at payload bytes 12/16, the track
+    header (moov/trak/tkhd v0) carries width/height as 16.16 fixed
+    point in its last 8 payload bytes. Returns the first video-sized
+    track's dimensions (tkhd with nonzero width)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack_from(">I", b, pos)[0]
+            if size < 8 or pos + size > hi:
+                return
+            yield b[pos + 4:pos + 8], pos + 8, pos + size
+            pos += size
+
+    timescale = duration = None
+    width = height = None
+    for typ, lo, hi in walk(0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, lo2, hi2 in walk(lo, hi):
+            if t2 == b"mvhd" and lo2 + 20 <= hi2:
+                ver = b[lo2]
+                if ver == 0:
+                    timescale, duration = struct.unpack_from(
+                        ">II", b, lo2 + 12
+                    )
+                elif lo2 + 28 <= hi2:  # v1: 64-bit times
+                    timescale = struct.unpack_from(">I", b, lo2 + 20)[0]
+                    duration = struct.unpack_from(">Q", b, lo2 + 24)[0]
+            elif t2 == b"trak":
+                for t3, lo3, hi3 in walk(lo2, hi2):
+                    if t3 == b"tkhd" and hi3 - lo3 >= 84 and width is None:
+                        w_fx, h_fx = struct.unpack_from(">II", b, hi3 - 8)
+                        if w_fx:
+                            width, height = w_fx >> 16, h_fx >> 16
+    if timescale and duration is not None and width:
+        return width, height, duration * 1000 // timescale
+    return None
+
+
+def make_mp4(
+    width: int, height: int, duration_ms: int, pad: int = 0
+) -> bytes:
+    """A minimal structurally-valid MP4: ftyp, a ``free`` box of
+    ``pad`` filler bytes (the walk must skip it by declared size),
+    moov{mvhd(timescale=1000, duration), trak{tkhd(width, height as
+    16.16)}}, empty mdat. Total size = 136 + pad + the fixed box
+    overhead — a pure formula, like every other synthesizer here."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"mp41")
+    free = box(b"free", bytes(pad))
+    mvhd = box(
+        b"mvhd",
+        bytes(4)                      # version 0 + flags
+        + bytes(8)                    # ctime/mtime
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + struct.pack(">I", 0x00010000)          # rate 1.0
+        + bytes(2 + 10 + 36 + 24)     # volume, reserved, matrix, predef
+        + struct.pack(">I", 2),       # next track id
+    )
+    tkhd = box(
+        b"tkhd",
+        bytes(4)                      # version 0 + flags
+        + bytes(8)                    # ctime/mtime
+        + struct.pack(">I", 1)        # track id
+        + bytes(4)                    # reserved
+        + struct.pack(">I", duration_ms)
+        + bytes(8 + 2 + 2 + 2 + 2 + 36)  # reserved/layer/alt/vol/matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + free + moov + box(b"mdat", b"")
+
+
 def decode_media(binary_df: DataFrame) -> DataFrame:
     """REAL metadata decode for headered media formats, Arrow-batched:
     sniffs the magic number per payload and parses BMP/PNG/JPEG
-    dimensions / WAV rate+duration straight from the bytes
-    (:func:`parse_bmp`, :func:`parse_png`, :func:`parse_jpeg`,
+    dimensions, MP4 dimensions+duration (container box walk), and
+    WAV rate+duration straight from the bytes (:func:`parse_bmp`,
+    :func:`parse_png`, :func:`parse_jpeg`, :func:`parse_mp4`,
     :func:`parse_wav`). Unknown formats pass through with fmt
     'unknown' and null media fields — triage them with
     :func:`binary_meta` before spending codec cost. Pure per-row
@@ -230,13 +314,22 @@ def decode_media(binary_df: DataFrame) -> DataFrame:
                     if dims is not None:
                         fmt = name
                         break
-                wav = parse_wav(b) if dims is None else None
+                mp4 = parse_mp4(b) if dims is None else None
+                wav = (
+                    parse_wav(b) if dims is None and mp4 is None else None
+                )
                 if dims is not None:
                     out["fmt"].append(fmt)
                     out["width"].append(dims[0])
                     out["height"].append(dims[1])
                     out["sample_rate"].append(None)
                     out["duration_ms"].append(None)
+                elif mp4 is not None:
+                    out["fmt"].append("mp4")
+                    out["width"].append(mp4[0])
+                    out["height"].append(mp4[1])
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(mp4[2])
                 elif wav is not None:
                     out["fmt"].append("wav")
                     out["width"].append(None)
@@ -733,6 +826,46 @@ def synthesize_media_all(df: DataFrame) -> DataFrame:
                     payloads.append(
                         make_jpeg(5 + c % 41, 5 + d % 19, com_pad=d % 17)
                     )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return df.select("doc_id", "n_chars").mapInPandas(build, out_schema)
+
+
+def synthesize_video(df: DataFrame) -> DataFrame:
+    """Deterministic MP4 corpus over (doc_id, n_chars): every row
+    becomes a structurally-valid container (ftyp + free-box padding +
+    moov/mvhd/trak/tkhd + mdat) with
+
+        width  = 16 * (1 + doc_id % 20)
+        height = 16 * (1 + n_chars % 15)
+        duration_ms = 500 + n_chars % 2000
+        free-box pad = doc_id % 23   (total bytes = 252 + pad)
+
+    — plain column formulas, so the oracle predicts every decoded
+    field without walking a byte. Arrow-batched map."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, c = int(doc_id), int(n_chars)
+                payloads.append(
+                    make_mp4(
+                        16 * (1 + d % 20),
+                        16 * (1 + c % 15),
+                        500 + c % 2000,
+                        pad=d % 23,
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )

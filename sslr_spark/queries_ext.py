@@ -2006,6 +2006,32 @@ from documents where doc_id < 300
 """
 
 
+def q_mm_decode_mp4(spark, sf_dir):
+    """REAL MP4 container decode, end-to-end verified — the video
+    member of the header-decoder family (multimodal.py parse_mp4):
+    documents rows become structurally-valid MP4s (ftyp + a free box
+    the walk must skip by declared size + moov/mvhd/trak/tkhd), then
+    decode_media walks the box tree back OUT OF THE BYTES — mvhd
+    timescale/duration, tkhd 16.16 fixed-point dimensions. The oracle
+    predicts every field from the synthesis formulas; only codec
+    PAYLOAD decode (frames/samples) remains stubbed, honestly, since
+    the container ships no codecs."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return M.decode_media(M.synthesize_video(docs))
+
+
+SQL_MM_DECODE_MP4 = """
+select doc_id,
+       'mp4' as fmt,
+       cast(252 + doc_id % 23 as bigint) as n_bytes,
+       cast(16 * (1 + doc_id % 20) as int) as width,
+       cast(16 * (1 + n_chars % 15) as int) as height,
+       cast(null as int) as sample_rate,
+       cast(500 + n_chars % 2000 as int) as duration_ms
+from documents where doc_id < 300
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -3617,6 +3643,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize": q_mm_resize,
     "mm_resize_multi": q_mm_resize_multi,
     "mm_resample_audio": q_mm_resample_audio,
+    "mm_decode_mp4": q_mm_decode_mp4,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
@@ -3698,6 +3725,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_resize": SQL_MM_RESIZE,
     "mm_resize_multi": SQL_MM_RESIZE_MULTI,
     "mm_resample_audio": SQL_MM_RESAMPLE_AUDIO,
+    "mm_decode_mp4": SQL_MM_DECODE_MP4,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_frame_sample": SQL_MM_FRAMES,
