@@ -156,6 +156,8 @@ def test_curation_config_cli_end_to_end(spark, tmp_path, capsys):
                 "keepFraction": 0.5,
                 "maxPerSource": 8,
                 "nShards": 4,
+                "nearDup": True,
+                "nearDupThreshold": 0.5,
             }
         )
     )
@@ -163,6 +165,9 @@ def test_curation_config_cli_end_to_end(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["funnel"]["input"] == 60
     assert report["funnel"]["gopher"] == 56
+    # near-dup stage active through the CLI: the "tail{i} word..."
+    # variants of doc 0's body are near-dups and collapse further
+    assert report["funnel"]["near_dup"] <= report["funnel"]["exact_dedup"]
     assert report["written_rows"] == report["funnel"]["source_cap"]
     out = ParquetDatabase(spark, str(tmp_path / "out"))
     assert out.read("curated").columns == ["doc_id", "lang", "source", "shard"]
