@@ -185,6 +185,8 @@ def curate_documents(
     exact_dedup: bool = True,
     near_dup: bool = False,
     near_dup_threshold: float = 0.5,
+    near_dup_hash_mode: str = "portable",
+    near_dup_max_doc_freq: int | None = None,
     text_col: str = "text",
     key_col: str = "doc_id",
     lang_col: str = "lang",
@@ -246,8 +248,13 @@ def curate_documents(
             minhash_lsh_pairs,
         )
 
+        # hash_mode/doc-freq-cap: the same portable-for-oracle /
+        # fast-for-production split the rest of the dedup family uses
         pairs = minhash_lsh_pairs(
-            cur, text_col, jaccard_threshold=near_dup_threshold
+            cur, text_col,
+            jaccard_threshold=near_dup_threshold,
+            hash_mode=near_dup_hash_mode,
+            max_shingle_doc_freq=near_dup_max_doc_freq,
         )
         clusters = dup_clusters_star(pairs)
         best = cluster_keep_best(clusters, cur, F.length(F.col(text_col)))
