@@ -248,6 +248,16 @@ def curate_documents(
             minhash_lsh_pairs,
         )
 
+        # the near-dup stage references the survivor frame from
+        # SEVERAL subtrees (shingle pairs, keeper scoring, the
+        # anti-join, every downstream stage) — a lazy checkpoint
+        # materializes the gopher+exact work once on first action
+        # instead of 4+ times (measured 20 s -> 8 s on the composed
+        # chain). This is also the production shape: major curation
+        # stages land their survivors before a clustering pass.
+        # Without near_dup the chain stays one linear lazy plan.
+        cur = cur.localCheckpoint(eager=False)
+
         # hash_mode/doc-freq-cap: the same portable-for-oracle /
         # fast-for-production split the rest of the dedup family uses
         pairs = minhash_lsh_pairs(

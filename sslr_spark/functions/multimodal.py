@@ -950,6 +950,82 @@ def sample_frames(binary_df: DataFrame, every_n: int = 2) -> DataFrame:
     return binary_df.mapInPandas(frames, FRAME_SCHEMA)
 
 
+TAR_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("n_members", T.LongType(), False),
+        T.StructField("tar", T.BinaryType(), False),
+    ]
+)
+
+
+def tar_shards(
+    binary_df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    seed: str = "shard",
+) -> DataFrame:
+    """WebDataset-style shard export — the standard packaging for
+    large-scale multimodal training data: binary payloads grouped
+    into a fixed number of tar archives, one member per document.
+
+    Fully DETERMINISTIC tars: hash-stable shard assignment
+    (sampling.py shard_assign — the same h60 key the parquet shard
+    exports use, so tar shards and parquet shards of one corpus
+    align), members sorted by id, zeroed mtime/uid/gid, fixed mode,
+    USTAR format — byte-identical across re-runs, so shard files are
+    content-addressable and a re-export diff (shard_diff) detects
+    exactly the changed shards. Sizes are arithmetic: each member
+    costs 512 header bytes + its payload rounded up to 512, the
+    archive ends with 1024 zero bytes, and tarfile pads to the
+    10240-byte record size — so the oracle hash-checks every shard's
+    byte size from the payload-size formulas alone.
+
+    Scale shape: ONE hash shuffle on the uniform shard key (balanced
+    regardless of id skew), then each shard's tar assembles in a
+    single applyInPandas group — shard count is chosen so a shard
+    fits an executor (the same contract WebDataset itself has: a
+    shard must fit the reader). Returns (shard, n_members, tar);
+    write the binary column to ``shard-%05d.tar`` objects with any
+    sink (at 100 TB: foreachPartition -> object store multipart)."""
+    import io
+    import tarfile
+
+    from sslr_spark.functions.sampling import shard_assign
+
+    sharded = shard_assign(
+        binary_df.select(id_col, payload_col), n_shards, id_col, seed
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for key, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                ti = tarfile.TarInfo(name=f"{int(key):012d}.bin")
+                ti.size = len(data)
+                ti.mtime = 0
+                ti.uid = 0
+                ti.gid = 0
+                ti.mode = 0o644
+                ti.uname = ""
+                ti.gname = ""
+                tf.addfile(ti, io.BytesIO(data))
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_members": [len(pdf)],
+                "tar": [buf.getvalue()],
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandas(build, TAR_SHARD_SCHEMA)
+
+
 def binary_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pure-SQL binary metadata (no Python): byte length, content hash,
     leading-bytes 'magic number' hex — the cheap pre-decode triage

@@ -2032,6 +2032,47 @@ from documents where doc_id < 300
 """
 
 
+def q_mm_tar_shards(spark, sf_dir):
+    """WebDataset-style tar shard export, hash-verified END-TO-END
+    (multimodal.py tar_shards): the synthesized BMP/WAV corpus packs
+    into 8 deterministic tar archives; the oracle predicts each
+    shard's member count AND exact archive byte size from pure
+    arithmetic — hash-stable shard assignment (the shared h60 key),
+    512-byte member headers, payload sizes from the synthesis
+    formulas rounded to tar blocks, 1024-byte end marker, 10240-byte
+    record padding. Any drift in assignment, member accounting, or
+    archive layout diverges."""
+    payloads = M.synthesize_media(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    )
+    return M.tar_shards(payloads, 8).select(
+        "shard",
+        "n_members",
+        F.octet_length("tar").cast("long").alias("tar_bytes"),
+    )
+
+
+SQL_MM_TAR_SHARDS = f"""
+with sz as (
+  select doc_id,
+         cast(case when doc_id % 2 = 0
+                   then 54 + ((((4 + doc_id % 29) * 3 + 3) // 4) * 4)
+                            * (4 + n_chars % 31)
+                   else 44 + (100 + n_chars % 400) * 2 end as bigint)
+           as nb,
+         cast({h60_sql(
+             "concat('shard', ':', "
+             "coalesce(cast(doc_id as varchar), chr(0)))")} % 8 as int)
+           as shard
+  from documents where doc_id < 300
+)
+select shard, cast(count(*) as bigint) as n_members,
+       cast(((1024 + sum(512 + ((nb + 511) // 512) * 512) + 10239)
+             // 10240) * 10240 as bigint) as tar_bytes
+from sz group by shard
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -3644,6 +3685,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize_multi": q_mm_resize_multi,
     "mm_resample_audio": q_mm_resample_audio,
     "mm_decode_mp4": q_mm_decode_mp4,
+    "mm_tar_shards": q_mm_tar_shards,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
@@ -3726,6 +3768,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_resize_multi": SQL_MM_RESIZE_MULTI,
     "mm_resample_audio": SQL_MM_RESAMPLE_AUDIO,
     "mm_decode_mp4": SQL_MM_DECODE_MP4,
+    "mm_tar_shards": SQL_MM_TAR_SHARDS,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_frame_sample": SQL_MM_FRAMES,
