@@ -213,3 +213,27 @@ def test_residual_encoders_expression_and_arrow_bit_identical(spark):
         ).select("vec_id", "__codes").collect()
     }
     assert expr == arrow
+
+
+def test_ivfpq_residual_full_cover_equals_bruteforce(spark):
+    """With every cell probed and a rerank cut covering the whole
+    corpus, residual IVF-PQ must return exactly the brute-force
+    top-k (ids, scores, order) — the ADC pre-rank can then only
+    reorder candidates the exact-cosine rerank re-sorts, so any
+    disagreement means the residual pipeline LOST or duplicated a
+    candidate. Same equality contract as ivf_ann_fixed / plain PQ."""
+    from sslr_spark.functions.similarity import ivfpq_topk_residual
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).cache()
+    cents = [1, 2, 3, 4, 5, 6, 7, 8]
+    exact = topk_bruteforce(emb, 0, k=10).collect()
+    got = ivfpq_topk_residual(
+        emb, cents, list(range(100, 116)), query_vec_id=0,
+        k=10, m=16, n_probe=len(cents), rerank_factor=50,
+        arrow=True,
+    ).collect()
+    assert [(r.vec_id, r.cos_sim) for r in got] == [
+        (r.vec_id, r.cos_sim) for r in exact
+    ]
