@@ -459,3 +459,18 @@ def test_curation_neardup_stage_has_no_cartesian(spark):
     )
     p = plan_of(res.df)
     assert "CartesianProduct" not in p
+
+
+def test_tar_shards_single_hash_shuffle(spark):
+    """Tar shard assembly must cost exactly ONE exchange (the hash
+    shuffle on the uniform shard key) — the narrow shard_assign
+    projection and the per-shard applyInPandas assembly add no
+    further repartitioning."""
+    from sslr_spark.functions.multimodal import tar_shards
+
+    df = spark.createDataFrame(
+        [(i, b"x" * 64) for i in range(100)], "doc_id long, payload binary"
+    )
+    p = plan_of(tar_shards(df, 8))
+    assert p.count("Exchange") == 1
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
