@@ -70,6 +70,7 @@ _HEAD_KEYS = [
     "mm_resample_audio",
     "mm_decode_mp4",
     "mm_tar_shards",
+    "mm_frame_plan",
     "x_stream_sessionize",
     "sim_topk_ivfpq_residual",
     "x_curation_pipeline_neardup",
@@ -122,12 +123,12 @@ _HEAD_KEYS = [
     "dedup_incremental_spans",
     "dedup_ngram_coverage",
     "dedup_semantic",
-    "dedup_incremental_minhash",
     # 50 head entries — exactly the driver window this round.
 ]
 _TAIL_KEYS = [
     # remaining r05-green keys (unchanged code) — first in line for
     # the r08 head:
+    "dedup_incremental_minhash",
     "mm_decode_stub",
     "mm_frame_sample",
     "x_cumulative_window",

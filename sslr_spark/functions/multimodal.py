@@ -1026,6 +1026,43 @@ def tar_shards(
     return sharded.groupBy("shard").applyInPandas(build, TAR_SHARD_SCHEMA)
 
 
+def plan_frames(
+    binary_df: DataFrame, fps: int = 2, every_n: int = 1
+) -> DataFrame:
+    """Frame-extraction PLAN from REAL container metadata: for every
+    MP4 payload, derive the frame timestamps a sampler at ``fps``
+    would target from the parsed mvhd duration (:func:`decode_media`)
+    and emit every ``every_n``-th — (doc_id, frame_idx, t_ms). This
+    is the step a production video pipeline runs BEFORE paying any
+    codec cost: plan the timestamps from container metadata, then
+    seek-decode only the planned frames. Every video yields at least
+    frame 0. Pure built-in SQL over the decoded metadata — the row
+    amplification is sequence+explode, no Python beyond the Arrow
+    header parse."""
+    meta = decode_media(binary_df)
+    # integer arithmetic throughout (DIV, not /) — no float rounding
+    n_frames = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(
+            f"cast(duration_ms as bigint) * {int(fps)} div 1000"
+        ),
+    )
+    idxs = F.sequence(
+        F.lit(0).cast("long"), n_frames - 1, F.lit(int(every_n)).cast("long")
+    )
+    return (
+        meta.filter(F.col("fmt") == "mp4")
+        .select("doc_id", F.explode(idxs).alias("frame_idx"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.expr(f"cast(frame_idx * 1000 div {int(fps)} as int)").alias(
+                "t_ms"
+            ),
+        )
+    )
+
+
 def binary_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Pure-SQL binary metadata (no Python): byte length, content hash,
     leading-bytes 'magic number' hex — the cheap pre-decode triage

@@ -2073,6 +2073,35 @@ from sz group by shard
 """
 
 
+def q_mm_frame_plan(spark, sf_dir):
+    """Frame-extraction planning from REAL container metadata
+    (multimodal.py plan_frames): every synthesized MP4's mvhd
+    duration drives which frame timestamps a 2-fps sampler would
+    seek-decode (every 2nd frame here) — the decode-free planning
+    step that bounds codec cost to the planned frames. The oracle
+    re-derives the plan from the synthesis formulas with a
+    generate_series explosion."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return M.plan_frames(M.synthesize_video(docs), fps=2, every_n=2)
+
+
+# duration = 500 + n_chars % 2000 -> n_frames = max(1, dur*2 // 1000)
+# <= 4; every 2nd frame; t_ms = idx*1000 // 2. Lateral column bounds
+# are unsupported in the oracle engine's generate_series — generate
+# the max range and filter (same pattern as SQL_MM_FRAMES).
+SQL_MM_FRAME_PLAN = """
+with v as (
+  select doc_id,
+         greatest(1, (500 + n_chars % 2000) * 2 // 1000) as nf
+  from documents where doc_id < 300
+)
+select doc_id, cast(i as int) as frame_idx,
+       cast(i * 1000 // 2 as int) as t_ms
+from v, generate_series(0, 4, 2) as t(i)
+where i < v.nf
+"""
+
+
 def q_mm_decode_stub(spark, sf_dir):
     """Arrow-batched mapInPandas decode plumbing with stubbed codec —
     hash-checked: the deterministic stub (md5-byte-derived fake
@@ -3686,6 +3715,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resample_audio": q_mm_resample_audio,
     "mm_decode_mp4": q_mm_decode_mp4,
     "mm_tar_shards": q_mm_tar_shards,
+    "mm_frame_plan": q_mm_frame_plan,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
@@ -3769,6 +3799,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_resample_audio": SQL_MM_RESAMPLE_AUDIO,
     "mm_decode_mp4": SQL_MM_DECODE_MP4,
     "mm_tar_shards": SQL_MM_TAR_SHARDS,
+    "mm_frame_plan": SQL_MM_FRAME_PLAN,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_frame_sample": SQL_MM_FRAMES,
