@@ -1439,12 +1439,13 @@ def pq_encode_residual_fixed(
     resid = F.zip_with(unit, cu, lambda a, b: a - b)
     code_cols = []
     for j in range(m):
-        # NB: the lambda must stay single-parameter — PySpark reads a
-        # second parameter (even a default) as an (element, index)
-        # lambda; rsub binds by closure, consumed within this iteration
+        # NB: the transform lambda must stay single-parameter —
+        # PySpark reads a second parameter (even a default) as an
+        # (element, index) lambda; rsub binds through the helper's
+        # default arg instead, consumed within this iteration
         rsub = F.slice(resid, j * dsub + 1, dsub)
 
-        def _dot(cw, rs=None, _rsub=rsub):
+        def _dot(cw, _rsub=rsub):
             return F.aggregate(
                 F.zip_with(
                     _rsub,
