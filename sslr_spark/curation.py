@@ -68,6 +68,8 @@ class CurationConfig:
     exact_dedup: bool = True
     near_dup: bool = False
     near_dup_threshold: float = 0.5
+    near_dup_hash_mode: str = "portable"
+    near_dup_max_doc_freq: int | None = None
     text_column: str = "text"
     key_column: str = "doc_id"
     lang_column: str = "lang"
@@ -77,8 +79,9 @@ class CurationConfig:
 _KNOWN_CURATION = {
     "source", "output", "table", "outputTable", "qualityWeights",
     "qualityBias", "keepFraction", "maxPerSource", "nShards", "gopher",
-    "exactDedup", "nearDup", "nearDupThreshold", "textColumn",
-    "keyColumn", "langColumn", "sourceColumn",
+    "exactDedup", "nearDup", "nearDupThreshold", "nearDupHashMode",
+    "nearDupMaxDocFreq", "textColumn", "keyColumn", "langColumn",
+    "sourceColumn",
 }
 
 
@@ -115,6 +118,8 @@ def load_curation_config(path_or_text: str) -> CurationConfig:
         exact_dedup=bool(raw.get("exactDedup", True)),
         near_dup=bool(raw.get("nearDup", False)),
         near_dup_threshold=float(raw.get("nearDupThreshold", 0.5)),
+        near_dup_hash_mode=raw.get("nearDupHashMode", "portable"),
+        near_dup_max_doc_freq=raw.get("nearDupMaxDocFreq"),
         text_column=raw.get("textColumn", "text"),
         key_column=raw.get("keyColumn", "doc_id"),
         lang_column=raw.get("langColumn", "lang"),
@@ -153,6 +158,8 @@ def run_curation(spark, cfg: CurationConfig) -> dict:
         exact_dedup=cfg.exact_dedup,
         near_dup=cfg.near_dup,
         near_dup_threshold=cfg.near_dup_threshold,
+        near_dup_hash_mode=cfg.near_dup_hash_mode,
+        near_dup_max_doc_freq=cfg.near_dup_max_doc_freq,
         text_col=cfg.text_column,
         key_col=cfg.key_column,
         lang_col=cfg.lang_column,
