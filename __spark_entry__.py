@@ -74,6 +74,7 @@ _HEAD_KEYS = [
     "x_stream_sessionize",
     "sim_topk_ivfpq_residual",
     "x_curation_pipeline_neardup",
+    "x_embedding_pipeline",
     "s5_catalog_schema",
     "s7_object_exists",
     # code changed THIS round (r7): decode_media grew the PNG/JPEG
@@ -122,12 +123,12 @@ _HEAD_KEYS = [
     "x_stream_interval_join",
     "dedup_incremental_spans",
     "dedup_ngram_coverage",
-    "dedup_semantic",
     # 50 head entries — exactly the driver window this round.
 ]
 _TAIL_KEYS = [
     # remaining r05-green keys (unchanged code) — first in line for
     # the r08 head:
+    "dedup_semantic",
     "dedup_incremental_minhash",
     "mm_decode_stub",
     "mm_frame_sample",

@@ -305,3 +305,64 @@ def curate_documents(
     if key_col != kc:
         out = out.withColumnRenamed(kc, key_col)
     return CurationResult(out, funnel)
+
+
+def curate_embeddings(
+    df: DataFrame,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    threshold: float = 0.8,
+    m: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_block_size: int | None = 100_000,
+) -> DataFrame:
+    """The EMBEDDING-side curation chain, composed like
+    :func:`curate_documents` composes the text side: SemDeDup-style
+    semantic dedup (drop vectors whose cosine to a lower-id vector of
+    the same coarse cell reaches ``threshold``) -> PQ-encode the
+    survivors -> per-cell index manifest (vector count + order-free
+    integer code digest). This is the offline pass that turns a raw
+    embedding table into a servable ANN index: dedup first (duplicate
+    vectors waste code budget and skew cells), encode once, manifest
+    per cell for partition-pruned serving.
+
+    Every stage is the already-verified operator (dedup.py
+    semantic_dedup, similarity.py pq_encode_fixed); this composes
+    them LAZILY into one plan. The manifest is bounded (n_cells
+    rows); the code digest is a SUM of per-vector code sums — integer
+    and order-free, so the whole composition hash-checks end-to-end.
+
+    Scale shape: cell assignment and encode are pure per-row maps;
+    the dedup pair join is blocked per cell (``max_block_size``
+    guard); the manifest is one map-side-combined aggregate."""
+    from sslr_spark.functions.dedup import semantic_dedup
+    from sslr_spark.functions.similarity import (
+        _codebooks_from_ids,
+        pq_encode_with_books,
+    )
+
+    flags = semantic_dedup(
+        df, centroid_ids, threshold, vec_col, max_block_size
+    )
+    survivors = df.join(
+        flags.filter(~F.col("is_dup")).select(id_col, "cell"), id_col
+    )
+    # codebooks derive from the ORIGINAL frame: dedup may drop a
+    # codebook vector, and the codebook must not depend on which
+    # near-duplicates happened to survive
+    books, _ = _codebooks_from_ids(df, codebook_ids, m, vec_col, id_col)
+    encoded = pq_encode_with_books(survivors, books, vec_col)
+    code_sum = F.aggregate(
+        F.col("__codes"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c.cast("long"),
+    )
+    return (
+        encoded.withColumn("__csum", code_sum)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("__csum").alias("code_digest"),
+        )
+    )

@@ -3274,6 +3274,86 @@ from s4
 )
 
 
+def q_x_embedding_pipeline(spark, sf_dir):
+    """The EMBEDDING-side pipeline as one verified composition
+    (curation.py curate_embeddings) — the ANN twin of
+    x_curation_pipeline: SemDeDup semantic dedup (threshold 0.35,
+    guard-free for oracle parity) -> PQ-encode the survivors with the
+    fixed 16x16 codebooks -> per-cell index manifest (vector count +
+    order-free integer code digest). Proves stage threading:
+    the encode runs over the DEDUP SURVIVORS, and the digest is
+    sensitive to every code assignment."""
+    from sslr_spark.curation import curate_embeddings
+
+    return curate_embeddings(
+        _emb(spark, sf_dir),
+        _IVF_CENT_IDS,
+        _PQ_CW_IDS,
+        threshold=0.35,
+        m=_PQ_M,
+        max_block_size=None,
+    )
+
+
+SQL_X_EMBEDDING_PIPELINE = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings where vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+assigned as (
+  select vec_id, embedding, cell from (
+    select e.vec_id, e.embedding, c.cell,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+dups as (
+  select distinct b.vec_id
+  from assigned a join assigned b
+    on a.cell = b.cell and a.vec_id < b.vec_id
+  where round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.35
+),
+surv as (
+  select * from assigned
+  where vec_id not in (select vec_id from dups)
+),
+cw as (
+  select row_number() over (order by vec_id) - 1 as c,
+         {_pq_unit('embedding')} as cwv
+  from embeddings where vec_id in ({', '.join(map(str, _PQ_CW_IDS))})
+),
+eb as (select vec_id, cell, embedding as e,
+              {_PQ_SQSUM_INT.format(a='embedding')} as s
+       from surv),
+enc as (
+  select e.vec_id, e.cell, j.j, cw.c,
+         cast(floor(({_PQ_D.format(
+             s='e.s',
+             dot=_PQ_SLICE_DOT.format(a='e.e', b='cw.cwv'),
+             cwsq=_PQ_SLICE_SQ.format(a='cw.cwv'))}) * 1e9
+                    + 0.5) as bigint) as d
+  from eb e
+  cross join generate_series(0, {_PQ_M - 1}) as j(j)
+  cross join cw
+),
+codes as (
+  select vec_id, cell, j, c from (
+    select enc.*, row_number() over (
+      partition by vec_id, j order by d, c
+    ) as rn from enc
+  ) where rn = 1
+)
+select cell, cast(count(distinct vec_id) as bigint) as n_vectors,
+       cast(sum(c) as bigint) as code_digest
+from codes group by cell
+"""
+
+
 def q_text_bigram_logprob(spark, sf_dir):
     """Word-order perplexity proxy: per-doc mean conditional BIGRAM
     log-prob against a top-40 corpus bigram vocabulary
@@ -3647,6 +3727,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_sessionize": q_x_stream_sessionize,
     "x_curation_pipeline": q_x_curation_pipeline,
     "x_curation_pipeline_neardup": q_x_curation_pipeline_neardup,
+    "x_embedding_pipeline": q_x_embedding_pipeline,
     "files_roundtrip": q_files_roundtrip,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -3731,6 +3812,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_sessionize": SQL_X_STREAM_SESSIONIZE,
     "x_curation_pipeline": SQL_X_CURATION_PIPELINE,
     "x_curation_pipeline_neardup": SQL_X_CURATION_PIPELINE_NEARDUP,
+    "x_embedding_pipeline": SQL_X_EMBEDDING_PIPELINE,
     "files_roundtrip": SQL_FILES_ROUNDTRIP,
     "sim_topk_binary": SQL_SIM_BINARY,
     "text_bigram_logprob": SQL_BIGRAM_LOGPROB,
