@@ -200,3 +200,33 @@ def test_curation_stage_toggles(spark):
     )
     assert res.df.count() == 60   # nothing filtered
     assert res.df.columns == ["doc_id", "lang", "source"]
+
+
+def test_curate_embeddings_codebooks_survive_dedup(spark):
+    """Stage-threading property: the PQ codebooks must derive from
+    the ORIGINAL frame — if semantic dedup drops a codebook vector
+    (planted here: vector 100 duplicates vector 0, and 100 is a
+    codebook id), the surviving corpus still encodes against the full
+    codebook and the manifest counts only survivors."""
+    import numpy as np
+
+    from sslr_spark.curation import curate_embeddings
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(140, 64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X[100] = X[0]  # duplicate: the HIGHER id (a codebook id) drops
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(140)],
+        "vec_id long, embedding array<float>",
+    )
+    out = curate_embeddings(
+        emb,
+        centroid_ids=[1, 2, 3, 4],
+        codebook_ids=list(range(96, 112)),
+        threshold=0.999,
+        m=8,
+        max_block_size=None,
+    ).collect()
+    assert sum(r.n_vectors for r in out) == 139  # exactly one dropped
+    assert all(r.code_digest >= 0 for r in out)
