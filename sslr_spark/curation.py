@@ -168,16 +168,32 @@ def run_curation(spark, cfg: CurationConfig) -> dict:
     )
     out.overwrite(cfg.output_table, res.df)
     rows = out.table_rows(cfg.output_table)
+    res.release()  # final action done — free the near-dup cache
     return {"funnel": res.funnel, "written_rows": rows}
 
 
 @dataclass
 class CurationResult:
     """Final curated frame plus (optionally) per-stage survivor
-    counts in pipeline order."""
+    counts in pipeline order.
+
+    When the near-dup stage ran, ``df`` reads through a persisted
+    intermediate (the gopher+exact survivor frame, referenced by 4+
+    subtrees of the plan). In a long-lived driver call
+    :meth:`release` after the final action on ``df`` — otherwise the
+    cached blocks live for the application lifetime. Actions after
+    ``release()`` simply recompute from source."""
 
     df: DataFrame
     funnel: dict[str, int] = field(default_factory=dict)
+    _cached: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the near-dup stage's survivor cache (no-op when
+        the stage didn't run or was already released)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
 
 def curate_documents(
@@ -257,13 +273,17 @@ def curate_documents(
 
         # the near-dup stage references the survivor frame from
         # SEVERAL subtrees (shingle pairs, keeper scoring, the
-        # anti-join, every downstream stage) — a lazy checkpoint
+        # anti-join, every downstream stage) — persisting it
         # materializes the gopher+exact work once on first action
         # instead of 4+ times (measured 20 s -> 8 s on the composed
         # chain). This is also the production shape: major curation
         # stages land their survivors before a clustering pass.
+        # persist (not localCheckpoint) keeps the lineage, so lost
+        # executors recompute instead of failing the job, and the
+        # blocks are releasable via CurationResult.release().
         # Without near_dup the chain stays one linear lazy plan.
-        cur = cur.localCheckpoint(eager=False)
+        cur = cur.persist()
+        cached = cur
 
         # hash_mode/doc-freq-cap: the same portable-for-oracle /
         # fast-for-production split the rest of the dedup family uses
@@ -304,7 +324,9 @@ def curate_documents(
         out = shard_assign(out, n_shards, kc)
     if key_col != kc:
         out = out.withColumnRenamed(kc, key_col)
-    return CurationResult(out, funnel)
+    return CurationResult(
+        out, funnel, _cached=cached if near_dup else None
+    )
 
 
 def curate_embeddings(

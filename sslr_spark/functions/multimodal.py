@@ -210,9 +210,21 @@ def parse_mp4(b: bytes) -> tuple[int, int, int] | None:
         pos = lo
         while pos + 8 <= hi:
             size = struct.unpack_from(">I", b, pos)[0]
-            if size < 8 or pos + size > hi:
+            hdr = 8
+            if size == 1:
+                # ISO-BMFF 14496-12 §4.2 largesize: u64 follows the
+                # type, 16-byte header (>4 GiB boxes, e.g. big mdat)
+                if pos + 16 > hi:
+                    return
+                size = struct.unpack_from(">Q", b, pos + 8)[0]
+                hdr = 16
+            elif size == 0:
+                # size==0: box extends to the end of the enclosing
+                # scope (streamed mdat-before-moov layout)
+                size = hi - pos
+            if size < hdr or pos + size > hi:
                 return
-            yield b[pos + 4:pos + 8], pos + 8, pos + size
+            yield b[pos + 4:pos + 8], pos + hdr, pos + size
             pos += size
 
     timescale = duration = None

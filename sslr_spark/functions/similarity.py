@@ -204,6 +204,7 @@ def ivf_index_fixed(
         .collect()  # bounded: n_cells rows
     )
     rows.sort(key=lambda r: r.cid)  # cell = rank of centroid id
+    _require_all_ids(rows, centroid_ids, "centroid", id_col)
     spark = df.sparkSession
     cents = spark.createDataFrame(
         [(i, list(r.centroid)) for i, r in enumerate(rows)],
@@ -234,6 +235,20 @@ def ivf_index_fixed(
         .drop(*[f"__c{i}" for i in range(len(rows))])
     )
     return indexed, cents
+
+
+def _require_all_ids(rows, ids, kind: str, id_col: str) -> None:
+    """Every caller-fixed centroid/codebook id must resolve to a row.
+    A silently-shrunk codebook shifts every code index, desyncing the
+    Spark encode from the oracle and any frozen-index consumer — so a
+    partial match is a hard error naming the missing ids."""
+    if len(rows) != len(set(ids)):
+        found = {r.cid for r in rows}
+        missing = sorted(set(ids) - found)
+        raise ValueError(
+            f"{kind} ids not found in {id_col}: {missing} "
+            f"({len(rows)}/{len(set(ids))} resolved)"
+        )
 
 
 def _l2(vec) -> float:
@@ -1043,8 +1058,7 @@ def pq_encode_fixed(
         .collect()  # bounded: ks rows
     )
     rows.sort(key=lambda r: r.cid)
-    if not rows:
-        raise ValueError("no codebook vectors found")
+    _require_all_ids(rows, codebook_ids, "codebook", id_col)
     dim = len(rows[0].cw)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1220,7 +1234,17 @@ def pq_topk_from_codes(
     per query — the codes are encoded once (:func:`pq_encode_fixed` /
     :func:`pq_encode_arrow`), written to storage, and scanned many
     times; fusing build+query in one call (``pq_topk_fixed``) exists
-    for the oracle-verified single-shot form."""
+    for the oracle-verified single-shot form.
+
+    Scale shape (re-planned round 8): the ranking pass projects ONLY
+    (id, codes) — the previous form dragged the full float vector
+    through the scan and the TakeOrdered heap, a 10-25× wider read at
+    corpus scale for a column only the final ≤ k*rerank_factor rows
+    need. The winners' vectors are fetched by a broadcast equi-join
+    on id (pushdown-able against parquet row-group stats) and the
+    exact-cosine rerank runs on that bounded set. Same rows, same
+    values, same tie-breaks as the fused form — only the read width
+    changed."""
     m = len(books)
     adc = _pq_adc_expr(qvec, books, m)
     q = encoded.sparkSession.createDataFrame(
@@ -1230,13 +1254,18 @@ def pq_topk_from_codes(
     cand = encoded
     if exclude_id is not None:
         cand = cand.filter(F.col(id_col) != exclude_id)
-    cand = (
-        cand.withColumn("adc_dist", adc.cast("long"))
+    ids = (
+        cand.select(id_col, adc.cast("long").alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col))
         .limit(k * rerank_factor)
     )
+    # fetch branch: column pruning drops the encode projection here,
+    # so this reads just (id, vec) filtered by the broadcast winner set
+    fetched = encoded.select(id_col, vec_col).join(
+        F.broadcast(ids), id_col
+    )
     return (
-        cand.crossJoin(F.broadcast(q))
+        fetched.crossJoin(F.broadcast(q))
         .select(
             id_col,
             "adc_dist",
@@ -1377,8 +1406,7 @@ def _codebooks_from_ids(
         .collect()
     )
     rows.sort(key=lambda r: r.cid)
-    if not rows:
-        raise ValueError("no codebook vectors found")
+    _require_all_ids(rows, codebook_ids, "codebook", id_col)
     dim = len(rows[0].cw)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1501,6 +1529,7 @@ def residualize_codebooks(
         .collect()
     )
     cent_rows.sort(key=lambda r: r.cid)
+    _require_all_ids(cent_rows, centroid_ids, "centroid", id_col)
     cent_units = [_unit_quantized(r.c) for r in cent_rows]
     cb_rows = (
         df.filter(F.col(id_col).isin(list(codebook_ids)))
@@ -1508,8 +1537,7 @@ def residualize_codebooks(
         .collect()
     )
     cb_rows.sort(key=lambda r: r.cid)
-    if not cb_rows:
-        raise ValueError("no codebook vectors found")
+    _require_all_ids(cb_rows, codebook_ids, "codebook", id_col)
     dim = len(cb_rows[0].cw)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1889,8 +1917,7 @@ def pq_encode_arrow(
         .collect()
     )
     rows.sort(key=lambda r: r.cid)
-    if not rows:
-        raise ValueError("no codebook vectors found")
+    _require_all_ids(rows, codebook_ids, "codebook", id_col)
     dim = len(rows[0].cw)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -934,6 +934,7 @@ def stream_sessionize(
     gap_minutes: int = 240,
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
+    metrics: dict | None = None,
 ) -> None:
     """CUSTOM stateful streaming operator: gap-timeout sessionization
     via ``applyInPandasWithState`` — the arbitrary-state primitive the
@@ -976,11 +977,25 @@ def stream_sessionize(
     themselves); emission is append-mode incremental. One
     availableNow pass drains the source and appends closed sessions
     to ``out_dir`` as parquet.
+
+    Source-ordering sensitivity (production note, see README): the
+    watermark advances with the max event time SEEN, so feeding a
+    backfill's files in arbitrary order can push the watermark past
+    entire files, silently dropping their events as late. For
+    replays/backfills either stage files one-per-trigger in time
+    order (``max_files_per_trigger=1``) or use the batch
+    :func:`sessionize_batch` operator, which is order-free.
+
+    Observability: pass ``metrics={}`` to receive
+    ``metrics["late_dropped"]`` — the count of events dropped by
+    closed-session immutability (an accumulator total; approximate
+    under task retries, like any Spark accumulator-backed metric).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = int(gap_minutes) * 60 * 1_000_000
+    dropped_acc = spark.sparkContext.accumulator(0)
 
     def sessionize(key, pdfs, state):
         (user,) = key
@@ -1010,6 +1025,7 @@ def stream_sessionize(
                 # session that already closed and emitted — DROP (see
                 # the late-event contract; Spark does not pre-filter
                 # late rows into this operator)
+                dropped_acc.add(1)
                 continue
             elif t - cur[1] <= gap_us:
                 # within gap of the session's last event: extend/merge
@@ -1026,8 +1042,21 @@ def stream_sessionize(
         # watermark declares) finds no state and starts a fresh
         # session — the standard once-state-expires trade of
         # watermarked processing, same as dropDuplicatesWithinWatermark
+        if cur is None:
+            # every event in the batch was dropped as late and no
+            # prior state exists — nothing to persist or emit
+            return
+        # Spark rejects a timeout timestamp at/below the CURRENT
+        # watermark (INVALID_TIMEOUT_TIMESTAMP) — reachable when a
+        # below-watermark event starts a fresh session (no live
+        # state) or merges into a stale recovered one. Clamp to
+        # watermark+1ms: the session then times out (emits) on the
+        # very next watermark advance, preserving the "late arrival
+        # starts a fresh session" contract without crashing the query
+        timeout_ms = cur[1] // 1000 + gap_us // 1000
+        wm_ms = state.getCurrentWatermarkMs()
         state.update(cur)
-        state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         if out_start:
             yield pd.DataFrame(
                 {
@@ -1066,3 +1095,59 @@ def stream_sessionize(
         .start()
     )
     q.awaitTermination()
+    if metrics is not None:
+        metrics["late_dropped"] = int(dropped_acc.value)
+
+
+def sessionize_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 240,
+) -> DataFrame:
+    """ORDER-FREE batch counterpart of :func:`stream_sessionize` for
+    backfills and replays: the same gap-session assignment as a
+    gaps-and-islands window — flag gaps > ``gap_minutes`` with
+    ``lag``, running-sum the flags into session ids, aggregate. No
+    watermark, no state store, no sensitivity to file-arrival order
+    (the streaming operator's watermark advances with the max event
+    time SEEN, so an out-of-time-order backfill silently drops whole
+    files as late — this is the replay-safe path; see README).
+
+    Emits the streaming operator's exact output shape
+    (key, session_start_us, session_end_us, n_events) and, on data
+    within the streaming lateness horizon, its exact rows
+    (property-tested equivalence in tests/test_round8_fixes.py).
+
+    Scale shape: ONE shuffle on ``key_col``; both window frames are
+    running (bounded) frames, never whole-partition, so no
+    WindowExec buffering warning; the aggregate is map-side partial
+    over (key, session). Epoch-µs arithmetic, tz-safe like the
+    streaming twin."""
+    from pyspark.sql import Window
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy(key_col).orderBy("__ts_us")
+    marked = df.select(
+        key_col, F.unix_micros(F.col(ts_col)).alias("__ts_us")
+    ).withColumn(
+        "__brk",
+        F.when(
+            F.col("__ts_us") - F.lag("__ts_us").over(w) > gap_us, 1
+        ).otherwise(0),
+    )
+    return (
+        marked.withColumn(
+            "__sess",
+            F.sum("__brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(key_col, "__sess")
+        .agg(
+            F.min("__ts_us").alias("session_start_us"),
+            F.max("__ts_us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sess")
+    )

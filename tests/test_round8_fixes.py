@@ -1,0 +1,331 @@
+"""Round-8 regression tests: the four ADVICE.md findings.
+
+1. stream_sessionize INVALID_TIMEOUT_TIMESTAMP when a below-watermark
+   event starts a fresh session (high) — plus the new late-drop metric.
+2. parse_mp4 aborts on ISO-BMFF 64-bit (size==1 largesize) and
+   size==0 (to-EOF) boxes (low).
+3. curation near-dup persist is releasable instead of living for the
+   application lifetime (low).
+4. _codebooks_from_ids silently shrinks when a subset of ids is
+   missing, shifting every code index (low).
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- 1
+
+
+def _write_file(spark, src, rows):
+    spark.createDataFrame(rows, "user_id long, ts_us long").select(
+        "user_id", F.timestamp_micros("ts_us").alias("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_sessionize_late_event_fresh_user_does_not_crash(
+    spark, tmp_path
+):
+    """ADVICE repro: gap=10min, watermark=2min, files
+    (1,t0),(2,t0+100min),(3,t0+1min). User 3's only event arrives
+    below the watermark with NO live state; last+gap is below the
+    current watermark, which used to raise INVALID_TIMEOUT_TIMESTAMP
+    and kill the whole query. The clamp persists it and the next
+    watermark advance flushes it as a fresh session."""
+    from sslr_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000_000
+    minute = 60_000_000
+
+    _write_file(spark, src, [(1, t0)])
+    _write_file(spark, src, [(2, t0 + 100 * minute)])
+    _write_file(spark, src, [(3, t0 + 1 * minute)])  # late, fresh user
+    _write_file(spark, src, [(-1, t0 + 500 * minute)])  # flush sentinels
+    _write_file(spark, src, [(-2, t0 + 600 * minute)])
+    stream_sessionize(
+        spark, src, spark.read.parquet(src).schema, out,
+        str(tmp_path / "ckpt"),
+        gap_minutes=10, watermark="2 minutes", max_files_per_trigger=1,
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id > 0").collect()
+    }
+    # the late arrival starts a fresh session, as the docstring says
+    assert got == {
+        (1, t0, t0, 1),
+        (2, t0 + 100 * minute, t0 + 100 * minute, 1),
+        (3, t0 + 1 * minute, t0 + 1 * minute, 1),
+    }
+
+
+def test_sessionize_late_drop_metric(spark, tmp_path):
+    """Events dropped by closed-session immutability are counted and
+    surfaced via the metrics dict (verdict item 6)."""
+    from sslr_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000_000
+    minute = 60_000_000
+
+    _write_file(spark, src, [(1, t0)])
+    # advances the watermark far past t0; user 1's open session is now
+    # the one at t0+100min
+    _write_file(spark, src, [(1, t0 + 100 * minute)])
+    # TWO late events for user 1, below the open session's own
+    # horizon: dropped by closed-session immutability
+    _write_file(spark, src, [(1, t0 + 1 * minute), (1, t0 + 2 * minute)])
+    _write_file(spark, src, [(-1, t0 + 500 * minute)])
+    _write_file(spark, src, [(-2, t0 + 600 * minute)])
+    metrics: dict = {}
+    stream_sessionize(
+        spark, src, spark.read.parquet(src).schema, out,
+        str(tmp_path / "ckpt"),
+        gap_minutes=10, watermark="2 minutes", max_files_per_trigger=1,
+        metrics=metrics,
+    )
+    assert metrics["late_dropped"] == 2
+    got = {
+        (r.user_id, r.session_start_us, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id > 0").collect()
+    }
+    assert got == {(1, t0, 1), (1, t0 + 100 * minute, 1)}
+
+
+def test_sessionize_late_merge_into_stale_state_does_not_crash(
+    spark, tmp_path
+):
+    """Second crash path from ADVICE: a below-watermark event MERGES
+    into a still-live session whose last+gap is already below the
+    watermark (new data supersedes a pending timeout for the key, so
+    the stale state is handed to the operator with the watermark far
+    ahead). Unclamped, re-setting the timeout raises
+    INVALID_TIMEOUT_TIMESTAMP; clamped, the merged session flushes on
+    the next watermark advance."""
+    from sslr_spark.streaming.pipeline import stream_sessionize
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    t0 = 1_700_000_000_000_000
+    minute = 60_000_000
+
+    _write_file(spark, src, [(1, t0)])
+    # advances the watermark to t0+98min; user 1's state (timeout
+    # t0+10min) is now stale but still live — timeouts only fire in a
+    # batch, and the next batch brings user 1 DATA instead
+    _write_file(spark, src, [(9, t0 + 100 * minute)])
+    # late event within gap of the stale session's start: merges
+    _write_file(spark, src, [(1, t0 + 1 * minute)])
+    _write_file(spark, src, [(-1, t0 + 500 * minute)])
+    _write_file(spark, src, [(-2, t0 + 600 * minute)])
+    stream_sessionize(
+        spark, src, spark.read.parquet(src).schema, out,
+        str(tmp_path / "ckpt"),
+        gap_minutes=10, watermark="2 minutes", max_files_per_trigger=1,
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id = 1").collect()
+    }
+    assert got == {(1, t0, t0 + 1 * minute, 2)}
+
+
+def test_sessionize_batch_equals_streaming_on_in_horizon_data(
+    spark, tmp_path
+):
+    """Property (verdict item 3): on data within the streaming
+    lateness horizon, the batch gaps-and-islands sessionizer emits
+    EXACTLY the streaming operator's rows. Deterministic pseudo-random
+    corpus: 300 events, 12 users, gap structure spanning merge /
+    singleton / long-session cases; files staged in time order so the
+    watermark drops nothing."""
+    from sslr_spark.streaming.pipeline import (
+        sessionize_batch,
+        stream_sessionize,
+    )
+
+    t0 = 1_700_000_000_000_000
+    minute = 60_000_000
+    # LCG so the corpus is reproducible without random/Date
+    seed = 12345
+    rows = []
+    for i in range(300):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        user = seed % 12
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        # gaps cluster under and over the 10-minute session gap
+        step = (seed % 25) * minute  # 0..24 min
+        prev = rows[-1][1] if rows else t0
+        rows.append((user, prev + step))
+    rows.sort(key=lambda r: r[1])
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    third = len(rows) // 3
+    for chunk in (rows[:third], rows[third:2 * third], rows[2 * third:]):
+        _write_file(spark, src, chunk)
+    last = rows[-1][1]
+    _write_file(spark, src, [(-1, last + 500 * minute)])
+    _write_file(spark, src, [(-2, last + 600 * minute)])
+
+    out = str(tmp_path / "out")
+    stream_sessionize(
+        spark, src, spark.read.parquet(src).schema, out,
+        str(tmp_path / "ckpt"),
+        gap_minutes=10, watermark="2 minutes", max_files_per_trigger=1,
+    )
+    streamed = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out).filter("user_id >= 0").collect()
+    }
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_us long"
+    ).select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+    batched = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize_batch(ev, gap_minutes=10).collect()
+    }
+    assert streamed == batched
+    assert len(batched) > 20  # non-degenerate corpus
+
+
+# ---------------------------------------------------------------- 2
+
+
+def test_parse_mp4_largesize_and_size0_boxes():
+    """64-bit boxes (size==1 + u64 largesize) and size==0 (extends to
+    EOF) must not abort the walk — a streamed-layout MP4 with a big
+    mdat BEFORE moov must still decode."""
+    from sslr_spark.functions.multimodal import make_mp4, parse_mp4
+
+    base = make_mp4(640, 360, 5_000)
+    assert parse_mp4(base) == (640, 360, 5_000)
+
+    def box64(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", 1) + typ
+            + struct.pack(">Q", 16 + len(payload)) + payload
+        )
+
+    # split: ftyp | <mdat…> | moov (everything after ftyp)
+    ftyp_size = struct.unpack_from(">I", base, 0)[0]
+    moov_at = base.index(b"moov") - 4
+    rest = base[moov_at:]
+
+    # variant A: 64-bit mdat between ftyp and moov
+    v64 = base[:ftyp_size] + box64(b"mdat", b"\0" * 32) + rest
+    assert parse_mp4(v64) == (640, 360, 5_000)
+
+    # variant B: trailing size==0 mdat extends to EOF
+    v0 = base + struct.pack(">I", 0) + b"mdat" + b"\0" * 16
+    assert parse_mp4(v0) == (640, 360, 5_000)
+
+    # variant C: truncated largesize header still returns cleanly
+    trunc = base[:ftyp_size] + struct.pack(">I", 1) + b"mdat"
+    assert parse_mp4(trunc) is None
+
+
+# ---------------------------------------------------------------- 3
+
+
+def test_curation_neardup_cache_released(spark):
+    """The near-dup stage's persisted intermediate is releasable:
+    release() drops the cached blocks; df actions still work after
+    (they recompute from source)."""
+    from sslr_spark.curation import curate_documents
+
+    rows = [
+        (i, "en", "web", f"some document text number {i % 7} " * 30)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    res = curate_documents(
+        df,
+        quality_weights=[0.1] * 8,
+        quality_bias=0.0,
+        keep_fraction=1.0,
+        n_shards=None,
+        near_dup=True,
+        near_dup_threshold=0.5,
+    )
+    n = res.df.count()  # materializes the cache
+    assert res._cached is not None
+    assert res._cached.storageLevel.useMemory  # actually persisted
+    res.release()
+    assert res._cached is None
+    assert res.df.count() == n  # recomputes fine after release
+    res.release()  # idempotent
+
+
+def test_curation_no_neardup_has_no_cache(spark):
+    from sslr_spark.curation import curate_documents
+
+    df = spark.createDataFrame(
+        [(1, "en", "web", "hello world " * 40)],
+        "doc_id long, lang string, source string, text string",
+    )
+    res = curate_documents(
+        df,
+        quality_weights=[0.1] * 8,
+        quality_bias=0.0,
+        keep_fraction=1.0,
+        n_shards=None,
+        near_dup=False,
+    )
+    assert res._cached is None
+    res.release()  # no-op
+
+
+# ---------------------------------------------------------------- 4
+
+
+def _vec_df(spark, n=24, dim=8):
+    import math
+
+    rows = [
+        (i, [math.sin(i * dim + j) for j in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_missing_codebook_ids_raise(spark):
+    """A subset of codebook_ids absent from the frame must be a hard
+    error naming the missing ids — a silently-shrunk codebook shifts
+    every code index."""
+    from sslr_spark.functions.similarity import _codebooks_from_ids
+
+    df = _vec_df(spark)
+    with pytest.raises(ValueError, match=r"codebook ids.*\b99\b"):
+        _codebooks_from_ids(df, [0, 1, 99], m=4, vec_col="embedding",
+                            id_col="vec_id")
+
+
+def test_missing_centroid_ids_raise(spark):
+    from sslr_spark.functions.similarity import ivf_index_fixed
+
+    df = _vec_df(spark)
+    with pytest.raises(ValueError, match=r"centroid ids.*\b77\b"):
+        ivf_index_fixed(df, [0, 77])
+
+
+def test_residualize_codebooks_missing_ids_raise(spark):
+    from sslr_spark.functions.similarity import residualize_codebooks
+
+    df = _vec_df(spark)
+    with pytest.raises(ValueError, match="codebook ids"):
+        residualize_codebooks(df, [0, 1], [2, 3, 500], m=4)
+    with pytest.raises(ValueError, match="centroid ids"):
+        residualize_codebooks(df, [0, 500], [2, 3], m=4)
