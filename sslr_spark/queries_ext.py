@@ -895,6 +895,48 @@ def q_x_stream_sessionize(spark, sf_dir):
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
+def q_x_sessionize_batch(spark, sf_dir):
+    """BATCH gap-session assignment (streaming/pipeline.py
+    sessionize_batch): the replay-safe counterpart of
+    x_stream_sessionize — same gap semantics, same output shape, no
+    watermark, order-free over the source files. One shuffle on the
+    key; running window frames only."""
+    from sslr_spark.queries import read_events
+    from sslr_spark.streaming.pipeline import sessionize_batch
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    return sessionize_batch(ev, gap_minutes=240)
+
+
+SQL_X_SESSIONIZE_BATCH = """
+with e as (
+  select user_id, epoch_us(cast(ts as timestamp)) as ts_us from events
+),
+m as (
+  select user_id, ts_us,
+         case when ts_us - lag(ts_us) over (
+                partition by user_id order by ts_us
+              ) > cast(240 as bigint) * 60 * 1000000
+              then 1 else 0 end as brk
+  from e
+),
+s as (
+  select user_id, ts_us,
+         sum(brk) over (partition by user_id order by ts_us
+                        rows between unbounded preceding and current row)
+           as sess
+  from m
+)
+select user_id,
+       min(ts_us) as session_start_us,
+       max(ts_us) as session_end_us,
+       cast(count(*) as bigint) as n_events
+from s group by user_id, sess
+"""
+
+
 SQL_X_STREAM_SESSIONIZE = """
 with e as (
   select user_id, epoch_us(cast(ts as timestamp)) as ts_us from events
@@ -3725,6 +3767,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_interval_join": q_x_stream_interval_join,
     "x_stream_dedup": q_x_stream_dedup,
     "x_stream_sessionize": q_x_stream_sessionize,
+    "x_sessionize_batch": q_x_sessionize_batch,
     "x_curation_pipeline": q_x_curation_pipeline,
     "x_curation_pipeline_neardup": q_x_curation_pipeline_neardup,
     "x_embedding_pipeline": q_x_embedding_pipeline,
@@ -3810,6 +3853,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_interval_join": SQL_X_STREAM_INTERVAL_JOIN,
     "x_stream_dedup": SQL_X_STREAM_DEDUP,
     "x_stream_sessionize": SQL_X_STREAM_SESSIONIZE,
+    "x_sessionize_batch": SQL_X_SESSIONIZE_BATCH,
     "x_curation_pipeline": SQL_X_CURATION_PIPELINE,
     "x_curation_pipeline_neardup": SQL_X_CURATION_PIPELINE_NEARDUP,
     "x_embedding_pipeline": SQL_X_EMBEDDING_PIPELINE,
