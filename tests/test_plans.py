@@ -369,6 +369,40 @@ def test_pq_encode_is_narrow_no_shuffle(spark):
     assert "Window" not in p
 
 
+def test_pq_query_ranking_scan_skips_vector_column(spark, tmp_path):
+    """pq_topk_from_codes (round-8 re-plan): the ADC ranking pass
+    must scan ONLY (id, codes) — dragging the float vector through
+    the TakeOrdered heap is a 10-25× wider read at corpus scale. The
+    winners' vectors come back via a broadcast equi-join."""
+    from sslr_spark.functions.similarity import (
+        pq_encode_fixed,
+        pq_topk_from_codes,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    encoded, books = pq_encode_fixed(emb, list(range(100, 116)), m=16)
+    codes_path = str(tmp_path / "codes")
+    encoded.select("vec_id", "__codes", "embedding").write.parquet(
+        codes_path
+    )
+    stored = spark.read.parquet(codes_path)
+    qvec = [float(x) for x in emb.select("embedding").first()[0]]
+    p = plan_of(pq_topk_from_codes(stored, books, qvec, k=5))
+    assert "BroadcastHashJoin" in p  # winner-id fetch, not a shuffle
+    # two scans of the codes table: the ranking one must NOT read the
+    # embedding column (its ReadSchema has __codes without embedding)
+    ranking_scans = [
+        ln
+        for ln in p.splitlines()
+        if "ReadSchema" in ln and "__codes" in ln.split("ReadSchema:")[1]
+    ]
+    assert ranking_scans, p
+    assert all(
+        "embedding" not in ln.split("ReadSchema:")[1]
+        for ln in ranking_scans
+    ), p
+
+
 def test_hard_negatives_windows_are_salted(spark):
     """Phase-1 window must partition by (query_id, salt) — a window
     partitioned by query_id alone drags every query's full candidate
