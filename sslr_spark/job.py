@@ -170,6 +170,19 @@ class Job:
         for dep in ft.uses if ft else []:
             self.source.read(dep).createOrReplaceTempView(dep)
 
+    def _watermark_probe(self, table: str, src: DataFrame, where):
+        """Server-side A1 probe when the source adapter offers one
+        (JdbcDatabase.agg_probe: one pushed count/max round trip —
+        Spark's V1 JDBC relation pushes filters, not aggregates, so
+        the DataFrame fallback would stream the table each poll).
+        None for every other source (the Spark aggregate runs) and
+        when the version column is absent (the loud degrade in
+        get_update_range must see the missing column itself)."""
+        vcol = self.config.version_column
+        if not hasattr(self.source, "agg_probe") or vcol not in src.columns:
+            return None
+        return lambda: self.source.agg_probe(table, vcol, where)
+
     def source_df(self, table: str) -> DataFrame:
         self._register_uses_views(table)
         if hasattr(self.source, "read_auto_partitioned"):
@@ -229,6 +242,7 @@ class Job:
             throttle=throttle or Throttle(pct),
             bucket_hash=self.config.bucket_hash,
             versionless_source=getattr(self.source, "versionless", False),
+            probe=self._watermark_probe(table, src, where),
         )
         result.updated_rows += rows
         versionless = self.config.version_column not in src.columns
@@ -334,6 +348,7 @@ class Job:
                 full_copy_threshold=self.config.full_copy_threshold,
                 force_full=table in self.force_full,
                 versionless_source=getattr(self.source, "versionless", False),
+                probe=self._watermark_probe(table, src, where),
             )
             fsrc = filtered_source(src, where)
             entry: dict = {

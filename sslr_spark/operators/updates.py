@@ -65,11 +65,19 @@ def get_update_range(
     full_copy_threshold: float = 0.5,
     force_full: bool = False,
     versionless_source: bool = False,
+    probe=None,
 ) -> UpdateRange:
     """Decide full-copy vs incremental and compute the version range.
 
     One aggregate over the filtered source gives (count, max version)
     in a single pass (reference A1, internal/updates.go:44-51).
+
+    ``probe``: optional zero-arg callable returning ``(count, max)``
+    — adapters that can answer the A1 probe server-side supply it
+    (JdbcDatabase.agg_probe pushes one count/max subquery round trip;
+    Spark's V1 JDBC relation would otherwise stream the whole table
+    because it pushes filters, not aggregates). The Spark aggregate
+    remains the fallback for every other source.
 
     A source WITHOUT the version column degrades to full-copy-every-
     pass. The reference cannot hit this case (its version column is
@@ -98,11 +106,17 @@ def get_update_range(
                 ", ".join(src.columns[:20]),
             )
         return UpdateRange(True, 0, 0)
-    row = src.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.col(version_col)).alias("hi")
-    ).first()
-    source_count = row["n"] or 0
-    end_version = int(row["hi"]) if row["hi"] is not None else 0
+    if probe is not None:
+        n, hi = probe()
+        source_count = n or 0
+        end_version = int(hi) if hi is not None else 0
+    else:
+        row = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col(version_col)).alias("hi"),
+        ).first()
+        source_count = row["n"] or 0
+        end_version = int(row["hi"]) if row["hi"] is not None else 0
 
     if force_full or state.last_seen_version == 0 or not target.table_exists(table):
         return UpdateRange(True, 0, end_version, source_rows=source_count)
@@ -353,6 +367,7 @@ def sync_updates(
     throttle=None,
     bucket_hash: str = "portable",
     versionless_source: bool = False,
+    probe=None,
 ) -> int:
     """Run the update phase for one table; returns rows written.
 
@@ -394,6 +409,7 @@ def sync_updates(
             source_df, target, table, state, where, version_col,
             full_copy_threshold, force_full,
             versionless_source=versionless_source,
+            probe=probe,
         )
     drop_col = version_col if strip_version else None
     in_place = hasattr(target, "apply_upsert")

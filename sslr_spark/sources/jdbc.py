@@ -229,6 +229,48 @@ class JdbcDatabase:
             return self.read(table)
         return self.read(table, partition_column, lo, hi + 1)
 
+    def agg_probe(
+        self,
+        table: str,
+        version_col: str = "xmin",
+        where: str | None = None,
+    ) -> tuple[int, int | None]:
+        """A1 watermark probe PUSHED to the database: one
+        ``(count(*), max(version))`` subquery scan — a single JDBC
+        round trip returning ONE row, instead of streaming the whole
+        table through the reader. Spark's V1 JDBC relation pushes
+        FILTERS but not aggregates (``PushedFilters`` only; aggregate
+        pushdown needs the DSv2 ``JDBCTableCatalog`` path with
+        ``pushDownAggregate``, SURVEY §4), so without this the probe
+        that decides full-copy-vs-incremental would transfer every row
+        each poll. count/max are simple enough for any backend; the
+        engine's md5 bucket fingerprints and array_agg catalog shapes
+        are NOT pushable anywhere and always run Spark-side over the
+        filtered V1 read — that split is the documented fallback.
+
+        ``where`` is the user's SQL predicate (P9), inlined verbatim
+        like the read-side filtered views."""
+        inner = (
+            f"(select xmin::text::bigint as xmin, t.* from {table} t)"
+            if self.expose_xmin
+            else table
+        )
+        sql = (
+            f"select count(*) as n, max({version_col}) as hi "
+            f"from {inner} q"
+        )
+        if where:
+            sql += f" where {where}"
+        row = self._load(
+            {"url": self.url, "dbtable": f"({sql}) p", **self.properties}
+        ).first()
+        if row is None:
+            return 0, None
+        # positional access: backends case-fold alias labels
+        # differently (Derby upcases, Postgres downcases) — the
+        # subquery's column ORDER is the stable contract
+        return int(row[0] or 0), (None if row[1] is None else int(row[1]))
+
     def overwrite(self, table: str, df: DataFrame) -> None:
         """Truncate + reload (the reference's full-copy transaction,
         internal/copy.go:21-45). Incremental paths never call this —

@@ -40,6 +40,13 @@ _XMIN_RE = re.compile(
 _BOUNDS_RE = re.compile(
     r"\(select min\((\w+)\) as lo, max\(\1\) as hi from (\S+)\) b"
 )
+# the A1 watermark probe agg_probe pushes (count/max subquery); the
+# inner relation is either the plain table or the xmin projection
+_PROBE_RE = re.compile(
+    r"\(select count\(\*\) as n, max\((\w+)\) as hi from "
+    r"(?:\(select xmin::text::bigint as xmin, t\.\* from (\S+) t\)|(\S+))"
+    r" q(?: where (.+))?\) p"
+)
 
 
 class FakeJdbcDatabase(JdbcDatabase):
@@ -61,6 +68,15 @@ class FakeJdbcDatabase(JdbcDatabase):
             col, table = m.groups()
             return self.tables[table].agg(
                 F.min(col).alias("lo"), F.max(col).alias("hi")
+            )
+        m = _PROBE_RE.fullmatch(dbtable)
+        if m:
+            vcol, t_xmin, t_plain, where = m.groups()
+            df = self.tables[t_xmin or t_plain]
+            if where:
+                df = df.filter(where)
+            return df.agg(
+                F.count(F.lit(1)).alias("n"), F.max(vcol).alias("hi")
             )
         m = _XMIN_RE.fullmatch(dbtable)
         if m:
