@@ -2168,6 +2168,33 @@ from documents
 """
 
 
+def q_mm_decode_pixels_jpeg(spark, sf_dir):
+    """JPEG pixel decode through the optional-codec gate
+    (multimodal.decode_pixels_jpeg, codec='auto'): pillow when
+    importable, the md5-derived deterministic stub otherwise. The
+    build container ships no codecs, so 'auto' resolves to the stub
+    and the oracle hash-checks the full Arrow-batched plumbing; with
+    pillow installed the same plan decodes real pixels (unit test
+    gated on the import)."""
+    return M.decode_pixels_jpeg(
+        M.with_binary_payload(_docs(spark, sf_dir)), codec="auto"
+    )
+
+
+# replays decode_pixels_jpeg's stub: md5 digest bytes 0/1 shape the
+# fake dimensions (as _decode_stub) and byte 2 is the fake mean luma
+SQL_MM_DECODE_PIXELS_JPEG = """
+select doc_id,
+       cast(64 + cast(concat('0x', substr(md5(text), 1, 2)) as bigint) % 192
+            as int) as width,
+       cast(64 + cast(concat('0x', substr(md5(text), 3, 2)) as bigint) % 192
+            as int) as height,
+       cast(cast(concat('0x', substr(md5(text), 5, 2)) as bigint)
+            as int) as mean_luma
+from documents
+"""
+
+
 def q_mm_extract_features(spark, sf_dir):
     """Feature-extraction plumbing (binary -> array<float>) via
     Arrow-batched mapInPandas, projected to driver-sortable scalar
@@ -3841,6 +3868,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_tar_shards": q_mm_tar_shards,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_decode_stub": q_mm_decode_stub,
+    "mm_decode_pixels_jpeg": q_mm_decode_pixels_jpeg,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
 }
@@ -3928,5 +3956,6 @@ EXT_ORACLES: dict[str, str] = {
     "mm_frame_plan": SQL_MM_FRAME_PLAN,
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
+    "mm_decode_pixels_jpeg": SQL_MM_DECODE_PIXELS_JPEG,
     "mm_frame_sample": SQL_MM_FRAMES,
 }

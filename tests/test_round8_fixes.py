@@ -236,6 +236,68 @@ def test_parse_mp4_largesize_and_size0_boxes():
     assert parse_mp4(trunc) is None
 
 
+def test_decode_pixels_jpeg_stub_and_gate(spark):
+    """The optional-codec gate: 'stub' is deterministic and
+    md5-derived; 'auto' equals 'stub' when pillow is absent; 'pil'
+    raises a clear ImportError without the codec. With pillow
+    installed, the PIL branch is exercised instead (gated below)."""
+    import hashlib
+
+    from sslr_spark.functions.multimodal import (
+        decode_pixels_jpeg,
+        jpeg_pixel_codec,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    binary = with_binary_payload(docs)
+    stub = {
+        r.doc_id: (r.width, r.height, r.mean_luma)
+        for r in decode_pixels_jpeg(binary, codec="stub").collect()
+    }
+    h = hashlib.md5(b"alpha").digest()
+    assert stub[1] == (64 + h[0] % 192, 64 + h[1] % 192, h[2])
+
+    if jpeg_pixel_codec() is None:
+        auto = {
+            r.doc_id: (r.width, r.height, r.mean_luma)
+            for r in decode_pixels_jpeg(binary, codec="auto").collect()
+        }
+        assert auto == stub
+        with pytest.raises(ImportError, match="pillow"):
+            decode_pixels_jpeg(binary, codec="pil").collect()
+    with pytest.raises(ValueError, match="codec"):
+        decode_pixels_jpeg(binary, codec="ffmpeg")
+
+
+@pytest.mark.skipif(
+    __import__("sslr_spark.functions.multimodal", fromlist=["x"])
+    .jpeg_pixel_codec() is None,
+    reason="pillow not installed (the zero-dependency default)",
+)
+def test_decode_pixels_jpeg_real_codec(spark):
+    """Activates only when pillow is present: a real 2x2 grayscale
+    JPEG decodes to its true dimensions and a sane mean luma."""
+    import io
+
+    from sslr_spark.functions.multimodal import (
+        decode_pixels_jpeg,
+        jpeg_pixel_codec,
+    )
+
+    image_mod = jpeg_pixel_codec()
+    buf = io.BytesIO()
+    image_mod.new("L", (2, 2), color=128).save(buf, format="JPEG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = decode_pixels_jpeg(df, codec="pil").first()
+    assert (row.width, row.height) == (2, 2)
+    assert 96 <= row.mean_luma <= 160
+
+
 # ---------------------------------------------------------------- 3
 
 
