@@ -58,76 +58,39 @@ def entry(spark: SparkSession) -> DataFrame:
 #     recent rounds with unchanged code (freshest evidence last).
 # As of r7 every registered key is oracle-backed — the former rows-only
 # catalog stubs (s5/s7) are hash-checked via engine-agnostic projections.
+# r8 rotation: head = 2 new keys + 14 code-changed keys + the 28 keys
+# whose latest evidence is r05 + 6 oldest-r06 keys (= 50, the window);
+# after r08 no key's latest green row is older than r06.
 _HEAD_KEYS = [
-    # NEW this round (r7): real PNG/JPEG header decode, the
-    # applyInPandasWithState gap-timeout sessionizer, residual IVF-PQ
-    # (FAISS IVFADC layout), the near-dup curation stage, and the
-    # s5/s7 catalog keys UPGRADED from rows-only to hash-checked
-    # (engine-agnostic schema/existence projections DuckDB replays
-    # from its own information_schema):
-    "mm_decode_png_jpeg",
-    "mm_resize_multi",
-    "mm_resample_audio",
-    "mm_decode_mp4",
-    "mm_tar_shards",
-    "mm_frame_plan",
+    # NEW this round (r8): the order-free batch sessionizer twin and
+    # the optional-codec JPEG pixel decode gate:
+    "x_sessionize_batch",
+    "mm_decode_pixels_jpeg",
+    # code changed THIS round (r8): stream_sessionize gained the
+    # watermark-clamped timeout + late-drop metric; parse_mp4 learned
+    # 64-bit/size-0 boxes (mp4/frame-plan/decode keys route through
+    # it); pq_topk_from_codes was re-planned (narrow ranking scan +
+    # broadcast winner fetch — sim_topk_pq consumes it, ivfpq shares
+    # helpers that gained id validation); curate_documents switched
+    # the near-dup cache to releasable persist; updates.py grew the
+    # pushed-probe parameter (s2/a1/t3/j2 exercise that code path):
     "x_stream_sessionize",
-    "sim_topk_ivfpq_residual",
-    "x_curation_pipeline_neardup",
-    "x_embedding_pipeline",
-    "s5_catalog_schema",
-    "s7_object_exists",
-    # code changed THIS round (r7): decode_media grew the PNG/JPEG
-    # sniff branches (mm keys route through it), resize_media gained
-    # the unsupported-BMP pass-through, and curate_documents gained
-    # key-column threading + the near-dup stage hook:
+    "mm_decode_mp4",
+    "mm_frame_plan",
     "mm_decode_real",
-    "mm_resize",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sim_topk_ivfpq_residual",
+    "x_embedding_pipeline",
     "x_curation_pipeline",
-    # r04-latest evidence, rotating into the window per the
-    # no-key-older-than-r05 policy (triple-green r01+r02+r04,
-    # unchanged code):
-    "d2_range_delete",
-    "t6_event_window_agg",
-    "x_asof_join",
-    "x_json_extract",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_apply",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_knn_blocked",
-    "mm_binary_meta",
-    "x_set_ops",
-    "x_date_rollup",
-    "x_join_star",
-    "x_scalar_functions",
-    # oldest r05 evidence next (hash-green r05, unchanged code):
-    "text_entropy",
-    "files_roundtrip",
-    "sim_topk_binary",
-    "x_stream_ingest",
-    "sim_ivf_ann",
-    "text_gopher_flags",
-    "sim_hard_negatives",
-    "dedup_winnow_spans",
-    "sample_source_cap",
-    "text_bm25_topk",
-    "dedup_strip_spans",
-    "x_stream_interval_join",
-    "dedup_incremental_spans",
-    "dedup_ngram_coverage",
-    # 50 head entries — exactly the driver window this round.
-]
-_TAIL_KEYS = [
-    # remaining r05-green keys (unchanged code) — first in line for
-    # the r08 head:
+    "x_curation_pipeline_neardup",
+    "s2_incremental_scan",
+    "a1_watermark_probe",
+    "t3_staleness_check",
+    "j2_upsert_merge",
+    # the 28 keys whose latest driver evidence is r05 (VERDICT r7
+    # item 2: evidence must never age past two rounds; all re-verified
+    # locally, unchanged code):
     "dedup_semantic",
     "dedup_incremental_minhash",
     "mm_decode_stub",
@@ -156,27 +119,24 @@ _TAIL_KEYS = [
     "text_quality_score",
     "x_anomaly_zscore",
     "sample_mix_execute",
-    # r06-green with unchanged code (two consecutive green rounds for
-    # most — the safest keys to leave outside the window):
+    # oldest r06 evidence, filling the window to exactly 50:
     "text_quality_gate",
     "x_stream_dedup",
     "sample_shuffle_order",
     "sample_shard_diff",
     "text_bpe_pairs",
     "dedup_minhash_calibration",
+]
+_TAIL_KEYS = [
+    # remaining r06-green keys (unchanged code) — first in line for
+    # the r09 head:
     "sim_ivf_recall",
     "dedup_simhash_calibration",
     "dedup_cluster_sizes",
     "dedup_jaccard_prefix",
     "dedup_ngram_jaccard",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
     "sample_shard_manifest",
     "dedup_clusters",
-    "s2_incremental_scan",
-    "a1_watermark_probe",
-    "t3_staleness_check",
-    "j2_upsert_merge",
     "s1_full_filtered_scan",
     "s9_state_upsert",
     "a4_bucket_fingerprint",
@@ -205,6 +165,50 @@ _TAIL_KEYS = [
     "j3_range_repair",
     "j4_hash_diff",
     "d1_delete_by_keyset",
+    # r07-green with unchanged code (freshest evidence — the safest
+    # keys to leave outside the window):
+    "mm_decode_png_jpeg",
+    "mm_resize_multi",
+    "mm_resample_audio",
+    "mm_tar_shards",
+    "s5_catalog_schema",
+    "s7_object_exists",
+    "mm_resize",
+    "d2_range_delete",
+    "t6_event_window_agg",
+    "x_asof_join",
+    "x_json_extract",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_apply",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_knn_blocked",
+    "mm_binary_meta",
+    "x_set_ops",
+    "x_date_rollup",
+    "x_join_star",
+    "x_scalar_functions",
+    "text_entropy",
+    "files_roundtrip",
+    "sim_topk_binary",
+    "x_stream_ingest",
+    "sim_ivf_ann",
+    "text_gopher_flags",
+    "sim_hard_negatives",
+    "dedup_winnow_spans",
+    "sample_source_cap",
+    "text_bm25_topk",
+    "dedup_strip_spans",
+    "x_stream_interval_join",
+    "dedup_incremental_spans",
+    "dedup_ngram_coverage",
 ]
 
 

@@ -302,6 +302,25 @@ def main() -> None:
             # form pays ~3 ms/(row*subspace) interpreted-lambda cost
         ).collect()
 
+    # embedding-side curation pipeline (round-8 probe, VERDICT item
+    # 5): the K replicas are EXACT copies of their base vector, so
+    # every base grows a K-member duplicate cluster — the semantic-
+    # dedup pair join's worst shape. max_block_size=5000 forces the
+    # per-cell blocked join to actually split cells at K >= ~20
+    # (25k rows/cell at K=100): the measured time must stay bounded
+    # by blocks * block^2, never cell^2.
+    with timed("curate_embeddings"):
+        from sslr_spark.curation import curate_embeddings
+
+        curate_embeddings(
+            emb_scaled,
+            [1, 2, 3, 4, 5, 6, 7, 8],
+            list(range(100, 116)),
+            threshold=0.8,
+            m=16,
+            max_block_size=5_000,
+        ).count()
+
     from sslr_spark.streaming.pipeline import stream_sessionize
     from sslr_spark.queries import read_events
 
