@@ -221,7 +221,9 @@ class JdbcDatabase:
                     **self.properties,
                 }
             ).first()
-            lo, hi = (row["lo"], row["hi"]) if row else (None, None)
+            # positional: alias labels case-fold per backend (Derby
+            # upcases, Postgres downcases); column order is stable
+            lo, hi = (row[0], row[1]) if row else (None, None)
             lo, hi = int(lo), int(hi)  # non-numeric keys raise here
         except (TypeError, ValueError, KeyError):
             return self.read(table)

@@ -140,6 +140,54 @@ def test_dsv2_catalog_pushes_count_max(spark, derby):
         spark.conf.unset("spark.sql.catalog.derbycat")
 
 
+def test_job_sync_from_live_derby_source(spark, derby, tmp_path):
+    """End-to-end Job sync from a LIVE JDBC source (previously only
+    the in-memory fake could drive this): full copy on first pass
+    (auto-partitioned bounds-probed read), then a real incremental
+    pass — the update lands via the pushed watermark probe + version
+    slice, with the second pass's probe answered by one count/max
+    round trip."""
+    from sslr_spark.config import Config
+    from sslr_spark.job import Job, JobResult
+    from sslr_spark.throttle import Throttle
+
+    derby._execute(
+        "create table sync_src (id bigint primary key, v varchar(20), "
+        "ver bigint)"
+    )
+    derby._execute(
+        "insert into sync_src values "
+        + ",".join(f"({i},'v{i}',100)" for i in range(40))
+    )
+    cfg = Config(
+        source=derby.url,
+        target=str(tmp_path / "tgt"),
+        source_tables=["sync_src"],
+        primary_keys={"sync_src": ["ID"]},
+        version_column="VER",
+        target_buckets=0,
+    )
+    job = Job(spark, cfg, source_db=derby)
+    job.validate_tables()
+    r = JobResult()
+    job.update_table("sync_src", r, Throttle(100))
+    assert r.updated_rows == 40 and r.full_copies == ["sync_src"]
+
+    # source mutates; the next pass must slice only the new versions
+    derby._execute("update sync_src set v='CHANGED', ver=200 where id < 5")
+    r2 = JobResult()
+    job2 = Job(spark, cfg, source_db=derby)
+    job2.validate_tables()
+    job2.update_table("sync_src", r2, Throttle(100))
+    assert r2.updated_rows == 5 and r2.full_copies == []
+    got = {
+        (row["ID"], row["V"])
+        for row in job2.target.read("sync_src").collect()
+        if row["ID"] < 6
+    }
+    assert got == {(i, "CHANGED") for i in range(5)} | {(5, "v5")}
+
+
 def test_java_sql_execute_runs_live_ddl(spark, derby):
     """_execute's java.sql.DriverManager wire path runs for real
     against Derby (previously only reachable with an external jar):
