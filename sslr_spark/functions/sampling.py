@@ -170,6 +170,116 @@ def stratified_exact_sample(
     )
 
 
+W_MAX = 64  # replication cap: tickets per row = its integer weight
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    by: str | None = None,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic WEIGHTED bottom-k sample (per stratum with
+    ``by``): each row enters a lottery with ``weight`` independent
+    hash tickets and its score is the BEST (minimum) ticket; the k
+    lowest scores win. P(best ticket < t) = 1 - (1 - t)^w, so heavier
+    rows win proportionally more — the classic bottom-k sketch with
+    integer-weight replication (Cohen & Kaplan, "Summarizing data
+    using bottom-k sketches"), chosen over the exponential-race form
+    (Efraimidis-Spirakis u^(1/w)) because it needs NO transcendental
+    math: every ticket is the same md5-derived 60-bit integer both
+    engines compute bit-identically, where a cross-engine ln() could
+    flip near-tied ranks (the correctness gate's no-float rule).
+
+    Weights must be integers in [1, W_MAX] — quality tiers, not raw
+    token counts; quantize upstream (heavier fan-out buys nothing
+    once ranks separate). Deterministic and append-stable like the
+    rest of the family: a re-run or an incremental append re-derives
+    the identical winner set for unchanged rows.
+
+    Scale shape: the ticket fan-out is a narrow per-row explode
+    bounded by W_MAX; the per-row best ticket is a map-side-combined
+    groupBy(key) min; the k-cut is one window over (stratum) ordered
+    by (score, key) — one shuffle each. Nothing driver-side."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("long")
+    safe_key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
+    ticket = h60(
+        F.concat_ws(
+            ":", F.lit(seed), safe_key, F.col("__ticket").cast("string")
+        )
+    )
+    scored = (
+        df.withColumn(
+            "__w_ok",
+            F.when(
+                (w >= 1) & (w <= W_MAX), w
+            ).otherwise(F.raise_error(
+                F.concat(
+                    F.lit(f"weighted_sample: weight out of [1, {W_MAX}]: "),
+                    w.cast("string"),
+                )
+            )),
+        )
+        .withColumn(
+            "__ticket", F.explode(F.sequence(F.lit(0), F.col("__w_ok") - 1))
+        )
+        .withColumn("__score", ticket)
+        .drop("__ticket", "__w_ok")
+    )
+    group = [by] if by else []
+    best = scored.groupBy(*group, key_col, weight_col).agg(
+        F.min("__score").alias("best_ticket")
+    )
+    wnd = Window.partitionBy(*(group or [F.lit(1)])).orderBy(
+        F.col("best_ticket").asc(), F.col(key_col).asc()
+    )
+    return (
+        best.withColumn("__rn", F.row_number().over(wnd))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def weighted_sample_sql(
+    table: str,
+    key_expr: str,
+    weight_expr: str,
+    k: int,
+    by: str | None = None,
+    seed: str = "wsample",
+) -> str:
+    """DuckDB replay of :func:`weighted_sample` (same tickets, same
+    ranks, same tie-breaks)."""
+    from sslr_spark.functions.hashing import h60_sql
+
+    t = h60_sql(
+        f"concat('{seed}', ':', coalesce(cast({key_expr} as varchar), "
+        f"chr(0)), ':', cast(i as varchar))"
+    )
+    part = f"partition by {by} " if by else ""
+    by_sel = f"{by}, " if by else ""
+    return f"""
+with tickets as (
+  select {by_sel}{key_expr} as k_, {weight_expr} as w_, {t} as ticket
+  from {table}, generate_series(0, {W_MAX - 1}) as g(i)
+  where i < {weight_expr}
+),
+best as (
+  select {by_sel}k_, w_, min(ticket) as best_ticket
+  from tickets group by {by_sel}k_, w_
+),
+ranked as (
+  select *, row_number() over ({part}order by best_ticket, k_) as rn
+  from best
+)
+select {by_sel}k_, w_, best_ticket from ranked where rn <= {k}
+"""
+
+
 def mix_allocation(
     df: DataFrame,
     strata_cols: list[str],

@@ -2168,6 +2168,41 @@ from documents
 """
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted bottom-k sample per language
+    (sampling.weighted_sample): integer-weight ticket lottery, best
+    (min) md5-derived 60-bit ticket wins — no transcendental math, so
+    ranks are bit-identical across engines. Weight = a 1..7 tier
+    derived from document length (the quantize-upstream contract)."""
+    from sslr_spark.functions.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w", (F.length("text") % 7 + 1).cast("long")
+    )
+    return weighted_sample(docs, "doc_id", "w", k=20, by="lang")
+
+
+def _sample_weighted_oracle() -> str:
+    from sslr_spark.functions.sampling import weighted_sample_sql
+
+    inner = weighted_sample_sql(
+        "(select lang, doc_id, cast(length(text) % 7 + 1 as bigint) as w"
+        " from documents) s",
+        "doc_id",
+        "w",
+        20,
+        by="lang",
+    )
+    return (
+        "select lang, k_ as doc_id, w_ as w, best_ticket from ("
+        + inner
+        + ") z"
+    )
+
+
+SQL_SAMPLE_WEIGHTED = _sample_weighted_oracle()
+
+
 def q_mm_decode_pixels_jpeg(spark, sf_dir):
     """JPEG pixel decode through the optional-codec gate
     (multimodal.decode_pixels_jpeg, codec='auto'): pillow when
@@ -3869,6 +3904,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_plan": q_mm_frame_plan,
     "mm_decode_stub": q_mm_decode_stub,
     "mm_decode_pixels_jpeg": q_mm_decode_pixels_jpeg,
+    "sample_weighted": q_sample_weighted,
     "mm_extract_features": q_mm_extract_features,
     "mm_frame_sample": q_mm_frame_sample,
 }
@@ -3957,5 +3993,6 @@ EXT_ORACLES: dict[str, str] = {
     "mm_extract_features": SQL_MM_FEATURES,
     "mm_decode_stub": SQL_MM_DECODE,
     "mm_decode_pixels_jpeg": SQL_MM_DECODE_PIXELS_JPEG,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
     "mm_frame_sample": SQL_MM_FRAMES,
 }

@@ -351,6 +351,39 @@ def test_curation_no_neardup_has_no_cache(spark):
     res.release()  # no-op
 
 
+def test_weighted_sample_bias_and_determinism(spark):
+    """Integer-weight bottom-k lottery: heavier rows win
+    proportionally more (statistical bias over many disjoint trials,
+    deterministic so no flake), re-runs reproduce the identical
+    winner set, and out-of-range weights raise."""
+    from pyspark.sql.utils import PythonException
+
+    from sslr_spark.functions.sampling import weighted_sample
+
+    # 500 strata, each a two-horse race: weight 6 vs weight 1. The
+    # heavy row should win ~6/7 of strata (ticket-replication lottery
+    # is close to proportional at small k); lottery outcomes are fixed
+    # by the hash, so the assertion is exact-reproducible.
+    rows = []
+    for s in range(500):
+        rows.append((s, s * 2, 6))
+        rows.append((s, s * 2 + 1, 1))
+    df = spark.createDataFrame(rows, "strat int, id long, w int")
+    won = weighted_sample(df, "id", "w", k=1, by="strat")
+    heavy_wins = won.filter(F.col("w") == 6).count()
+    assert won.count() == 500
+    assert 350 <= heavy_wins <= 480  # ~6/7 of 500 = 428, wide margin
+
+    again = weighted_sample(df, "id", "w", k=1, by="strat")
+    assert {r.id for r in won.collect()} == {r.id for r in again.collect()}
+
+    bad = spark.createDataFrame([(1, 0)], "id long, w int")
+    with pytest.raises(Exception, match="weight out of"):
+        weighted_sample(bad, "id", "w", k=1).collect()
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(df, "id", "w", k=0)
+
+
 # ---------------------------------------------------------------- 4
 
 
