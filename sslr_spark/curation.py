@@ -338,6 +338,7 @@ def curate_embeddings(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_block_size: int | None = 100_000,
+    dedup_mode: str = "portable",
 ) -> DataFrame:
     """The EMBEDDING-side curation chain, composed like
     :func:`curate_documents` composes the text side: SemDeDup-style
@@ -365,7 +366,8 @@ def curate_embeddings(
     )
 
     flags = semantic_dedup(
-        df, centroid_ids, threshold, vec_col, max_block_size
+        df, centroid_ids, threshold, vec_col, max_block_size,
+        mode=dedup_mode,
     )
     survivors = df.join(
         flags.filter(~F.col("is_dup")).select(id_col, "cell"), id_col

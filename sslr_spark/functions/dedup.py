@@ -1130,15 +1130,40 @@ def embedding_near_dup_pairs(
     block_col: str = "label",
     threshold: float = 0.9,
     max_block_size: int | None = 100_000,
+    mode: str = "portable",
 ) -> DataFrame:
     """Near-duplicate vectors by cosine similarity, blocked on
     ``block_col`` (a cluster/label/LSH-bucket column) so the pair space
-    stays linear-ish. Dot products are JVM array expressions. Blocks
-    over ``max_block_size`` are excluded with a warning
-    (similarity.guard_oversize_blocks) — one runaway block must not
-    turn the scan quadratic silently."""
-    from sslr_spark.functions.similarity import cosine_expr, guard_oversize_blocks
+    stays linear-ish. Blocks over ``max_block_size`` are excluded with
+    a warning (similarity.guard_oversize_blocks) — one runaway block
+    must not turn the scan quadratic silently.
 
+    ``mode`` is the family's portable/fast split:
+
+    - ``'portable'`` — the oracle-parity form: a block-equi self-join
+      with JVM array-expression cosine (per-row norms precomputed once
+      — the norm must not be re-derived per PAIR). The nested
+      higher-order lambdas (aggregate-over-zip_with) run INTERPRETED
+      in Spark's expression engine, so the per-pair constant is large;
+      right for oracle verification and small blocks.
+    - ``'fast'`` — the production form: ``applyInPandas`` per block
+      computing the block's cosine matrix with numpy BLAS (row-chunked
+      so the similarity buffer stays ~16 MB regardless of block size).
+      The round-8 scale probe measured the interpreted join at 122 s
+      for 20k vectors / 25M pairs where the BLAS form takes ~2 s —
+      same ~60x the Arrow-encoder swap bought the residual PQ encoder
+      in round 7. Pair sets agree with 'portable' except exactly at
+      the threshold boundary (numpy sums in a different order), which
+      is why the oracle path stays on 'portable'.
+    """
+    from sslr_spark.functions.similarity import (
+        dot_expr,
+        guard_oversize_blocks,
+        norm_expr,
+    )
+
+    if mode not in ("portable", "fast"):
+        raise ValueError(f"mode must be portable|fast, got {mode!r}")
     _entry_release()
     # one cached input feeds the guard's size scan AND both join
     # sides — without it the guard costs a third full read
@@ -1147,8 +1172,16 @@ def embedding_near_dup_pairs(
         df = guard_oversize_blocks(
             df, block_col, max_block_size, "embedding_near_dup_pairs"
         )
+    if mode == "fast":
+        return _near_dup_pairs_numpy(df, vec_col, block_col, threshold)
+    # per-row norm ONCE (n evaluations), not per pair (n^2): same
+    # IEEE value (same array, same fold order), so round(cos, 6)
+    # stays bit-identical to the oracle's spelling
+    df = df.withColumn("__nrm", norm_expr(vec_col))
     a, b = df.alias("a"), df.alias("b")
-    cos = cosine_expr(f"a.{vec_col}", f"b.{vec_col}")
+    cos = dot_expr(f"a.{vec_col}", f"b.{vec_col}") / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
     return (
         a.join(
             b,
@@ -1161,6 +1194,63 @@ def embedding_near_dup_pairs(
             F.round(cos, 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _near_dup_pairs_numpy(
+    df: DataFrame, vec_col: str, block_col: str, threshold: float
+) -> DataFrame:
+    """Per-block pairwise cosine via numpy BLAS (the 'fast' mode of
+    :func:`embedding_near_dup_pairs`): each block arrives as one
+    pandas group (bounded by max_block_size upstream), the similarity
+    matrix is computed in row chunks sized so the chunk buffer stays
+    ~16 MB, and only the (vec_a < vec_b, sim >= threshold) pairs are
+    emitted. Zero-norm vectors never match (NaN sim), matching the
+    expression form's null-propagating division."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64"})
+        M = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0.0] = np.nan
+        U = M / norms[:, None]
+        chunk = max(1, (2 << 20) // n)  # chunk * n floats ~ 16 MB
+        outs = []
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            S = np.round(U[lo:hi] @ U.T, 6)
+            ci, cj = np.nonzero(S >= threshold)
+            keep = (ci + lo) < cj  # upper triangle only: id_a < id_b
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ci[keep] + lo],
+                            "vec_b": ids[cj[keep]],
+                            "cos_sim": S[ci[keep], cj[keep]],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_sim": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64"})
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        df.select("vec_id", block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, "vec_a long, vec_b long, cos_sim double")
     )
 
 
@@ -1301,6 +1391,7 @@ def semantic_dedup(
     threshold: float = 0.8,
     vec_col: str = "embedding",
     max_block_size: int | None = 100_000,
+    mode: str = "portable",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with the fixed IVF coarse
@@ -1318,7 +1409,10 @@ def semantic_dedup(
     the cell and guarded by ``max_block_size``) is linear-ish in
     corpus size, never all-pairs. The production quantizer is the
     distributed-KMeans ivf_index; the fixed variant keeps the whole
-    operator SQL-reproducible for the oracle."""
+    operator SQL-reproducible for the oracle. ``mode='fast'`` swaps
+    the pair join's interpreted expression cosine for per-block numpy
+    BLAS (see embedding_near_dup_pairs) — the production path;
+    'portable' is the oracle-parity default."""
     from sslr_spark.functions.similarity import ivf_index_fixed
 
     indexed, _ = ivf_index_fixed(df, centroid_ids, vec_col=vec_col)
@@ -1328,6 +1422,7 @@ def semantic_dedup(
         block_col="__cell",
         threshold=threshold,
         max_block_size=max_block_size,
+        mode=mode,
     )
     dup_ids = (
         pairs.select(F.col("vec_b").alias("vec_id")).distinct()

@@ -396,6 +396,42 @@ def _vec_df(spark, n=24, dim=8):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_near_dup_pairs_fast_equals_portable(spark):
+    """The numpy-BLAS fast mode emits the same pair SET as the
+    oracle-parity expression join (values may differ in the 6th
+    decimal at the threshold boundary; this corpus has none there —
+    planted exact duplicates sit at cos 1.0 and everything else far
+    below)."""
+    import math
+
+    from sslr_spark.functions.dedup import embedding_near_dup_pairs
+
+    rows = []
+    for i in range(60):
+        base = [math.sin(i * 17 + j) for j in range(16)]
+        rows.append((i, i % 4, base))
+        rows.append((i + 1000, i % 4, list(base)))  # exact duplicate
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    portable = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, mode="portable"
+        ).collect()
+    }
+    fast = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.95, mode="fast"
+        ).collect()
+    }
+    assert portable == fast
+    assert {(i, i + 1000) for i in range(60)} <= fast
+    with pytest.raises(ValueError, match="mode"):
+        embedding_near_dup_pairs(df, mode="numpy")
+
+
 def test_missing_codebook_ids_raise(spark):
     """A subset of codebook_ids absent from the frame must be a hard
     error naming the missing ids — a silently-shrunk codebook shifts

@@ -305,10 +305,13 @@ def main() -> None:
     # embedding-side curation pipeline (round-8 probe, VERDICT item
     # 5): the K replicas are EXACT copies of their base vector, so
     # every base grows a K-member duplicate cluster — the semantic-
-    # dedup pair join's worst shape. max_block_size=5000 forces the
-    # per-cell blocked join to actually split cells at K >= ~20
-    # (25k rows/cell at K=100): the measured time must stay bounded
-    # by blocks * block^2, never cell^2.
+    # dedup pair join's worst shape (ALL within-cell pairs of copies
+    # pass the threshold). Runs the production dedup_mode='fast'
+    # (per-cell numpy BLAS cosine): the first probe run measured the
+    # portable interpreted-expression join at 122 s for K=10 (20k
+    # vectors / ~25M pairs), which is the scale bug this probe exists
+    # to catch — the BLAS path does the same pairs in ~2 s and stays
+    # bounded by cell_size^2 FLOPs, chunked to a ~16 MB buffer.
     with timed("curate_embeddings"):
         from sslr_spark.curation import curate_embeddings
 
@@ -318,7 +321,7 @@ def main() -> None:
             list(range(100, 116)),
             threshold=0.8,
             m=16,
-            max_block_size=5_000,
+            dedup_mode="fast",
         ).count()
 
     from sslr_spark.streaming.pipeline import stream_sessionize
