@@ -351,17 +351,27 @@ def all_pairs_topk_blocked(
     id_col: str = "vec_id",
     block_col: str = "label",
     max_block_size: int | None = 100_000,
+    mode: str = "portable",
 ) -> DataFrame:
     """k-NN graph restricted to blocks: per vector, top-k neighbors
     within its block (label / coarse-quantizer cell). The IVF pattern:
     an equi-join on the block column keeps the pair space linear in
     block size; a window takes top-k per query vector. Blocks over
     ``max_block_size`` are excluded with a warning (see
-    :func:`guard_oversize_blocks`)."""
+    :func:`guard_oversize_blocks`).
+
+    ``mode``: 'portable' (default) is the oracle-parity expression
+    join with per-ROW precomputed norms (the cosine's higher-order
+    lambdas run interpreted — see embedding_near_dup_pairs, which
+    this mirrors); 'fast' computes each block's cosine matrix with
+    numpy BLAS in one applyInPandas pass and ranks per row with a
+    (sim desc, dst asc) lexsort — the production kNN-graph path."""
     from pyspark.sql import Window
 
     from sslr_spark.functions.dedup import _entry_release, register_cache
 
+    if mode not in ("portable", "fast"):
+        raise ValueError(f"mode must be portable|fast, got {mode!r}")
     _entry_release()
     # one cached input feeds the guard's size scan AND both join
     # sides; released at the next pair-generator entry (dedup.py
@@ -371,7 +381,14 @@ def all_pairs_topk_blocked(
         df = guard_oversize_blocks(
             df, block_col, max_block_size, "all_pairs_topk_blocked"
         )
+    if mode == "fast":
+        return _topk_blocked_numpy(df, k, vec_col, id_col, block_col)
+    # per-row norm once, not per pair — same IEEE value, n not n^2
+    df = df.withColumn("__nrm", norm_expr(vec_col))
     a, b = df.alias("a"), df.alias("b")
+    cos = dot_expr(f"a.{vec_col}", f"b.{vec_col}") / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
     scored = (
         a.join(
             b,
@@ -381,13 +398,73 @@ def all_pairs_topk_blocked(
         .select(
             F.col(f"a.{id_col}").alias("src"),
             F.col(f"b.{id_col}").alias("dst"),
-            F.round(cosine_expr(f"a.{vec_col}", f"b.{vec_col}"), 6).alias("cos_sim"),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _topk_blocked_numpy(
+    df: DataFrame, k: int, vec_col: str, id_col: str, block_col: str
+) -> DataFrame:
+    """Per-block BLAS kNN (the 'fast' mode of
+    :func:`all_pairs_topk_blocked`): one cosine matrix per block
+    (row-chunked to a ~16 MB buffer), top-k per row by
+    (sim desc, dst asc) — the same rank order as the window form,
+    including the round(·, 6) the comparison key carries."""
+    import numpy as np
+    import pandas as pd
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"src": [], "dst": [], "cos_sim": [], "rank": []}
+        ).astype({"src": "int64", "dst": "int64", "rank": "int64"})
+        if n < 2:
+            return empty
+        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0.0] = np.nan
+        U = M / norms[:, None]
+        chunk = max(1, (2 << 20) // n)
+        outs = []
+        kk = min(k, n - 1)
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            S = np.round(U[lo:hi] @ U.T, 6)
+            rows = np.arange(lo, hi)
+            S[np.arange(hi - lo), rows] = -np.inf  # exclude self
+            # ids are sorted ascending, so position order IS dst-asc
+            # tie-break; stable lexsort on (-sim) preserves it
+            order = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+            sims = np.take_along_axis(S, order, axis=1)
+            valid = np.isfinite(sims)
+            src = np.repeat(ids[rows], kk).reshape(hi - lo, kk)
+            rank = np.tile(np.arange(1, kk + 1), (hi - lo, 1))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "src": src[valid],
+                        "dst": ids[order[valid]],
+                        "cos_sim": sims[valid],
+                        "rank": rank[valid],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        df.select(id_col, block_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(
+            per_block, "src long, dst long, cos_sim double, rank long"
+        )
     )
 
 

@@ -432,6 +432,33 @@ def test_near_dup_pairs_fast_equals_portable(spark):
         embedding_near_dup_pairs(df, mode="numpy")
 
 
+def test_topk_blocked_fast_equals_portable(spark):
+    """The BLAS kNN-graph mode reproduces the window form exactly:
+    same (src, dst, rank) triples and same rounded sims — the rank
+    key is (round(sim,6) desc, dst asc) in both."""
+    import math
+
+    from sslr_spark.functions.similarity import all_pairs_topk_blocked
+
+    rows = [
+        (i, i % 3, [math.cos(i * 13 + j) for j in range(12)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    portable = {
+        (r.src, r.dst, r.rank, r.cos_sim)
+        for r in all_pairs_topk_blocked(df, k=4, mode="portable").collect()
+    }
+    fast = {
+        (r.src, r.dst, r.rank, r.cos_sim)
+        for r in all_pairs_topk_blocked(df, k=4, mode="fast").collect()
+    }
+    assert portable == fast
+    assert len(fast) == 90 * 4
+
+
 def test_missing_codebook_ids_raise(spark):
     """A subset of codebook_ids absent from the frame must be a hard
     error naming the missing ids — a silently-shrunk codebook shifts
