@@ -578,6 +578,36 @@ def main(only: set[str] | None = None) -> dict:
 
         run("stream_sessionize", _run_sessionize)
 
+    # ---- round-8 operator families ----------------------------------
+    from sslr_spark.queries_ext import (
+        q_sample_weighted,
+        q_x_sessionize_batch,
+    )
+
+    run(
+        "sessionize_batch",
+        lambda: q_x_sessionize_batch(spark, SF_DIR).count(),
+    )
+    run(
+        "sample_weighted",
+        lambda: q_sample_weighted(spark, SF_DIR).count(),
+    )
+    if want("curate_embeddings"):
+        from sslr_spark.curation import curate_embeddings
+
+        emb_ce = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        run(
+            "curate_embeddings",
+            # production dedup_mode='fast' (per-cell BLAS cosine) —
+            # the portable expression join is the oracle's form
+            lambda: curate_embeddings(
+                emb_ce, [1, 2, 3, 4, 5, 6, 7, 8], list(range(100, 116)),
+                threshold=0.8, m=16, dedup_mode="fast",
+            ).count(),
+            reset=DD.release_caches,
+        )
+        DD.release_caches()
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 
