@@ -67,6 +67,7 @@ _HEAD_KEYS = [
     "x_sessionize_batch",
     "mm_decode_pixels_jpeg",
     "sample_weighted",
+    "dedup_incremental_semantic",
     # code changed THIS round (r8): stream_sessionize gained the
     # watermark-clamped timeout + late-drop metric; parse_mp4 learned
     # 64-bit/size-0 boxes (mp4/frame-plan/decode keys route through
@@ -125,11 +126,11 @@ _HEAD_KEYS = [
     "x_stream_dedup",
     "sample_shuffle_order",
     "sample_shard_diff",
-    "text_bpe_pairs",
 ]
 _TAIL_KEYS = [
     # remaining r06-green keys (unchanged code) — first in line for
     # the r09 head:
+    "text_bpe_pairs",
     "dedup_minhash_calibration",
     "sim_ivf_recall",
     "dedup_simhash_calibration",

@@ -1438,6 +1438,131 @@ def semantic_dedup(
     )
 
 
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    centroid_ids: list[int],
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 100_000,
+    mode: str = "portable",
+) -> DataFrame:
+    """Flag batch vectors that are SEMANTIC near-dups of the corpus —
+    the embedding-side member of the incremental family
+    (incremental_exact_dedup / incremental_minhash_dedup /
+    incremental span dedup cover text): dedup the NEW batch against
+    everything already accepted, without re-running corpus-wide
+    SemDeDup.
+
+    The quantizer is FROZEN ON THE CORPUS (fixed_centroid_rows from
+    the corpus frame) and assigns both sides with the same literal
+    centroids — append-stable cells, so a batch vector lands in the
+    cell its corpus neighbors were indexed under. The comparison is
+    batch x corpus WITHIN CELL only (never corpus x corpus, never
+    cross-cell): cost is |batch_cell| * |corpus_cell| per cell,
+    linear in the batch for bounded cells. Corpus cells over
+    ``max_cell_size`` are excluded with a warning (same guard as the
+    full-corpus operator).
+
+    Returns one row per batch vector: (vec_id, cell, in_corpus).
+
+    ``mode='fast'`` computes each cell's batch-vs-corpus cosine block
+    with numpy BLAS via cogrouped applyInPandas — the production
+    path; 'portable' is the oracle-parity expression join."""
+    from sslr_spark.functions.similarity import (
+        assign_cells_fixed,
+        dot_expr,
+        fixed_centroid_rows,
+        guard_oversize_blocks,
+        norm_expr,
+    )
+
+    if mode not in ("portable", "fast"):
+        raise ValueError(f"mode must be portable|fast, got {mode!r}")
+    _entry_release()  # previous pair-generation caches die here
+    rows = fixed_centroid_rows(corpus, centroid_ids, vec_col)
+    b_idx = assign_cells_fixed(batch, rows, vec_col).select(
+        "vec_id", F.col("__cell").alias("cell"), vec_col
+    )
+    c_idx = assign_cells_fixed(corpus, rows, vec_col).select(
+        "vec_id", F.col("__cell").alias("cell"), vec_col
+    )
+    if max_cell_size is not None:
+        c_idx = guard_oversize_blocks(
+            _persist(c_idx), "cell", max_cell_size,
+            "incremental_semantic_dedup",
+        )
+    if mode == "fast":
+        hits = _batch_corpus_hits_numpy(b_idx, c_idx, vec_col, threshold)
+    else:
+        bn = b_idx.withColumn("__nrm", norm_expr(vec_col)).alias("b")
+        cn = c_idx.withColumn("__nrm", norm_expr(vec_col)).alias("c")
+        cos = dot_expr(f"b.{vec_col}", f"c.{vec_col}") / (
+            F.col("b.__nrm") * F.col("c.__nrm")
+        )
+        hits = (
+            bn.join(cn, F.col("b.cell") == F.col("c.cell"))
+            .filter(F.col("b.vec_id") != F.col("c.vec_id"))
+            .filter(F.round(cos, 6) >= threshold)
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
+    return (
+        b_idx.join(hits.withColumn("__d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("__d"), F.lit(False)).alias("in_corpus"),
+        )
+    )
+
+
+def _batch_corpus_hits_numpy(
+    b_idx: DataFrame, c_idx: DataFrame, vec_col: str, threshold: float
+) -> DataFrame:
+    """Per-cell batch-vs-corpus cosine via cogrouped applyInPandas +
+    numpy BLAS (the 'fast' mode of incremental_semantic_dedup):
+    emits the distinct batch vec_ids with a corpus neighbor at or
+    above the threshold. Row-chunked like the other BLAS kernels."""
+    import numpy as np
+    import pandas as pd
+
+    def per_cell(bdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
+        if bdf.empty or cdf.empty:
+            return empty
+
+        def unit(pdf):
+            M = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n = np.linalg.norm(M, axis=1)
+            n[n == 0.0] = np.nan
+            return M / n[:, None]
+
+        B, C = unit(bdf), unit(cdf)
+        b_ids = bdf["vec_id"].to_numpy()
+        c_ids = cdf["vec_id"].to_numpy()
+        chunk = max(1, (2 << 20) // len(c_ids))
+        hit = np.zeros(len(b_ids), dtype=bool)
+        for lo in range(0, len(b_ids), chunk):
+            hi = min(len(b_ids), lo + chunk)
+            S = np.round(B[lo:hi] @ C.T, 6)
+            S[np.isnan(S)] = -np.inf
+            # a batch vector present in the corpus must not match
+            # ITSELF (same vec_id) — mask the identity pairs
+            same = b_ids[lo:hi, None] == c_ids[None, :]
+            S[same] = -np.inf
+            hit[lo:hi] = (S >= threshold).any(axis=1)
+        return pd.DataFrame({"vec_id": b_ids[hit]})
+
+    return (
+        b_idx.groupBy("cell")
+        .cogroup(c_idx.groupBy("cell"))
+        .applyInPandas(per_cell, "vec_id long")
+    )
+
+
 def incremental_exact_dedup(
     batch: DataFrame,
     corpus: DataFrame,

@@ -198,6 +198,27 @@ def ivf_index_fixed(
     plan simply doesn't have.)
     Returns (indexed with __cell, centroids(cell, centroid)).
     """
+    rows = fixed_centroid_rows(df, centroid_ids, vec_col, id_col)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, list(r.centroid)) for i, r in enumerate(rows)],
+        f"cell int, centroid {df.schema[vec_col].dataType.simpleString()}",
+    )
+    indexed = assign_cells_fixed(df, rows, vec_col)
+    return indexed, cents
+
+
+def fixed_centroid_rows(
+    df: DataFrame,
+    centroid_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Collect the caller-fixed centroid rows (bounded: n_cells),
+    sorted so cell = rank of centroid id; every id must resolve.
+    Shared by :func:`ivf_index_fixed` and incremental consumers that
+    freeze the quantizer on the CORPUS and assign new batches with
+    the same literals (dedup.incremental_semantic_dedup)."""
     rows = (
         df.filter(F.col(id_col).isin(list(centroid_ids)))
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centroid"))
@@ -205,13 +226,17 @@ def ivf_index_fixed(
     )
     rows.sort(key=lambda r: r.cid)  # cell = rank of centroid id
     _require_all_ids(rows, centroid_ids, "centroid", id_col)
-    spark = df.sparkSession
-    cents = spark.createDataFrame(
-        [(i, list(r.centroid)) for i, r in enumerate(rows)],
-        f"cell int, centroid {df.schema[vec_col].dataType.simpleString()}",
-    )
-    # argmax over literal centroids: max of struct(sim, -cell) makes
-    # ties prefer the lower cell under struct ordering
+    return rows
+
+
+def assign_cells_fixed(
+    df: DataFrame, rows: list, vec_col: str = "embedding"
+) -> DataFrame:
+    """Literal-centroid cell assignment (the body of
+    :func:`ivf_index_fixed`): argmax cosine over the collected
+    centroid rows, ties to the LOWER cell — max of struct(sim, -cell)
+    under struct ordering. Pure per-row map expression: zero shuffle,
+    zero row amplification."""
     scored = [
         F.struct(
             F.round(
@@ -228,13 +253,12 @@ def ivf_index_fixed(
         with_lits = with_lits.withColumn(
             f"__c{i}", F.lit([float(x) for x in r.centroid])
         )
-    indexed = (
+    return (
         with_lits.withColumn(
             "__cell", (-F.array_max(F.array(*scored))["nc"]).cast("int")
         )
         .drop(*[f"__c{i}" for i in range(len(rows))])
     )
-    return indexed, cents
 
 
 def _require_all_ids(rows, ids, kind: str, id_col: str) -> None:

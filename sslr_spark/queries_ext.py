@@ -3631,6 +3631,54 @@ from assigned a
 """
 
 
+def q_dedup_incremental_semantic(spark, sf_dir):
+    """Embedding-side incremental dedup: batch (vec_id % 10 == 0)
+    versus the already-accepted corpus (the rest), quantizer FROZEN
+    on the corpus, batch x corpus compared within cell only.
+    Threshold 0.35 for the same reason as dedup_semantic (synthetic
+    embeddings top out near cos 0.47); guard off for the same
+    oracle-parity reason."""
+    emb = _emb(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    return D.incremental_semantic_dedup(
+        batch, corpus, _IVF_CENT_IDS, threshold=0.35, max_cell_size=None,
+    )
+
+
+SQL_DEDUP_INCREMENTAL_SEMANTIC = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings
+  where vec_id % 10 != 0
+    and vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+assigned as (
+  select vec_id, embedding, cell, is_batch from (
+    select e.vec_id, e.embedding, c.cell,
+           (e.vec_id % 10 = 0) as is_batch,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+hits as (
+  select distinct b.vec_id
+  from assigned b join assigned c
+    on b.cell = c.cell and b.is_batch and not c.is_batch
+   and b.vec_id != c.vec_id
+  where round({_cos_sql('b.embedding', 'c.embedding')}, 6) >= 0.35
+)
+select a.vec_id, a.cell,
+       (a.vec_id in (select vec_id from hits)) as in_corpus
+from assigned a where a.is_batch
+"""
+
+
 _BLOOM_M, _BLOOM_K = 16384, 3
 
 
@@ -3843,6 +3891,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mix_execute": q_sample_mix_execute,
     "dedup_ngram_coverage": q_dedup_ngram_coverage,
     "dedup_semantic": q_dedup_semantic,
+    "dedup_incremental_semantic": q_dedup_incremental_semantic,
     "x_bloom_membership": q_bloom_membership,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
@@ -3931,6 +3980,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_mix_execute": SQL_SAMPLE_MIX_EXECUTE,
     "dedup_ngram_coverage": SQL_DEDUP_NGRAM_COVERAGE,
     "dedup_semantic": SQL_DEDUP_SEMANTIC,
+    "dedup_incremental_semantic": SQL_DEDUP_INCREMENTAL_SEMANTIC,
     "x_bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_incremental_minhash": SQL_DEDUP_INCREMENTAL_MINHASH,

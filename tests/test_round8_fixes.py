@@ -432,6 +432,63 @@ def test_near_dup_pairs_fast_equals_portable(spark):
         embedding_near_dup_pairs(df, mode="numpy")
 
 
+def test_incremental_semantic_fast_equals_portable(spark):
+    """Batch-vs-corpus semantic dedup: the cogrouped BLAS mode flags
+    the same batch vectors as the expression join, the quantizer is
+    frozen on the CORPUS, and a batch vector identical to a corpus
+    vector with the SAME id does not match itself."""
+    import math
+
+    from sslr_spark.functions.dedup import incremental_semantic_dedup
+
+    dim = 8
+    corpus_rows = [
+        (i, [math.sin(i * 31 + j) for j in range(dim)]) for i in range(80)
+    ]
+    # 5 mutually-orthogonal one-hot corpus vectors: near NOTHING but
+    # themselves (the sin lattice has genuine near-pairs, so same-id
+    # self-masking must be probed on vectors with no other neighbor)
+    onehots = [
+        (200 + i, [1.0 if j == i else 0.0 for j in range(dim)])
+        for i in range(5)
+    ]
+    corpus_rows = corpus_rows + onehots
+    # batch: 10 exact copies of corpus vectors (NEW ids -> dups),
+    # 10 fresh vectors far from everything, and the one-hot rows
+    # themselves (same id -> self must not match)
+    batch_rows = (
+        [(1000 + i, list(corpus_rows[i][1])) for i in range(10)]
+        + [
+            (2000 + i, [100.0 + i * 7 + j for j in range(dim)])
+            for i in range(10)
+        ]
+        + [(vid, list(v)) for vid, v in onehots]
+    )
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+    kw = dict(threshold=0.999, max_cell_size=None)
+    portable = {
+        (r.vec_id, r.in_corpus)
+        for r in incremental_semantic_dedup(
+            batch, corpus, [0, 20, 60], mode="portable", **kw
+        ).collect()
+    }
+    fast = {
+        (r.vec_id, r.in_corpus)
+        for r in incremental_semantic_dedup(
+            batch, corpus, [0, 20, 60], mode="fast", **kw
+        ).collect()
+    }
+    assert portable == fast
+    flagged = {v for v, d in fast if d}
+    assert {1000 + i for i in range(10)} <= flagged  # exact copies
+    assert not flagged & {2000 + i for i in range(10)}  # fresh
+    # same-id one-hot rows: orthogonal to every other corpus vector,
+    # so only a self-match could flag them — and self is masked
+    assert not flagged & {200 + i for i in range(5)}
+
+
 def test_topk_blocked_fast_equals_portable(spark):
     """The BLAS kNN-graph mode reproduces the window form exactly:
     same (src, dst, rank) triples and same rounded sims — the rank
