@@ -1176,11 +1176,14 @@ def embedding_near_dup_pairs(
         return _near_dup_pairs_numpy(df, vec_col, block_col, threshold)
     # per-row norm ONCE (n evaluations), not per pair (n^2): same
     # IEEE value (same array, same fold order), so round(cos, 6)
-    # stays bit-identical to the oracle's spelling
+    # stays bit-identical to the oracle's spelling. try_divide: a
+    # zero norm yields NULL (never passes the threshold) instead of
+    # an ANSI DIVIDE_BY_ZERO killing the job
     df = df.withColumn("__nrm", norm_expr(vec_col))
     a, b = df.alias("a"), df.alias("b")
-    cos = dot_expr(f"a.{vec_col}", f"b.{vec_col}") / (
-        F.col("a.__nrm") * F.col("b.__nrm")
+    cos = F.try_divide(
+        dot_expr(f"a.{vec_col}", f"b.{vec_col}"),
+        F.col("a.__nrm") * F.col("b.__nrm"),
     )
     return (
         a.join(
@@ -1204,11 +1207,16 @@ def _near_dup_pairs_numpy(
     :func:`embedding_near_dup_pairs`): each block arrives as one
     pandas group (bounded by max_block_size upstream), the similarity
     matrix is computed in row chunks sized so the chunk buffer stays
-    ~16 MB, and only the (vec_a < vec_b, sim >= threshold) pairs are
-    emitted. Zero-norm vectors never match (NaN sim), matching the
-    expression form's null-propagating division."""
+    ~16 MB (similarity.blas_chunk), and only the
+    (vec_a < vec_b, sim >= threshold) pairs are emitted. Zero-norm
+    vectors never match (similarity.unit_rows_matrix), and NULL block
+    keys emit no pairs — both matching the expression join, where
+    null never equals null and a null-propagating division never
+    passes the threshold."""
     import numpy as np
     import pandas as pd
+
+    from sslr_spark.functions.similarity import blas_chunk, unit_rows_matrix
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -1218,14 +1226,9 @@ def _near_dup_pairs_numpy(
             return pd.DataFrame(
                 {"vec_a": [], "vec_b": [], "cos_sim": []}
             ).astype({"vec_a": "int64", "vec_b": "int64"})
-        M = np.vstack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-        )
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0.0] = np.nan
-        U = M / norms[:, None]
-        chunk = max(1, (2 << 20) // n)  # chunk * n floats ~ 16 MB
+        U = unit_rows_matrix(pdf, vec_col)
         outs = []
+        chunk = blas_chunk(n)
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
             S = np.round(U[lo:hi] @ U.T, 6)
@@ -1249,6 +1252,9 @@ def _near_dup_pairs_numpy(
 
     return (
         df.select("vec_id", block_col, vec_col)
+        # the equi-join never matches null blocks; groupBy WOULD pool
+        # them into one giant pseudo-block — drop them to stay exact
+        .filter(F.col(block_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(per_block, "vec_a long, vec_b long, cos_sim double")
     )
@@ -1497,8 +1503,9 @@ def incremental_semantic_dedup(
     else:
         bn = b_idx.withColumn("__nrm", norm_expr(vec_col)).alias("b")
         cn = c_idx.withColumn("__nrm", norm_expr(vec_col)).alias("c")
-        cos = dot_expr(f"b.{vec_col}", f"c.{vec_col}") / (
-            F.col("b.__nrm") * F.col("c.__nrm")
+        cos = F.try_divide(
+            dot_expr(f"b.{vec_col}", f"c.{vec_col}"),
+            F.col("b.__nrm") * F.col("c.__nrm"),
         )
         hits = (
             bn.join(cn, F.col("b.cell") == F.col("c.cell"))
@@ -1527,23 +1534,17 @@ def _batch_corpus_hits_numpy(
     import numpy as np
     import pandas as pd
 
+    from sslr_spark.functions.similarity import blas_chunk, unit_rows_matrix
+
     def per_cell(bdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
         if bdf.empty or cdf.empty:
             return empty
-
-        def unit(pdf):
-            M = np.vstack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            n = np.linalg.norm(M, axis=1)
-            n[n == 0.0] = np.nan
-            return M / n[:, None]
-
-        B, C = unit(bdf), unit(cdf)
+        B = unit_rows_matrix(bdf, vec_col)
+        C = unit_rows_matrix(cdf, vec_col)
         b_ids = bdf["vec_id"].to_numpy()
         c_ids = cdf["vec_id"].to_numpy()
-        chunk = max(1, (2 << 20) // len(c_ids))
+        chunk = blas_chunk(len(c_ids))
         hit = np.zeros(len(b_ids), dtype=bool)
         for lo in range(0, len(b_ids), chunk):
             hi = min(len(b_ids), lo + chunk)

@@ -216,11 +216,20 @@ def weighted_sample(
         df.withColumn(
             "__w_ok",
             F.when(
-                (w >= 1) & (w <= W_MAX), w
+                # the integrality check is as loud as the range check:
+                # cast('long') silently TRUNCATES 2.9 -> 2 tickets,
+                # a biased sample with no signal — compare the cast
+                # back against the source value to reject fractions
+                (w >= 1) & (w <= W_MAX)
+                & (F.col(weight_col).cast("double") == w.cast("double")),
+                w,
             ).otherwise(F.raise_error(
                 F.concat(
-                    F.lit(f"weighted_sample: weight out of [1, {W_MAX}]: "),
-                    w.cast("string"),
+                    F.lit(
+                        f"weighted_sample: weight must be an integer "
+                        f"in [1, {W_MAX}], got: "
+                    ),
+                    F.col(weight_col).cast("string"),
                 )
             )),
         )
@@ -234,7 +243,14 @@ def weighted_sample(
     best = scored.groupBy(*group, key_col, weight_col).agg(
         F.min("__score").alias("best_ticket")
     )
-    wnd = Window.partitionBy(*(group or [F.lit(1)])).orderBy(
+    if not by:
+        # global k-cut: orderBy+limit is a parallel TakeOrdered — a
+        # partitionBy(lit(1)) window would sort every key's row in
+        # ONE task (the WindowExec shape the repo bans elsewhere)
+        return best.orderBy(
+            F.col("best_ticket").asc(), F.col(key_col).asc()
+        ).limit(k)
+    wnd = Window.partitionBy(by).orderBy(
         F.col("best_ticket").asc(), F.col(key_col).asc()
     )
     return (

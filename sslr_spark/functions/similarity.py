@@ -262,17 +262,45 @@ def assign_cells_fixed(
 
 
 def _require_all_ids(rows, ids, kind: str, id_col: str) -> None:
-    """Every caller-fixed centroid/codebook id must resolve to a row.
-    A silently-shrunk codebook shifts every code index, desyncing the
-    Spark encode from the oracle and any frozen-index consumer — so a
-    partial match is a hard error naming the missing ids."""
-    if len(rows) != len(set(ids)):
-        found = {r.cid for r in rows}
-        missing = sorted(set(ids) - found)
+    """Every caller-fixed centroid/codebook id must resolve to exactly
+    one row. A silently-shrunk codebook shifts every code index,
+    desyncing the Spark encode from the oracle and any frozen-index
+    consumer; a DUPLICATED id row silently shifts every rank the same
+    way — both are hard errors naming the offending ids."""
+    want = set(ids)
+    got = [r.cid for r in rows]
+    missing = sorted(want - set(got))
+    if missing:
         raise ValueError(
             f"{kind} ids not found in {id_col}: {missing} "
-            f"({len(rows)}/{len(set(ids))} resolved)"
+            f"({len(set(got))}/{len(want)} resolved)"
         )
+    if len(got) != len(want):
+        dups = sorted({c for c in got if got.count(c) > 1})
+        raise ValueError(
+            f"{kind} ids duplicated in {id_col}: {dups} "
+            f"({len(got)} rows for {len(want)} ids)"
+        )
+
+
+def unit_rows_matrix(pdf, vec_col: str):
+    """Shared BLAS-kernel prep (the 'fast' modes of
+    embedding_near_dup_pairs / all_pairs_topk_blocked /
+    incremental_semantic_dedup): stack a pandas group's vectors into
+    a float64 matrix and unit-normalize, with zero norms mapped to
+    NaN so a zero vector never matches anything (the expression
+    forms' null-propagating division)."""
+    import numpy as np
+
+    M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0.0] = np.nan
+    return M / norms[:, None]
+
+
+def blas_chunk(n: int) -> int:
+    """Row-chunk size keeping a chunk x n similarity buffer ~16 MB."""
+    return max(1, (2 << 20) // max(1, n))
 
 
 def _l2(vec) -> float:
@@ -407,11 +435,14 @@ def all_pairs_topk_blocked(
         )
     if mode == "fast":
         return _topk_blocked_numpy(df, k, vec_col, id_col, block_col)
-    # per-row norm once, not per pair — same IEEE value, n not n^2
+    # per-row norm once, not per pair — same IEEE value, n not n^2.
+    # try_divide: a zero norm must yield NULL (then be filtered), not
+    # an ANSI DIVIDE_BY_ZERO that kills the whole job
     df = df.withColumn("__nrm", norm_expr(vec_col))
     a, b = df.alias("a"), df.alias("b")
-    cos = dot_expr(f"a.{vec_col}", f"b.{vec_col}") / (
-        F.col("a.__nrm") * F.col("b.__nrm")
+    cos = F.try_divide(
+        dot_expr(f"a.{vec_col}", f"b.{vec_col}"),
+        F.col("a.__nrm") * F.col("b.__nrm"),
     )
     scored = (
         a.join(
@@ -424,6 +455,10 @@ def all_pairs_topk_blocked(
             F.col(f"b.{id_col}").alias("dst"),
             F.round(cos, 6).alias("cos_sim"),
         )
+        # a zero-norm vector's cosine is NULL — such a neighbor (or
+        # src) has no defined similarity and must not consume a rank
+        # slot; the BLAS mode drops the same rows (non-finite sims)
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
     return (
@@ -452,11 +487,8 @@ def _topk_blocked_numpy(
         ).astype({"src": "int64", "dst": "int64", "rank": "int64"})
         if n < 2:
             return empty
-        M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0.0] = np.nan
-        U = M / norms[:, None]
-        chunk = max(1, (2 << 20) // n)
+        U = unit_rows_matrix(pdf, vec_col)
+        chunk = blas_chunk(n)
         outs = []
         kk = min(k, n - 1)
         for lo in range(0, n, chunk):
@@ -485,6 +517,9 @@ def _topk_blocked_numpy(
 
     return (
         df.select(id_col, block_col, vec_col)
+        # null blocks never join in the portable form; dropping them
+        # here keeps the modes row-for-row comparable
+        .filter(F.col(block_col).isNotNull())
         .groupBy(block_col)
         .applyInPandas(
             per_block, "src long, dst long, cos_sim double, rank long"

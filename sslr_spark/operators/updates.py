@@ -106,8 +106,27 @@ def get_update_range(
                 ", ".join(src.columns[:20]),
             )
         return UpdateRange(True, 0, 0)
+    counts = None
     if probe is not None:
-        n, hi = probe()
+        try:
+            counts = probe()
+        except Exception:
+            # the pushed probe inlines the user's `where` into BACKEND
+            # SQL; a Spark-dialect-only predicate (or any server
+            # hiccup) must degrade to the Spark aggregate — loudly,
+            # because if the dialects PARSE differently they might
+            # also EVALUATE differently, and that deserves a look
+            logging.getLogger("sslr_spark").warning(
+                "pushed watermark probe failed for table %r — falling "
+                "back to the Spark-side aggregate (if the `where` "
+                "predicate uses Spark-only syntax, the pushdown "
+                "cannot apply; check it also EVALUATES identically "
+                "in both dialects)",
+                table,
+                exc_info=True,
+            )
+    if counts is not None:
+        n, hi = counts
         source_count = n or 0
         end_version = int(hi) if hi is not None else 0
     else:

@@ -2205,14 +2205,15 @@ SQL_SAMPLE_WEIGHTED = _sample_weighted_oracle()
 
 def q_mm_decode_pixels_jpeg(spark, sf_dir):
     """JPEG pixel decode through the optional-codec gate
-    (multimodal.decode_pixels_jpeg, codec='auto'): pillow when
-    importable, the md5-derived deterministic stub otherwise. The
-    build container ships no codecs, so 'auto' resolves to the stub
-    and the oracle hash-checks the full Arrow-batched plumbing; with
-    pillow installed the same plan decodes real pixels (unit test
-    gated on the import)."""
+    (multimodal.decode_pixels_jpeg). The registered key PINS
+    codec='stub' so the hash check is environment-independent —
+    codec='auto' would flip this query to real pillow decode the
+    moment someone installs the codec, silently breaking the oracle
+    with no code change. Production callers use 'auto'; the real
+    branch is covered by a pillow-gated unit test and the
+    stub-equals-auto test in the codec-free container."""
     return M.decode_pixels_jpeg(
-        M.with_binary_payload(_docs(spark, sf_dir)), codec="auto"
+        M.with_binary_payload(_docs(spark, sf_dir)), codec="stub"
     )
 
 

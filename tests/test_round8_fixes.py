@@ -378,7 +378,7 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert {r.id for r in won.collect()} == {r.id for r in again.collect()}
 
     bad = spark.createDataFrame([(1, 0)], "id long, w int")
-    with pytest.raises(Exception, match="weight out of"):
+    with pytest.raises(Exception, match="must be an integer"):
         weighted_sample(bad, "id", "w", k=1).collect()
     with pytest.raises(ValueError, match="k must be"):
         weighted_sample(df, "id", "w", k=0)
@@ -516,6 +516,94 @@ def test_topk_blocked_fast_equals_portable(spark):
     assert len(fast) == 90 * 4
 
 
+def test_fast_kernels_drop_null_blocks_like_the_join(spark):
+    """Review finding: groupBy pools NULL keys into one pseudo-block,
+    but the portable equi-join never matches null = null — the fast
+    kernels must emit nothing for null-labeled rows."""
+    from sslr_spark.functions.dedup import embedding_near_dup_pairs
+    from sslr_spark.functions.similarity import all_pairs_topk_blocked
+
+    rows = [
+        (1, None, [1.0, 0.0]),
+        (2, None, [1.0, 0.0]),  # identical — would pair if pooled
+        (3, 7, [0.0, 1.0]),
+        (4, 7, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    for mode in ("portable", "fast"):
+        pairs = {
+            (r.vec_a, r.vec_b)
+            for r in embedding_near_dup_pairs(
+                df, threshold=0.99, mode=mode
+            ).collect()
+        }
+        assert pairs == {(3, 4)}, mode
+        knn = {
+            (r.src, r.dst)
+            for r in all_pairs_topk_blocked(df, k=2, mode=mode).collect()
+        }
+        assert knn == {(3, 4), (4, 3)}, mode
+
+
+def test_topk_blocked_zero_norm_rows_emit_nothing(spark):
+    """Review finding: the portable window used to hand NULL-cosine
+    neighbors a rank slot; both modes now drop them."""
+    from sslr_spark.functions.similarity import all_pairs_topk_blocked
+
+    rows = [
+        (1, 0, [0.0, 0.0]),  # zero norm: no defined similarity
+        (2, 0, [1.0, 0.0]),
+        (3, 0, [0.9, 0.1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    for mode in ("portable", "fast"):
+        got = {
+            (r.src, r.dst)
+            for r in all_pairs_topk_blocked(df, k=3, mode=mode).collect()
+        }
+        assert got == {(2, 3), (3, 2)}, mode
+
+
+def test_weighted_sample_rejects_fractional_weights(spark):
+    from sslr_spark.functions.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 2.9)], "id long, w double")
+    with pytest.raises(Exception, match="must be an integer"):
+        weighted_sample(df, "id", "w", k=1).collect()
+
+
+def test_watermark_probe_falls_back_on_error(spark, tmp_path, caplog):
+    """Review finding: a probe raising (Spark-only `where` dialect,
+    server hiccup) must degrade to the Spark aggregate with a
+    warning, not fail the sync pass."""
+    import logging
+
+    from sslr_spark.operators.updates import get_update_range
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.state import TableState
+
+    src = spark.createDataFrame(
+        [(i, 100 + i % 3) for i in range(30)], "id long, ver long"
+    )
+    target = ParquetDatabase(spark, str(tmp_path / "t"))
+
+    def bad_probe():
+        raise RuntimeError("syntax error at or near REGEXP_LIKE")
+
+    with caplog.at_level(logging.WARNING, logger="sslr_spark"):
+        rng = get_update_range(
+            src, target, "t", TableState("t", 0, ""),
+            version_col="ver", probe=bad_probe,
+        )
+    assert rng.source_rows == 30 and rng.end_version == 102
+    assert any("pushed watermark probe failed" in r.message
+               for r in caplog.records)
+
+
 def test_missing_codebook_ids_raise(spark):
     """A subset of codebook_ids absent from the frame must be a hard
     error naming the missing ids — a silently-shrunk codebook shifts
@@ -544,3 +632,14 @@ def test_residualize_codebooks_missing_ids_raise(spark):
         residualize_codebooks(df, [0, 1], [2, 3, 500], m=4)
     with pytest.raises(ValueError, match="centroid ids"):
         residualize_codebooks(df, [0, 500], [2, 3], m=4)
+
+
+def test_duplicated_centroid_ids_raise(spark):
+    """Review finding: a duplicated id row used to surface as
+    'ids not found: []' — it must name the duplicates instead."""
+    from sslr_spark.functions.similarity import ivf_index_fixed
+
+    df = _vec_df(spark)
+    dup = df.unionByName(df.filter(F.col("vec_id") == 1))
+    with pytest.raises(ValueError, match=r"duplicated.*\b1\b"):
+        ivf_index_fixed(dup, [0, 1])
