@@ -369,6 +369,24 @@ def test_pq_encode_is_narrow_no_shuffle(spark):
     assert "Window" not in p
 
 
+def test_sessionize_batch_single_shuffle_running_frames(spark):
+    """The batch sessionizer promises ONE shuffle on the key and
+    running (bounded) window frames only — a second Exchange or an
+    unbounded-following frame would re-shuffle or buffer whole
+    partitions at corpus scale."""
+    from sslr_spark.queries import read_events
+    from sslr_spark.streaming.pipeline import sessionize_batch
+
+    ev = read_events(spark, SF).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    p = plan_of(sessionize_batch(ev, gap_minutes=240))
+    # one hashpartitioning exchange on the key feeds lag, the running
+    # sum, AND the final aggregate (same partitioning reused)
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "unboundedfollowing" not in p.lower(), p
+
+
 def test_pq_query_ranking_scan_skips_vector_column(spark, tmp_path):
     """pq_topk_from_codes (round-8 re-plan): the ADC ranking pass
     must scan ONLY (id, codes) — dragging the float vector through
