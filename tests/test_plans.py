@@ -369,6 +369,23 @@ def test_pq_encode_is_narrow_no_shuffle(spark):
     assert "Window" not in p
 
 
+def test_weighted_sample_plans(spark):
+    """Global cut = parallel TakeOrdered (no single-task window);
+    stratified cut = bounded explode + partial-agg min + ONE window
+    partitioned by the stratum — at most two exchanges total."""
+    from sslr_spark.functions.sampling import weighted_sample
+
+    df = spark.range(500).selectExpr(
+        "id", "cast(id % 5 + 1 as long) as w", "cast(id % 3 as int) as g"
+    )
+    p_global = plan_of(weighted_sample(df, "id", "w", k=10))
+    assert "TakeOrdered" in p_global
+    assert "Window" not in p_global
+    p_strat = plan_of(weighted_sample(df, "id", "w", k=10, by="g"))
+    assert p_strat.count("Window") >= 1
+    assert p_strat.count("Exchange hashpartitioning") <= 2, p_strat
+
+
 def test_sessionize_batch_single_shuffle_running_frames(spark):
     """The batch sessionizer promises ONE shuffle on the key and
     running (bounded) window frames only — a second Exchange or an
