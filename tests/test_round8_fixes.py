@@ -356,8 +356,6 @@ def test_weighted_sample_bias_and_determinism(spark):
     proportionally more (statistical bias over many disjoint trials,
     deterministic so no flake), re-runs reproduce the identical
     winner set, and out-of-range weights raise."""
-    from pyspark.sql.utils import PythonException
-
     from sslr_spark.functions.sampling import weighted_sample
 
     # 500 strata, each a two-horse race: weight 6 vs weight 1. The
