@@ -58,14 +58,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     recent rounds with unchanged code (freshest evidence last).
 # As of r7 every registered key is oracle-backed — the former rows-only
 # catalog stubs (s5/s7) are hash-checked via engine-agnostic projections.
-# r8 rotation: head = 4 new keys + 14 code-changed keys + the 28 keys
-# whose latest evidence is r05 + 4 oldest-r06 keys (= 50, the window);
+# r8 rotation: head = 5 new keys + 14 code-changed keys + the 28 keys
+# whose latest evidence is r05 + 3 oldest-r06 keys (= 50, the window);
 # after r08 no key's latest green row is older than r06.
 _HEAD_KEYS = [
     # NEW this round (r8): the order-free batch sessionizer twin, the
     # optional-codec JPEG pixel decode gate, the deterministic
     # weighted bottom-k sampler, and incremental semantic dedup:
     "x_sessionize_batch",
+    "x_mor_upsert_read",
     "mm_decode_pixels_jpeg",
     "sample_weighted",
     "dedup_incremental_semantic",
@@ -126,11 +127,11 @@ _HEAD_KEYS = [
     "text_quality_gate",
     "x_stream_dedup",
     "sample_shuffle_order",
-    "sample_shard_diff",
 ]
 _TAIL_KEYS = [
     # remaining r06-green keys (unchanged code) — first in line for
     # the r09 head:
+    "sample_shard_diff",
     "text_bpe_pairs",
     "dedup_minhash_calibration",
     "sim_ivf_recall",

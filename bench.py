@@ -592,6 +592,37 @@ def main(only: set[str] | None = None) -> dict:
         "sample_weighted",
         lambda: q_sample_weighted(spark, SF_DIR).count(),
     )
+    if want("mor_append_read"):
+        # merge-on-read upsert: the same 1%-update shape incr_update
+        # pays a bucket-rewrite merge for costs only a log APPEND +
+        # one broadcast-anti overlay read here — the small-batch
+        # write-amplification answer (compaction folds later, at
+        # full-copy cost, amortized over many batches)
+        from sslr_spark.operators.updates import (
+            append_upsert_log,
+            read_merged,
+            upsert_log_table,
+        )
+
+        mor_db = ParquetDatabase(spark, os.path.join(TMP, "mor"))
+        li_mor = lineitem.select(*pk).withColumn(
+            "xmin", F.lit(100).cast("long")
+        )
+        mor_db.overwrite("lineitem", li_mor)
+        upd_mor = li_mor.filter(F.col("l_orderkey") % 100 == 0).withColumn(
+            "xmin", F.lit(200).cast("long")
+        )
+
+        def _mor_cycle():
+            append_upsert_log(mor_db, "lineitem", upd_mor, pk)
+            read_merged(mor_db, "lineitem", pk).count()
+
+        run(
+            "mor_append_read",
+            _mor_cycle,
+            reset=lambda: mor_db.drop(upsert_log_table("lineitem")),
+        )
+
     if want("curate_embeddings"):
         from sslr_spark.curation import curate_embeddings
 

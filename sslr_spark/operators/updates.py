@@ -547,3 +547,131 @@ def sync_updates(
         new_mark = max(state.last_seen_version, rng.end_version)
         state_store.set(TableState(table, new_mark, where or ""))
     return total
+
+
+# ------------------------------------------------------------------
+# merge-on-read upsert log (round 8): the small-batch scale path
+# ------------------------------------------------------------------
+#
+# The copy-on-write merge above rewrites every TOUCHED bucket per
+# batch — write amplification W = bucket_bytes / batch_bytes_in_bucket,
+# which at 100 TB with frequent small CDC batches means rewriting
+# gigabytes to land kilobytes. The merge-on-read (MOR) path is the
+# standard answer (Hudi MOR / Iceberg v2 the public references):
+# batches APPEND to a per-table log; reads overlay the log with
+# latest-version-wins; a periodic compaction folds the log into the
+# base and truncates it. Write cost per batch drops to the batch
+# itself; the read pays one broadcast anti-join while the log stays
+# small (the design invariant — compact when it isn't).
+
+UPSERT_LOG_SUFFIX = "__upsert_log"
+
+
+def upsert_log_table(table: str) -> str:
+    return table + UPSERT_LOG_SUFFIX
+
+
+def append_upsert_log(
+    target: ParquetDatabase,
+    table: str,
+    updates: DataFrame,
+    pk_cols: list[str],
+    version_col: str = "xmin",
+) -> None:
+    """MOR write path: land a CDC batch as a log APPEND — no base
+    read, no bucket rewrite, cost = the batch itself. The batch is
+    pre-collapsed to latest-version-per-key (bounded, map-side
+    max_by) so replaying one log file never carries intra-batch
+    stale rows; ACROSS batches the read/compaction overlay resolves
+    versions. Columns align to the base table's schema so the
+    overlay union never reorders fields."""
+    base_cols = target.read(table).columns
+    missing = [c for c in base_cols if c not in updates.columns]
+    if missing:
+        raise ValueError(
+            f"upsert log batch for {table!r} lacks base columns: {missing}"
+        )
+    batch = dedup_latest_version(updates, pk_cols, version_col)
+    target.append(upsert_log_table(table), batch.select(*base_cols))
+
+
+def read_merged(
+    target: ParquetDatabase,
+    table: str,
+    pk_cols: list[str],
+    version_col: str = "xmin",
+) -> DataFrame:
+    """MOR read path: base overlaid with the upsert log,
+    latest-version-wins per key. Scale shape: the LOG (small by the
+    compaction invariant) is collapsed to latest-per-key and its key
+    set BROADCAST for an anti-join against the base — the base is
+    never shuffled and never sorted; cost = one scan + a broadcast
+    probe. A log key's row always supersedes the base row (equal
+    versions included), which is what makes crash-replayed
+    compactions idempotent. With no log the base returns as-is."""
+    base = target.read(table)
+    log_t = upsert_log_table(table)
+    if not target.table_exists(log_t):
+        return base
+    log = dedup_latest_version(
+        target.read(log_t).select(*base.columns), pk_cols, version_col
+    )
+    keep = base.join(
+        F.broadcast(log.select(*pk_cols)), pk_cols, "left_anti"
+    )
+    return keep.unionByName(log)
+
+
+def should_compact_upsert_log(
+    target: ParquetDatabase,
+    table: str,
+    max_log_fraction: float = 0.1,
+) -> bool:
+    """Compaction trigger: log rows exceed ``max_log_fraction`` of
+    the base (both counts answered from parquet footers — zero Spark
+    jobs, same as the T3 staleness probe)."""
+    log_t = upsert_log_table(table)
+    if not target.table_exists(log_t):
+        return False
+    log_rows = target.table_rows(log_t)
+    base_rows = target.table_rows(table)
+    if log_rows is None or base_rows is None:
+        return True  # cannot probe cheaply — err on folding
+    return log_rows > max_log_fraction * max(1, base_rows)
+
+
+def compact_upsert_log(
+    target: ParquetDatabase,
+    table: str,
+    pk_cols: list[str],
+    version_col: str = "xmin",
+    n_buckets: int | None = None,
+    bucket_hash: str = "portable",
+) -> dict:
+    """Fold the log into the base and truncate it. Crash contract:
+    the base overwrite is the atomic staged-rename swap; a crash
+    BEFORE the swap leaves the old base + intact log (nothing lost),
+    a crash AFTER the swap but before the log drop leaves the new
+    base + a stale log whose rows re-apply as no-ops on the next
+    read/compaction (log supersedes base at equal versions with the
+    identical payload — idempotent by the read path's overlay rule).
+    Returns {"folded_rows": n} (0 = no log)."""
+    log_t = upsert_log_table(table)
+    if not target.table_exists(log_t):
+        return {"folded_rows": 0}
+    folded = target.table_rows(log_t) or 0
+    merged = read_merged(target, table, pk_cols, version_col)
+    if n_buckets:
+        from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+        target.overwrite_partitioned(
+            table,
+            with_bucket(merged, pk_cols, n_buckets, bucket_hash),
+            BUCKET_COL,
+            n_buckets=n_buckets,
+            bucket_hash=bucket_hash,
+        )
+    else:
+        target.overwrite(table, merged)
+    target.drop(log_t)
+    return {"folded_rows": folded}

@@ -895,6 +895,47 @@ def q_x_stream_sessionize(spark, sf_dir):
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
+def q_x_mor_upsert_read(spark, sf_dir):
+    """MERGE-ON-READ overlay read (operators/updates.py
+    append_upsert_log / read_merged): base table at version 100, two
+    appended CDC log batches (every 5th key at 200, every 25th at
+    300), read resolves latest-version-wins WITHOUT shuffling the
+    base (broadcast anti-join on the log's key set — plan-pinned in
+    tests/test_mor.py). The oracle derives each key's final version
+    arithmetically."""
+    import os
+
+    from sslr_spark.operators.updates import append_upsert_log, read_merged
+    from sslr_spark.queries import LINEITEM_PK
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    work = _fresh_bench_dir("mor_read")
+    db = ParquetDatabase(spark, os.path.join(work, "db"))
+    base = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(*LINEITEM_PK)
+        .withColumn("xmin", F.lit(100).cast("long"))
+    )
+    db.overwrite("lineitem", base)
+    for mod, ver in ((5, 200), (25, 300)):
+        batch = base.filter(F.col("l_orderkey") % mod == 0).withColumn(
+            "xmin", F.lit(ver).cast("long")
+        )
+        append_upsert_log(db, "lineitem", batch, LINEITEM_PK)
+    return read_merged(db, "lineitem", LINEITEM_PK).filter(
+        F.col("l_orderkey") < 2000
+    )
+
+
+SQL_X_MOR_UPSERT_READ = """
+select l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       cast(case when l_orderkey % 25 = 0 then 300
+                 when l_orderkey % 5 = 0 then 200
+                 else 100 end as bigint) as xmin
+from lineitem where l_orderkey < 2000
+"""
+
+
 def q_x_sessionize_batch(spark, sf_dir):
     """BATCH gap-session assignment (streaming/pipeline.py
     sessionize_batch): the replay-safe counterpart of
@@ -3879,6 +3920,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_dedup": q_x_stream_dedup,
     "x_stream_sessionize": q_x_stream_sessionize,
     "x_sessionize_batch": q_x_sessionize_batch,
+    "x_mor_upsert_read": q_x_mor_upsert_read,
     "x_curation_pipeline": q_x_curation_pipeline,
     "x_curation_pipeline_neardup": q_x_curation_pipeline_neardup,
     "x_embedding_pipeline": q_x_embedding_pipeline,
@@ -3968,6 +4010,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_dedup": SQL_X_STREAM_DEDUP,
     "x_stream_sessionize": SQL_X_STREAM_SESSIONIZE,
     "x_sessionize_batch": SQL_X_SESSIONIZE_BATCH,
+    "x_mor_upsert_read": SQL_X_MOR_UPSERT_READ,
     "x_curation_pipeline": SQL_X_CURATION_PIPELINE,
     "x_curation_pipeline_neardup": SQL_X_CURATION_PIPELINE_NEARDUP,
     "x_embedding_pipeline": SQL_X_EMBEDDING_PIPELINE,
