@@ -565,6 +565,7 @@ def sync_updates(
 # small (the design invariant — compact when it isn't).
 
 UPSERT_LOG_SUFFIX = "__upsert_log"
+TOMBSTONE_COL = "__sslr_tombstone"
 
 
 def upsert_log_table(table: str) -> str:
@@ -583,8 +584,10 @@ def append_upsert_log(
     pre-collapsed to latest-version-per-key (bounded, map-side
     max_by) so replaying one log file never carries intra-batch
     stale rows; ACROSS batches the read/compaction overlay resolves
-    versions. Columns align to the base table's schema so the
-    overlay union never reorders fields."""
+    versions (versions must be distinct per key across upsert and
+    delete batches — CDC transaction ids are). Columns align to the
+    base table's schema so the overlay union never reorders fields;
+    every log row carries the tombstone marker (False here)."""
     base_cols = target.read(table).columns
     missing = [c for c in base_cols if c not in updates.columns]
     if missing:
@@ -592,7 +595,38 @@ def append_upsert_log(
             f"upsert log batch for {table!r} lacks base columns: {missing}"
         )
     batch = dedup_latest_version(updates, pk_cols, version_col)
-    target.append(upsert_log_table(table), batch.select(*base_cols))
+    target.append(
+        upsert_log_table(table),
+        batch.select(*base_cols).withColumn(TOMBSTONE_COL, F.lit(False)),
+    )
+
+
+def append_delete_log(
+    target: ParquetDatabase,
+    table: str,
+    keys: DataFrame,
+    pk_cols: list[str],
+    version: int,
+    version_col: str = "xmin",
+) -> None:
+    """MOR delete path: land deletions as TOMBSTONE log rows — key +
+    version + null payload + tombstone=True — instead of the
+    bucket-diff repair rewrite. The overlay read (and compaction)
+    drops a key whose latest log row is a tombstone; a later upsert
+    at a higher version resurrects it, exactly like the in-place
+    DELETE+INSERT sequence would."""
+    base = target.read(table)
+    dtypes = dict(base.dtypes)
+    batch = keys.select(*pk_cols).distinct()
+    for c in base.columns:
+        if c in pk_cols:
+            continue
+        val = F.lit(version) if c == version_col else F.lit(None)
+        batch = batch.withColumn(c, val.cast(dtypes[c]))
+    target.append(
+        upsert_log_table(table),
+        batch.select(*base.columns).withColumn(TOMBSTONE_COL, F.lit(True)),
+    )
 
 
 def read_merged(
@@ -601,25 +635,39 @@ def read_merged(
     pk_cols: list[str],
     version_col: str = "xmin",
 ) -> DataFrame:
-    """MOR read path: base overlaid with the upsert log,
-    latest-version-wins per key. Scale shape: the LOG (small by the
-    compaction invariant) is collapsed to latest-per-key and its key
-    set BROADCAST for an anti-join against the base — the base is
-    never shuffled and never sorted; cost = one scan + a broadcast
-    probe. A log key's row always supersedes the base row (equal
-    versions included), which is what makes crash-replayed
-    compactions idempotent. With no log the base returns as-is."""
+    """MOR read path: base overlaid with the upsert/delete log,
+    latest-version-wins per key, tombstone winners dropped. Scale
+    shape: the LOG (small by the compaction invariant) is collapsed
+    to latest-per-key and its key set BROADCAST for an anti-join
+    against the base — the base is never shuffled and never sorted;
+    cost = one scan + a broadcast probe. A log key's row always
+    supersedes the base row (equal versions included), which is what
+    makes crash-replayed compactions idempotent. With no log the
+    base returns as-is.
+
+    Invariant (the Hudi-MOR contract): appended batches are never
+    OLDER than a version already folded into the base — CDC versions
+    are monotone and compaction drops the whole log atomically after
+    the swap, so a crash replays the full log (which carries each
+    key's newest row), never a stale fragment."""
     base = target.read(table)
     log_t = upsert_log_table(table)
     if not target.table_exists(log_t):
         return base
+    # with_meta: the tombstone marker is an __sslr column the public
+    # read() strips by design
     log = dedup_latest_version(
-        target.read(log_t).select(*base.columns), pk_cols, version_col
+        target.read(log_t, with_meta=True).select(
+            *base.columns, TOMBSTONE_COL
+        ),
+        pk_cols,
+        version_col,
     )
     keep = base.join(
         F.broadcast(log.select(*pk_cols)), pk_cols, "left_anti"
     )
-    return keep.unionByName(log)
+    survivors = log.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
+    return keep.unionByName(survivors)
 
 
 def should_compact_upsert_log(

@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sslr_spark.operators.updates import (
+    append_delete_log,
     append_upsert_log,
     compact_upsert_log,
     read_merged,
@@ -91,6 +92,55 @@ def test_mor_compaction_folds_and_is_crash_idempotent(spark, tmp_path):
     assert _rows(db.read("t")) == before
     # and compacting with no log is a recorded no-op
     assert compact_upsert_log(db, "t", ["id"]) == {"folded_rows": 0}
+
+
+def test_mor_delete_tombstones_and_resurrection(spark, tmp_path):
+    """Deletes land as tombstone log rows: the overlay drops a key
+    whose LATEST log row is a tombstone; a later higher-version
+    upsert resurrects it; compaction folds deletions into the base
+    and stays idempotent under crash replay."""
+    db = _db(spark, tmp_path)
+    db.overwrite("t", _base(spark))
+    keys = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    append_delete_log(db, "t", keys, ["id"], version=200)
+    # id 2 comes back at a higher version; id 5 gets deleted after an
+    # update (tombstone wins by version)
+    append_upsert_log(
+        db, "t",
+        spark.createDataFrame(
+            [(2, "back", 300), (5, "u5", 250)],
+            "id long, payload string, xmin long",
+        ),
+        ["id"],
+    )
+    append_delete_log(
+        db, "t", spark.createDataFrame([(5,)], "id long"), ["id"],
+        version=260,
+    )
+    got = _rows(read_merged(db, "t", ["id"]))
+    expect = {(i, f"v{i}", 100) for i in range(50)} - {
+        (0, "v0", 100), (1, "v1", 100), (2, "v2", 100), (5, "v5", 100)
+    }
+    expect |= {(2, "back", 300)}
+    assert got == expect
+
+    # crash replay contract: a crash between the compaction swap and
+    # the log drop replays the WHOLE log — which always carries each
+    # key's newest row (the v300 upsert that outranks id 2's v200
+    # tombstone), so the overlay resolves to the same state. Simulate
+    # by snapshotting the log, compacting, and restoring it.
+    log_df = spark.createDataFrame(
+        db.read(upsert_log_table("t"), with_meta=True).collect(),
+        db.read(upsert_log_table("t"), with_meta=True).schema,
+    )
+    out = compact_upsert_log(db, "t", ["id"])
+    assert out["folded_rows"] == 6  # 4 tombstones + 2 upserts
+    assert _rows(db.read("t")) == expect
+    db.append(upsert_log_table("t"), log_df)  # the "undropped" log
+    assert _rows(read_merged(db, "t", ["id"])) == expect
+    out2 = compact_upsert_log(db, "t", ["id"])
+    assert out2["folded_rows"] == 6
+    assert _rows(db.read("t")) == expect
 
 
 def test_mor_compaction_into_bucketed_layout(spark, tmp_path):
