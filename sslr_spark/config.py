@@ -79,6 +79,14 @@ class Config:
     # per touched bucket per pass; without maintenance pruned reads
     # degrade into many-small-file scans). 0 = no maintenance.
     compact_files_per_bucket: int = 0
+    # merge-on-read mode (lake/parquet targets): incremental batches
+    # APPEND to a per-table upsert log and deletes land as tombstones
+    # instead of bucket rewrites — the small-frequent-batch scale
+    # path; readers overlay via operators.updates.read_merged, and
+    # the pass auto-compacts when the log exceeds mergeOnReadMaxLog
+    # of the base. Requires the version column in the target payload.
+    merge_on_read: bool = False
+    merge_on_read_max_log: float = 0.1
 
     def all_tables(self) -> list[str]:
         return list(self.source_tables) + list(self.filtered_source_tables)
@@ -325,6 +333,8 @@ def load_config(path_or_text: str) -> Config:
         bucket_hash=str(raw.get("bucketHash", "portable")),
         parallel_tables=int(raw.get("parallelTables", 1)),
         compact_files_per_bucket=int(raw.get("compactFilesPerBucket", 0)),
+        merge_on_read=bool(raw.get("mergeOnRead", False)),
+        merge_on_read_max_log=float(raw.get("mergeOnReadMaxLog", 0.1)),
     )
     cfg.validate()
     return cfg

@@ -43,6 +43,7 @@ class JobResult:
     updated_rows: int = 0
     repaired_buckets: int = 0
     compacted_partitions: int = 0
+    deleted_rows: int = 0  # merge-on-read tombstones appended
     full_copies: list[str] = field(default_factory=list)
     validated: list[str] = field(default_factory=list)
 
@@ -243,6 +244,8 @@ class Job:
             bucket_hash=self.config.bucket_hash,
             versionless_source=getattr(self.source, "versionless", False),
             probe=self._watermark_probe(table, src, where),
+            merge_on_read=self.config.merge_on_read,
+            max_log_fraction=self.config.merge_on_read_max_log,
         )
         result.updated_rows += rows
         versionless = self.config.version_column not in src.columns
@@ -286,6 +289,9 @@ class Job:
     ) -> None:
         from sslr_spark.operators.deletes import effective_buckets
 
+        if self.config.merge_on_read:
+            self._sync_deletes_mor(table, src, pks, where, result, throttle)
+            return
         # Runs after the update phase, so this sees the layout the
         # update phase just wrote (a full copy may have migrated it).
         n_buckets = effective_buckets(self.target, table, n_buckets)
@@ -316,6 +322,44 @@ class Job:
                 hash_mode=self.config.bucket_hash,
             )
         result.repaired_buckets += stats.mismatched_buckets
+
+    def _sync_deletes_mor(
+        self, table, src, pks, where, result, throttle
+    ) -> None:
+        """Delete detection in merge-on-read mode: keys present in the
+        OVERLAY view but absent from the source become tombstone log
+        rows — no bucket fingerprints, no partition rewrites; cost is
+        two key-only column-pruned scans and one anti-join. The
+        tombstone's version is watermark+1: it must outrank the same
+        pass's upserts at the watermark (a row updated then deleted
+        within one poll interval dies immediately), while a genuine
+        later upsert at a version > watermark resurrects the key."""
+        from sslr_spark.operators.copy import filtered_source
+        from sslr_spark.operators.updates import (
+            append_delete_log,
+            read_merged,
+        )
+
+        if not self.target.table_exists(table):
+            return
+        vcol = self.config.version_column
+        with throttle:
+            merged_keys = read_merged(self.target, table, pks, vcol).select(
+                *pks
+            )
+            src_keys = filtered_source(src, where).select(*pks)
+            gone = merged_keys.join(src_keys, pks, "left_anti").persist()
+            try:
+                n = gone.count()
+                if n:
+                    mark = self.state.get(table).last_seen_version
+                    append_delete_log(
+                        self.target, table, gone, pks, version=mark + 1,
+                        version_col=vcol,
+                    )
+                    result.deleted_rows += n
+            finally:
+                gone.unpersist()
 
     def plan(self) -> dict:
         """Dry run: per-table sync analysis with ZERO writes and ZERO

@@ -387,6 +387,8 @@ def sync_updates(
     bucket_hash: str = "portable",
     versionless_source: bool = False,
     probe=None,
+    merge_on_read: bool = False,
+    max_log_fraction: float = 0.1,
 ) -> int:
     """Run the update phase for one table; returns rows written.
 
@@ -408,8 +410,31 @@ def sync_updates(
     (internal/updates.go:117-124). In-place-capable targets (adapters
     exposing ``apply_upsert``) are applied with DELETE+INSERT of the
     changed keys instead of read-merge-overwrite.
+
+    ``merge_on_read`` applies incremental batches as upsert-log
+    APPENDS (append_upsert_log) instead of merges — the small-batch
+    scale mode: write cost per batch is the batch itself, readers
+    overlay via read_merged, and the pass compacts when the log
+    exceeds ``max_log_fraction`` of the base. Requires the version
+    column in the payload (the overlay resolves by version), so it
+    rejects ``strip_version`` and in-place targets. The full-copy
+    branch drops any existing log BEFORE the overwrite: a stale log
+    overlaying a fresher base would serve stale rows, while the
+    reverse crash (log dropped, copy lost) just re-copies on the
+    next pass because the watermark never advanced.
     """
     from sslr_spark.throttle import Throttle
+
+    if merge_on_read and strip_version:
+        raise ValueError(
+            "merge_on_read needs the version column in the payload; "
+            "strip_version must be off"
+        )
+    if merge_on_read and hasattr(target, "apply_upsert"):
+        raise ValueError(
+            "merge_on_read is a lake/parquet mode; in-place targets "
+            "apply upserts directly"
+        )
 
     # Per-operation throttle wrapping only source-reading steps (range
     # probe, slice scan), sleeping after each apply — the reference's
@@ -434,6 +459,9 @@ def sync_updates(
     in_place = hasattr(target, "apply_upsert")
 
     if rng.full_table:
+        if merge_on_read and target.table_exists(upsert_log_table(table)):
+            # see the merge_on_read docstring note on drop-then-copy
+            target.drop(upsert_log_table(table))
         if n_buckets:
             from sslr_spark.operators.copy import filtered_source as _fs
             from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
@@ -525,7 +553,11 @@ def sync_updates(
             with throttle:  # the count scans the source slice
                 n = updates.count()
             if n:
-                if n_buckets:
+                if merge_on_read:
+                    append_upsert_log(
+                        target, table, updates, pk_cols, version_col
+                    )
+                elif n_buckets:
                     merge_upsert_partitioned(
                         target, table, updates, pk_cols, n_buckets
                     )
@@ -546,6 +578,15 @@ def sync_updates(
         # delete phase already reconciles removals).
         new_mark = max(state.last_seen_version, rng.end_version)
         state_store.set(TableState(table, new_mark, where or ""))
+    if merge_on_read and should_compact_upsert_log(
+        target, table, max_log_fraction
+    ):
+        # maintenance after the state commits: a crash mid-compaction
+        # loses no sync progress (same placement as file compaction)
+        compact_upsert_log(
+            target, table, pk_cols, version_col,
+            n_buckets=n_buckets, bucket_hash=bucket_hash,
+        )
     return total
 
 

@@ -162,6 +162,123 @@ def test_mor_compaction_into_bucketed_layout(spark, tmp_path):
     assert merged.filter("id = 3").first().payload == "u3"
 
 
+def test_mor_job_mode_end_to_end(spark, tmp_path):
+    """mergeOnRead as an ENGINE mode: first pass full-copies (no
+    log), the incremental pass lands updates as log appends and
+    deletions as tombstones, read_merged equals the live source, and
+    a tight mergeOnReadMaxLog triggers auto-compaction back to a
+    clean base."""
+    from sslr_spark.config import Config
+    from sslr_spark.job import Job, JobResult
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.throttle import Throttle
+
+    src_db = ParquetDatabase(spark, str(tmp_path / "src"))
+    rows = [(i, f"v{i}", 100) for i in range(200)]
+    src_db.overwrite(
+        "t",
+        spark.createDataFrame(rows, "id long, payload string, xmin long"),
+    )
+    cfg = Config(
+        source=str(tmp_path / "src"),
+        target=str(tmp_path / "tgt"),
+        source_tables=["t"],
+        primary_keys={"t": ["id"]},
+        target_buckets=0,
+        merge_on_read=True,
+        merge_on_read_max_log=10.0,  # don't compact during the test
+    )
+
+    def run_pass():
+        job = Job(spark, cfg)
+        job.validate_tables()
+        r = JobResult()
+        job.update_table("t", r, Throttle(100))
+        return job, r
+
+    job, r1 = run_pass()
+    assert r1.full_copies == ["t"] and r1.updated_rows == 200
+    assert not job.target.table_exists(upsert_log_table("t"))
+
+    # mutate: update 5, delete 3, insert 2
+    rows2 = [
+        (i, ("U" + str(i)) if i < 5 else f"v{i}", 200 if i < 5 else 100)
+        for i in range(200)
+        if i not in (50, 51, 52)
+    ] + [(500, "new", 200), (501, "new", 200)]
+    src_db.overwrite(
+        "t",
+        spark.createDataFrame(rows2, "id long, payload string, xmin long"),
+    )
+    job2, r2 = run_pass()
+    assert r2.updated_rows == 7 and r2.deleted_rows == 3
+    assert r2.full_copies == []
+    assert job2.target.table_exists(upsert_log_table("t"))
+    merged = read_merged(job2.target, "t", ["id"])
+    assert _rows(merged) == set(rows2)
+
+    # third pass with a tight log cap: no source change, the pass
+    # auto-compacts — base == live source, log gone
+    cfg.merge_on_read_max_log = 0.001
+    job3, r3 = run_pass()
+    assert r3.updated_rows == 0 and r3.deleted_rows == 0
+    assert not job3.target.table_exists(upsert_log_table("t"))
+    assert _rows(job3.target.read("t")) == set(rows2)
+
+
+def test_mor_job_mode_update_then_delete_same_pass(spark, tmp_path):
+    """A key updated at the watermark and deleted within the same
+    poll interval dies immediately: the tombstone (watermark+1)
+    outranks the pass's own upsert."""
+    from sslr_spark.config import Config
+    from sslr_spark.job import Job, JobResult
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.throttle import Throttle
+
+    src_db = ParquetDatabase(spark, str(tmp_path / "src"))
+    src_db.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}", 100) for i in range(20)],
+            "id long, payload string, xmin long",
+        ),
+    )
+    cfg = Config(
+        source=str(tmp_path / "src"),
+        target=str(tmp_path / "tgt"),
+        source_tables=["t"],
+        primary_keys={"t": ["id"]},
+        target_buckets=0,
+        merge_on_read=True,
+        merge_on_read_max_log=10.0,
+    )
+
+    def run_pass():
+        job = Job(spark, cfg)
+        job.validate_tables()
+        r = JobResult()
+        job.update_table("t", r, Throttle(100))
+        return job, r
+
+    run_pass()  # initial copy
+    # id 0 updated at the NEW watermark (200)... and id 1 deleted;
+    # id 0 ALSO deleted — its upsert lands at 200, the tombstone at
+    # 201, so the delete wins in the same pass
+    src_db.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}", 100) for i in range(2, 20)],
+            "id long, payload string, xmin long",
+        ),
+    )
+    # note: id 0's update is invisible (the row is gone from the
+    # source), so the slice is empty and both 0 and 1 are tombstoned
+    job2, r2 = run_pass()
+    assert r2.deleted_rows == 2
+    got = {r.id for r in read_merged(job2.target, "t", ["id"]).collect()}
+    assert got == set(range(2, 20))
+
+
 def test_mor_read_broadcasts_log_and_never_shuffles_base(
     spark, tmp_path
 ):
