@@ -408,23 +408,38 @@ class Job:
                 if self.config.sync_deletes and self.target.table_exists(
                     table
                 ):
-                    from sslr_spark.operators.deletes import (
-                        choose_bucket_count,
-                    )
+                    if self.config.merge_on_read:
+                        # MOR plans report pending tombstones against
+                        # the OVERLAY view (the base alone would call
+                        # log-only inserts "deletes")
+                        from sslr_spark.operators.updates import (
+                            read_merged,
+                        )
 
-                    n_buckets = effective_buckets(
-                        self.target, table,
-                        self.config.target_buckets or None,
-                    ) or choose_bucket_count(
-                        fsrc.count(), self.config.min_delete_chunk_size
-                    )
-                    entry["mismatched_buckets"] = mismatched_buckets(
-                        fsrc.select(pks),
-                        self.target.read(table).select(pks),
-                        pks,
-                        n_buckets,
-                        self.config.bucket_hash,
-                    ).count()
+                        entry["pending_tombstones"] = (
+                            read_merged(self.target, table, pks, vcol)
+                            .select(*pks)
+                            .join(fsrc.select(*pks), pks, "left_anti")
+                            .count()
+                        )
+                    else:
+                        from sslr_spark.operators.deletes import (
+                            choose_bucket_count,
+                        )
+
+                        n_buckets = effective_buckets(
+                            self.target, table,
+                            self.config.target_buckets or None,
+                        ) or choose_bucket_count(
+                            fsrc.count(), self.config.min_delete_chunk_size
+                        )
+                        entry["mismatched_buckets"] = mismatched_buckets(
+                            fsrc.select(pks),
+                            self.target.read(table).select(pks),
+                            pks,
+                            n_buckets,
+                            self.config.bucket_hash,
+                        ).count()
             out[table] = entry
         return out
 

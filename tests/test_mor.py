@@ -279,6 +279,54 @@ def test_mor_job_mode_update_then_delete_same_pass(spark, tmp_path):
     assert got == set(range(2, 20))
 
 
+def test_mor_plan_reports_pending_tombstones(spark, tmp_path):
+    """Dry-run plan in MOR mode counts deletions against the OVERLAY
+    view — the base alone would misreport log-only inserts as
+    pending deletes."""
+    from sslr_spark.config import Config
+    from sslr_spark.job import Job, JobResult
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.throttle import Throttle
+
+    src_db = ParquetDatabase(spark, str(tmp_path / "src"))
+    src_db.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}", 100) for i in range(30)],
+            "id long, payload string, xmin long",
+        ),
+    )
+    cfg = Config(
+        source=str(tmp_path / "src"),
+        target=str(tmp_path / "tgt"),
+        source_tables=["t"],
+        primary_keys={"t": ["id"]},
+        target_buckets=0,
+        merge_on_read=True,
+        merge_on_read_max_log=10.0,
+    )
+    job = Job(spark, cfg)
+    job.validate_tables()
+    r = JobResult()
+    job.update_table("t", r, Throttle(100))
+    # insert 2 (will live only in the log) and delete 3 in the source
+    src_db.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(i, f"v{i}", 100) for i in range(3, 30)]
+            + [(900, "n", 200), (901, "n", 200)],
+            "id long, payload string, xmin long",
+        ),
+    )
+    job2 = Job(spark, cfg)
+    job2.validate_tables()
+    job2.update_table("t", JobResult(), Throttle(100))
+    plan = Job(spark, cfg).plan()["t"]
+    # log-only inserts (900, 901) must NOT appear as tombstones
+    assert plan["pending_tombstones"] == 0
+    assert "mismatched_buckets" not in plan
+
+
 def test_mor_read_broadcasts_log_and_never_shuffles_base(
     spark, tmp_path
 ):
