@@ -324,6 +324,30 @@ def main() -> None:
             dedup_mode="fast",
         ).count()
 
+    # merge-on-read at K x: the append+overlay cost must track the
+    # BATCH (fixed 1% of base here) plus one base scan for the read —
+    # never the bucket-rewrite amplification the CoW merge pays
+    # (incr_update_scattered above IS that comparison at the same K)
+    from sslr_spark.operators.updates import (
+        append_upsert_log,
+        read_merged,
+        upsert_log_table,
+    )
+
+    mor_db = ParquetDatabase(spark, os.path.join(TMP, "mor"))
+    li_mor = scaled.select(*pk).withColumn("xmin", F.lit(100).cast("long"))
+    mor_db.overwrite("lineitem", li_mor)
+    upd_mor = li_mor.filter(F.col("l_orderkey") % 100 == 0).withColumn(
+        "xmin", F.lit(200).cast("long")
+    )
+    with timed("mor_append_read"):
+        append_upsert_log(mor_db, "lineitem", upd_mor, pk)
+        read_merged(mor_db, "lineitem", pk).count()
+    with timed("mor_compact"):
+        from sslr_spark.operators.updates import compact_upsert_log
+
+        compact_upsert_log(mor_db, "lineitem", pk)
+
     from sslr_spark.streaming.pipeline import stream_sessionize
     from sslr_spark.queries import read_events
 
