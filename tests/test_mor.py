@@ -279,6 +279,56 @@ def test_mor_job_mode_update_then_delete_same_pass(spark, tmp_path):
     assert got == set(range(2, 20))
 
 
+def test_mor_mode_rejects_strip_version_and_in_place(spark, tmp_path):
+    """The mode needs the version column in the payload and a
+    lake-style target — both misuses fail loudly up front."""
+    from sslr_spark.operators.updates import sync_updates
+    from sslr_spark.state import StateStore
+
+    db = _db(spark, tmp_path)
+    db.overwrite("t", _base(spark))
+    store = StateStore(db)
+    src = _base(spark)
+    with pytest.raises(ValueError, match="strip_version"):
+        sync_updates(
+            src, db, store, "t", ["id"], strip_version=True,
+            merge_on_read=True,
+        )
+
+    class InPlace(ParquetDatabase):
+        def apply_upsert(self, *a, **k):  # pragma: no cover - marker
+            raise AssertionError
+
+    ip = InPlace(spark, str(tmp_path / "ip"))
+    with pytest.raises(ValueError, match="in-place"):
+        sync_updates(src, ip, store, "t", ["id"], merge_on_read=True)
+
+
+def test_mor_full_copy_drops_stale_log(spark, tmp_path):
+    """A forced full copy must drop the log FIRST: a stale log
+    overlaying a fresher base would serve stale rows."""
+    from sslr_spark.operators.updates import sync_updates
+    from sslr_spark.state import StateStore, TableState
+
+    db = _db(spark, tmp_path)
+    db.overwrite("t", _base(spark))
+    append_upsert_log(
+        db, "t",
+        spark.createDataFrame(
+            [(0, "stale", 90)], "id long, payload string, xmin long"
+        ),
+        ["id"],
+    )
+    store = StateStore(db)
+    store.set(TableState("t", 50, ""))
+    sync_updates(
+        _base(spark), db, store, "t", ["id"], force_full=True,
+        merge_on_read=True,
+    )
+    assert not db.table_exists(upsert_log_table("t"))
+    assert _rows(read_merged(db, "t", ["id"])) == _rows(_base(spark))
+
+
 def test_mor_plan_reports_pending_tombstones(spark, tmp_path):
     """Dry-run plan in MOR mode counts deletions against the OVERLAY
     view — the base alone would misreport log-only inserts as
