@@ -56,81 +56,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #     hash-checked CORRECTNESS row as early as possible.
 #   TAIL — keys safe to fall outside the window: hash-verified green in
 #     recent rounds with unchanged code (freshest evidence last).
-# As of r7 every registered key is oracle-backed — the former rows-only
-# catalog stubs (s5/s7) are hash-checked via engine-agnostic projections.
-# r8 rotation: head = 5 new keys + 14 code-changed keys + the 28 keys
-# whose latest evidence is r05 + 3 oldest-r06 keys (= 50, the window);
-# after r08 no key's latest green row is older than r06.
+# Every registered key is oracle-backed. r9 rotation: head = 4 new keys
+# (the MOR tombstone-tie / delete-repair / wide-PK overlay keys and the
+# integer-exact cosine range search) + 8 code-changed keys (updates.py
+# gained the broadcast byte gate, the copy-pending marker, the
+# tombstone-tie ordering and the bytes compaction trigger — s2/a1/t3/
+# j2/d2/x_mor_upsert_read route through it; sampling.py gained the
+# null-key guard — sample_weighted; job.py's delete phase gained MOR
+# repair parity — t6 routes through the job loop) + the 38 keys whose
+# latest evidence is r06 (exactly the VERDICT r8 item-3 list). After
+# r09 no key's latest green row is older than r07.
 _HEAD_KEYS = [
-    # NEW this round (r8): the order-free batch sessionizer twin, the
-    # optional-codec JPEG pixel decode gate, the deterministic
-    # weighted bottom-k sampler, and incremental semantic dedup:
-    "x_sessionize_batch",
+    # NEW this round (r9):
+    "x_mor_tombstone_tie",
+    "x_mor_delete_repair",
+    "x_mor_wide_pk_read",
+    "sim_range_search",
+    # code changed THIS round (r9):
     "x_mor_upsert_read",
-    "mm_decode_pixels_jpeg",
-    "sample_weighted",
-    "dedup_incremental_semantic",
-    # code changed THIS round (r8): stream_sessionize gained the
-    # watermark-clamped timeout + late-drop metric; parse_mp4 learned
-    # 64-bit/size-0 boxes (mp4/frame-plan/decode keys route through
-    # it); pq_topk_from_codes was re-planned (narrow ranking scan +
-    # broadcast winner fetch — sim_topk_pq consumes it, ivfpq shares
-    # helpers that gained id validation); curate_documents switched
-    # the near-dup cache to releasable persist; updates.py grew the
-    # pushed-probe parameter (s2/a1/t3/j2 exercise that code path):
-    "x_stream_sessionize",
-    "mm_decode_mp4",
-    "mm_frame_plan",
-    "mm_decode_real",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
-    "sim_topk_ivfpq_residual",
-    "x_embedding_pipeline",
-    "x_curation_pipeline",
-    "x_curation_pipeline_neardup",
+    "j2_upsert_merge",
     "s2_incremental_scan",
     "a1_watermark_probe",
     "t3_staleness_check",
-    "j2_upsert_merge",
-    # the 28 keys whose latest driver evidence is r05 (VERDICT r7
-    # item 2: evidence must never age past two rounds; all re-verified
-    # locally, unchanged code):
-    "dedup_semantic",
-    "dedup_incremental_minhash",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "x_cumulative_window",
-    "mix_allocation",
-    "text_topk_ngrams",
-    "text_length_stats",
-    "text_chunk",
-    "pack_token_budget",
-    "filter_funnel",
-    "text_pii_scrub",
-    "x_window_suite",
-    "x_cube",
-    "x_distinct_stats",
-    "x_heavy_hitters",
-    "x_correlated_subquery",
-    "x_grouping_sets",
-    "x_quantile_stats",
-    "x_range_join",
-    "x_retention",
-    "dedup_keep_best",
-    "x_source_overlap",
-    "text_langid_eval",
-    "sample_leakage_safe",
-    "text_quality_score",
-    "x_anomaly_zscore",
-    "sample_mix_execute",
-    # oldest r06 evidence, filling the window to exactly 50:
-    "text_quality_gate",
-    "x_stream_dedup",
-    "sample_shuffle_order",
-]
-_TAIL_KEYS = [
-    # remaining r06-green keys (unchanged code) — first in line for
-    # the r09 head:
+    "d2_range_delete",
+    "sample_weighted",
+    "t6_event_window_agg",
+    # the 38 keys whose latest driver evidence is r06 (unchanged
+    # code; re-verified locally via tools/verify_oracle.py):
     "sample_shard_diff",
     "text_bpe_pairs",
     "dedup_minhash_calibration",
@@ -169,8 +121,9 @@ _TAIL_KEYS = [
     "j3_range_repair",
     "j4_hash_diff",
     "d1_delete_by_keyset",
-    # r07-green with unchanged code (freshest evidence — the safest
-    # keys to leave outside the window):
+]
+_TAIL_KEYS = [
+    # r07-green with unchanged code — first in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",
     "mm_resample_audio",
@@ -178,8 +131,6 @@ _TAIL_KEYS = [
     "s5_catalog_schema",
     "s7_object_exists",
     "mm_resize",
-    "d2_range_delete",
-    "t6_event_window_agg",
     "x_asof_join",
     "x_json_extract",
     "text_token_count",
@@ -213,6 +164,51 @@ _TAIL_KEYS = [
     "x_stream_interval_join",
     "dedup_incremental_spans",
     "dedup_ngram_coverage",
+    # r08-green (freshest evidence — safest outside the window):
+    "x_sessionize_batch",
+    "mm_decode_pixels_jpeg",
+    "dedup_incremental_semantic",
+    "x_stream_sessionize",
+    "mm_decode_mp4",
+    "mm_frame_plan",
+    "mm_decode_real",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sim_topk_ivfpq_residual",
+    "x_embedding_pipeline",
+    "x_curation_pipeline",
+    "x_curation_pipeline_neardup",
+    "dedup_semantic",
+    "dedup_incremental_minhash",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "x_cumulative_window",
+    "mix_allocation",
+    "text_topk_ngrams",
+    "text_length_stats",
+    "text_chunk",
+    "pack_token_budget",
+    "filter_funnel",
+    "text_pii_scrub",
+    "x_window_suite",
+    "x_cube",
+    "x_distinct_stats",
+    "x_heavy_hitters",
+    "x_correlated_subquery",
+    "x_grouping_sets",
+    "x_quantile_stats",
+    "x_range_join",
+    "x_retention",
+    "dedup_keep_best",
+    "x_source_overlap",
+    "text_langid_eval",
+    "sample_leakage_safe",
+    "text_quality_score",
+    "x_anomaly_zscore",
+    "sample_mix_execute",
+    "text_quality_gate",
+    "x_stream_dedup",
+    "sample_shuffle_order",
 ]
 
 

@@ -749,3 +749,29 @@ if __name__ == "__main__":
         except OSError:
             pass
     print(json.dumps(result))
+    if only is None:
+        # The driver captures only the LAST ~2000 bytes of stdout and
+        # parses the final line — the full record above is ~4 KB, so
+        # its own line gets front-truncated (BENCH_r07/r08 recorded
+        # "parsed": null). Emit a compact contract-shaped record
+        # ({metric,value,unit,queries,sf}, min-of-reps per section)
+        # as the FINAL line, shrinking precision if it ever nears the
+        # capture window. --only runs keep the full record last:
+        # _clean_rerun parses ["min"] from that line.
+        for ndigits in (3, 2, 1):
+            compact = json.dumps(
+                {
+                    "metric": result["metric"],
+                    "value": round(result["value"], ndigits),
+                    "unit": "sec",
+                    "queries": {
+                        k: round(v, ndigits)
+                        for k, v in result["min"].items()
+                    },
+                    "sf": result["sf"],
+                },
+                separators=(",", ":"),
+            )
+            if len(compact) <= 1800:
+                break
+        print(compact, flush=True)

@@ -121,8 +121,11 @@ def main(argv: list[str] | None = None) -> int:
                             "updated_rows": result.updated_rows,
                             "repaired_buckets": result.repaired_buckets,
                             "compacted_partitions": result.compacted_partitions,
+                            "deleted_rows": result.deleted_rows,
+                            "repaired_rows": result.repaired_rows,
                             "full_copies": result.full_copies,
                             "validated": result.validated,
+                            "mor_log": result.mor_log,
                         },
                         fh,
                     )

@@ -87,6 +87,11 @@ class Config:
     # of the base. Requires the version column in the target payload.
     merge_on_read: bool = False
     merge_on_read_max_log: float = 0.1
+    # absolute byte cap on the upsert log (None = off): wide-row logs
+    # compact when their on-disk size crosses this even while the row
+    # FRACTION stays under mergeOnReadMaxLog — overlay read cost
+    # follows bytes, not row ratio (mergeOnReadMaxLogBytes)
+    merge_on_read_max_log_bytes: int | None = None
 
     def all_tables(self) -> list[str]:
         return list(self.source_tables) + list(self.filtered_source_tables)
@@ -335,6 +340,11 @@ def load_config(path_or_text: str) -> Config:
         compact_files_per_bucket=int(raw.get("compactFilesPerBucket", 0)),
         merge_on_read=bool(raw.get("mergeOnRead", False)),
         merge_on_read_max_log=float(raw.get("mergeOnReadMaxLog", 0.1)),
+        merge_on_read_max_log_bytes=(
+            int(raw["mergeOnReadMaxLogBytes"])
+            if raw.get("mergeOnReadMaxLogBytes") is not None
+            else None
+        ),
     )
     cfg.validate()
     return cfg

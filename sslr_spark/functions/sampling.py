@@ -206,7 +206,18 @@ def weighted_sample(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     w = F.col(weight_col).cast("long")
-    safe_key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
+    # a NULL key is always a caller bug for a keyed sampler — all
+    # null-key rows would share one ticket stream and collapse into
+    # a single candidate (silently discarding rows), and Spark/DuckDB
+    # disagree on null ordering in the tie-break — so it gets the
+    # same raise_error treatment as a bad weight
+    safe_key = F.when(
+        F.col(key_col).isNotNull(), F.col(key_col).cast("string")
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"weighted_sample: key column {key_col!r} is NULL")
+        )
+    )
     ticket = h60(
         F.concat_ws(
             ":", F.lit(seed), safe_key, F.col("__ticket").cast("string")

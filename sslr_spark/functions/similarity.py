@@ -596,6 +596,81 @@ def topk_quantized(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def range_search_quantized(
+    df: DataFrame,
+    query_vec_id: int,
+    threshold_num: int,
+    threshold_den: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 127.0,
+) -> DataFrame:
+    """RANGE search (FAISS ``range_search`` counterpart to the top-k
+    family): ALL corpus vectors within a cosine radius of the query,
+    not a fixed-k cut — the dedup/recall workloads ("every document
+    at least this similar") where k is unknowable upfront.
+
+    The radius test is INTEGER-EXACT end to end: with int8-quantized
+    vectors and a rational threshold t = num/den,
+
+        cos >= t  <=>  dot > 0  AND  dot^2 * den^2 >= num^2 * |c|^2 * |q|^2
+
+    — every term a 64-bit integer (dot <= 127^2*dim, squared stays
+    under 2^63 through dim ~1k), so the cut is bit-identical in any
+    engine; no float enters the predicate. Returned ``dot`` is the
+    integer dot product (descending = cosine order only up to norm —
+    callers wanting scores divide themselves).
+
+    Scale shape: one corpus scan against a broadcast 1-row query,
+    selection entirely in whole-stage codegen, no shuffle until the
+    final (bounded-by-selectivity) sort. Compose with IVF cell
+    pruning exactly like topk_ivf for the indexed path."""
+    if threshold_den <= 0 or threshold_num < 0:
+        raise ValueError(
+            f"threshold must be a non-negative rational, got "
+            f"{threshold_num}/{threshold_den}"
+        )
+    qrows = (
+        df.filter(F.col(id_col) == query_vec_id)
+        .select(quantize_int8(vec_col, scale).alias("__q"))
+        .take(1)
+    )
+    if not qrows:
+        raise ValueError(f"query vector {id_col}={query_vec_id} not found")
+    qd = df.sparkSession.createDataFrame(qrows, "__q array<bigint>")
+    cv = quantize_int8(vec_col, scale)
+    dot = F.aggregate(
+        F.zip_with(cv, F.col("__q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    num2 = int(threshold_num) * int(threshold_num)
+    den2 = int(threshold_den) * int(threshold_den)
+    return (
+        df.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            id_col,
+            dot.alias("dot"),
+            (sq(cv) * sq(F.col("__q"))).alias("__nn2"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(den2)
+                >= F.lit(num2) * F.col("__nn2")
+            )
+        )
+        .drop("__nn2")
+        .orderBy(F.col("dot").desc(), F.col(id_col))
+    )
+
+
 def topk_bruteforce_arrow(
     df: DataFrame,
     query_vec_id: int,

@@ -44,8 +44,13 @@ class JobResult:
     repaired_buckets: int = 0
     compacted_partitions: int = 0
     deleted_rows: int = 0  # merge-on-read tombstones appended
+    repaired_rows: int = 0  # merge-on-read repair rows appended
     full_copies: list[str] = field(default_factory=list)
     validated: list[str] = field(default_factory=list)
+    # merge-on-read log health per table (rows/bytes/pending
+    # tombstones/last compaction) — overlay debt operators can watch
+    # before the read path starts paying for it
+    mor_log: dict = field(default_factory=dict)
 
 
 class Job:
@@ -246,6 +251,7 @@ class Job:
             probe=self._watermark_probe(table, src, where),
             merge_on_read=self.config.merge_on_read,
             max_log_fraction=self.config.merge_on_read_max_log,
+            max_log_bytes=self.config.merge_on_read_max_log_bytes,
         )
         result.updated_rows += rows
         versionless = self.config.version_column not in src.columns
@@ -275,6 +281,8 @@ class Job:
         watermark/state commits — a crash mid-compaction loses no sync
         progress, only maintenance (the next pass redoes it)."""
         cap = self.config.compact_files_per_bucket
+        if self.config.merge_on_read:
+            result.mor_log[table] = self._mor_log_health(table)
         if cap <= 0 or not hasattr(self.target, "compact_partitions"):
             return
         stats = self.target.compact_partitions(
@@ -283,6 +291,41 @@ class Job:
             sort_cols=self.primary_keys.get(table),
         )
         result.compacted_partitions += stats["compacted"]
+
+    def _mor_log_health(self, table: str) -> dict:
+        """Merge-on-read overlay debt, surfaced per pass: log
+        rows/bytes come straight from parquet footers/file sizes
+        (zero Spark jobs), the last-compaction record from the table
+        sidecar, and the pending-tombstone count from one pruned scan
+        of the LOG only — bounded by the compaction invariant, never
+        the base."""
+        from sslr_spark.operators.updates import (
+            TOMBSTONE_COL,
+            upsert_log_table,
+        )
+
+        log_t = upsert_log_table(table)
+        out = {
+            "log_rows": 0,
+            "log_bytes": 0,
+            "pending_tombstones": 0,
+            "last_compaction": None,
+        }
+        tgt = self.target
+        if hasattr(tgt, "read_table_meta"):
+            out["last_compaction"] = tgt.read_table_meta(table, "compaction")
+        if not tgt.table_exists(log_t):
+            return out
+        if hasattr(tgt, "table_rows"):
+            out["log_rows"] = tgt.table_rows(log_t) or 0
+        if hasattr(tgt, "table_bytes"):
+            out["log_bytes"] = tgt.table_bytes(log_t)
+        out["pending_tombstones"] = (
+            tgt.read(log_t, with_meta=True)
+            .filter(F.col(TOMBSTONE_COL))
+            .count()
+        )
+        return out
 
     def _sync_deletes_phase(
         self, table, src, pks, where, n_buckets, result, throttle
@@ -326,17 +369,35 @@ class Job:
     def _sync_deletes_mor(
         self, table, src, pks, where, result, throttle
     ) -> None:
-        """Delete detection in merge-on-read mode: keys present in the
-        OVERLAY view but absent from the source become tombstone log
-        rows — no bucket fingerprints, no partition rewrites; cost is
-        two key-only column-pruned scans and one anti-join. The
-        tombstone's version is watermark+1: it must outrank the same
-        pass's upserts at the watermark (a row updated then deleted
-        within one poll interval dies immediately), while a genuine
-        later upsert at a version > watermark resurrects the key."""
+        """Key-set reconciliation in merge-on-read mode — the T4
+        bucket-diff's job, done entirely with LOG APPENDS so MOR mode
+        never reintroduces copy-on-write amplification:
+
+        - keys present in the OVERLAY view but absent from the source
+          become tombstone log rows (silent removals);
+        - source rows whose keys are absent from the overlay are
+          appended as upsert log rows verbatim (silent target loss —
+          the CoW path repairs these by rewriting the whole bucket).
+
+        No bucket fingerprints and no partition rewrites; cost is two
+        key-only column-pruned scans and two anti-joins. The CoW diff
+        buckets exist to LOCALIZE rewrites — with appends there is
+        nothing to localize, so the direct anti-join is the right
+        shape. The tombstone's version is watermark+1: it must
+        outrank the same pass's upserts at the watermark (a row
+        updated then deleted within one poll interval dies
+        immediately), while a genuine later upsert resurrects the key
+        — at a version > watermark, or AT watermark+1, where the
+        equal-version tie deliberately breaks for the upsert
+        (dedup_latest_version). Repair rows keep their source
+        versions: with a version-monotone source (Postgres xmin — any
+        UPDATE or re-INSERT allocates a new transaction id) a
+        re-appearing row's version is always >= any tombstone ever
+        written for the key, so the verbatim append wins the overlay."""
         from sslr_spark.operators.copy import filtered_source
         from sslr_spark.operators.updates import (
             append_delete_log,
+            append_upsert_log,
             read_merged,
         )
 
@@ -344,11 +405,13 @@ class Job:
             return
         vcol = self.config.version_column
         with throttle:
-            merged_keys = read_merged(self.target, table, pks, vcol).select(
-                *pks
-            )
-            src_keys = filtered_source(src, where).select(*pks)
-            gone = merged_keys.join(src_keys, pks, "left_anti").persist()
+            merged = read_merged(self.target, table, pks, vcol)
+            merged_keys = merged.select(*pks)
+            src_f = filtered_source(src, where)
+            gone = merged_keys.join(
+                src_f.select(*pks), pks, "left_anti"
+            ).persist()
+            missing = src_f.join(merged_keys, pks, "left_anti").persist()
             try:
                 n = gone.count()
                 if n:
@@ -358,8 +421,15 @@ class Job:
                         version_col=vcol,
                     )
                     result.deleted_rows += n
+                m = missing.count()
+                if m:
+                    append_upsert_log(
+                        self.target, table, missing, pks, vcol
+                    )
+                    result.repaired_rows += m
             finally:
                 gone.unpersist()
+                missing.unpersist()
 
     def plan(self) -> dict:
         """Dry run: per-table sync analysis with ZERO writes and ZERO
@@ -474,7 +544,10 @@ class Job:
                 result.updated_rows += local.updated_rows
                 result.repaired_buckets += local.repaired_buckets
                 result.compacted_partitions += local.compacted_partitions
+                result.deleted_rows += local.deleted_rows
+                result.repaired_rows += local.repaired_rows
                 result.full_copies.extend(local.full_copies)
+                result.mor_log.update(local.mor_log)
 
         with concurrent.futures.ThreadPoolExecutor(max_workers=n_par) as ex:
             futures = [ex.submit(run_one, t) for t in result.validated]

@@ -187,7 +187,16 @@ def copy_full_table(
     path's A1 probe does) turns on in-flight tier-cadence progress
     logging via :class:`CopyProgressReporter`.
     """
-    obs = Observation(f"copy_{table}")
+    # the observation name is UNIQUE per invocation: Spark keeps the
+    # listener of a registered-but-never-executed observation forever,
+    # and a later same-name observation's get() then blocks
+    # indefinitely — which would hang a continuous-mode pass retrying
+    # a copy whose write died before executing (adapter validation
+    # errors, staged-rename failures). Reproduced in
+    # tests/test_round9_fixes.py (interrupted MOR full copy).
+    import uuid
+
+    obs = Observation(f"copy_{table}_{uuid.uuid4().hex[:8]}")
     df = filtered_source(source_df, where, drop_version=drop_version).observe(
         obs, F.count(F.lit(1)).alias("rows")
     )

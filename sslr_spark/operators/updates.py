@@ -139,6 +139,19 @@ def get_update_range(
 
     if force_full or state.last_seen_version == 0 or not target.table_exists(table):
         return UpdateRange(True, 0, end_version, source_rows=source_count)
+    if getattr(target, "copy_pending", None) and target.copy_pending(table):
+        # A previous MOR full copy dropped the upsert log and then
+        # died before the overwrite swap landed. The log rows are
+        # gone, so incremental catch-up from the old watermark would
+        # silently skip them — the copy-pending marker forces full
+        # copy until a swap succeeds (the swap replaces the table dir,
+        # which clears the marker atomically with the data commit).
+        logging.getLogger("sslr_spark").warning(
+            "table %r has a pending interrupted full copy — forcing "
+            "full copy to recover the dropped upsert log",
+            table,
+        )
+        return UpdateRange(True, 0, end_version, source_rows=source_count)
 
     # metadata-only when the adapter can answer from file footers
     # (parquet: exact, zero Spark jobs); count job otherwise
@@ -171,12 +184,24 @@ def dedup_latest_version(
     the slice can be huge on a catch-up run). Version ties break
     deterministically on the ORDERABLE payload columns; non-orderable
     payload types (maps) ride along in the max_by value without ever
-    being compared, so they don't regress vs the old window form."""
+    being compared, so they don't regress vs the old window form.
+
+    When the MOR tombstone marker rides in the payload, an equal-
+    version tie breaks in favor of the UPSERT (NOT-tombstone sorts
+    right after the version): synthesized tombstone versions (delete
+    phase: watermark+1) can collide with a genuine next-pass upsert —
+    with Postgres xmin the next transaction id is often exactly
+    watermark+1 — and a tombstone must never silently eat a
+    legitimate re-insert at the same version."""
     payload = [c for c in updates.columns if c not in pk_cols]
     rest = [c for c in payload if c != version_col]
     dtypes = dict(updates.dtypes)
     orderable = [c for c in rest if not dtypes[c].startswith("map<")]
-    key = F.struct(F.col(version_col), *[F.col(c) for c in orderable])
+    head = [F.col(version_col)]
+    if TOMBSTONE_COL in orderable:
+        orderable.remove(TOMBSTONE_COL)
+        head.append((~F.col(TOMBSTONE_COL)).cast("int"))
+    key = F.struct(*head, *[F.col(c) for c in orderable])
     packed = F.max_by(
         F.struct(*[F.col(c) for c in [version_col, *rest]]), key
     ).alias("__m")
@@ -389,6 +414,7 @@ def sync_updates(
     probe=None,
     merge_on_read: bool = False,
     max_log_fraction: float = 0.1,
+    max_log_bytes: int | None = None,
 ) -> int:
     """Run the update phase for one table; returns rows written.
 
@@ -460,7 +486,17 @@ def sync_updates(
 
     if rng.full_table:
         if merge_on_read and target.table_exists(upsert_log_table(table)):
-            # see the merge_on_read docstring note on drop-then-copy
+            # Drop-then-copy: a stale log overlaying a fresher base
+            # would serve stale rows, so the log goes first. The
+            # marker closes the crash window between the drop and
+            # the overwrite swap: with the log gone but the old base
+            # still committed, incremental catch-up from the old
+            # watermark would skip the dropped log's rows — the
+            # marker forces the NEXT pass to full-copy too (the swap
+            # replaces the table directory, clearing the marker
+            # atomically with the data commit).
+            if hasattr(target, "set_copy_pending"):
+                target.set_copy_pending(table)
             target.drop(upsert_log_table(table))
         if n_buckets:
             from sslr_spark.operators.copy import filtered_source as _fs
@@ -579,7 +615,7 @@ def sync_updates(
         new_mark = max(state.last_seen_version, rng.end_version)
         state_store.set(TableState(table, new_mark, where or ""))
     if merge_on_read and should_compact_upsert_log(
-        target, table, max_log_fraction
+        target, table, max_log_fraction, max_log_bytes=max_log_bytes
     ):
         # maintenance after the state commits: a crash mid-compaction
         # loses no sync progress (same placement as file compaction)
@@ -675,16 +711,29 @@ def read_merged(
     table: str,
     pk_cols: list[str],
     version_col: str = "xmin",
+    broadcast_key_bytes: int = 64 << 20,
 ) -> DataFrame:
     """MOR read path: base overlaid with the upsert/delete log,
     latest-version-wins per key, tombstone winners dropped. Scale
     shape: the LOG (small by the compaction invariant) is collapsed
-    to latest-per-key and its key set BROADCAST for an anti-join
-    against the base — the base is never shuffled and never sorted;
-    cost = one scan + a broadcast probe. A log key's row always
-    supersedes the base row (equal versions included), which is what
-    makes crash-replayed compactions idempotent. With no log the
-    base returns as-is.
+    to latest-per-key and its key set probes the base with an
+    anti-join — the base is never shuffled and never sorted. A log
+    key's row always supersedes the base row (equal versions
+    included), which is what makes crash-replayed compactions
+    idempotent (within the log, an upsert beats a tombstone at an
+    equal version — see dedup_latest_version). With no log the base
+    returns as-is.
+
+    Broadcast gate: the anti-join's broadcast is FORCED only when the
+    log's estimated key bytes (footer row count x a bounded-sample
+    key width, same gate as merge_upsert_partitioned) fit under
+    ``broadcast_key_bytes``. The compaction invariant bounds log ROWS
+    at a fraction of the base — at 100 TB that is billions of keys,
+    far past driver capacity, and a forced hint would disable Spark's
+    own size check. Above the gate the anti-join is left plain and
+    AQE picks the strategy (shuffled anti-join at worst); such a log
+    is also past every compaction trigger, so the expensive read is
+    transient by construction.
 
     Invariant (the Hudi-MOR contract): appended batches are never
     OLDER than a version already folded into the base — CDC versions
@@ -704,8 +753,25 @@ def read_merged(
         pk_cols,
         version_col,
     )
+    keys = log.select(*pk_cols)
+    # pre-collapse footer count is an upper bound on distinct keys —
+    # zero Spark jobs; the width sample (bounded collect of 100 keys)
+    # only runs when the 16-byte-minimum lower bound already fits
+    log_rows = (
+        target.table_rows(log_t) if hasattr(target, "table_rows") else None
+    )
+    force_broadcast = False
+    if log_rows is not None and log_rows * 16 <= broadcast_key_bytes:
+        sample = keys.limit(100).collect()
+        row_bytes = max(  # conservative: max sampled width
+            (sum(len(str(v)) for v in r) + 16 for r in sample),
+            default=16,
+        )
+        force_broadcast = log_rows * row_bytes <= broadcast_key_bytes
     keep = base.join(
-        F.broadcast(log.select(*pk_cols)), pk_cols, "left_anti"
+        F.broadcast(keys) if force_broadcast else keys,
+        pk_cols,
+        "left_anti",
     )
     survivors = log.filter(~F.col(TOMBSTONE_COL)).drop(TOMBSTONE_COL)
     return keep.unionByName(survivors)
@@ -715,13 +781,25 @@ def should_compact_upsert_log(
     target: ParquetDatabase,
     table: str,
     max_log_fraction: float = 0.1,
+    max_log_bytes: int | None = None,
 ) -> bool:
     """Compaction trigger: log rows exceed ``max_log_fraction`` of
     the base (both counts answered from parquet footers — zero Spark
-    jobs, same as the T3 staleness probe)."""
+    jobs, same as the T3 staleness probe), OR — when
+    ``max_log_bytes`` is set — the log's on-disk bytes exceed the
+    absolute cap (file sizes, zero jobs). The bytes cap exists for
+    WIDE-row logs: a 1%-of-rows log of 10 KB documents is still
+    gigabytes of overlay state the read path must collapse and probe,
+    so it must compact long before the row fraction binds."""
     log_t = upsert_log_table(table)
     if not target.table_exists(log_t):
         return False
+    if (
+        max_log_bytes is not None
+        and hasattr(target, "table_bytes")
+        and target.table_bytes(log_t) > max_log_bytes
+    ):
+        return True
     log_rows = target.table_rows(log_t)
     base_rows = target.table_rows(table)
     if log_rows is None or base_rows is None:
@@ -763,4 +841,12 @@ def compact_upsert_log(
     else:
         target.overwrite(table, merged)
     target.drop(log_t)
+    if hasattr(target, "write_table_meta"):
+        import time
+
+        target.write_table_meta(
+            table,
+            "compaction",
+            {"folded_rows": int(folded), "at_epoch_s": int(time.time())},
+        )
     return {"folded_rows": folded}

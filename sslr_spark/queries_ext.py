@@ -936,6 +936,214 @@ from lineitem where l_orderkey < 2000
 """
 
 
+def q_x_mor_tombstone_tie(spark, sf_dir):
+    """MOR equal-version tie (round 9, operators/updates.py
+    dedup_latest_version): tombstone every 10th key at version 200,
+    then RE-INSERT every 20th key at the SAME version 200 — the
+    adversarial shape from the r8 advice (key-only replica, no
+    payload besides the version, where the old payload tie-break let
+    the tombstone eat the re-insert). Re-inserts must survive; pure
+    tombstones must not."""
+    import os
+
+    from sslr_spark.operators.updates import (
+        append_delete_log,
+        append_upsert_log,
+        read_merged,
+    )
+    from sslr_spark.queries import LINEITEM_PK
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    work = _fresh_bench_dir("mor_tie")
+    db = ParquetDatabase(spark, os.path.join(work, "db"))
+    base = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(*LINEITEM_PK)
+        .withColumn("xmin", F.lit(100).cast("long"))
+    )
+    db.overwrite("lineitem", base)
+    append_delete_log(
+        db, "lineitem",
+        base.filter(F.col("l_orderkey") % 10 == 0).select(*LINEITEM_PK),
+        LINEITEM_PK, version=200,
+    )
+    append_upsert_log(
+        db, "lineitem",
+        base.filter(F.col("l_orderkey") % 20 == 0).withColumn(
+            "xmin", F.lit(200).cast("long")
+        ),
+        LINEITEM_PK,
+    )
+    return read_merged(db, "lineitem", LINEITEM_PK).filter(
+        F.col("l_orderkey") < 4000
+    )
+
+
+SQL_X_MOR_TOMBSTONE_TIE = """
+select l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       cast(case when l_orderkey % 20 = 0 then 200 else 100 end
+            as bigint) as xmin
+from lineitem
+where l_orderkey < 4000
+  and not (l_orderkey % 10 = 0 and l_orderkey % 20 <> 0)
+"""
+
+
+def q_x_mor_delete_repair(spark, sf_dir):
+    """MOR key-set reconciliation through the JOB's delete phase
+    (round 9, job._sync_deletes_mor): after a full-copy pass, the
+    TARGET base is silently corrupted — every 100th key dropped
+    (silent loss) and a bogus key range injected — and one sync pass
+    must reconcile it entirely with LOG APPENDS (tombstones for the
+    bogus keys, verbatim upsert appends for the lost rows; the base
+    files are never rewritten — asserted in tests/test_round9_fixes).
+    The overlay read then equals the live source."""
+    import os
+
+    from sslr_spark.config import Config
+    from sslr_spark.job import Job, JobResult
+    from sslr_spark.operators.updates import read_merged
+    from sslr_spark.queries import LINEITEM_PK
+    from sslr_spark.sources.parquet import ParquetDatabase
+    from sslr_spark.throttle import Throttle
+
+    work = _fresh_bench_dir("mor_repair")
+    src_db = ParquetDatabase(spark, os.path.join(work, "src"))
+    base = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(*LINEITEM_PK)
+        .filter(F.col("l_orderkey") < 4000)
+        .withColumn("xmin", F.lit(100).cast("long"))
+    )
+    src_db.overwrite("lineitem", base)
+    cfg = Config(
+        source=os.path.join(work, "src"),
+        target=os.path.join(work, "tgt"),
+        source_tables=["lineitem"],
+        primary_keys={"lineitem": list(LINEITEM_PK)},
+        target_buckets=0,
+        merge_on_read=True,
+        merge_on_read_max_log=10.0,  # keep the log visible (no fold)
+    )
+
+    def run_pass():
+        job = Job(spark, cfg)
+        job.validate_tables()
+        job.update_table("lineitem", JobResult(), Throttle(100))
+        return job
+
+    job = run_pass()  # full copy
+    corrupted = (
+        job.target.read("lineitem")
+        .filter(F.col("l_orderkey") % 100 != 0)  # silent loss
+        .unionByName(
+            base.filter(F.col("l_orderkey") < 50).withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(9_000_000)
+            )  # bogus extras
+        )
+    )
+    job.target.overwrite("lineitem", corrupted)
+    job2 = run_pass()  # reconciling pass: appends only
+    return read_merged(job2.target, "lineitem", list(LINEITEM_PK))
+
+
+SQL_X_MOR_DELETE_REPAIR = """
+select l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       cast(100 as bigint) as xmin
+from lineitem where l_orderkey < 4000
+"""
+
+
+def q_x_mor_wide_pk_read(spark, sf_dir):
+    """MOR overlay read over a WIDE composite STRING key (round 9):
+    the broadcast byte gate estimates key bytes as footer rows x a
+    bounded-sample key width (operators/updates.py read_merged) —
+    this key drives that sampling path end-to-end with a ~131-char
+    md5-composite PK (all four lineitem key columns — the pair alone
+    is not unique in the synthetic data) and hash-checks the
+    resolved overlay."""
+    import os
+
+    from sslr_spark.operators.updates import append_upsert_log, read_merged
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    work = _fresh_bench_dir("mor_wide")
+    db = ParquetDatabase(spark, os.path.join(work, "db"))
+    wk = F.concat_ws(
+        ":",
+        F.md5(F.col("l_orderkey").cast("string")),
+        F.md5(F.col("l_linenumber").cast("string")),
+        F.md5(F.col("l_partkey").cast("string")),
+        F.md5(F.col("l_suppkey").cast("string")),
+    )
+    base = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_orderkey") < 4000)
+        .select(
+            wk.alias("wk"),
+            F.col("l_orderkey").alias("ok"),
+            F.lit(100).cast("long").alias("xmin"),
+        )
+    )
+    db.overwrite("t", base)
+    append_upsert_log(
+        db, "t",
+        base.filter(F.col("ok") % 5 == 0).withColumn(
+            "xmin", F.lit(200).cast("long")
+        ),
+        ["wk"],
+    )
+    return read_merged(db, "t", ["wk"])
+
+
+SQL_X_MOR_WIDE_PK_READ = """
+select concat(md5(cast(l_orderkey as varchar)), ':',
+              md5(cast(l_linenumber as varchar)), ':',
+              md5(cast(l_partkey as varchar)), ':',
+              md5(cast(l_suppkey as varchar))) as wk,
+       l_orderkey as ok,
+       cast(case when l_orderkey % 5 = 0 then 200 else 100 end
+            as bigint) as xmin
+from lineitem where l_orderkey < 4000
+"""
+
+
+def q_sim_range_search(spark, sf_dir):
+    """Cosine RANGE search (similarity.range_search_quantized, the
+    FAISS range_search counterpart): every vector within radius
+    cos >= 1/5 of query vec 0, decided by the integer-exact rational
+    predicate dot^2*den^2 >= num^2*|c|^2*|q|^2 over int8-quantized
+    vectors — no float compare, bit-identical cut in any engine."""
+    return S.range_search_quantized(
+        _emb(spark, sf_dir), query_vec_id=0, threshold_num=1,
+        threshold_den=5,
+    )
+
+
+SQL_SIM_RANGE_SEARCH = """
+with q as (
+  select list_transform(embedding, x -> cast(round(x * 127) as bigint)) as qv
+  from embeddings where vec_id = 0
+),
+s as (
+  select vec_id,
+         list_transform(embedding, x -> cast(round(x * 127) as bigint)) as cv
+  from embeddings where vec_id != 0
+),
+d as (
+  select s.vec_id,
+         list_sum(list_transform(generate_series(1, len(cv)),
+                                 i -> cv[i] * qv[i])) as dot,
+         list_sum(list_transform(cv, v -> v * v))
+           * list_sum(list_transform(qv, v -> v * v)) as nn2
+  from s, q
+)
+select vec_id, cast(dot as bigint) as dot from d
+where dot > 0 and dot * dot * 25 >= 1 * nn2
+order by dot desc, vec_id
+"""
+
+
 def q_x_sessionize_batch(spark, sf_dir):
     """BATCH gap-session assignment (streaming/pipeline.py
     sessionize_batch): the replay-safe counterpart of
@@ -3921,6 +4129,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_sessionize": q_x_stream_sessionize,
     "x_sessionize_batch": q_x_sessionize_batch,
     "x_mor_upsert_read": q_x_mor_upsert_read,
+    "x_mor_tombstone_tie": q_x_mor_tombstone_tie,
+    "x_mor_delete_repair": q_x_mor_delete_repair,
+    "x_mor_wide_pk_read": q_x_mor_wide_pk_read,
+    "sim_range_search": q_sim_range_search,
     "x_curation_pipeline": q_x_curation_pipeline,
     "x_curation_pipeline_neardup": q_x_curation_pipeline_neardup,
     "x_embedding_pipeline": q_x_embedding_pipeline,
@@ -4011,6 +4223,10 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_sessionize": SQL_X_STREAM_SESSIONIZE,
     "x_sessionize_batch": SQL_X_SESSIONIZE_BATCH,
     "x_mor_upsert_read": SQL_X_MOR_UPSERT_READ,
+    "x_mor_tombstone_tie": SQL_X_MOR_TOMBSTONE_TIE,
+    "x_mor_delete_repair": SQL_X_MOR_DELETE_REPAIR,
+    "x_mor_wide_pk_read": SQL_X_MOR_WIDE_PK_READ,
+    "sim_range_search": SQL_SIM_RANGE_SEARCH,
     "x_curation_pipeline": SQL_X_CURATION_PIPELINE,
     "x_curation_pipeline_neardup": SQL_X_CURATION_PIPELINE_NEARDUP,
     "x_embedding_pipeline": SQL_X_EMBEDDING_PIPELINE,

@@ -251,7 +251,76 @@ class JdbcDatabase:
         filtered V1 read — that split is the documented fallback.
 
         ``where`` is the user's SQL predicate (P9), inlined verbatim
-        like the read-side filtered views."""
+        like the read-side filtered views — so its FIRST use per
+        (table, where) is cross-checked against the Spark-side
+        aggregate (_crosscheck_probe): parse-compatibility is not
+        evaluation-compatibility."""
+        out = self.agg_probe_raw(table, version_col, where)
+        if where:
+            out = self._crosscheck_probe(table, version_col, where, out)
+        return out
+
+    def _crosscheck_probe(
+        self,
+        table: str,
+        version_col: str,
+        where: str,
+        pushed: tuple[int, int | None],
+    ) -> tuple[int, int | None]:
+        """First-use validation of an inlined ``where`` predicate: a
+        predicate that PARSES in both dialects can still EVALUATE
+        differently (collation order, date/string coercion), and a
+        silently-larger pushed count/max advances the watermark past
+        rows the Spark-side slice scan would select — skipped forever
+        with no signal. So the first probe per (table, where, version
+        column) also runs the Spark-side aggregate over the filtered
+        read and FAILS LOUDLY on divergence instead of trusting
+        parse-compatibility. A concurrent write between the two
+        queries can produce a transient mismatch, so a mismatch is
+        retried once with a fresh pushed probe before raising; a
+        dialect divergence is persistent and survives the retry.
+        Validated combinations are cached per adapter instance —
+        steady-state polling pays nothing."""
+        from pyspark.sql import functions as F
+
+        key = (table, version_col, where)
+        cache = getattr(self, "_probe_checked", None)
+        if cache is None:
+            cache = self._probe_checked = set()
+        if key in cache:
+            return pushed
+        for attempt in (0, 1):
+            df = self.read(table).filter(F.expr(where))
+            srow = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.col(version_col)).alias("hi"),
+            ).first()
+            spark_side = (
+                int(srow[0] or 0),
+                None if srow[1] is None else int(srow[1]),
+            )
+            if spark_side == pushed:
+                cache.add(key)
+                return pushed
+            if attempt == 0:
+                pushed = self.agg_probe_raw(table, version_col, where)
+        raise ValueError(
+            f"pushed watermark probe diverges from the Spark-side "
+            f"aggregate for table {table!r} with where={where!r}: "
+            f"pushed={pushed} spark={spark_side}. The predicate "
+            f"evaluates differently in the backend dialect than in "
+            f"Spark SQL — fix the predicate; a silently wrong probe "
+            f"would skip rows forever."
+        )
+
+    def agg_probe_raw(
+        self,
+        table: str,
+        version_col: str = "xmin",
+        where: str | None = None,
+    ) -> tuple[int, int | None]:
+        """The pushed probe WITHOUT the first-use cross-check (the
+        retry path of the cross-check itself)."""
         inner = (
             f"(select xmin::text::bigint as xmin, t.* from {table} t)"
             if self.expose_xmin
@@ -268,9 +337,6 @@ class JdbcDatabase:
         ).first()
         if row is None:
             return 0, None
-        # positional access: backends case-fold alias labels
-        # differently (Derby upcases, Postgres downcases) — the
-        # subquery's column ORDER is the stable contract
         return int(row[0] or 0), (None if row[1] is None else int(row[1]))
 
     def overwrite(self, table: str, df: DataFrame) -> None:

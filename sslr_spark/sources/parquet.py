@@ -301,6 +301,51 @@ class ParquetDatabase:
         with open(p) as fh:
             return json.load(fh)
 
+    # -- per-table sidecar markers ---------------------------------
+    # ``_``-prefixed files inside the table directory: invisible to
+    # Spark's parquet reader and to table_rows/table_bytes, and —
+    # because overwrite() swaps the WHOLE directory — cleared
+    # atomically with any full rewrite of the table.
+
+    def set_copy_pending(self, table: str) -> None:
+        """Mark an in-flight destructive full copy (MOR mode drops
+        the upsert log before the overwrite; the marker forces full
+        copy on the next pass if the overwrite never lands — see
+        operators/updates.py sync_updates). A no-op for a table that
+        does not exist yet (nothing to lose)."""
+        if not self.table_exists(table):
+            return
+        p = os.path.join(self.path(table), "_sslr_copy_pending")
+        with open(p, "w") as fh:
+            fh.write("{}")
+
+    def copy_pending(self, table: str) -> bool:
+        return os.path.exists(
+            os.path.join(self.path(table), "_sslr_copy_pending")
+        )
+
+    def write_table_meta(self, table: str, name: str, meta: dict) -> None:
+        """Small JSON sidecar in the table directory (e.g. the MOR
+        compaction record) — footer-class metadata, zero Spark jobs
+        to read back."""
+        import json
+
+        if not self.table_exists(table):
+            return
+        with open(
+            os.path.join(self.path(table), f"_sslr_{name}.json"), "w"
+        ) as fh:
+            json.dump(meta, fh)
+
+    def read_table_meta(self, table: str, name: str) -> dict | None:
+        import json
+
+        p = os.path.join(self.path(table), f"_sslr_{name}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
     def drop_partitions(
         self, table: str, partition_col: str, values: list
     ) -> None:

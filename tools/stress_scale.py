@@ -348,6 +348,40 @@ def main() -> None:
 
         compact_upsert_log(mor_db, "lineitem", pk)
 
+    # adversarially WIDE composite string PK (round 9): the overlay
+    # read's broadcast byte gate must flip to the plain anti-join
+    # when key bytes (not rows) blow past the threshold, and the read
+    # must still scale ~linearly. ~270-byte synthetic composite key,
+    # log = 10% of base (the compaction trigger point, the widest a
+    # log legally gets) -> at K=10 the key set is ~160 MB, over the
+    # default 64 MiB gate; at K=1 it still fits and broadcasts. The
+    # mor_wide_pk_forced_broadcast flag records the decision.
+    wide = (
+        scaled.select("l_orderkey", "l_linenumber")
+        .withColumn(
+            "wk",
+            F.concat_ws(
+                ":",
+                F.md5(F.col("l_orderkey").cast("string")),
+                F.md5(F.col("l_linenumber").cast("string")),
+                F.repeat(F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber")), 6),
+            ),
+        )
+        .withColumn("xmin", F.lit(100).cast("long"))
+        .drop("l_orderkey", "l_linenumber")
+    )
+    wide_db = ParquetDatabase(spark, os.path.join(TMP, "mor_wide"))
+    wide_db.overwrite("wide", wide)
+    upd_wide = wide.sample(0.10, seed=7).withColumn(
+        "xmin", F.lit(200).cast("long")
+    )
+    with timed("mor_wide_pk_append_read"):
+        append_upsert_log(wide_db, "wide", upd_wide, ["wk"])
+        merged_wide = read_merged(wide_db, "wide", ["wk"])
+        merged_wide.count()
+    pw = merged_wide._jdf.queryExecution().executedPlan().toString()
+    timings["mor_wide_pk_forced_broadcast"] = int("BroadcastHashJoin" in pw)
+
     from sslr_spark.streaming.pipeline import stream_sessionize
     from sslr_spark.queries import read_events
 
