@@ -129,6 +129,29 @@ def main(only: set[str] | None = None) -> dict:
         mins[name] = round(s[0], 3)
         spread[name] = round(s[-1] - s[0], 3)
 
+    # UNTIMED JVM warm-up (round 9): a fresh JVM's first jobs pay JIT
+    # compilation, codegen-compiler init, parquet footer caches and
+    # netty arena allocation — measured 1.4-2x on sub-second sections
+    # (incremental_dedup 1.5 s fresh vs 0.87 s warm on IDENTICAL
+    # code). Full passes amortize this across earlier sections, but a
+    # --only clean-rerun used to charge it to its single section and
+    # then get compared against warm full-pass minima — exactly the
+    # r8 "drift" on incremental_dedup / text_gopher_flags /
+    # delete_diff_partitioned, none of which had a code cause. One
+    # small untimed shuffle+write+scan here makes every section start
+    # warm, so isolated and full-pass numbers are comparable.
+    _w = (
+        spark.range(200_000)
+        .withColumn("g", F.col("id") % 512)
+        .withColumn("s", F.md5(F.col("id").cast("string")))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("s").alias("m"))
+    )
+    _w.join(_w.withColumnRenamed("n", "n2"), "g").count()
+    _wdir = os.path.join(TMP, "warmup")
+    spark.range(10_000).write.mode("overwrite").parquet(_wdir)
+    spark.read.parquet(_wdir).count()
+
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     pk = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
 
@@ -662,7 +685,42 @@ def main(only: set[str] | None = None) -> dict:
         "aux": aux,
         "reps": REPS,
         "sf": SF_DIR,
+        "notes": SECTION_NOTES,
     }
+
+
+# Per-section adjudications carried in the bench record (VERDICT r8
+# item 4: regressions must be attributed, not shrugged at). Keys are
+# section names; values are one-line findings with the evidence.
+SECTION_NOTES = {
+    # r8 clean reruns flagged these three >1.25x vs the r7 full-pass
+    # minima. Attribution (r9): ENVIRONMENT, two mechanisms, both
+    # measured on identical code. (1) fresh-JVM bias: --only reruns
+    # started a cold JVM whose first jobs pay JIT/codegen warm-up,
+    # then got compared against WARM full-pass minima — bench.py now
+    # runs an untimed warm-up before any section. (2) host noise:
+    # back-to-back isolated runs of text_gopher_flags (code untouched
+    # since r7, pure codegen expressions) measured 2.20 / 0.91 / 0.60
+    # s minutes apart on an idle-load box; incremental_dedup 1.52 /
+    # 1.58 / 2.20; delete_diff_partitioned 2.60 / 1.82 / 2.22. The
+    # same code in a quiet warm full pass: 0.353 / 0.867 / 1.429 —
+    # at or below the r7 minima (0.42 / 1.04 / 1.43), so no section
+    # carries a code regression.
+    "incremental_dedup": (
+        "r8 drift = environment (fresh-JVM bias + host noise): quiet "
+        "warm full pass 0.867 s vs r7 min 1.04 s on identical code"
+    ),
+    "text_gopher_flags": (
+        "r8 drift = environment: code untouched since r7; isolated "
+        "runs swing 0.60-2.20 s on an idle box (0.69-0.76 s tight "
+        "after the warm-up fix); quiet warm full pass 0.353 s vs r7 "
+        "min 0.42 s"
+    ),
+    "delete_diff_partitioned": (
+        "r8 drift = environment: quiet warm full pass 1.429 s vs r7 "
+        "min 1.43 s on identical code; isolated runs swing 1.8-2.6 s"
+    ),
+}
 
 
 def _previous_round_mins() -> tuple[dict[str, float], str]:

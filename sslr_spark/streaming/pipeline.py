@@ -137,6 +137,134 @@ def stream_incremental_sync(
     return writer.start()
 
 
+def stream_mor_sync(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    target: ParquetDatabase,
+    table: str,
+    pk_cols: list[str],
+    checkpoint_dir: str,
+    version_col: str = "xmin",
+    tombstone_flag: str | None = None,
+    trigger_seconds: float | None = None,
+    max_files_per_trigger: int | None = None,
+    max_log_fraction: float = 0.1,
+    max_log_bytes: int | None = None,
+):
+    """Streaming MERGE-ON-READ sync: every CDC micro-batch lands as
+    one upsert-log APPEND — per-trigger write cost is the batch
+    itself, never a bucket rewrite. This is MOR's design point taken
+    to its native cadence: continuous small batches are exactly where
+    copy-on-write amplification (W = bucket_bytes/batch_bytes) is
+    worst, and where the log append is O(batch). Readers overlay via
+    ``read_merged``; the stream compacts inline (layout-aware, see
+    compact_upsert_log) when the log crosses ``max_log_fraction`` of
+    the base or ``max_log_bytes`` on disk.
+
+    ``tombstone_flag``: optional boolean column marking CDC deletes —
+    flagged rows land as tombstone log rows carrying their OWN
+    per-row versions (unlike the batch delete phase, which
+    synthesizes watermark+1); unflagged rows are upserts. The flag
+    column itself never reaches the log payload.
+
+    The first non-empty micro-batch BOOTSTRAPS the base table (an
+    atomic overwrite); every later batch appends. Crash semantics:
+    foreachBatch replays an epoch after a crash — a replayed APPEND
+    would duplicate log rows, which the overlay's
+    latest-version-wins collapse already makes invisible to readers
+    and which compaction folds away; the epoch sidecar
+    (``_sslr_stream_mor.json``) additionally makes the common replay
+    a no-op, mirroring the batch engine's data-before-state commit
+    order. Returns the StreamingQuery."""
+    from sslr_spark.operators.updates import (
+        TOMBSTONE_COL,
+        append_upsert_log,
+        compact_upsert_log,
+        should_compact_upsert_log,
+        upsert_log_table,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(source_path)
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        meta = (
+            target.read_table_meta(table, "stream_mor")
+            if hasattr(target, "read_table_meta")
+            and target.table_exists(table)
+            else None
+        )
+        if meta is not None and int(epoch_id) <= int(meta.get("epoch", -1)):
+            return  # replayed epoch: already applied
+        flags = None
+        if tombstone_flag and tombstone_flag in batch_df.columns:
+            flags = F.col(tombstone_flag)
+            payload_df = batch_df.drop(tombstone_flag)
+        else:
+            payload_df = batch_df
+        if not target.table_exists(table):
+            # bootstrap: the first batch IS the base (tombstoned rows
+            # never existed downstream — drop them outright)
+            base0 = batch_df if flags is None else batch_df.filter(
+                ~flags
+            ).drop(tombstone_flag)
+            target.overwrite(
+                table, dedup_latest_version(base0, pk_cols, version_col)
+            )
+        else:
+            base_cols = target.read(table).columns
+            if flags is None:
+                append_upsert_log(
+                    target, table, payload_df, pk_cols, version_col
+                )
+                log_batch = None
+            else:
+                # tombstones keep key+version, null payload — the same
+                # shape append_delete_log writes, but with the CDC
+                # row's own version
+                dtypes = dict(batch_df.drop(tombstone_flag).dtypes)
+                nulled = batch_df.select(
+                    *[
+                        F.col(c)
+                        if c in pk_cols or c == version_col
+                        else F.when(
+                            flags, F.lit(None).cast(dtypes[c])
+                        ).otherwise(F.col(c)).alias(c)
+                        for c in base_cols
+                    ],
+                    flags.alias(TOMBSTONE_COL),
+                )
+                log_batch = dedup_latest_version(
+                    nulled, pk_cols, version_col
+                )
+            if log_batch is not None:
+                target.append(upsert_log_table(table), log_batch)
+            if should_compact_upsert_log(
+                target, table, max_log_fraction, max_log_bytes=max_log_bytes
+            ):
+                compact_upsert_log(target, table, pk_cols, version_col)
+        if hasattr(target, "write_table_meta"):
+            target.write_table_meta(
+                table, "stream_mor", {"epoch": int(epoch_id)}
+            )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_aggregate(
     events: DataFrame,
     window: str = "1 hour",

@@ -412,6 +412,207 @@ def test_compaction_writes_sidecar_record(spark, tmp_path):
 
 
 # ------------------------------------------------------------------
+# bucket-pruned compaction
+# ------------------------------------------------------------------
+
+def _bucketed_db(spark, tmp_path, n=400, buckets=8):
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+    db = _db(spark, tmp_path, "mor_bucketed")
+    base = _base(spark, n=n)
+    db.overwrite_partitioned(
+        "t",
+        with_bucket(base, ["id"], buckets, "portable"),
+        BUCKET_COL,
+        n_buckets=buckets,
+        bucket_hash="portable",
+    )
+    return db, base
+
+
+def test_compaction_rewrites_only_affected_buckets(spark, tmp_path):
+    """A log touching keys in a few buckets folds via dynamic
+    partition overwrite: untouched partitions keep their exact files,
+    a fully-tombstoned bucket's directory is dropped, the log is
+    truncated, and the compacted base equals the pre-compaction
+    overlay read."""
+    from sslr_spark.operators.deletes import BUCKET_COL, with_bucket
+
+    db, base = _bucketed_db(spark, tmp_path)
+    buckets = {
+        r.id: r[BUCKET_COL]
+        for r in with_bucket(base, ["id"], 8, "portable").collect()
+    }
+    # pick one bucket to update and another to annihilate
+    upd_bucket = buckets[0]
+    kill_bucket = next(b for b in set(buckets.values()) if b != upd_bucket)
+    upd_ids = [i for i, b in buckets.items() if b == upd_bucket][:3]
+    kill_ids = [i for i, b in buckets.items() if b == kill_bucket]
+
+    append_upsert_log(
+        db, "t",
+        spark.createDataFrame(
+            [(i, f"u{i}", 200) for i in upd_ids],
+            "id long, payload string, xmin long",
+        ),
+        ["id"],
+    )
+    append_delete_log(
+        db, "t", spark.createDataFrame([(i,) for i in kill_ids], "id long"),
+        ["id"], version=200,
+    )
+    expect = _rows(read_merged(db, "t", ["id"]))
+
+    import os
+
+    untouched = {
+        b for b in set(buckets.values()) if b not in (upd_bucket, kill_bucket)
+    }
+    snap_before = {
+        b: _file_snapshot(
+            os.path.join(db.path("t"), f"{BUCKET_COL}={b}")
+        )
+        for b in untouched
+    }
+    out = compact_upsert_log(db, "t", ["id"])
+    assert out["folded_rows"] == 3 + len(kill_ids)
+    assert not db.table_exists(upsert_log_table("t"))
+    for b in untouched:
+        assert snap_before[b] == _file_snapshot(
+            os.path.join(db.path("t"), f"{BUCKET_COL}={b}")
+        ), f"untouched bucket {b} was rewritten"
+    assert not os.path.exists(
+        os.path.join(db.path("t"), f"{BUCKET_COL}={kill_bucket}")
+    ), "fully-tombstoned bucket dir must be dropped"
+    assert _rows(db.read("t")) == expect
+    # layout marker survives the pruned rewrite (merges depend on it)
+    assert db.layout_meta("t")["n_buckets"] == 8
+
+
+def test_compaction_pruned_path_is_crash_idempotent(spark, tmp_path):
+    """Crash AFTER the partition rewrite but BEFORE the log drop:
+    the stale log re-applies as no-ops (each bucket's rewrite is a
+    pure function of base bucket + log) — the retry converges to the
+    same rows and then truncates the log."""
+    db, base = _bucketed_db(spark, tmp_path)
+    append_upsert_log(
+        db, "t",
+        spark.createDataFrame(
+            [(1, "u1", 200), (2, "u2", 200)],
+            "id long, payload string, xmin long",
+        ),
+        ["id"],
+    )
+    expect = _rows(read_merged(db, "t", ["id"]))
+
+    real_drop = db.drop
+
+    def crash_drop(t):
+        raise RuntimeError("crash before log drop")
+
+    db.drop = crash_drop
+    with pytest.raises(RuntimeError):
+        compact_upsert_log(db, "t", ["id"])
+    db.drop = real_drop
+    # log still present, base partially/fully rewritten — both the
+    # overlay read and a replayed compaction converge
+    assert db.table_exists(upsert_log_table("t"))
+    assert _rows(read_merged(db, "t", ["id"])) == expect
+    out = compact_upsert_log(db, "t", ["id"])
+    assert out["folded_rows"] == 2
+    assert not db.table_exists(upsert_log_table("t"))
+    assert _rows(db.read("t")) == expect
+
+
+# ------------------------------------------------------------------
+# streaming merge-on-read sync
+# ------------------------------------------------------------------
+
+def test_stream_mor_sync_append_overlay_and_compact(spark, tmp_path):
+    """Streaming CDC at MOR's native cadence: the first micro-batch
+    bootstraps the base, later batches land as log APPENDS (the base
+    files are untouched), flagged rows become per-row-version
+    tombstones, the overlay read resolves it all, and a tight
+    fraction folds the log inline."""
+    from pyspark.sql import types as T
+
+    from sslr_spark.streaming.pipeline import stream_mor_sync
+
+    src = str(tmp_path / "src")
+    db = _db(spark, tmp_path, "stream_mor")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+            T.StructField("xmin", T.LongType()),
+            T.StructField("is_deleted", T.BooleanType()),
+        ]
+    )
+    ddl = "id long, payload string, xmin long, is_deleted boolean"
+
+    def drain(max_log_fraction=10.0):
+        q = stream_mor_sync(
+            spark, src, schema, db, "t", ["id"],
+            str(tmp_path / "ckpt"),
+            tombstone_flag="is_deleted",
+            max_files_per_trigger=1,
+            max_log_fraction=max_log_fraction,
+        )
+        q.awaitTermination()
+
+    # batch 1: bootstrap (one row pre-deleted upstream — never lands)
+    spark.createDataFrame(
+        [(i, f"v{i}", 100, False) for i in range(50)]
+        + [(999, "dead", 100, True)],
+        ddl,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert not db.table_exists(upsert_log_table("t"))
+    assert db.table_rows("t") == 50
+
+    base_snapshot = _file_snapshot(db.path("t"))
+
+    # batch 2: update 0/1, insert 100, delete 5 — all version 200
+    spark.createDataFrame(
+        [
+            (0, "U0", 200, False),
+            (1, "U1", 200, False),
+            (100, "new", 200, False),
+            (5, None, 200, True),
+        ],
+        ddl,
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    snap_after = {
+        p: t for p, t in _file_snapshot(db.path("t")).items()
+        if "_sslr_stream_mor" not in p
+    }
+    base_only = {
+        p: t for p, t in base_snapshot.items()
+        if "_sslr_stream_mor" not in p
+    }
+    assert base_only == snap_after, "stream batch must not rewrite the base"
+    assert db.table_exists(upsert_log_table("t"))
+    assert db.table_rows(upsert_log_table("t")) == 4
+
+    got = _rows(read_merged(db, "t", ["id"]))
+    expect = {(i, f"v{i}", 100) for i in range(50) if i not in (0, 1, 5)}
+    expect |= {(0, "U0", 200), (1, "U1", 200), (100, "new", 200)}
+    assert got == expect
+
+    # batch 3 with a tight fraction: the stream compacts inline
+    spark.createDataFrame(
+        [(2, "U2", 300, False)], ddl
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain(max_log_fraction=0.001)
+    assert not db.table_exists(upsert_log_table("t"))
+    expect = {r for r in expect if r[0] != 2} | {(2, "U2", 300)}
+    assert _rows(db.read("t")) == expect
+    # epoch sidecar recorded (replay guard)
+    assert db.read_table_meta("t", "stream_mor")["epoch"] >= 0
+
+
+# ------------------------------------------------------------------
 # weighted_sample: NULL keys are a loud caller bug
 # ------------------------------------------------------------------
 
