@@ -56,22 +56,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #     hash-checked CORRECTNESS row as early as possible.
 #   TAIL — keys safe to fall outside the window: hash-verified green in
 #     recent rounds with unchanged code (freshest evidence last).
-# Every registered key is oracle-backed. r9 rotation: head = 4 new keys
-# (the MOR tombstone-tie / delete-repair / wide-PK overlay keys and the
-# integer-exact cosine range search) + 8 code-changed keys (updates.py
+# Every registered key is oracle-backed. r9 rotation: head = 9 new keys
+# (the MOR tombstone-tie / delete-repair / wide-PK overlay keys, the
+# integer-exact cosine range search, containment dedup, the blocklist
+# gate, the mojibake screen, the PSI drift monitor and ordered range
+# shards) + 8 code-changed keys (updates.py
 # gained the broadcast byte gate, the copy-pending marker, the
 # tombstone-tie ordering and the bytes compaction trigger — s2/a1/t3/
 # j2/d2/x_mor_upsert_read route through it; sampling.py gained the
 # null-key guard — sample_weighted; job.py's delete phase gained MOR
-# repair parity — t6 routes through the job loop) + the 38 keys whose
-# latest evidence is r06 (exactly the VERDICT r8 item-3 list). After
-# r09 no key's latest green row is older than r07.
+# repair parity — t6 routes through the job loop; dedup.py gained the
+# candidate-pruned verify joins — the dedup_* keys below route through
+# it) + 33 of the 38 keys whose latest evidence is r06 (the VERDICT r8
+# item-3 list; the five displaced by the new-operator keys — x_funnel /
+# x_pivot / x_rollup / x_topk_per_group / x_tpch_q1, trivial unchanged
+# OLAP — sit at tail-top, locally re-verified, first into the r10
+# head).
 _HEAD_KEYS = [
     # NEW this round (r9):
     "x_mor_tombstone_tie",
     "x_mor_delete_repair",
     "x_mor_wide_pk_read",
     "sim_range_search",
+    "dedup_containment",
+    "text_blocklist",
+    "text_mojibake",
+    "quality_psi_drift",
+    "sample_range_shards",
     # code changed THIS round (r9):
     "x_mor_upsert_read",
     "j2_upsert_merge",
@@ -98,11 +109,6 @@ _HEAD_KEYS = [
     "a4_bucket_fingerprint",
     "o3_key_at_offset",
     "sample_stratified",
-    "x_funnel",
-    "x_pivot",
-    "x_rollup",
-    "x_topk_per_group",
-    "x_tpch_q1",
     "text_bigram_logprob",
     "x_bloom_membership",
     "text_unigram_logprob",
@@ -123,7 +129,16 @@ _HEAD_KEYS = [
     "d1_delete_by_keyset",
 ]
 _TAIL_KEYS = [
-    # r07-green with unchanged code — first in line for the r10 head:
+    # r06-green, unchanged trivial OLAP queries, displaced from the r9
+    # head by the three new-operator keys (new keys earn driver rows
+    # first); re-verified locally via tools/verify_oracle.py and FIRST
+    # in line for the r10 head:
+    "x_funnel",
+    "x_pivot",
+    "x_rollup",
+    "x_topk_per_group",
+    "x_tpch_q1",
+    # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",
     "mm_resample_audio",

@@ -331,6 +331,23 @@ def main(only: set[str] | None = None) -> dict:
         reset=DD.release_caches,
     )
     DD.release_caches()
+    # round 9: containment (excerpt) pairs + the C4-style blocklist gate
+    run(
+        "dedup_containment",
+        lambda: DD.ngram_containment_pairs(
+            docs, threshold=0.4, max_shingle_doc_freq=250
+        ).count(),
+        reset=DD.release_caches,
+    )
+    DD.release_caches()
+    if want("text_blocklist"):
+        from sslr_spark.functions.text import blocklist_filter as _blf
+    run(
+        "text_blocklist",
+        lambda: _blf(
+            docs, ["slow", "spill", "crash"], max_banned_ppm=30_000
+        ).count(),
+    )
     run("sim_topk", lambda: q_sim_topk_bruteforce(spark, SF_DIR).collect())
     run("text_quality", lambda: q_text_quality(spark, SF_DIR).count())
 

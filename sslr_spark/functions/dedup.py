@@ -250,6 +250,63 @@ def _pairwise_jaccard(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set CONTAINMENT >= threshold, where
+    containment = n_common / min(|A|, |B|) — the excerpt/quote
+    detector Jaccard structurally misses: a 50-shingle document fully
+    embedded in a 5000-shingle one has containment 1.0 but Jaccard
+    0.01, so a Jaccard gate at any usable threshold keeps both copies.
+    Training-data pipelines run this ALONGSIDE the Jaccard pass
+    (RefinedWeb-style dedup treats near-total overlap of the smaller
+    side as duplication regardless of length ratio).
+
+    Same inverted-index candidate generation as
+    :func:`ngram_jaccard_pairs` — pairs form only where a shingle is
+    shared, never all-pairs — with the same ``max_shingle_doc_freq``
+    boilerplate cap (set it in production; the default keeps exact
+    oracle parity). Output: (doc_a, doc_b, n_common, containment)
+    with doc_a < doc_b, containment rounded to 6 like the family's
+    jaccard convention.
+
+    100 TB shape: one shingle exchange feeds sizes + both join sides
+    (persisted once); the self-equi-join fans out per shared shingle
+    (bounded by the cap); size joins are inner on the pair keys. No
+    window, no cross join, no driver collection.
+    """
+    _entry_release()  # previous pair-generation caches die here
+    sh = _persist(
+        _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _asymmetric_jaccard(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cross-side sibling of :func:`_pairwise_jaccard` — same size/
     intersection/round-6 convention, but pairs form only BETWEEN the
@@ -393,15 +450,25 @@ def ngram_jaccard_pairs_prefix(
         _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    cand = prefix_candidates(sh, threshold)
+    # cand feeds the verify join and the key_b prune set — persist the
+    # (prefix-bounded, small) pair list instead of replaying the
+    # prefix self-join per consumer
+    cand = _persist(prefix_candidates(sh, threshold))
     # exact verify over candidates only: candidate x (a's shingles)
-    # matched against b's set — never the all-sharing-pairs blowup
+    # matched against b's set — never the all-sharing-pairs blowup.
+    # The key_b side is pruned to docs that actually appear as a
+    # candidate key_b before the (key_b, shingle) shuffle: without the
+    # prune that join re-shuffles the FULL shingle index even when the
+    # prefix filter leaves few candidates (inner-join semantics make
+    # the prune a results no-op; AQE picks broadcast vs shuffled semi).
     inter = (
         cand.join(
             sh.select(F.col("doc_id").alias("key_a"), "shingle"), "key_a"
         )
         .join(
-            sh.select(F.col("doc_id").alias("key_b"), "shingle"),
+            sh.select(F.col("doc_id").alias("key_b"), "shingle").join(
+                cand.select("key_b").distinct(), "key_b", "left_semi"
+            ),
             ["key_b", "shingle"],
         )
         .groupBy("key_a", "key_b")
@@ -939,12 +1006,25 @@ def minhash_lsh_pairs(
             shingles(df, text_col, shingle_n), max_shingle_doc_freq
         )
     )
-    cand = lsh_candidates(sh, n_hashes, n_bands, hash_mode)
+    # cand feeds the verification join AND the doc_b prune set below —
+    # persist the (small, LSH-bounded) pair list instead of replaying
+    # the band self-join per consumer
+    cand = _persist(lsh_candidates(sh, n_hashes, n_bands, hash_mode))
 
-    # exact-verify candidates with true Jaccard over shingle sets
+    # exact-verify candidates with true Jaccard over shingle sets.
+    # Scale shape of the verify join: the (doc_b, shingle) equi-join
+    # would otherwise shuffle the FULL shingle index — at crawl scale
+    # that full-index exchange dominates even when banding leaves few
+    # candidates. Prune the sb side to docs that actually appear as a
+    # candidate doc_b first (inner-join semantics make this a no-op on
+    # results); the prune set is |candidate docs| rows, so AQE
+    # broadcasts it when small and falls back to a shuffled semi join
+    # when a pathological corpus makes it big — never forced.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle").join(
+        cand.select("doc_b").distinct(), "doc_b", "left_semi"
+    )
     inter = (
         cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
@@ -1727,7 +1807,7 @@ def incremental_minhash_dedup(
         minhash_signatures(b_sh, n_hashes, hash_mode),
         n_bands, rows_per_band, hash_mode,
     )
-    cand = (
+    cand = _persist(
         b_buckets.alias("b")
         .join(
             c_buckets.alias("c"),
@@ -1740,8 +1820,22 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
+    # prune the CORPUS shingle index to candidate docs before the
+    # (corpus_id, shingle) verify shuffle — the batch is tiny, so the
+    # LSH-bounded candidate set is too, while c_sh is the whole
+    # accepted corpus; without the prune the verify join re-shuffles
+    # the full corpus index on every ingest. Inner-join semantics make
+    # the prune a no-op on results; AQE picks broadcast vs shuffled
+    # semi join. The per-doc size agg gets the same prune: only
+    # candidate corpus docs ever reach the jaccard expression.
+    cand_cids = cand.select("corpus_id").distinct()
+    cs_pruned = c_sh.join(
+        cand_cids.select(F.col("corpus_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
     bs = b_sh.select(F.col("doc_id").alias("batch_id"), "shingle")
-    cs = c_sh.select(F.col("doc_id").alias("corpus_id"), "shingle")
+    cs = cs_pruned.select(F.col("doc_id").alias("corpus_id"), "shingle")
     inter = (
         cand.join(bs, "batch_id")
         .join(cs, ["corpus_id", "shingle"])
@@ -1751,9 +1845,9 @@ def incremental_minhash_dedup(
     zb = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb")).select(
         F.col("doc_id").alias("batch_id"), "nb"
     )
-    zc = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc")).select(
-        F.col("doc_id").alias("corpus_id"), "nc"
-    )
+    zc = cs_pruned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nc")
+    ).select(F.col("doc_id").alias("corpus_id"), "nc")
     jac = F.col("n_common") / (F.col("nb") + F.col("nc") - F.col("n_common"))
     scored = (
         inter.join(zb, "batch_id")

@@ -164,3 +164,90 @@ def train_quality_classifier(
         regParam=reg_param,
     ).fit(assembled)
     return [float(w) for w in model.coefficients], float(model.intercept)
+
+
+def distribution_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    edges: list[float],
+) -> DataFrame:
+    """Population Stability Index between two corpora's distributions
+    of ``value_col`` over FIXED bucket edges — the standard drift
+    monitor a crawl pipeline runs between snapshots (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 the filter thresholds calibrated on the
+    old snapshot no longer apply and must be re-derived).
+
+    Buckets: ``len(edges)+1`` half-open intervals — bucket i counts
+    rows with ``edges[i-1] <= v < edges[i]`` (open-ended tails). Edges
+    are FIXED inputs, not data-derived quantiles, so consecutive runs
+    compare against the same ruler (and the whole operator stays
+    hash-reproducible). Counts get +1 Laplace smoothing before the log
+    (the conventional guard for empty buckets — without it one empty
+    bucket makes PSI infinite).
+
+    Output: one row per bucket —
+    (bucket, lo, hi, ref_count, cur_count, psi_contrib) with
+    psi_contrib = (p - q) * ln(p / q) rounded to 6; total PSI is the
+    SUM over buckets (a 1-row aggregate away; kept per-bucket because
+    the per-bucket decomposition is what tells you WHERE the
+    distribution moved).
+
+    100 TB shape: one map-side-combined groupBy per side collapses
+    each corpus to <= n_buckets rows; everything after joins frames of
+    n_buckets rows. The bucket index is a pure codegen expression
+    (sum of ``v >= edge`` over literal edges — no UDF, no
+    width_bucket uniform-only limitation). Null values are excluded
+    from both sides (they carry no position in a numeric
+    distribution); count them separately if null-rate drift matters.
+    """
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError("edges must be a non-empty ascending list")
+    k = len(edges) + 1
+
+    def bucketed(df: DataFrame, cname: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = sum(
+            (v >= F.lit(float(e))).cast("int") for e in edges
+        )
+        return (
+            df.filter(v.isNotNull())
+            .select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    spark = ref.sparkSession
+    buckets = spark.range(k).select(F.col("id").cast("int").alias("bucket"))
+    lo = F.array(*[F.lit(None).cast("double")]
+                 + [F.lit(float(e)) for e in edges])
+    hi = F.array(*[F.lit(float(e)) for e in edges]
+                 + [F.lit(None).cast("double")])
+    r = bucketed(ref, "ref_count")
+    c = bucketed(cur, "cur_count")
+    tot_r = F.sum("ref_count").over(Window_all())
+    tot_c = F.sum("cur_count").over(Window_all())
+    p = (F.col("ref_count") + 1).cast("double") / (tot_r + k)
+    q = (F.col("cur_count") + 1).cast("double") / (tot_c + k)
+    return (
+        buckets.join(r, "bucket", "left")
+        .join(c, "bucket", "left")
+        .na.fill(0, ["ref_count", "cur_count"])
+        .select(
+            "bucket",
+            F.element_at(lo, F.col("bucket") + 1).alias("lo"),
+            F.element_at(hi, F.col("bucket") + 1).alias("hi"),
+            F.col("ref_count").cast("long").alias("ref_count"),
+            F.col("cur_count").cast("long").alias("cur_count"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+        )
+    )
+
+
+def Window_all():
+    """Unpartitioned whole-frame window — safe ONLY over bounded
+    frames (here: the <= n_buckets-row bucket histogram; the corpus
+    was already collapsed by the groupBy)."""
+    from pyspark.sql import Window
+
+    return Window.partitionBy()

@@ -690,3 +690,97 @@ def source_cap(
         .filter(F.col("__rn") <= max_per_group)
         .drop("__rn")
     )
+
+
+def range_shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    sample_mod: int | None = 16,
+    target_sample: int = 65_536,
+) -> DataFrame:
+    """Globally ORDERED export shards: shard i holds a contiguous key
+    range and every key in shard i sorts before every key in shard
+    i+1 — the layout ordered training-data exports and range-prunable
+    lakehouse tables need, where :func:`shard_assign`'s hash sharding
+    deliberately destroys locality.
+
+    Boundaries come from a DETERMINISTIC hash sample of the key column
+    (``h60(key) % sample_mod == 0`` — no RNG, so reruns and engines
+    agree bit-for-bit, unlike Spark's reservoir-sampled
+    ``repartitionByRange``): the sample is ranked by key and the
+    boundary for shard j is the sample key at rank
+    ``ceil(j * m / n_shards)``; a key lands in
+    ``shard = #boundaries <= key``. Shard populations are approximate
+    (sampling error ~ 1/sqrt(m/n) per shard) — the price of never
+    materializing a global sort; a small ``sample_mod`` tightens them.
+
+    Keys must be non-null (raise_error, the family's loud-validation
+    convention) and should be numeric or byte-ordered — string keys
+    ride engine collation, which this function does not paper over.
+
+    100 TB shape: the ONLY non-narrow work is over the sample
+    (corpus/sample_mod keys): one rank window on it (global order — it
+    must be BOUNDED, the same contract under which Spark's own
+    RangePartitioner collects its sample), then ``n_shards - 1``
+    boundary keys collect to the driver and ride the final shard
+    expression as literals — a pure codegen comparison sum, zero
+    shuffle over the corpus itself. A FIXED ``sample_mod`` keeps the
+    sample LINEAR in corpus size — fine at a known scale, a
+    single-partition-window scale killer on a corpus 1000× bigger than
+    the mod was sized for. Pass ``sample_mod=None`` to derive it from
+    one count pass: the smallest power of two keeping the expected
+    sample under ``target_sample`` keys — corpus-deterministic (no
+    RNG), so reruns still agree, and the window is bounded at ANY
+    corpus size.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if sample_mod is None:
+        n_rows = df.count()
+        sample_mod = 1
+        while n_rows // sample_mod > target_sample:
+            sample_mod *= 2
+    if sample_mod <= 0:
+        raise ValueError(f"sample_mod must be positive, got {sample_mod}")
+    safe_key = F.when(
+        F.col(key_col).isNotNull(), F.col(key_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"range_shard_assign: key column {key_col!r} is NULL")
+        )
+    )
+    if n_shards == 1:
+        return df.withColumn(
+            "shard", F.when(safe_key.isNotNull(), F.lit(0)).cast("int")
+        )
+    from pyspark.sql import Window
+
+    sample = df.select(F.col(key_col).alias("__k")).filter(
+        F.pmod(h60(F.col(key_col).cast("string")), F.lit(sample_mod)) == 0
+    )
+    ranked = sample.select(
+        "__k",
+        F.row_number().over(Window.orderBy("__k")).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    ranks = F.expr(
+        "transform(sequence(1, {n}), "
+        "j -> cast(ceil(j * __m / {d}.0) as int))".format(
+            n=n_shards - 1, d=n_shards
+        )
+    )
+    bounds_rows = (
+        ranked.filter(F.array_contains(ranks, F.col("__rn")))
+        .select("__k")
+        .collect()
+    )
+    bounds = sorted({r[0] for r in bounds_rows})
+    # anchor the sum on a zero that still REFERENCES the key, so the
+    # null guard fires even when the sample produced no boundaries
+    zero = F.when(safe_key.isNotNull(), F.lit(0)).cast("int")
+    shard = sum(
+        ((safe_key >= F.lit(b)).cast("int") for b in bounds),
+        zero,
+    )
+    return df.withColumn("shard", shard.cast("int"))

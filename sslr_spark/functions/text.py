@@ -753,3 +753,114 @@ def bm25_topk(
     return scored.orderBy(
         F.col("score_micros").desc(), F.col(id_col)
     ).limit(k)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    max_banned_ppm: int = 0,
+) -> DataFrame:
+    """C4-style bad-word gate: per document, how many whitespace
+    tokens (lowercased, exact match) are on ``blocklist``, and a keep
+    flag — C4 dropped any page containing a listed word
+    (``max_banned_ppm=0``); softer pipelines keep a token-share budget
+    instead (e.g. 10_000 ppm = 1%).
+
+    Output: (doc_id, n_words, n_banned, banned_ppm, keep), one row per
+    input document (empty/whitespace-only docs count 0 words, 0 banned,
+    keep=true). ``banned_ppm`` is round-half-up PURE integer ppm (the
+    family convention: ``(2*1e6*num + den) div (2*den)``) so the gate
+    hash-checks bit-exactly in any engine.
+
+    100 TB shape: the blocklist is joined, not compiled into a per-
+    token ``array_contains`` lambda — a few hundred literal list probes
+    per token runs interpreted (the known higher-order slow path, fine
+    for the 6-entry stopword probe, wrong for real wordlists). Tokens
+    explode narrow, the semi join broadcasts the (tiny, distinct)
+    blocklist, and the only exchange is the per-doc count aggregate —
+    map-side combinable. Left join back from the base keeps zero-hit
+    docs without a second corpus pass.
+    """
+    if not blocklist:
+        raise ValueError("blocklist_filter needs a non-empty blocklist")
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(w.lower(),) for w in sorted(set(blocklist))], "__w string"
+    )
+    lw = words(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    base = df.select("doc_id", F.size(lw).cast("long").alias("n_words"))
+    toks = df.select("doc_id", F.explode(lw).alias("__w"))
+    hits = (
+        toks.join(F.broadcast(bl), "__w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_banned"))
+    )
+    ppm = F.when(F.col("n_words") == 0, F.lit(0)).otherwise(
+        F.expr("(2000000 * n_banned + n_words) div (2 * n_words)")
+    ).cast("long")
+    return (
+        base.join(hits, "doc_id", "left")
+        .na.fill(0, ["n_banned"])
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("n_banned").cast("long").alias("n_banned"),
+            ppm.alias("banned_ppm"),
+            (
+                F.col("n_banned") * F.lit(1_000_000)
+                <= F.lit(int(max_banned_ppm)) * F.col("n_words")
+            ).alias("keep"),
+        )
+    )
+
+
+def mojibake_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-quality screen: count the two classic symptoms of a
+    mis-decoded or binary-contaminated document — U+FFFD replacement
+    characters (a decoder already gave up) and C0/C1 control
+    characters outside tab/newline/carriage-return (binary junk,
+    terminal escapes, truncated multibyte sequences) — plus a keep
+    flag. Crawl pipelines run this ahead of language ID: mojibake
+    poisons every downstream heuristic and n-gram statistic.
+
+    Output: (doc_id, n_chars, n_replacement, n_control, bad_ppm, keep)
+    — one row per document; ``bad_ppm`` is round-half-up integer ppm
+    of symptom characters; keep = symptom share strictly under 0.1%
+    (exact integer comparison ``1000*(n_repl+n_ctl) < n_chars``) AND
+    no replacement character at all (a single U+FFFD proves
+    information loss, whereas an isolated control char can be
+    legitimate).
+
+    Pure narrow per-row expressions (regexp_count) — zero shuffle,
+    stays in whole-stage codegen, hash-exact integer arithmetic.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = df.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        F.regexp_count(t, F.lit("�")).cast("long").alias("n_replacement"),
+        F.regexp_count(t, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"))
+        .cast("long")
+        .alias("n_control"),
+    )
+    ppm = F.when(F.col("n_chars") == 0, F.lit(0)).otherwise(
+        F.expr(
+            "(2000000 * (n_replacement + n_control) + n_chars) "
+            "div (2 * n_chars)"
+        )
+    ).cast("long")
+    return counts.select(
+        "doc_id",
+        "n_chars",
+        "n_replacement",
+        "n_control",
+        ppm.alias("bad_ppm"),
+        (
+            (F.col("n_replacement") == 0)
+            & (
+                (F.col("n_replacement") + F.col("n_control")) * 1000
+                < F.greatest(F.col("n_chars"), F.lit(1))
+            )
+        ).alias("keep"),
+    )

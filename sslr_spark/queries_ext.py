@@ -4119,7 +4119,207 @@ from documents group by source
 """
 
 
+# ------------------------------------------------------------------
+# round 9: containment dedup, blocklist gate, encoding screen
+# ------------------------------------------------------------------
+
+def q_dedup_containment(spark, sf_dir):
+    """Excerpt/quote near-dup pairs by smaller-set shingle containment
+    (dedup.py ngram_containment_pairs): n_common / min(|A|,|B|) >=
+    0.4 — catches a short doc embedded in a long one, which Jaccard
+    structurally misses."""
+    return D.ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+SQL_DEDUP_CONTAINMENT = (
+    "with " + _shingles_cte(3) + """,
+sizes as (select doc_id, count(*) as n_sh from sh group by doc_id),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_common
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select doc_a, doc_b, n_common,
+       round(n_common / least(sa.n_sh, sb.n_sh), 6) as containment
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where round(n_common / least(sa.n_sh, sb.n_sh), 6) >= 0.4
+"""
+)
+
+
+_BLOCKLIST = ["slow", "spill", "crash"]
+_BLOCKLIST_PPM = 30_000
+
+
+def q_text_blocklist(spark, sf_dir):
+    """C4-style bad-word gate (text.py blocklist_filter): lowercased
+    whitespace tokens matched against a fixed wordlist via a broadcast
+    semi join (never a per-token list-probe lambda); token-share
+    budget 30000 ppm."""
+    from sslr_spark.functions.text import blocklist_filter
+
+    return blocklist_filter(
+        _docs(spark, sf_dir), _BLOCKLIST, max_banned_ppm=_BLOCKLIST_PPM
+    )
+
+
+_LW_SQL = (
+    "case when length(trim(lower(coalesce(text, '')))) = 0 then [] "
+    "else string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') end"
+)
+SQL_TEXT_BLOCKLIST = f"""
+with base as (
+  select doc_id, cast(len({_LW_SQL}) as bigint) as n_words from documents
+),
+toks as (
+  select doc_id, unnest({_LW_SQL}) as w from documents
+),
+hits as (
+  select doc_id, cast(count(*) as bigint) as n_banned from toks
+  where w in ({", ".join("'" + w + "'" for w in _BLOCKLIST)})
+  group by doc_id
+)
+select base.doc_id, n_words,
+       coalesce(n_banned, 0) as n_banned,
+       cast(case when n_words = 0 then 0
+            else (2000000 * coalesce(n_banned, 0) + n_words)
+                 // (2 * n_words) end as bigint) as banned_ppm,
+       coalesce(n_banned, 0) * 1000000 <= {_BLOCKLIST_PPM} * n_words as keep
+from base left join hits using (doc_id)
+"""
+
+
+def q_text_mojibake(spark, sf_dir):
+    """Encoding-quality screen (text.py mojibake_flags): U+FFFD and
+    C0/C1 control-character counts, integer-ppm symptom share, keep
+    flag — pure narrow codegen expressions, zero shuffle."""
+    from sslr_spark.functions.text import mojibake_flags
+
+    return mojibake_flags(_docs(spark, sf_dir))
+
+
+SQL_TEXT_MOJIBAKE = r"""
+with c as (
+  select doc_id,
+         cast(length(coalesce(text, '')) as bigint) as n_chars,
+         cast(len(regexp_extract_all(coalesce(text, ''), '�'))
+              as bigint) as n_replacement,
+         cast(len(regexp_extract_all(coalesce(text, ''),
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]'))
+              as bigint) as n_control
+  from documents
+)
+select doc_id, n_chars, n_replacement, n_control,
+       cast(case when n_chars = 0 then 0
+            else (2000000 * (n_replacement + n_control) + n_chars)
+                 // (2 * n_chars) end as bigint) as bad_ppm,
+       n_replacement = 0
+         and (n_replacement + n_control) * 1000 < greatest(n_chars, 1)
+         as keep
+from c
+"""
+
+
+_PSI_EDGES = [150.0, 250.0, 350.0]
+
+
+def q_quality_psi_drift(spark, sf_dir):
+    """Population Stability Index drift monitor (quality_model.py
+    distribution_psi): n_chars distribution of even-id docs (the
+    'reference snapshot') vs odd-id docs (the 'current crawl') over
+    fixed bucket edges — per-bucket counts + Laplace-smoothed PSI
+    contributions; two bounded histogram aggregates, never a sort."""
+    from sslr_spark.functions.quality_model import distribution_psi
+
+    docs = _docs(spark, sf_dir)
+    return distribution_psi(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        _PSI_EDGES,
+    )
+
+
+_PSI_BUCKET = "((n_chars >= 150.0)::int + (n_chars >= 250.0)::int + (n_chars >= 350.0)::int)"
+SQL_QUALITY_PSI_DRIFT = f"""
+with b as (select unnest(generate_series(0, 3)) as bucket),
+r as (
+  select {_PSI_BUCKET} as bucket, count(*) as rc
+  from documents where doc_id % 2 = 0 and n_chars is not null group by 1
+),
+c as (
+  select {_PSI_BUCKET} as bucket, count(*) as cc
+  from documents where doc_id % 2 = 1 and n_chars is not null group by 1
+),
+j as (
+  select b.bucket,
+         coalesce(rc, 0) as ref_count, coalesce(cc, 0) as cur_count,
+         sum(coalesce(rc, 0)) over () as tr,
+         sum(coalesce(cc, 0)) over () as tc
+  from b left join r using (bucket) left join c using (bucket)
+)
+select cast(bucket as int) as bucket,
+       cast(case bucket when 0 then null when 1 then 150.0
+            when 2 then 250.0 else 350.0 end as double) as lo,
+       cast(case bucket when 0 then 150.0 when 1 then 250.0
+            when 2 then 350.0 else null end as double) as hi,
+       cast(ref_count as bigint) as ref_count,
+       cast(cur_count as bigint) as cur_count,
+       round(((ref_count + 1) / (tr + 4.0) - (cur_count + 1) / (tc + 4.0))
+             * ln(((ref_count + 1) / (tr + 4.0))
+                  / ((cur_count + 1) / (tc + 4.0))), 6) as psi_contrib
+from j
+"""
+
+
+def q_sample_range_shards(spark, sf_dir):
+    """Ordered export shards (sampling.py range_shard_assign, 8 shards,
+    deterministic h60 key sample): per-shard count + key range — the
+    hash check proves the ranges are contiguous and non-overlapping."""
+    from sslr_spark.functions.sampling import range_shard_assign
+
+    out = range_shard_assign(_docs(spark, sf_dir), 8, "doc_id")
+    return out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_key"),
+        F.max("doc_id").alias("max_key"),
+    )
+
+
+SQL_SAMPLE_RANGE_SHARDS = f"""
+with s as (
+  select doc_id as k from documents
+  where {h60_sql("cast(doc_id as varchar)")} % 16 = 0
+),
+r as (select k, row_number() over (order by k) as rn,
+             count(*) over () as m from s),
+b as (
+  select distinct k as boundary from r
+  where list_contains(
+    list_transform(generate_series(1, 7),
+                   j -> cast(ceil(j * m / 8.0) as int)), rn)
+),
+a as (
+  select d.doc_id,
+         cast(coalesce(sum((d.doc_id >= b.boundary)::int), 0) as int)
+           as shard
+  from documents d left join b on true
+  group by d.doc_id
+)
+select shard, cast(count(*) as bigint) as n_docs,
+       min(doc_id) as min_key, max(doc_id) as max_key
+from a group by shard
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_containment": q_dedup_containment,
+    "text_blocklist": q_text_blocklist,
+    "text_mojibake": q_text_mojibake,
+    "quality_psi_drift": q_quality_psi_drift,
+    "sample_range_shards": q_sample_range_shards,
     "dedup_keep_best": q_dedup_keep_best,
     "x_source_overlap": q_x_source_overlap,
     "text_langid_eval": q_text_langid_eval,
@@ -4214,6 +4414,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "dedup_containment": SQL_DEDUP_CONTAINMENT,
+    "text_blocklist": SQL_TEXT_BLOCKLIST,
+    "text_mojibake": SQL_TEXT_MOJIBAKE,
+    "quality_psi_drift": SQL_QUALITY_PSI_DRIFT,
+    "sample_range_shards": SQL_SAMPLE_RANGE_SHARDS,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "x_source_overlap": SQL_SOURCE_OVERLAP,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,

@@ -1,0 +1,385 @@
+"""Round-9 operator additions + the candidate-pruned verify joins:
+
+- ngram_containment_pairs: smaller-set containment catches a short
+  doc embedded in a long one (Jaccard structurally misses it).
+- blocklist_filter: C4-style bad-word gate — broadcast-join wordlist,
+  integer-ppm budget, one exchange.
+- mojibake_flags: encoding screen — narrow codegen, zero shuffle.
+- minhash_lsh_pairs / ngram_jaccard_pairs_prefix /
+  incremental_minhash_dedup now prune the verify join's big side to
+  candidate docs before the (doc, shingle) shuffle — at 100 TB the
+  unpruned join re-shuffles the FULL shingle index even when banding
+  leaves a handful of candidates. Results are inner-join-invariant;
+  the plan tests pin the semi-join prune.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import sslr_spark.functions.dedup as D
+from sslr_spark.functions.text import blocklist_filter, mojibake_flags
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def corpus(spark):
+    body = " ".join(f"tok{i}" for i in range(40))
+    return spark.createDataFrame(
+        [
+            (1, "intro words here " + body + " closing words here"),
+            (2, body),  # fully contained in doc 1
+            (3, "completely different content about other things entirely "
+                "with many unrelated tokens going on and on"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+# ------------------------------------------------------------------
+# containment
+# ------------------------------------------------------------------
+
+def test_containment_catches_embedded_doc(corpus):
+    with D.cache_scope():
+        rows = {
+            (r.doc_a, r.doc_b): r.containment
+            for r in D.ngram_containment_pairs(corpus, threshold=0.9).collect()
+        }
+    assert (1, 2) in rows
+    assert rows[(1, 2)] == 1.0  # every shingle of 2 occurs in 1
+
+
+def test_jaccard_misses_what_containment_catches(corpus):
+    """The motivating asymmetry: the embedded pair's Jaccard is far
+    below any usable dedup threshold while containment is 1.0."""
+    with D.cache_scope():
+        jac = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+        }
+    assert jac[(1, 2)] < 0.9
+
+
+def test_containment_threshold_filters(corpus):
+    with D.cache_scope():
+        out = D.ngram_containment_pairs(corpus, threshold=1.01).collect()
+    assert out == []
+
+
+def test_containment_no_cross_join(corpus):
+    with D.cache_scope():
+        p = plan_of(D.ngram_containment_pairs(corpus))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+# ------------------------------------------------------------------
+# blocklist gate
+# ------------------------------------------------------------------
+
+@pytest.fixture()
+def bdocs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "clean text with ordinary words only"),
+            (2, "one BAD word inside a longer otherwise clean document"),
+            (3, "bad bad bad"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_blocklist_counts_and_flags(bdocs):
+    out = {
+        r.doc_id: r
+        for r in blocklist_filter(
+            bdocs, ["bad"], max_banned_ppm=200_000
+        ).collect()
+    }
+    assert out[1].n_banned == 0 and out[1].keep
+    # case-insensitive exact-token match
+    assert out[2].n_banned == 1
+    assert out[2].banned_ppm == round(1e6 / out[2].n_words)
+    assert out[2].keep  # 1/9 words > 200000 ppm? 111111 <= 200000 -> keep
+    assert out[3].n_banned == 3 and out[3].banned_ppm == 1_000_000
+    assert not out[3].keep
+    # empty and null docs: zero words, keep
+    assert out[4].n_words == 0 and out[4].keep
+    assert out[5].n_words == 0 and out[5].keep
+
+
+def test_blocklist_zero_budget_is_c4_drop_any(bdocs):
+    out = {r.doc_id: r.keep for r in blocklist_filter(bdocs, ["bad"]).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+def test_blocklist_requires_words():
+    with pytest.raises(ValueError):
+        blocklist_filter(None, [])
+
+
+def test_blocklist_broadcasts_wordlist_single_exchange(bdocs):
+    p = plan_of(blocklist_filter(bdocs, ["bad", "worse"]))
+    # the wordlist probe must broadcast — a shuffled semi join against
+    # a few hundred literal words would exchange the full token stream
+    assert "BroadcastHashJoin" in p
+
+
+# ------------------------------------------------------------------
+# mojibake screen
+# ------------------------------------------------------------------
+
+def test_mojibake_flags(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly fine text"),
+            (2, "lost byte � here"),
+            (3, "ctrl\x01\x02 chars" + "x" * 4000),
+            (4, "tab\tand\nnewline\rare fine"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in mojibake_flags(docs).collect()}
+    assert out[1].keep and out[1].bad_ppm == 0
+    assert out[2].n_replacement == 1 and not out[2].keep
+    # two control chars in ~4014 chars is under 0.1% -> keep
+    assert out[3].n_control == 2 and out[3].keep
+    assert out[4].n_control == 0 and out[4].keep
+    assert out[5].n_chars == 0 and out[5].keep
+
+
+def test_mojibake_zero_shuffle(spark):
+    docs = spark.range(10).selectExpr("id as doc_id", "'t' as text")
+    assert "Exchange" not in plan_of(mojibake_flags(docs))
+
+
+# ------------------------------------------------------------------
+# candidate-pruned verify joins
+# ------------------------------------------------------------------
+
+def test_minhash_verify_prunes_sb_side(corpus):
+    """The (doc_b, shingle) verify join's big side must pass through a
+    semi join against the candidate doc_b set — without it the full
+    shingle index shuffles per verification."""
+    with D.cache_scope():
+        df = D.minhash_lsh_pairs(corpus, hash_mode="fast")
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in txt
+
+
+def test_prefix_verify_prunes_key_b_side(corpus):
+    with D.cache_scope():
+        df = D.ngram_jaccard_pairs_prefix(corpus, threshold=0.8)
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in txt
+
+
+def test_incremental_minhash_prunes_corpus_side(spark, corpus):
+    batch = spark.createDataFrame(
+        [(10, "intro words here " + " ".join(f"tok{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    with D.cache_scope():
+        df = D.incremental_minhash_dedup(batch, corpus, hash_mode="fast")
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in txt
+        out = {r.doc_id: r for r in df.collect()}
+    assert out[10].near_dup and out[10].match_id == 1
+
+
+def test_pruned_pairs_equal_unpruned_semantics(spark):
+    """Inner-join invariance: the pruned verify join returns exactly
+    the pairs the docstring contract promises — cross-checked against
+    a driver-side exact Jaccard on a corpus WITH true near-dups."""
+    import itertools
+
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+    rows = []
+    for i in range(8):
+        words = base[0].split()
+        if i % 2:
+            words[i % len(words)] = f"mut{i}"
+        rows.append((i, " ".join(words + [f"tail{i % 3}", "common", "suffix"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh_set(t):
+        w = t.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    texts = dict(rows)
+    expected = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = sh_set(texts[a]), sh_set(texts[b])
+        if A and B:
+            j = len(A & B) / len(A | B)
+            if round(j, 6) >= 0.3:
+                expected.add((a, b))
+    with D.cache_scope():
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in D.minhash_lsh_pairs(
+                docs, jaccard_threshold=0.3, n_hashes=16, n_bands=8
+            ).collect()
+        }
+    # banding at 8 bands x 2 rows catches essentially everything at
+    # j>=0.3 on this corpus; verification must then equal exact Jaccard
+    assert got <= expected
+    assert expected and got  # non-degenerate
+
+
+# ------------------------------------------------------------------
+# PSI drift monitor
+# ------------------------------------------------------------------
+
+def test_psi_zero_for_identical_distributions(spark):
+    from sslr_spark.functions.quality_model import distribution_psi
+
+    d = spark.range(400).selectExpr("cast(id % 50 as double) as v")
+    out = distribution_psi(d, d, "v", [10.0, 25.0, 40.0]).collect()
+    assert len(out) == 4
+    assert all(r.psi_contrib == 0.0 for r in out)
+
+
+def test_psi_detects_shift_and_buckets_correctly(spark):
+    from sslr_spark.functions.quality_model import distribution_psi
+
+    ref = spark.range(1000).selectExpr("cast(id % 100 as double) as v")
+    cur = spark.range(1000).selectExpr("cast((id % 100) + 20 as double) as v")
+    rows = {r.bucket: r for r in distribution_psi(
+        ref, cur, "v", [25.0, 50.0, 75.0]).collect()}
+    # middle buckets unchanged, mass moved from bucket 0 to bucket 3
+    assert rows[1].psi_contrib == 0.0 and rows[2].psi_contrib == 0.0
+    assert rows[0].psi_contrib > 0 and rows[3].psi_contrib > 0
+    assert rows[0].ref_count == 250 and rows[0].cur_count == 50
+    # boundary columns expose the ruler
+    assert rows[0].lo is None and rows[0].hi == 25.0
+    assert rows[3].lo == 75.0 and rows[3].hi is None
+
+
+def test_psi_laplace_smoothing_handles_empty_bucket(spark):
+    from sslr_spark.functions.quality_model import distribution_psi
+
+    ref = spark.range(100).selectExpr("cast(1.0 as double) as v")
+    cur = spark.range(100).selectExpr("cast(99.0 as double) as v")
+    out = distribution_psi(ref, cur, "v", [50.0]).collect()
+    import math
+    assert all(math.isfinite(r.psi_contrib) for r in out)
+
+
+def test_psi_rejects_unsorted_edges(spark):
+    from sslr_spark.functions.quality_model import distribution_psi
+
+    d = spark.range(10).selectExpr("cast(id as double) as v")
+    with pytest.raises(ValueError):
+        distribution_psi(d, d, "v", [5.0, 1.0])
+    with pytest.raises(ValueError):
+        distribution_psi(d, d, "v", [])
+
+
+def test_psi_nulls_excluded(spark):
+    from sslr_spark.functions.quality_model import distribution_psi
+
+    ref = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,)], "v double")
+    out = distribution_psi(ref, ref, "v", [2.0]).collect()
+    assert sum(r.ref_count for r in out) == 2
+
+
+# ------------------------------------------------------------------
+# ordered range shards
+# ------------------------------------------------------------------
+
+def test_range_shards_ordered_non_overlapping(spark):
+    from sslr_spark.functions.sampling import range_shard_assign
+
+    df = spark.range(5000).selectExpr("id as doc_id")
+    stats = (
+        range_shard_assign(df, 8, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    assert sum(r.n for r in stats) == 5000  # total preservation
+    for a, b in zip(stats, stats[1:]):
+        assert a.hi < b.lo  # contiguous, strictly ordered ranges
+    # sampled boundaries keep populations within a loose factor
+    sizes = [r.n for r in stats]
+    assert max(sizes) < 4 * (5000 // 8)
+
+
+def test_range_shards_deterministic(spark):
+    from sslr_spark.functions.sampling import range_shard_assign
+
+    df = spark.range(2000).selectExpr("id as doc_id")
+    a = {(r.doc_id, r.shard) for r in range_shard_assign(df, 4).collect()}
+    b = {(r.doc_id, r.shard) for r in range_shard_assign(df, 4).collect()}
+    assert a == b
+
+
+def test_range_shards_single_shard_and_validation(spark):
+    from sslr_spark.functions.sampling import range_shard_assign
+
+    df = spark.range(10).selectExpr("id as doc_id")
+    out = range_shard_assign(df, 1).collect()
+    assert {r.shard for r in out} == {0}
+    with pytest.raises(ValueError):
+        range_shard_assign(df, 0)
+    with pytest.raises(ValueError):
+        range_shard_assign(df, 4, sample_mod=0)
+
+
+def test_range_shards_null_key_raises(spark):
+    from sslr_spark.functions.sampling import range_shard_assign
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception, match="NULL"):
+        range_shard_assign(df, 2).collect()
+
+
+def test_range_shards_corpus_side_stays_narrow(spark):
+    """The corpus never shuffles: after boundary collection the shard
+    column is a literal-comparison sum — the only Exchange in the
+    final plan may come from the caller's own aggregation."""
+    from sslr_spark.functions.sampling import range_shard_assign
+
+    df = spark.range(3000).selectExpr("id as doc_id")
+    out = range_shard_assign(df, 4, "doc_id")
+    assert "Exchange" not in plan_of(out)
+
+
+def test_range_shards_auto_sample_mod_bounds_the_window(spark):
+    """sample_mod=None derives a power-of-two mod from one count pass
+    so the rank window's input stays under target_sample at any corpus
+    size — and stays deterministic across reruns."""
+    from sslr_spark.functions.sampling import range_shard_assign
+
+    df = spark.range(40_000).selectExpr("id as doc_id")
+    a = (
+        range_shard_assign(df, 4, sample_mod=None, target_sample=1000)
+        .groupBy("shard").count().orderBy("shard").collect()
+    )
+    b = (
+        range_shard_assign(df, 4, sample_mod=None, target_sample=1000)
+        .groupBy("shard").count().orderBy("shard").collect()
+    )
+    assert a == b
+    assert sum(r["count"] for r in a) == 40_000
+    # expected sample 40000/64 = 625 <= 1000; 32 would give 1250 > 1000
+    # (the derivation is observable only via determinism + correctness,
+    # so pin the arithmetic directly)
+    n, mod = 40_000, 1
+    while n // mod > 1000:
+        mod *= 2
+    assert mod == 64
