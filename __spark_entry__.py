@@ -56,11 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #     hash-checked CORRECTNESS row as early as possible.
 #   TAIL — keys safe to fall outside the window: hash-verified green in
 #     recent rounds with unchanged code (freshest evidence last).
-# Every registered key is oracle-backed. r9 rotation: head = 9 new keys
-# (the MOR tombstone-tie / delete-repair / wide-PK overlay keys, the
-# integer-exact cosine range search, containment dedup, the blocklist
-# gate, the mojibake screen, the PSI drift monitor and ordered range
-# shards) + 8 code-changed keys (updates.py
+# Every registered key is oracle-backed. r9 rotation: head = 11 new
+# keys (the MOR tombstone-tie / delete-repair / wide-PK overlay keys,
+# the integer-exact cosine range search, containment dedup, the
+# blocklist gate, the mojibake screen, the PSI drift monitor, ordered
+# range shards, the corpus snapshot diff and the IVF cell-drift
+# monitor) + 6 code-changed keys (updates.py
 # gained the broadcast byte gate, the copy-pending marker, the
 # tombstone-tie ordering and the bytes compaction trigger — s2/a1/t3/
 # j2/d2/x_mor_upsert_read route through it; sampling.py gained the
@@ -70,7 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # it) + 33 of the 38 keys whose latest evidence is r06 (the VERDICT r8
 # item-3 list; the five displaced by the new-operator keys — x_funnel /
 # x_pivot / x_rollup / x_topk_per_group / x_tpch_q1, trivial unchanged
-# OLAP — sit at tail-top, locally re-verified, first into the r10
+# OLAP — sit at tail-top with t3/t6 (r08/r07-green, lightly routed
+# through changed files, locally re-verified), all first into the r10
 # head).
 _HEAD_KEYS = [
     # NEW this round (r9):
@@ -83,15 +85,15 @@ _HEAD_KEYS = [
     "text_mojibake",
     "quality_psi_drift",
     "sample_range_shards",
+    "dedup_corpus_diff",
+    "sim_cell_drift",
     # code changed THIS round (r9):
     "x_mor_upsert_read",
     "j2_upsert_merge",
     "s2_incremental_scan",
     "a1_watermark_probe",
-    "t3_staleness_check",
     "d2_range_delete",
     "sample_weighted",
-    "t6_event_window_agg",
     # the 38 keys whose latest driver evidence is r06 (unchanged
     # code; re-verified locally via tools/verify_oracle.py):
     "sample_shard_diff",
@@ -138,6 +140,12 @@ _TAIL_KEYS = [
     "x_rollup",
     "x_topk_per_group",
     "x_tpch_q1",
+    # r08/r07-green, lightly code-routed this round (t3: metadata-only
+    # count over updates.py; t6: job loop) — displaced by the last two
+    # new-operator keys, re-verified locally this session via
+    # tools/verify_oracle.py, first into the r10 head:
+    "t3_staleness_check",
+    "t6_event_window_agg",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

@@ -2076,3 +2076,43 @@ def source_overlap(
         "n_common",
         "jaccard",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots: one row per
+    key with status 'added' (key only in new), 'removed' (only in
+    old), 'changed' (both, content fingerprint differs) or
+    'unchanged' — the crawl-over-crawl report an incremental pipeline
+    reads before deciding what to reprocess (only added+changed rows
+    need re-curation; the removed set drives tombstones downstream).
+
+    The comparison rides md5 content fingerprints, never the text:
+    both sides collapse to (key, 16-byte fp) before the join, so the
+    shuffle carries fingerprints, not documents. One full outer hash
+    join on the key; no window, no pairwise anything. Output:
+    (key, status, fp_old, fp_new) — the fingerprints ride along so a
+    changed-set consumer can dedup repeated flips without rereading
+    either snapshot.
+    """
+    o = old.select(
+        F.col(key_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp_old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("fp_new"),
+    )
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, key_col, "full_outer").select(
+        key_col, status.alias("status"), "fp_old", "fp_new"
+    )

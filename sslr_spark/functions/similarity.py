@@ -2142,3 +2142,89 @@ def pq_encode_arrow(
     # serves the fixed-codebook path here and the pq_train serving
     # path) — this wrapper only derives the codebooks
     return pq_encode_with_books(df, books, vec_col), books
+
+
+def ivf_cell_drift(
+    corpus: DataFrame,
+    batch: DataFrame,
+    centroid_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    warn_ratio: float = 2.0,
+) -> DataFrame:
+    """Retrain monitor for an incrementally-maintained IVF index: how
+    the INCOMING batch distributes over the FROZEN coarse quantizer's
+    cells versus the accepted corpus. A quantizer balances probe cost
+    only while data still looks like what it was trained on — when new
+    data piles into a few cells (cell share ratio past ``warn_ratio``)
+    those cells' posting lists outgrow the probe budget and the
+    quantizer should be retrained (the same signal FAISS users watch
+    via imbalance_factor).
+
+    Centroids derive from ``corpus`` rows with ids ``centroid_ids``
+    (the frozen quantizer — same convention as
+    :func:`ivf_index_fixed`, so the monitor watches EXACTLY the index
+    the incremental pipeline maintains). Output: one row per cell —
+    (cell, corpus_count, batch_count, corpus_ppm, batch_ppm, drifted)
+    with ppm in pure-integer round-half-up arithmetic and ``drifted``
+    decided by integer cross-multiplication
+    (``batch_share > warn_ratio * corpus_share``, evaluated as
+    ``batch_count * corpus_total * num > corpus_count * batch_total
+    * den`` for warn_ratio = num/den in thousandths) — no float ever
+    enters the verdict, so the flag hash-checks in any engine. A cell
+    the corpus never populated drifts whenever the batch lands
+    anything in it.
+
+    100 TB shape: cell assignment is the literal-centroid per-row
+    argmax (zero shuffle); each side then collapses to <= n_cells
+    rows in one map-side-combined aggregate; everything after joins
+    bounded frames. No window over data, no pairwise anything.
+    """
+    num = int(round(warn_ratio * 1000))
+    rows = fixed_centroid_rows(corpus, centroid_ids, vec_col, id_col)
+    c_cells = (
+        assign_cells_fixed(corpus, rows, vec_col)
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("corpus_count"))
+    )
+    b_cells = (
+        assign_cells_fixed(batch, rows, vec_col)
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("batch_count"))
+    )
+    spark = corpus.sparkSession
+    cells = spark.range(len(rows)).select(
+        F.col("id").cast("int").alias("__cell")
+    )
+    j = (
+        cells.join(c_cells, "__cell", "left")
+        .join(b_cells, "__cell", "left")
+        .na.fill(0, ["corpus_count", "batch_count"])
+    )
+    tot = j.select(
+        F.sum("corpus_count").alias("__tc"), F.sum("batch_count").alias("__tb")
+    )
+    ppm_c = F.when(F.col("__tc") == 0, F.lit(0)).otherwise(
+        F.expr("(2000000 * corpus_count + __tc) div (2 * __tc)")
+    )
+    ppm_b = F.when(F.col("__tb") == 0, F.lit(0)).otherwise(
+        F.expr("(2000000 * batch_count + __tb) div (2 * __tb)")
+    )
+    # decimal(38,0) operands: count x total x ratio overflows int64
+    # around 1e12-row sides, well inside 100 TB territory
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    drifted = (
+        dec(F.col("batch_count")) * dec(F.col("__tc")) * F.lit(num)
+        > dec(F.col("corpus_count")) * dec(F.col("__tb")) * F.lit(1000)
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__cell").alias("cell"),
+            F.col("corpus_count").cast("long").alias("corpus_count"),
+            F.col("batch_count").cast("long").alias("batch_count"),
+            ppm_c.cast("long").alias("corpus_ppm"),
+            ppm_b.cast("long").alias("batch_ppm"),
+            drifted.alias("drifted"),
+        )
+    )

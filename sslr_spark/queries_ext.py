@@ -4314,12 +4314,111 @@ from a group by shard
 """
 
 
+def q_dedup_corpus_diff(spark, sf_dir):
+    """Snapshot content diff (dedup.py corpus_diff): old = docs with
+    doc_id % 7 != 0 (some removed), new = all docs with every 5th
+    text rewritten (changed) — per-doc added/removed/changed/
+    unchanged status over md5 fingerprints, one hash join, documents
+    never shuffled."""
+    from sslr_spark.functions.dedup import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
+SQL_DEDUP_CORPUS_DIFF = """
+with o as (
+  select doc_id, md5(coalesce(text, '')) as fp_old
+  from documents where doc_id % 7 != 0
+),
+n as (
+  select doc_id,
+         md5(coalesce(case when doc_id % 5 = 0 then text || ' v2'
+                           else text end, '')) as fp_new
+  from documents
+)
+select coalesce(o.doc_id, n.doc_id) as doc_id,
+       case when fp_old is null then 'added'
+            when fp_new is null then 'removed'
+            when fp_old != fp_new then 'changed'
+            else 'unchanged' end as status,
+       fp_old, fp_new
+from o full outer join n on o.doc_id = n.doc_id
+"""
+
+
+def q_sim_cell_drift(spark, sf_dir):
+    """IVF retrain monitor (similarity.py ivf_cell_drift): incoming
+    batch (vec_id % 3 = 0) vs corpus occupancy per frozen-quantizer
+    cell; integer-ppm shares and a cross-multiplied drift flag — no
+    float in the verdict."""
+    from sslr_spark.functions.similarity import ivf_cell_drift
+
+    emb = _emb(spark, sf_dir)
+    return ivf_cell_drift(
+        emb, emb.filter(F.col("vec_id") % 3 == 0), _IVF_CENT_IDS,
+        warn_ratio=1.2,
+    )
+
+
+_CENT_IDS_SQL = ", ".join(str(i) for i in _IVF_CENT_IDS)
+SQL_SIM_CELL_DRIFT = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings where vec_id in ({_CENT_IDS_SQL})
+),
+assigned as (
+  select vec_id, cell from (
+    select e.vec_id, c.cell,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')}, 9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+cc as (select cell, count(*) as corpus_count from assigned group by cell),
+bc as (select cell, count(*) as batch_count from assigned
+       where vec_id % 3 = 0 group by cell),
+j as (
+  select cents.cell, coalesce(corpus_count, 0) as corpus_count,
+         coalesce(batch_count, 0) as batch_count,
+         sum(coalesce(corpus_count, 0)) over () as tc,
+         sum(coalesce(batch_count, 0)) over () as tb
+  from cents left join cc using (cell) left join bc using (cell)
+)
+select cell,
+       cast(corpus_count as bigint) as corpus_count,
+       cast(batch_count as bigint) as batch_count,
+       cast(case when tc = 0 then 0
+            else (2000000 * corpus_count + tc) // (2 * tc) end as bigint)
+         as corpus_ppm,
+       cast(case when tb = 0 then 0
+            else (2000000 * batch_count + tb) // (2 * tb) end as bigint)
+         as batch_ppm,
+       batch_count::hugeint * tc * 1200
+         > corpus_count::hugeint * tb * 1000 as drifted
+from j
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "text_blocklist": q_text_blocklist,
     "text_mojibake": q_text_mojibake,
     "quality_psi_drift": q_quality_psi_drift,
     "sample_range_shards": q_sample_range_shards,
+    "dedup_corpus_diff": q_dedup_corpus_diff,
+    "sim_cell_drift": q_sim_cell_drift,
     "dedup_keep_best": q_dedup_keep_best,
     "x_source_overlap": q_x_source_overlap,
     "text_langid_eval": q_text_langid_eval,
@@ -4419,6 +4518,8 @@ EXT_ORACLES: dict[str, str] = {
     "text_mojibake": SQL_TEXT_MOJIBAKE,
     "quality_psi_drift": SQL_QUALITY_PSI_DRIFT,
     "sample_range_shards": SQL_SAMPLE_RANGE_SHARDS,
+    "dedup_corpus_diff": SQL_DEDUP_CORPUS_DIFF,
+    "sim_cell_drift": SQL_SIM_CELL_DRIFT,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "x_source_overlap": SQL_SOURCE_OVERLAP,
     "text_langid_eval": SQL_TEXT_LANGID_EVAL,

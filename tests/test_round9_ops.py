@@ -383,3 +383,96 @@ def test_range_shards_auto_sample_mod_bounds_the_window(spark):
     while n // mod > 1000:
         mod *= 2
     assert mod == 64
+
+
+# ------------------------------------------------------------------
+# corpus snapshot diff
+# ------------------------------------------------------------------
+
+def test_corpus_diff_statuses(spark):
+    from sslr_spark.functions.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "goes away"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+        5: "unchanged",  # null text fingerprints equal, not 'added'
+    }
+
+
+def test_corpus_diff_fingerprints_ride_along(spark):
+    from sslr_spark.functions.dedup import corpus_diff
+
+    old = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "b")], "doc_id long, text string")
+    r = corpus_diff(old, new).collect()[0]
+    assert r.fp_old != r.fp_new and len(r.fp_old) == 32
+
+
+def test_corpus_diff_shuffles_fingerprints_not_documents(spark):
+    """The exchange must carry (key, fp), not documents: md5 collapses
+    the text BELOW the join, so the optimized plan's join inputs
+    project only the two fingerprint columns."""
+    from sslr_spark.functions.dedup import corpus_diff
+
+    old = spark.range(100).selectExpr("id as doc_id", "repeat('x', 10) as text")
+    df = corpus_diff(old, old)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    # the join node sees fp columns; the text column appears only
+    # inside the md5 projections beneath it
+    join_part = opt.split("Join")[0]
+    assert "text" not in join_part
+
+
+# ------------------------------------------------------------------
+# IVF cell drift
+# ------------------------------------------------------------------
+
+def test_ivf_cell_drift_flags_hot_cell(spark):
+    from sslr_spark.functions.similarity import ivf_cell_drift
+
+    # two well-separated unit centroids on axes 0 and 1
+    def vec(axis, n=4, eps=0.0):
+        v = [eps] * n
+        v[axis] = 1.0
+        return v
+
+    corpus = spark.createDataFrame(
+        [(0, vec(0)), (1, vec(1))]
+        + [(i, vec(i % 2, eps=0.01)) for i in range(2, 42)],
+        "vec_id long, embedding array<double>",
+    )
+    # batch piles entirely into cell 0's neighborhood
+    batch = spark.createDataFrame(
+        [(100 + i, vec(0, eps=0.02)) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.cell: r for r in ivf_cell_drift(
+        corpus, batch, [0, 1], warn_ratio=1.5).collect()}
+    assert len(out) == 2
+    assert out[0].drifted  # 100% of batch vs ~50% of corpus
+    assert not out[1].drifted
+    assert out[0].batch_count == 10 and out[1].batch_count == 0
+    assert out[0].corpus_ppm + out[1].corpus_ppm in (999999, 1000000, 1000001)
+
+
+def test_ivf_cell_drift_empty_corpus_cell_drifts_on_any_batch(spark):
+    from sslr_spark.functions.similarity import ivf_cell_drift
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [(10, [0.1, 0.99])], "vec_id long, embedding array<double>"
+    )
+    out = {r.cell: r for r in ivf_cell_drift(
+        corpus, batch, [0, 1]).collect()}
+    assert out[1].drifted  # batch landed where corpus share is minority
