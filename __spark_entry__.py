@@ -56,12 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     hash-checked CORRECTNESS row as early as possible.
 #   TAIL — keys safe to fall outside the window: hash-verified green in
 #     recent rounds with unchanged code (freshest evidence last).
-# Every registered key is oracle-backed. r9 rotation: head = 11 new
+# Every registered key is oracle-backed. r9 rotation: head = 14 new
 # keys (the MOR tombstone-tie / delete-repair / wide-PK overlay keys,
-# the integer-exact cosine range search, containment dedup, the
-# blocklist gate, the mojibake screen, the PSI drift monitor, ordered
-# range shards, the corpus snapshot diff and the IVF cell-drift
-# monitor) + 6 code-changed keys (updates.py
+# the integer-exact cosine range search, containment dedup + its
+# incremental batch-vs-corpus twin, the word+phrase blocklist gates,
+# the mojibake screen, the PSI drift monitor, ordered range shards,
+# byte-budget shard packing, the corpus snapshot diff and the IVF
+# cell-drift monitor) + 3 code-changed keys (updates.py
 # gained the broadcast byte gate, the copy-pending marker, the
 # tombstone-tie ordering and the bytes compaction trigger — s2/a1/t3/
 # j2/d2/x_mor_upsert_read route through it; sampling.py gained the
@@ -71,9 +72,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # it) + 33 of the 38 keys whose latest evidence is r06 (the VERDICT r8
 # item-3 list; the five displaced by the new-operator keys — x_funnel /
 # x_pivot / x_rollup / x_topk_per_group / x_tpch_q1, trivial unchanged
-# OLAP — sit at tail-top with t3/t6 (r08/r07-green, lightly routed
-# through changed files, locally re-verified), all first into the r10
-# head).
+# OLAP — sit at tail-top with t3/t6/a1/d2/sample_weighted (r07/r08-
+# green, lightly routed through changed files, locally re-verified
+# this session AND pytest-pinned where the change touched them), all
+# first into the r10 head).
 _HEAD_KEYS = [
     # NEW this round (r9):
     "x_mor_tombstone_tie",
@@ -87,13 +89,13 @@ _HEAD_KEYS = [
     "sample_range_shards",
     "dedup_corpus_diff",
     "sim_cell_drift",
+    "text_blocklist_phrases",
+    "dedup_incremental_containment",
+    "sample_shard_budget",
     # code changed THIS round (r9):
     "x_mor_upsert_read",
     "j2_upsert_merge",
     "s2_incremental_scan",
-    "a1_watermark_probe",
-    "d2_range_delete",
-    "sample_weighted",
     # the 38 keys whose latest driver evidence is r06 (unchanged
     # code; re-verified locally via tools/verify_oracle.py):
     "sample_shard_diff",
@@ -146,6 +148,13 @@ _TAIL_KEYS = [
     # tools/verify_oracle.py, first into the r10 head:
     "t3_staleness_check",
     "t6_event_window_agg",
+    "a1_watermark_probe",
+    "d2_range_delete",
+    "sample_weighted",
+    # new r9 composition key — both component gates (text_mojibake,
+    # text_blocklist) ARE in the r9 window; the chain itself verified
+    # locally (70 rows match at sf0.01), enters the r10 head:
+    "x_curation_pipeline_gates",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

@@ -64,6 +64,9 @@ class CurationConfig:
     keep_fraction: float = 0.6
     max_per_source: int | None = None
     n_shards: int | None = 16
+    mojibake: bool = False
+    blocklist: list[str] = field(default_factory=list)
+    blocklist_max_ppm: int = 0
     gopher: bool = True
     exact_dedup: bool = True
     near_dup: bool = False
@@ -81,7 +84,7 @@ _KNOWN_CURATION = {
     "qualityBias", "keepFraction", "maxPerSource", "nShards", "gopher",
     "exactDedup", "nearDup", "nearDupThreshold", "nearDupHashMode",
     "nearDupMaxDocFreq", "textColumn", "keyColumn", "langColumn",
-    "sourceColumn",
+    "sourceColumn", "mojibake", "blocklist", "blocklistMaxPpm",
 }
 
 
@@ -114,6 +117,9 @@ def load_curation_config(path_or_text: str) -> CurationConfig:
         keep_fraction=float(raw.get("keepFraction", 0.6)),
         max_per_source=raw.get("maxPerSource"),
         n_shards=raw.get("nShards", 16),
+        mojibake=bool(raw.get("mojibake", False)),
+        blocklist=[str(w) for w in raw.get("blocklist", [])],
+        blocklist_max_ppm=int(raw.get("blocklistMaxPpm", 0)),
         gopher=bool(raw.get("gopher", True)),
         exact_dedup=bool(raw.get("exactDedup", True)),
         near_dup=bool(raw.get("nearDup", False)),
@@ -160,6 +166,9 @@ def run_curation(spark, cfg: CurationConfig) -> dict:
         near_dup_threshold=cfg.near_dup_threshold,
         near_dup_hash_mode=cfg.near_dup_hash_mode,
         near_dup_max_doc_freq=cfg.near_dup_max_doc_freq,
+        mojibake=cfg.mojibake,
+        blocklist=cfg.blocklist or None,
+        blocklist_max_ppm=cfg.blocklist_max_ppm,
         text_col=cfg.text_column,
         key_col=cfg.key_column,
         lang_col=cfg.lang_column,
@@ -210,6 +219,9 @@ def curate_documents(
     near_dup_threshold: float = 0.5,
     near_dup_hash_mode: str = "portable",
     near_dup_max_doc_freq: int | None = None,
+    mojibake: bool = False,
+    blocklist: list[str] | None = None,
+    blocklist_max_ppm: int = 0,
     text_col: str = "text",
     key_col: str = "doc_id",
     lang_col: str = "lang",
@@ -248,10 +260,35 @@ def curate_documents(
     cur = df.select(kc, lang_col, source_col, text_col)
     tick("input", cur)
 
+    if mojibake:
+        # encoding screen FIRST: a mis-decoded doc poisons every
+        # later heuristic (gopher word shapes, dedup shingles, the
+        # quality model's features), so it must not even reach them
+        from sslr_spark.functions.text import mojibake_flags
+
+        mk = mojibake_flags(df, text_col).filter("keep").select(kc)
+        cur = cur.join(mk, kc, "left_semi")
+        tick("mojibake", cur)
+
     if gopher:
         keep = gopher_flags(df, text_col).filter("keep").select(kc)
         cur = cur.join(keep, kc, "left_semi")
         tick("gopher", cur)
+
+    if blocklist:
+        # content-policy gate after the structural rules, before any
+        # dedup work is spent on rows the policy will drop anyway
+        from sslr_spark.functions.text import blocklist_filter
+
+        bk = (
+            blocklist_filter(
+                cur, blocklist, text_col, max_banned_ppm=blocklist_max_ppm
+            )
+            .filter("keep")
+            .select(kc)
+        )
+        cur = cur.join(bk, kc, "left_semi")
+        tick("blocklist", cur)
 
     if exact_dedup:
         keepers = exact_dedup_groups(cur, text_col).select(

@@ -2116,3 +2116,90 @@ def corpus_diff(
     return o.join(n, key_col, "full_outer").select(
         key_col, status.alias("status"), "fp_old", "fp_new"
     )
+
+
+def incremental_containment_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Containment flag for each batch document against the accepted
+    corpus — the excerpt-detecting member of the incremental family
+    (exact: :func:`incremental_exact_dedup`, edited-re-crawl:
+    :func:`incremental_minhash_dedup`, boilerplate spans:
+    :func:`incremental_span_exposure`): a batch doc that is mostly a
+    QUOTE of an accepted doc (or vice versa) slips past both — its
+    Jaccard to the source is ~|A|/|B|, far under any usable minhash
+    threshold, so the banding generator never even proposes the pair.
+
+    One row per batch doc: (doc_id, contained, match_id, containment)
+    — ``match_id``/``containment`` are the corpus doc maximizing
+    smaller-set containment ``n_common / min(|A|,|B|)`` at >=
+    ``threshold`` (nulls when clean; ties -> smallest corpus id).
+
+    NOT banded on purpose: minhash-LSH's collision probability tracks
+    JACCARD, so it structurally under-recalls exactly the pairs this
+    operator exists for. Candidates come from the shingle inverted
+    index instead (pairs form only where a shingle is shared — the
+    batch side is tiny, so fan-out is batch-shingles x per-shingle
+    corpus frequency, bounded by ``max_shingle_doc_freq``; derive the
+    cap from the CORPUS and apply it to BOTH sides, the
+    incremental-family convention). The corpus is never joined against
+    itself.
+    """
+    _entry_release()
+    raw = shingles(corpus, text_col, shingle_n)
+    hot = _hot_shingle_set(raw, max_shingle_doc_freq)
+    c_sh = _persist(
+        raw.join(hot, "shingle", "left_anti") if hot is not None else raw
+    )
+    b_sh = shingles(batch, text_col, shingle_n)
+    if hot is not None:
+        b_sh = b_sh.join(hot, "shingle", "left_anti")
+    b_sh = _persist(b_sh)
+    inter = (
+        b_sh.select(F.col("doc_id").alias("batch_id"), "shingle")
+        .join(
+            c_sh.select(F.col("doc_id").alias("corpus_id"), "shingle"),
+            "shingle",
+        )
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    zb = b_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col("doc_id").alias("batch_id"), "nb"
+    )
+    zc = c_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc")).select(
+        F.col("doc_id").alias("corpus_id"), "nc"
+    )
+    cont = F.col("n_common") / F.least(F.col("nb"), F.col("nc"))
+    scored = (
+        inter.join(zb, "batch_id")
+        .join(zc, "corpus_id")
+        .select("batch_id", "corpus_id", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_id").orderBy(
+        F.col("containment").desc(), F.col("corpus_id")
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("batch_id", "corpus_id", "containment")
+    )
+    return (
+        batch.select("doc_id")
+        .distinct()
+        .join(best, F.col("doc_id") == F.col("batch_id"), "left")
+        .select(
+            "doc_id",
+            F.col("corpus_id").isNotNull().alias("contained"),
+            F.col("corpus_id").alias("match_id"),
+            "containment",
+        )
+    )

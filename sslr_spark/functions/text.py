@@ -767,6 +767,13 @@ def blocklist_filter(
     (``max_banned_ppm=0``); softer pipelines keep a token-share budget
     instead (e.g. 10_000 ppm = 1%).
 
+    Entries may be MULTI-WORD PHRASES (the real C4 wordlist has
+    them): an n-word entry matches any run of n consecutive tokens,
+    counted per OCCURRENCE (overlaps each count — positional n-grams,
+    not the dedup family's distinct shingles). ``n_banned`` totals
+    word and phrase occurrences; the ppm denominator stays the
+    document's word count.
+
     Output: (doc_id, n_words, n_banned, banned_ppm, keep), one row per
     input document (empty/whitespace-only docs count 0 words, 0 banned,
     keep=true). ``banned_ppm`` is round-half-up PURE integer ppm (the
@@ -777,24 +784,51 @@ def blocklist_filter(
     token ``array_contains`` lambda — a few hundred literal list probes
     per token runs interpreted (the known higher-order slow path, fine
     for the 6-entry stopword probe, wrong for real wordlists). Tokens
-    explode narrow, the semi join broadcasts the (tiny, distinct)
-    blocklist, and the only exchange is the per-doc count aggregate —
-    map-side combinable. Left join back from the base keeps zero-hit
-    docs without a second corpus pass.
+    (and one positional n-gram stream per distinct phrase LENGTH —
+    wordlists top out around 5, so that's <= 4 extra narrow explodes)
+    explode narrow, each semi join broadcasts its (tiny, distinct)
+    slice of the blocklist, and the only exchange is the per-doc count
+    aggregate — map-side combinable. Left join back from the base
+    keeps zero-hit docs without a second corpus pass.
     """
     if not blocklist:
         raise ValueError("blocklist_filter needs a non-empty blocklist")
+    by_len: dict[int, list[str]] = {}
+    for entry in sorted({" ".join(w.lower().split()) for w in blocklist}):
+        if not entry:
+            raise ValueError("blocklist_filter: empty blocklist entry")
+        by_len.setdefault(len(entry.split()), []).append(entry)
     spark = df.sparkSession
-    bl = spark.createDataFrame(
-        [(w.lower(),) for w in sorted(set(blocklist))], "__w string"
-    )
     lw = words(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     base = df.select("doc_id", F.size(lw).cast("long").alias("n_words"))
-    toks = df.select("doc_id", F.explode(lw).alias("__w"))
-    hits = (
-        toks.join(F.broadcast(bl), "__w", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_banned"))
+
+    hit_parts = []
+    for n, entries in sorted(by_len.items()):
+        bl = spark.createDataFrame([(e,) for e in entries], "__w string")
+        if n == 1:
+            stream = df.select("doc_id", F.explode(lw).alias("__w"))
+        else:
+            # positional n-grams over the materialized token array —
+            # element lookups, not slices, same shape as shingles()
+            toks = df.select("doc_id", lw.alias("__t"))
+            t = F.col("__t")
+            grams = F.when(
+                F.size(t) < n, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[t[(i + off).cast("int")] for off in range(n)]
+                    ),
+                )
+            )
+            stream = toks.select("doc_id", F.explode(grams).alias("__w"))
+        hit_parts.append(stream.join(F.broadcast(bl), "__w", "left_semi"))
+    all_hits = hit_parts[0]
+    for part in hit_parts[1:]:
+        all_hits = all_hits.unionByName(part)
+    hits = all_hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_banned")
     )
     ppm = F.when(F.col("n_words") == 0, F.lit(0)).otherwise(
         F.expr("(2000000 * n_banned + n_words) div (2 * n_words)")

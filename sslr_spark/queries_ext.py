@@ -4411,7 +4411,238 @@ from j
 """
 
 
+_PHRASE_BL = ["slow", "fast merge", "scan slow fast"]
+
+
+def q_text_blocklist_phrases(spark, sf_dir):
+    """Phrase-capable blocklist gate (text.py blocklist_filter with
+    multi-word entries): per-occurrence positional n-gram matches
+    plus single-word hits — one narrow gram stream per phrase length,
+    each broadcast-joined against its slice of the list."""
+    from sslr_spark.functions.text import blocklist_filter
+
+    return blocklist_filter(
+        _docs(spark, sf_dir), _PHRASE_BL, max_banned_ppm=40_000
+    )
+
+
+_PGRAMS = (
+    "list_transform(generate_series(1, len(__lw) - {m}), "
+    "i -> array_to_string(__lw[i:i+{m}], ' '))"
+)
+SQL_TEXT_BLOCKLIST_PHRASES = f"""
+with lw as (
+  select doc_id, {_LW_SQL} as __lw from documents
+),
+base as (select doc_id, cast(len(__lw) as bigint) as n_words from lw),
+h1 as (
+  select doc_id, count(*) as c from (
+    select doc_id, unnest(__lw) as g from lw
+  ) where g in ('slow') group by doc_id
+),
+h2 as (
+  select doc_id, count(*) as c from (
+    select doc_id, unnest(case when len(__lw) < 2 then []
+      else {_PGRAMS.format(m=1)} end) as g from lw
+  ) where g in ('fast merge') group by doc_id
+),
+h3 as (
+  select doc_id, count(*) as c from (
+    select doc_id, unnest(case when len(__lw) < 3 then []
+      else {_PGRAMS.format(m=2)} end) as g from lw
+  ) where g in ('scan slow fast') group by doc_id
+),
+hits as (
+  select doc_id, cast(coalesce(h1.c, 0) + coalesce(h2.c, 0)
+                      + coalesce(h3.c, 0) as bigint) as n_banned
+  from base left join h1 using (doc_id) left join h2 using (doc_id)
+  left join h3 using (doc_id)
+)
+select base.doc_id, n_words, n_banned,
+       cast(case when n_words = 0 then 0
+            else (2000000 * n_banned + n_words) // (2 * n_words) end
+            as bigint) as banned_ppm,
+       n_banned * 1000000 <= 40000 * n_words as keep
+from base join hits using (doc_id)
+"""
+
+
+def q_dedup_incremental_containment(spark, sf_dir):
+    """Incremental excerpt detection (dedup.py
+    incremental_containment_dedup): every 10th doc truncated to its
+    first 150 chars simulates an incoming quote batch — each batch doc
+    reports its best corpus containment match (the original scores
+    1.0). Inverted-index candidates, batch x corpus only."""
+    from sslr_spark.functions.dedup import incremental_containment_dedup
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.substring("text", 1, 150).alias("text")
+    )
+    return incremental_containment_dedup(batch, docs, threshold=0.5)
+
+
+SQL_DEDUP_INCR_CONTAINMENT = """
+with cw as (
+  select doc_id, case when length(trim(text)) = 0 then []
+    else string_split_regex(trim(text), '\\s+') end as w from documents
+),
+csh as (
+  select distinct doc_id, unnest(
+    list_transform(generate_series(1, len(w) - 2),
+                   i -> array_to_string(w[i:i+2], ' '))) as shingle
+  from cw
+),
+bt as (
+  select doc_id, substring(text, 1, 150) as text from documents
+  where doc_id % 10 = 0
+),
+bw as (
+  select doc_id, case when length(trim(text)) = 0 then []
+    else string_split_regex(trim(text), '\\s+') end as w from bt
+),
+bsh as (
+  select distinct doc_id, unnest(
+    list_transform(generate_series(1, len(w) - 2),
+                   i -> array_to_string(w[i:i+2], ' '))) as shingle
+  from bw
+),
+inter as (
+  select b.doc_id as batch_id, c.doc_id as corpus_id,
+         count(*) as n_common
+  from bsh b join csh c using (shingle)
+  group by 1, 2
+),
+zb as (select doc_id as batch_id, count(*) as nb from bsh group by 1),
+zc as (select doc_id as corpus_id, count(*) as nc from csh group by 1),
+scored as (
+  select batch_id, corpus_id,
+         round(n_common / least(nb, nc), 6) as containment
+  from inter join zb using (batch_id) join zc using (corpus_id)
+  where round(n_common / least(nb, nc), 6) >= 0.5
+),
+best as (
+  select batch_id, corpus_id, containment from (
+    select *, row_number() over (
+      partition by batch_id order by containment desc, corpus_id
+    ) as rn from scored
+  ) where rn = 1
+)
+select bt.doc_id,
+       best.corpus_id is not null as contained,
+       best.corpus_id as match_id, containment
+from bt left join best on bt.doc_id = best.batch_id
+"""
+
+
+def q_sample_shard_budget(spark, sf_dir):
+    """Byte-budget shard packing (sampling.py shard_by_budget): walk
+    each source in key order, open a new shard when the running
+    n_chars total would cross 2000 — greedy next-fit, one window
+    exchange, overflow bounded by one document."""
+    from sslr_spark.functions.sampling import shard_by_budget
+
+    out = shard_by_budget(_docs(spark, sf_dir), 2000)
+    return out.select("doc_id", "source", "n_chars", "shard")
+
+
+SQL_SAMPLE_SHARD_BUDGET = """
+select doc_id, source, n_chars,
+       cast((sum(n_chars) over (
+               partition by source order by doc_id
+               rows between unbounded preceding and current row
+             ) - n_chars) // 2000 as int) as shard
+from documents
+"""
+
+
+def q_x_curation_pipeline_gates(spark, sf_dir):
+    """The curation chain with BOTH round-9 gates wired in production
+    order (curation.py: mojibake encoding screen FIRST — a mis-decoded
+    doc poisons every later heuristic — then Gopher rules, then the
+    blocklist content-policy gate before any dedup work is spent on
+    rows policy will drop): proves the seven-stage composition
+    including threshold recomputation over the post-gate survivors."""
+    from sslr_spark.curation import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir),
+        quality_weights=[_QW["n_tokens"], _QW["n_subtokens"],
+                         _QW["stopword_ratio"], _QW["mean_word_len"]],
+        quality_bias=_QW["bias"],
+        keep_fraction=0.6,
+        max_per_source=10,
+        n_shards=16,
+        mojibake=True,
+        blocklist=_BLOCKLIST,
+        blocklist_max_ppm=_BLOCKLIST_PPM,
+    ).df
+
+
+SQL_X_CURATION_PIPELINE_GATES = f"""
+with mk as (
+  select doc_id from ({SQL_TEXT_MOJIBAKE}) where keep
+),
+bk as (
+  select doc_id from ({SQL_TEXT_BLOCKLIST}) where keep
+),
+s1 as (
+  select d.doc_id, d.lang, d.source, d.text
+  from documents d
+  join mk on mk.doc_id = d.doc_id
+  join ({SQL_TEXT_GOPHER_FLAGS}) g on g.doc_id = d.doc_id and g.keep
+  join bk on bk.doc_id = d.doc_id
+),
+s2 as (
+  select * from s1
+  where doc_id in (select min(doc_id) from s1 group by md5(text))
+),
+sc as (
+  select q.doc_id, s2.lang,
+         cast(floor(q.score * 1e4 + 0.5) as int) as score_bp
+  from ({SQL_TEXT_QUALITY_SCORE}) q
+  join s2 on s2.doc_id = q.doc_id
+),
+h as (select lang, score_bp, count(*) as c from sc group by 1, 2),
+n as (select lang, count(*) as n from sc group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang, max(cum.score_bp) as threshold_bp
+  from cum join n on n.lang = cum.lang
+  where cum.cum >= ceil(0.6 * n.n)
+  group by cum.lang
+),
+s3 as (
+  select s2.doc_id, s2.lang, s2.source from s2
+  join sc on sc.doc_id = s2.doc_id
+  join thr on thr.lang = s2.lang
+  where sc.score_bp >= thr.threshold_bp
+),
+s4 as (
+  select doc_id, lang, source from (
+    select s3.*, row_number() over (
+      partition by source order by {_CURATION_CAP_HASH}, doc_id
+    ) as rn from s3
+  ) where rn <= 10
+)
+select doc_id, lang, source,
+       cast({_SHARD_KEY} % 16 as int) as shard
+from s4
+"""
+
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_blocklist_phrases": q_text_blocklist_phrases,
+    "x_curation_pipeline_gates": q_x_curation_pipeline_gates,
+    "dedup_incremental_containment": q_dedup_incremental_containment,
+    "sample_shard_budget": q_sample_shard_budget,
     "dedup_containment": q_dedup_containment,
     "text_blocklist": q_text_blocklist,
     "text_mojibake": q_text_mojibake,
@@ -4513,6 +4744,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "text_blocklist_phrases": SQL_TEXT_BLOCKLIST_PHRASES,
+    "x_curation_pipeline_gates": SQL_X_CURATION_PIPELINE_GATES,
+    "dedup_incremental_containment": SQL_DEDUP_INCR_CONTAINMENT,
+    "sample_shard_budget": SQL_SAMPLE_SHARD_BUDGET,
     "dedup_containment": SQL_DEDUP_CONTAINMENT,
     "text_blocklist": SQL_TEXT_BLOCKLIST,
     "text_mojibake": SQL_TEXT_MOJIBAKE,

@@ -476,3 +476,185 @@ def test_ivf_cell_drift_empty_corpus_cell_drifts_on_any_batch(spark):
     out = {r.cell: r for r in ivf_cell_drift(
         corpus, batch, [0, 1]).collect()}
     assert out[1].drifted  # batch landed where corpus share is minority
+
+
+# ------------------------------------------------------------------
+# phrase blocklist
+# ------------------------------------------------------------------
+
+def test_blocklist_phrases_count_occurrences(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "click here now to win big money click here"),
+            (2, "no matches at all in this one"),
+            (3, "heretical clicks here"),  # substrings must NOT match
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in blocklist_filter(
+            docs, ["click here", "win big money"]
+        ).collect()
+    }
+    assert out[1].n_banned == 3  # two 'click here' + one phrase
+    assert not out[1].keep
+    assert out[2].n_banned == 0 and out[2].keep
+    assert out[3].n_banned == 0 and out[3].keep
+
+
+def test_blocklist_phrases_overlap_counts_each(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a")], "doc_id long, text string"
+    )
+    out = blocklist_filter(docs, ["a a"]).collect()[0]
+    assert out.n_banned == 2  # positions 0 and 1 both match
+
+
+def test_blocklist_rejects_empty_entry(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        blocklist_filter(docs, ["ok", "  "])
+
+
+def test_blocklist_mixed_lengths_still_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4")], "doc_id long, text string"
+    )
+    p = plan_of(blocklist_filter(docs, ["w1", "w2 w3", "w2 w3 w4"]))
+    # one broadcast semi join per phrase length; the only non-broadcast
+    # join allowed is the final doc_id join back to the base
+    assert p.count("BroadcastHashJoin") == 3
+    for line in p.splitlines():
+        if "SortMergeJoin" in line:
+            assert "doc_id" in line
+
+
+# ------------------------------------------------------------------
+# incremental containment
+# ------------------------------------------------------------------
+
+def test_incremental_containment_flags_excerpt(spark, corpus):
+    from sslr_spark.functions.dedup import incremental_containment_dedup
+
+    # batch doc 10 is an excerpt (the body) of corpus doc 1
+    batch = spark.createDataFrame(
+        [(10, " ".join(f"tok{i}" for i in range(40))),
+         (11, "completely novel text having nothing in common at all")],
+        "doc_id long, text string",
+    )
+    with D.cache_scope():
+        out = {
+            r.doc_id: r
+            for r in incremental_containment_dedup(
+                batch, corpus, threshold=0.9
+            ).collect()
+        }
+    assert out[10].contained and out[10].match_id == 1
+    assert out[10].containment == 1.0
+    assert not out[11].contained and out[11].match_id is None
+
+
+def test_incremental_containment_never_corpus_x_corpus(spark, corpus):
+    from sslr_spark.functions.dedup import incremental_containment_dedup
+
+    batch = spark.createDataFrame(
+        [(10, "tok1 tok2 tok3 tok4")], "doc_id long, text string"
+    )
+    with D.cache_scope():
+        df = incremental_containment_dedup(batch, corpus)
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+# ------------------------------------------------------------------
+# byte-budget shards
+# ------------------------------------------------------------------
+
+def test_shard_by_budget_packs_greedy_next_fit(spark):
+    from sslr_spark.functions.sampling import shard_by_budget
+
+    df = spark.createDataFrame(
+        [(1, "a", 40), (2, "a", 40), (3, "a", 40), (4, "a", 200),
+         (5, "a", 10), (6, "b", 60)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r.doc_id: r.shard for r in shard_by_budget(df, 100).collect()}
+    # 40+40 fill shard 0; third 40 starts at 80 -> still shard 0
+    # (next-fit: shard = before div budget), 200 starts at 120 ->
+    # shard 1 (overflows by one doc), 10 starts at 320 -> shard 3
+    assert out[1] == 0 and out[2] == 0 and out[3] == 0
+    assert out[4] == 1 and out[5] == 3
+    assert out[6] == 0  # group 'b' numbers independently
+
+
+def test_shard_by_budget_validation_and_single_exchange(spark):
+    from sslr_spark.functions.sampling import shard_by_budget
+
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "doc_id long, source string, n_chars long"
+    )
+    with pytest.raises(ValueError):
+        shard_by_budget(df, 0)
+    p = plan_of(shard_by_budget(df, 100))
+    assert p.count("Exchange") <= 2  # one hash exchange (+AQE read)
+    assert "rangepartitioning" not in p.lower()  # no global sort
+
+
+# ------------------------------------------------------------------
+# curation pipeline: round-9 gate stages
+# ------------------------------------------------------------------
+
+def test_curation_gates_order_and_funnel(spark):
+    from sslr_spark.curation import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a", "the quick brown fox jumps over the lazy dog "
+                           "and keeps running through the field today"),
+            (2, "en", "a", "mojibake poison � " + "word " * 20),
+            (3, "en", "a", "the quick brown fox jumps over the lazy dog "
+                           "and keeps running through the field today"),
+            (4, "en", "b", "banned content here " + "the a of and " * 10),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    res = curate_documents(
+        docs,
+        quality_weights=[0.0, 0.0, 0.0, 0.0],
+        quality_bias=1.0,
+        keep_fraction=1.0,
+        gopher=False,
+        mojibake=True,
+        blocklist=["banned"],
+        with_funnel=True,
+    )
+    ids = {r.doc_id for r in res.df.collect()}
+    assert 2 not in ids  # mojibake screen
+    assert 4 not in ids  # blocklist
+    assert ids == {1}   # 3 is an exact dup of 1
+    # funnel records the stages in production order
+    stages = list(res.funnel)
+    assert stages.index("mojibake") < stages.index("blocklist")
+    assert stages.index("blocklist") < stages.index("exact_dedup")
+    assert res.funnel["mojibake"] == 3
+    assert res.funnel["blocklist"] == 2
+
+
+def test_curation_config_accepts_gate_keys(tmp_path):
+    from sslr_spark.curation import load_curation_config
+
+    cfg = load_curation_config(
+        '{"source": "/s", "output": "/o", "mojibake": true, '
+        '"blocklist": ["bad word"], "blocklistMaxPpm": 5000, '
+        '"keepFraction": 1.0}'
+    )
+    assert cfg.mojibake and cfg.blocklist == ["bad word"]
+    assert cfg.blocklist_max_ppm == 5000
+    from sslr_spark.config import ConfigError
+    import pytest as _pt
+    with _pt.raises(ConfigError):
+        load_curation_config(
+            '{"source": "/s", "output": "/o", "blockList": []}'
+        )
