@@ -151,10 +151,12 @@ _TAIL_KEYS = [
     "a1_watermark_probe",
     "d2_range_delete",
     "sample_weighted",
-    # new r9 composition key — both component gates (text_mojibake,
-    # text_blocklist) ARE in the r9 window; the chain itself verified
-    # locally (70 rows match at sf0.01), enters the r10 head:
+    # new r9 composition keys — their component operators ARE in the
+    # r9 window (text_mojibake, text_blocklist) or are plain bounded
+    # aggregates; both verified locally at sf0.01 (70 / 33 rows
+    # match), first into the r10 head:
     "x_curation_pipeline_gates",
+    "x_dataset_card",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

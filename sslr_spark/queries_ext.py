@@ -4638,7 +4638,60 @@ from s4
 
 
 
+def q_x_dataset_card(spark, sf_dir):
+    """One-call corpus release report (report.py dataset_card):
+    totals, language/source composition, exact char-length quantiles
+    (percentile_disc semantics spelled out by hand), exact-dup rate —
+    all-integer long format, every section a bounded aggregate."""
+    from sslr_spark.functions.report import dataset_card
+
+    return dataset_card(_docs(spark, sf_dir))
+
+
+SQL_X_DATASET_CARD = f"""
+with tot as (
+  select cast(count(*) as bigint) as docs,
+         cast(sum(length(coalesce(text, ''))) as bigint) as chars,
+         cast(sum(len({_GW})) as bigint) as words
+  from documents
+),
+hist as (
+  select length(coalesce(text, '')) as l, count(*) as c
+  from documents group by 1
+),
+cum as (
+  select l, sum(c) over (order by l
+           rows between unbounded preceding and current row) as cum
+  from hist
+),
+grp as (select md5(coalesce(text, '')) as fp, count(*) as n
+        from documents group by 1),
+dup as (select count(*) as g, sum(n - 1) as extra, sum(n) as n from grp)
+select 'total' as section, 'docs' as k, docs as v from tot
+union all select 'total', 'chars', chars from tot
+union all select 'total', 'words', words from tot
+union all select 'lang', coalesce(lang, '?'),
+       cast(count(*) as bigint) from documents group by 2
+union all select 'source', coalesce(source, '?'),
+       cast(count(*) as bigint) from documents group by 2
+union all select 'len_quantile', 'p50',
+       cast(min(l) as bigint) from cum, tot
+       where cum >= ceil(50 * docs / 100.0)
+union all select 'len_quantile', 'p90',
+       cast(min(l) as bigint) from cum, tot
+       where cum >= ceil(90 * docs / 100.0)
+union all select 'len_quantile', 'p99',
+       cast(min(l) as bigint) from cum, tot
+       where cum >= ceil(99 * docs / 100.0)
+union all select 'dup', 'exact_groups', cast(g as bigint) from dup
+union all select 'dup', 'exact_dup_ppm',
+       cast(case when n = 0 then 0
+            else (2000000 * extra + n) // (2 * n) end as bigint) from dup
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_dataset_card": q_x_dataset_card,
     "text_blocklist_phrases": q_text_blocklist_phrases,
     "x_curation_pipeline_gates": q_x_curation_pipeline_gates,
     "dedup_incremental_containment": q_dedup_incremental_containment,
@@ -4744,6 +4797,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "x_dataset_card": SQL_X_DATASET_CARD,
     "text_blocklist_phrases": SQL_TEXT_BLOCKLIST_PHRASES,
     "x_curation_pipeline_gates": SQL_X_CURATION_PIPELINE_GATES,
     "dedup_incremental_containment": SQL_DEDUP_INCR_CONTAINMENT,

@@ -658,3 +658,53 @@ def test_curation_config_accepts_gate_keys(tmp_path):
         load_curation_config(
             '{"source": "/s", "output": "/o", "blockList": []}'
         )
+
+
+# ------------------------------------------------------------------
+# dataset card
+# ------------------------------------------------------------------
+
+def test_dataset_card_sections(spark):
+    from sslr_spark.functions.report import dataset_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a", "one two three"),          # 13 chars
+            (2, "en", "a", "one two three"),          # exact dup of 1
+            (3, "fr", "b", "quatre cinq"),
+            (4, None, "b", None),                     # null lang/text
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    rows = {
+        (r.section, r.k): r.v for r in dataset_card(docs).collect()
+    }
+    assert rows[("total", "docs")] == 4
+    assert rows[("total", "chars")] == 13 + 13 + 11 + 0
+    assert rows[("total", "words")] == 3 + 3 + 2 + 0
+    assert rows[("lang", "en")] == 2 and rows[("lang", "?")] == 1
+    assert rows[("source", "a")] == 2 and rows[("source", "b")] == 2
+    assert rows[("dup", "exact_groups")] == 3
+    # 1 of 4 docs is a non-keeper duplicate -> 250000 ppm
+    assert rows[("dup", "exact_dup_ppm")] == 250_000
+    # p50: smallest length with cum >= ceil(0.5*4)=2 -> lengths
+    # sorted [0, 11, 13, 13]; cum at 11 is 2 -> p50 = 11
+    assert rows[("len_quantile", "p50")] == 11
+    assert rows[("len_quantile", "p99")] == 13
+
+
+def test_dataset_card_no_raw_row_window(spark):
+    """The quantile window must run over the length histogram, not
+    raw documents: the plan's only unpartitioned window sits above a
+    (len, count) aggregate."""
+    from sslr_spark.functions.report import dataset_card
+
+    docs = spark.range(100).selectExpr(
+        "id as doc_id", "'en' as lang", "'s' as source",
+        "repeat('x', cast(id % 7 as int)) as text"
+    )
+    df = dataset_card(docs)
+    rows = {(r.section, r.k): r.v for r in df.collect()}
+    assert rows[("total", "docs")] == 100
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in opt  # the histogram cumulative exists
