@@ -45,7 +45,7 @@ from sslr_spark.config import ConfigError
 from sslr_spark.functions.dedup import exact_dedup_groups
 from sslr_spark.functions.quality_model import quality_quantile_gate
 from sslr_spark.functions.sampling import shard_assign, source_cap
-from sslr_spark.functions.text import gopher_flags
+from sslr_spark.functions.text import gopher_keep
 
 
 @dataclass
@@ -263,16 +263,19 @@ def curate_documents(
     if mojibake:
         # encoding screen FIRST: a mis-decoded doc poisons every
         # later heuristic (gopher word shapes, dedup shingles, the
-        # quality model's features), so it must not even reach them
-        from sslr_spark.functions.text import mojibake_flags
+        # quality model's features), so it must not even reach them.
+        # Bare-column filter, not flags-frame + semi join: the verdict
+        # is a pure per-row expression, so the filter fuses into the
+        # scan instead of paying a second scan and a join.
+        from sslr_spark.functions.text import mojibake_keep
 
-        mk = mojibake_flags(df, text_col).filter("keep").select(kc)
-        cur = cur.join(mk, kc, "left_semi")
+        cur = cur.filter(mojibake_keep(text_col))
         tick("mojibake", cur)
 
     if gopher:
-        keep = gopher_flags(df, text_col).filter("keep").select(kc)
-        cur = cur.join(keep, kc, "left_semi")
+        # same fusion: gopher_keep is the identical conjunction
+        # gopher_flags emits, as one scan-fused per-row predicate
+        cur = cur.filter(gopher_keep(text_col))
         tick("gopher", cur)
 
     if blocklist:

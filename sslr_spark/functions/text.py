@@ -182,7 +182,20 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_keep(text_col: str = "text") -> Column:
+    """The :func:`gopher_flags` keep verdict as a BARE per-row Column —
+    for composition sites that only need the filter: a plain
+    ``df.filter(gopher_keep())`` fuses into the scan (one pass, whole-
+    stage codegen), where materializing the flags frame and semi-
+    joining it back costs a second scan plus a join. Exactly the
+    conjunction gopher_flags emits as ``keep`` (shared code path, so
+    the two cannot drift)."""
+    return gopher_flags(None, text_col, _keep_only=True)
+
+
+def gopher_flags(
+    df: DataFrame, text_col: str = "text", _keep_only: bool = False
+) -> DataFrame:
     """Per-document Gopher-style quality rule flags (Rae et al. 2021,
     "Scaling Language Models" §A1.1 — the standard rule battery every
     large-scale pretraining pipeline runs before model-based filters).
@@ -256,6 +269,11 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     ok_alpha = 5 * n_alpha >= 4 * n_words
     ok_symbols = 10 * (n_hash + n_dots) <= n_words
     ok_stop = n_stop >= 2
+    if _keep_only:
+        return (
+            ok_wc & ok_mwl & ok_bullets & ok_ellipsis & ok_alpha
+            & ok_symbols & ok_stop
+        )
     return df.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -846,6 +864,22 @@ def blocklist_filter(
                 <= F.lit(int(max_banned_ppm)) * F.col("n_words")
             ).alias("keep"),
         )
+    )
+
+
+def mojibake_keep(text_col: str = "text") -> Column:
+    """:func:`mojibake_flags`' keep verdict as a bare per-row Column —
+    same composition rationale as :func:`gopher_keep` (a filter fuses
+    into the scan; the flags frame + semi join costs a second scan).
+    Shares the exact expressions, so the two cannot drift."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t).cast("long")
+    n_repl = F.regexp_count(t, F.lit("\ufffd")).cast("long")
+    n_ctl = F.regexp_count(
+        t, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    ).cast("long")
+    return (n_repl == 0) & (
+        (n_repl + n_ctl) * 1000 < F.greatest(n_chars, F.lit(1))
     )
 
 

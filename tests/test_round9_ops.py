@@ -708,3 +708,27 @@ def test_dataset_card_no_raw_row_window(spark):
     assert rows[("total", "docs")] == 100
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in opt  # the histogram cumulative exists
+
+
+def test_curation_gate_stages_fuse_into_scan(spark):
+    """mojibake + gopher are bare-column filters now: with only those
+    stages on, the whole plan is ONE scan with zero joins (previously
+    each stage cost a flags-frame scan plus a semi join)."""
+    from sslr_spark.curation import curate_documents
+
+    docs = spark.createDataFrame(
+        [(1, "en", "s", "text here")],
+        "doc_id long, lang string, source string, text string",
+    )
+    res = curate_documents(
+        docs,
+        quality_weights=[0, 0, 0, 0],
+        quality_bias=0.0,
+        keep_fraction=1.0,
+        exact_dedup=False,
+        mojibake=True,
+        n_shards=None,
+    )
+    p = plan_of(res.df)
+    assert "Join" not in p
+    assert p.count("Scan") <= 1
