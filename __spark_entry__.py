@@ -157,6 +157,7 @@ _TAIL_KEYS = [
     # match), first into the r10 head:
     "x_curation_pipeline_gates",
     "x_dataset_card",
+    "x_lm_quality_gate",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

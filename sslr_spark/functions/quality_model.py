@@ -108,6 +108,21 @@ def quality_quantile_gate(
             .alias("score_bp"),
         )
     )
+    return score_bp_quantile_gate(scored, keep_fraction, by)
+
+
+def score_bp_quantile_gate(
+    scored: DataFrame, keep_fraction: float, by: str
+) -> DataFrame:
+    """Shared tail of the quantile gates: given (doc_id, ``by``,
+    score_bp int) rows, keep the top ``keep_fraction`` per group with
+    all-ties-kept threshold semantics. Same 100 TB shape as documented
+    on :func:`quality_quantile_gate` — histogram aggregate, cumulative
+    window over the bounded histogram, broadcast thresholds. Any
+    integer score works (negative log-prob basis points included);
+    generic so model-score and LM-perplexity gates cannot drift."""
+    from pyspark.sql import Window
+
     hist = scored.groupBy(by, "score_bp").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -130,6 +145,51 @@ def quality_quantile_gate(
     return scored.join(F.broadcast(thr), by).filter(
         F.col("score_bp") >= F.col("threshold_bp")
     ).select("doc_id", by, "score_bp", "threshold_bp")
+
+
+def lm_quality_gate(
+    df: DataFrame,
+    keep_fraction: float,
+    by: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2019):
+    score every document by mean BIGRAM log-probability under the
+    corpus's own bigram model (text.bigram_logprob — the perplexity
+    proxy) and keep the top ``keep_fraction`` PER GROUP. CCNet's
+    insight carried over: perplexity distributions differ wildly by
+    language, so the cut must be per-language or easy languages are
+    kept wholesale while hard ones are gutted — the same reason
+    :func:`quality_quantile_gate` gates per group.
+
+    Scores quantize to basis points (``floor(mean_lp * 1e4 + 0.5)`` on
+    the round-4 mean — lossless) and gate through the shared
+    :func:`score_bp_quantile_gate` histogram plan; negative score_bp
+    values order correctly through the descending cumulative window.
+    Note the operator convention it inherits: a doc with < 2 tokens
+    scores 0.0 — ABOVE every real (negative) log-prob — so run the
+    Gopher word-count rule ahead of this gate (the production order;
+    CCNet likewise LM-scores only structurally-valid text).
+
+    Returns kept rows: (doc_id, ``by``, score_bp, threshold_bp).
+    """
+    from sslr_spark.functions.text import bigram_logprob
+
+    scored = (
+        bigram_logprob(df, text_col, vocab_size=vocab_size)
+        .join(df.select("doc_id", by), "doc_id")
+        .select(
+            "doc_id",
+            by,
+            F.floor(
+                F.col("mean_bigram_logprob") * F.lit(1e4) + F.lit(0.5)
+            )
+            .cast("int")
+            .alias("score_bp"),
+        )
+    )
+    return score_bp_quantile_gate(scored, keep_fraction, by)
 
 
 def train_quality_classifier(

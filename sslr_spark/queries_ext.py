@@ -4690,7 +4690,50 @@ union all select 'dup', 'exact_dup_ppm',
 """
 
 
+def q_x_lm_quality_gate(spark, sf_dir):
+    """CCNet-style LM quality filter (quality_model.py
+    lm_quality_gate): per-language top-60% by mean bigram
+    log-probability under the corpus's own bigram model (vocab 40 —
+    the same truncation as text_bigram_logprob, exercising the OOV
+    floor); thresholds via the shared basis-point histogram gate."""
+    from sslr_spark.functions.quality_model import lm_quality_gate
+
+    return lm_quality_gate(
+        _docs(spark, sf_dir), 0.6, vocab_size=40
+    )
+
+
+SQL_X_LM_QUALITY_GATE = f"""
+with lp as ({SQL_BIGRAM_LOGPROB}),
+scored as (
+  select lp.doc_id, d.lang,
+         cast(floor(lp.mean_bigram_logprob * 1e4 + 0.5) as int)
+           as score_bp
+  from lp join documents d using (doc_id)
+),
+h as (select lang, score_bp, count(*) as c from scored group by 1, 2),
+n as (select lang, count(*) as n from scored group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang, max(cum.score_bp) as threshold_bp
+  from cum join n on n.lang = cum.lang
+  where cum.cum >= ceil(0.6 * n.n)
+  group by cum.lang
+)
+select s.doc_id, s.lang, s.score_bp, thr.threshold_bp
+from scored s join thr on thr.lang = s.lang
+where s.score_bp >= thr.threshold_bp
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_lm_quality_gate": q_x_lm_quality_gate,
     "x_dataset_card": q_x_dataset_card,
     "text_blocklist_phrases": q_text_blocklist_phrases,
     "x_curation_pipeline_gates": q_x_curation_pipeline_gates,
@@ -4797,6 +4840,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "x_lm_quality_gate": SQL_X_LM_QUALITY_GATE,
     "x_dataset_card": SQL_X_DATASET_CARD,
     "text_blocklist_phrases": SQL_TEXT_BLOCKLIST_PHRASES,
     "x_curation_pipeline_gates": SQL_X_CURATION_PIPELINE_GATES,

@@ -732,3 +732,59 @@ def test_curation_gate_stages_fuse_into_scan(spark):
     p = plan_of(res.df)
     assert "Join" not in p
     assert p.count("Scan") <= 1
+
+
+# ------------------------------------------------------------------
+# LM quality gate
+# ------------------------------------------------------------------
+
+def test_lm_gate_drops_shuffled_text_keeps_natural(spark):
+    """The bigram model scores local word order: natural repeated
+    phrasing outscores token salad with identical unigram stats."""
+    from sslr_spark.functions.quality_model import lm_quality_gate
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, "en", natural) for i in range(8)]
+    # two docs of the same words, shuffled (broken bigrams)
+    rows += [(100, "en", "mat the on sat cat rug and dog the sat on the"),
+             (101, "en", "on rug the sat and mat dog cat the on sat the")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+    kept = {
+        r.doc_id
+        for r in lm_quality_gate(docs, 0.8, vocab_size=20).collect()
+    }
+    assert 100 not in kept and 101 not in kept
+    assert all(i in kept for i in range(8))
+
+
+def test_lm_gate_per_group_thresholds(spark):
+    from sslr_spark.functions.quality_model import lm_quality_gate
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 10 else "fr",
+          ("one two three four " * 3) if i % 2 else
+          ("four three two one " * 3))
+         for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    out = lm_quality_gate(docs, 0.5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # each group gated independently at ~50% (ties may widen)
+    assert set(by_lang) == {"en", "fr"}
+    assert 5 <= len(by_lang["en"]) <= 10
+    assert 5 <= len(by_lang["fr"]) <= 10
+
+
+def test_score_bp_gate_handles_negative_scores(spark):
+    from sslr_spark.functions.quality_model import score_bp_quantile_gate
+
+    scored = spark.createDataFrame(
+        [(i, "g", -i * 100) for i in range(10)],
+        "doc_id long, g string, score_bp int",
+    )
+    kept = {r.doc_id for r in score_bp_quantile_gate(scored, 0.3, "g").collect()}
+    assert kept == {0, 1, 2}  # highest (least negative) three
