@@ -158,6 +158,8 @@ _TAIL_KEYS = [
     "x_curation_pipeline_gates",
     "x_dataset_card",
     "x_lm_quality_gate",
+    "text_dedup_lines",
+    "text_strip_boilerplate",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

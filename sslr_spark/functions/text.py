@@ -932,3 +932,107 @@ def mojibake_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("keep"),
     )
+
+
+def dedup_doc_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document line dedup: rebuild each document keeping only
+    the FIRST occurrence of every line (whitespace-trimmed match) —
+    the page-local half of crawl line cleaning (nav bars, cookie
+    banners and footers repeat within a page; Rae et al.'s repetition
+    battery counts them, this removes them).
+
+    Output: (doc_id, n_lines, n_dup_lines, text) with ``text``
+    rebuilt in original order (blank lines dropped — they carry no
+    content and a run of them would survive dedup as distinct
+    ''/' '/'  ' variants).
+
+    Pure narrow array expressions: split -> index-stable first-
+    occurrence filter (``array_position`` returns the FIRST index, so
+    line i survives iff ``array_position(lines, line_i) == i``) ->
+    re-join. Per-doc cost is O(lines²) string compares in codegen —
+    fine for real page line counts; no shuffle, no UDF.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    doc = df.select("doc_id", lines.alias("__ls"))
+    ls = F.col("__ls")
+    kept = F.filter(
+        ls, lambda l, i: F.array_position(ls, l) == i + F.lit(1)
+    )
+    return doc.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("n_lines"),
+        (F.size(ls) - F.size(kept)).cast("long").alias("n_dup_lines"),
+        F.concat_ws("\n", kept).alias("text"),
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide boilerplate line removal — the C4 move ("we
+    removed any line that occurred in more than one page" generalizes
+    to a document-frequency threshold): a line appearing in >=
+    ``min_docs`` DISTINCT documents is template chrome (cookie
+    banners, nav, license footers) and is stripped from EVERY
+    document, preserving each document's remaining line order.
+
+    Output: (doc_id, n_lines, n_stripped, text) — one row per input
+    document (docs reduced to nothing keep an empty text).
+
+    100 TB shape: lines explode narrow with their positions; the
+    document-frequency aggregate keys on the line text itself (exact
+    semantics — a hashed key would let a 64-bit collision strip an
+    innocent line from every document); the hot-line set joins as a
+    plain (AQE-decided) anti join, never force-broadcast —
+    boilerplate on a real crawl is a HUGE set (the exact lesson of
+    the dedup family's hot-shingle cap). Rebuild is one groupBy over
+    surviving (doc, pos) rows with an order-free sort_array collect —
+    deterministic regardless of partition order; per-doc collected
+    rows are bounded by the doc's own line count.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    base = df.select("doc_id", lines.alias("__ls"))
+    pos = base.select(
+        "doc_id",
+        F.posexplode(F.col("__ls")).alias("__pos", "__line"),
+    )
+    hot = (
+        pos.groupBy("__line")
+        .agg(F.count_distinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__line")
+    )
+    kept = pos.join(hot, "__line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("text"),
+    )
+    return (
+        base.select("doc_id", F.size(F.col("__ls")).cast("long").alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .na.fill({"__kept": 0, "text": ""})
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.col("__kept")).alias("n_stripped"),
+            "text",
+        )
+    )

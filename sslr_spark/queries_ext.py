@@ -4732,7 +4732,110 @@ where s.score_bp >= thr.threshold_bp
 """
 
 
+def _multiline_docs(spark, sf_dir):
+    """The documents table re-laid as multi-line pages: two body
+    lines, a shared footer (corpus boilerplate), and a repeat of line
+    one (intra-doc duplication) — the synthetic corpus is single-line,
+    so the line operators need a deterministic line structure both
+    engines can construct identically."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 100),
+            F.substring(t, 101, 100),
+            F.lit("shared footer line"),
+            F.substring(t, 1, 100),
+        ).alias("text"),
+    )
+
+
+_MLINE_SQL = """
+m as (
+  select doc_id,
+         substring(coalesce(text, ''), 1, 100) || chr(10) ||
+         substring(coalesce(text, ''), 101, 100) || chr(10) ||
+         'shared footer line' || chr(10) ||
+         substring(coalesce(text, ''), 1, 100) as text
+  from documents
+),
+lt as (
+  select doc_id,
+         list_filter(
+           list_transform(string_split(text, chr(10)), l -> trim(l)),
+           l -> length(l) > 0) as ls
+  from m
+)
+"""
+
+
+def q_text_dedup_lines(spark, sf_dir):
+    """Intra-document line dedup (text.py dedup_doc_lines): keep only
+    the first occurrence of each trimmed line, original order, blank
+    lines dropped — pure narrow array expressions, zero shuffle."""
+    from sslr_spark.functions.text import dedup_doc_lines
+
+    return dedup_doc_lines(_multiline_docs(spark, sf_dir))
+
+
+SQL_TEXT_DEDUP_LINES = f"""
+with {_MLINE_SQL},
+k as (
+  select doc_id, ls,
+         list_filter(ls, (l, i) -> list_position(ls, l) = i) as kept
+  from lt
+)
+select doc_id,
+       cast(len(ls) as bigint) as n_lines,
+       cast(len(ls) - len(kept) as bigint) as n_dup_lines,
+       array_to_string(kept, chr(10)) as text
+from k
+"""
+
+
+def q_text_strip_boilerplate(spark, sf_dir):
+    """Corpus-wide boilerplate line removal (text.py
+    strip_boilerplate_lines, min_docs=3): the C4 line-dedup move —
+    lines in >= 3 distinct docs are template chrome, stripped
+    everywhere, per-doc order preserved via an order-free sort_array
+    rebuild."""
+    from sslr_spark.functions.text import strip_boilerplate_lines
+
+    return strip_boilerplate_lines(_multiline_docs(spark, sf_dir), 3)
+
+
+SQL_TEXT_STRIP_BOILERPLATE = f"""
+with {_MLINE_SQL},
+pos as (
+  select doc_id, unnest(ls) as line,
+         unnest(generate_series(1, len(ls))) as p
+  from lt
+),
+hot as (
+  select line from pos group by line
+  having count(distinct doc_id) >= 3
+),
+kept as (
+  select doc_id, line, p from pos
+  where line not in (select line from hot)
+),
+rebuilt as (
+  select doc_id, cast(count(*) as bigint) as kept_n,
+         array_to_string(list(line order by p), chr(10)) as text
+  from kept group by doc_id
+)
+select lt.doc_id,
+       cast(len(lt.ls) as bigint) as n_lines,
+       cast(len(lt.ls) - coalesce(kept_n, 0) as bigint) as n_stripped,
+       coalesce(rebuilt.text, '') as text
+from lt left join rebuilt using (doc_id)
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_dedup_lines": q_text_dedup_lines,
+    "text_strip_boilerplate": q_text_strip_boilerplate,
     "x_lm_quality_gate": q_x_lm_quality_gate,
     "x_dataset_card": q_x_dataset_card,
     "text_blocklist_phrases": q_text_blocklist_phrases,
@@ -4840,6 +4943,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "text_dedup_lines": SQL_TEXT_DEDUP_LINES,
+    "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,
     "x_lm_quality_gate": SQL_X_LM_QUALITY_GATE,
     "x_dataset_card": SQL_X_DATASET_CARD,
     "text_blocklist_phrases": SQL_TEXT_BLOCKLIST_PHRASES,

@@ -788,3 +788,73 @@ def test_score_bp_gate_handles_negative_scores(spark):
     )
     kept = {r.doc_id for r in score_bp_quantile_gate(scored, 0.3, "g").collect()}
     assert kept == {0, 1, 2}  # highest (least negative) three
+
+
+# ------------------------------------------------------------------
+# line-level cleaning
+# ------------------------------------------------------------------
+
+def test_dedup_doc_lines(spark):
+    from sslr_spark.functions.text import dedup_doc_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a\ncookie banner\nb\ncookie banner\n\n  \na"),
+            (2, ""),
+            (3, None),
+            (4, "  padded  \npadded"),  # trimmed match collapses them
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_doc_lines(docs).collect()}
+    assert out[1].text == "a\ncookie banner\nb"
+    assert out[1].n_lines == 5 and out[1].n_dup_lines == 2
+    assert out[2].n_lines == 0 and out[2].text == ""
+    assert out[3].n_lines == 0
+    assert out[4].text == "padded" and out[4].n_dup_lines == 1
+
+
+def test_dedup_doc_lines_zero_shuffle(spark):
+    from sslr_spark.functions.text import dedup_doc_lines
+
+    docs = spark.range(5).selectExpr("id as doc_id", "'a\nb' as text")
+    assert "Exchange" not in plan_of(dedup_doc_lines(docs))
+
+
+def test_strip_boilerplate_lines(spark):
+    from sslr_spark.functions.text import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique A\nfooter\nmore A"),
+            (2, "footer\nunique B"),
+            (3, "unique C\nfooter"),
+            (4, "footer"),  # reduced to nothing
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, 3).collect()}
+    assert out[1].text == "unique A\nmore A" and out[1].n_stripped == 1
+    assert out[2].text == "unique B"
+    assert out[4].text == "" and out[4].n_stripped == 1
+    # min_docs counts DISTINCT docs: a line twice in ONE doc survives
+    docs2 = spark.createDataFrame(
+        [(1, "x\nx"), (2, "y")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r for r in strip_boilerplate_lines(docs2, 2).collect()}
+    assert out2[1].n_stripped == 0
+
+
+def test_strip_boilerplate_never_broadcasts_hot_set(spark):
+    """The hot-line anti join must stay AQE-decided: boilerplate on a
+    real crawl is a huge set — a forced broadcast is the scale bug the
+    hot-shingle cap exists to avoid."""
+    from sslr_spark.functions.text import strip_boilerplate_lines
+
+    docs = spark.range(20).selectExpr("id as doc_id", "'l1\nl2' as text")
+    opt = strip_boilerplate_lines(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    import re
+    # no broadcast HINT on the anti join's build side (AQE may still
+    # choose broadcast at runtime, which is fine)
+    assert "ResolvedHint" not in opt
