@@ -160,6 +160,7 @@ _TAIL_KEYS = [
     "x_lm_quality_gate",
     "text_dedup_lines",
     "text_strip_boilerplate",
+    "sim_embedding_quality",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

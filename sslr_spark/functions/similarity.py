@@ -2228,3 +2228,52 @@ def ivf_cell_drift(
             drifted.alias("drifted"),
         )
     )
+
+
+def embedding_quality(
+    df: DataFrame,
+    expected_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vector hygiene screen ahead of any ANN build: every operator in
+    this module assumes finite, non-zero, fixed-dimension vectors —
+    a NaN poisons every distance it touches, a zero vector has no
+    cosine direction, and a ragged dimension breaks PQ sub-slicing.
+    Run this FIRST and route failures to quarantine, the same
+    screen-then-build order the text side uses (mojibake before
+    heuristics).
+
+    Output per vector: (id, dim, n_bad, norm_sq_micros, keep) —
+    ``n_bad`` counts NaN/Inf components, ``norm_sq_micros`` is the
+    squared L2 norm in round-half-up integer micros (0 when any
+    component is non-finite — a poisoned norm is no norm), keep =
+    right dimension AND all-finite AND norm > 0.
+
+    Pure narrow array expressions — zero shuffle, one pass; null
+    vectors surface as dim 0, keep false.
+    """
+    v = F.coalesce(
+        F.col(vec_col), F.expr("cast(array() as array<double>)")
+    )
+    dim = F.size(v).cast("long")
+    n_bad = F.size(
+        F.filter(v, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    ).cast("long")
+    norm_sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    norm_micros = F.when(n_bad > 0, F.lit(0)).otherwise(
+        F.floor(norm_sq * F.lit(1e6) + F.lit(0.5))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        dim.alias("dim"),
+        n_bad.alias("n_bad"),
+        norm_micros.alias("norm_sq_micros"),
+        (
+            (dim == F.lit(int(expected_dim)))
+            & (n_bad == 0)
+            & (norm_micros > 0)
+        ).alias("keep"),
+    )

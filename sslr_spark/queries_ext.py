@@ -4833,7 +4833,44 @@ from lt left join rebuilt using (doc_id)
 """
 
 
+def q_sim_embedding_quality(spark, sf_dir):
+    """Vector hygiene screen (similarity.py embedding_quality): dim /
+    finiteness / zero-norm checks every ANN build assumes — run FIRST,
+    quarantine failures; pure narrow array expressions."""
+    from sslr_spark.functions.similarity import embedding_quality
+
+    return embedding_quality(_emb(spark, sf_dir), 8)
+
+
+SQL_SIM_EMBEDDING_QUALITY = """
+with c as (
+  select vec_id,
+         coalesce(embedding, []) as v
+  from embeddings
+),
+m as (
+  select vec_id,
+         cast(len(v) as bigint) as dim,
+         cast(len(list_filter(v, x -> isnan(cast(x as double))
+                                   or isinf(cast(x as double))))
+              as bigint) as n_bad,
+         list_sum(list_transform(v, x -> cast(x as double)
+                                         * cast(x as double))) as ns
+  from c
+)
+select vec_id, dim, n_bad,
+       cast(case when n_bad > 0 then 0
+            else floor(coalesce(ns, 0.0) * 1e6 + 0.5) end as bigint)
+         as norm_sq_micros,
+       dim = 8 and n_bad = 0
+         and (case when n_bad > 0 then 0
+              else floor(coalesce(ns, 0.0) * 1e6 + 0.5) end) > 0 as keep
+from m
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_embedding_quality": q_sim_embedding_quality,
     "text_dedup_lines": q_text_dedup_lines,
     "text_strip_boilerplate": q_text_strip_boilerplate,
     "x_lm_quality_gate": q_x_lm_quality_gate,
@@ -4943,6 +4980,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "sim_embedding_quality": SQL_SIM_EMBEDDING_QUALITY,
     "text_dedup_lines": SQL_TEXT_DEDUP_LINES,
     "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,
     "x_lm_quality_gate": SQL_X_LM_QUALITY_GATE,

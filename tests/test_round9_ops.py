@@ -858,3 +858,34 @@ def test_strip_boilerplate_never_broadcasts_hot_set(spark):
     # no broadcast HINT on the anti join's build side (AQE may still
     # choose broadcast at runtime, which is fine)
     assert "ResolvedHint" not in opt
+
+
+# ------------------------------------------------------------------
+# embedding hygiene screen
+# ------------------------------------------------------------------
+
+def test_embedding_quality_flags(spark):
+    from sslr_spark.functions.similarity import embedding_quality
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0]), (3, [float("nan"), 1.0]),
+         (4, [1.0]), (5, None), (6, [float("inf"), 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in embedding_quality(df, 2).collect()}
+    assert out[1].keep and out[1].norm_sq_micros == 5_000_000
+    assert not out[2].keep  # zero norm
+    assert not out[3].keep and out[3].n_bad == 1
+    assert not out[4].keep  # wrong dim
+    assert not out[5].keep and out[5].dim == 0  # null vector
+    assert not out[6].keep and out[6].n_bad == 1  # inf
+    assert out[3].norm_sq_micros == 0  # poisoned norm is no norm
+
+
+def test_embedding_quality_zero_shuffle(spark):
+    from sslr_spark.functions.similarity import embedding_quality
+
+    df = spark.range(10).selectExpr(
+        "id as vec_id", "array(1.0, 2.0) as embedding"
+    )
+    assert "Exchange" not in plan_of(embedding_quality(df, 2))

@@ -458,6 +458,43 @@ def main() -> None:
     timings["jaccard_prefix_candidates"] = cand_pairs
     timings["jaccard_prefix_hits"] = prefix_pairs
 
+    # round-9 ops at K x: corpus-wide boilerplate line removal (the
+    # anti-join + order-free rebuild shape) and containment pairs
+    # (inverted-index fan-out bounded by the hot-shingle cap)
+    from sslr_spark.functions.text import strip_boilerplate_lines
+    from sslr_spark.functions.dedup import ngram_containment_pairs
+
+    n_pages = k * 5_000
+    pages = spark.range(n_pages).selectExpr(
+        "id as doc_id",
+        "concat('unique line u', id, ' body\n',"
+        "'second unique s', id, ' content\n',"
+        "'shared cookie banner line\n',"
+        "'third unique t', id, ' tail\n',"
+        "'shared footer copyright line') as text",
+    ).localCheckpoint(eager=True)
+    with timed("strip_boilerplate_lines"):
+        stripped = strip_boilerplate_lines(pages, min_docs=100)
+        n_hot_stripped = int(
+            stripped.agg(F.sum("n_stripped")).first()[0]
+        )
+    timings["boilerplate_lines_stripped"] = n_hot_stripped
+
+    excerpts = spark.range(100).selectExpr(
+        f"id + {2 * n_pages} as doc_id",
+        "concat('excerpt eq', id div 2, ' alpha beta gamma delta "
+        "epsilon zeta eta theta') as text",
+    )
+    ccorp = pages.selectExpr(
+        "doc_id", "replace(text, chr(10), ' ') as text"
+    ).unionByName(excerpts).localCheckpoint(eager=True)
+    with cache_scope():
+        with timed("containment_pairs"):
+            n_cont = ngram_containment_pairs(
+                ccorp, threshold=0.8, max_shingle_doc_freq=250
+            ).count()
+    timings["containment_hits"] = n_cont
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
