@@ -161,6 +161,7 @@ _TAIL_KEYS = [
     "text_dedup_lines",
     "text_strip_boilerplate",
     "sim_embedding_quality",
+    "x_mor_asof_read",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

@@ -712,6 +712,7 @@ def read_merged(
     pk_cols: list[str],
     version_col: str = "xmin",
     broadcast_key_bytes: int = 64 << 20,
+    as_of_version: int | None = None,
 ) -> DataFrame:
     """MOR read path: base overlaid with the upsert/delete log,
     latest-version-wins per key, tombstone winners dropped. Scale
@@ -739,20 +740,33 @@ def read_merged(
     OLDER than a version already folded into the base — CDC versions
     are monotone and compaction drops the whole log atomically after
     the swap, so a crash replays the full log (which carries each
-    key's newest row), never a stale fragment."""
+    key's newest row), never a stale fragment.
+
+    ``as_of_version``: snapshot (time-travel) read — resolve the
+    overlay as it stood when the CDC watermark was that version: log
+    rows (upserts AND tombstones) with a HIGHER version are ignored
+    before the collapse. The horizon is the compaction boundary, the
+    standard MOR limitation: the base holds only the latest folded
+    state, so a version older than the last compaction cannot be
+    reconstructed (versions at-or-after it can, because compaction
+    drops the log wholesale and appended batches are monotone).
+    Useful for CDC debugging ("what did the replica serve when the
+    watermark was V?") and for pinning a consistent read across
+    several tables sharing a transaction-id sequence."""
     base = target.read(table)
     log_t = upsert_log_table(table)
     if not target.table_exists(log_t):
         return base
     # with_meta: the tombstone marker is an __sslr column the public
     # read() strips by design
-    log = dedup_latest_version(
-        target.read(log_t, with_meta=True).select(
-            *base.columns, TOMBSTONE_COL
-        ),
-        pk_cols,
-        version_col,
+    raw_log = target.read(log_t, with_meta=True).select(
+        *base.columns, TOMBSTONE_COL
     )
+    if as_of_version is not None:
+        raw_log = raw_log.filter(
+            F.col(version_col) <= F.lit(int(as_of_version))
+        )
+    log = dedup_latest_version(raw_log, pk_cols, version_col)
     keys = log.select(*pk_cols)
     # pre-collapse footer count is an upper bound on distinct keys —
     # zero Spark jobs; the width sample (bounded collect of 100 keys)

@@ -936,6 +936,54 @@ from lineitem where l_orderkey < 2000
 """
 
 
+def q_x_mor_asof_read(spark, sf_dir):
+    """MOR snapshot (time-travel) read (round 9, read_merged
+    as_of_version): same staged log as x_mor_upsert_read (batches at
+    200 and 300) plus tombstones at 400 — read AS OF version 250
+    must see the 200 batch, ignore the 300 batch AND the 400
+    tombstones. The horizon is the compaction boundary (base = floor
+    snapshot), the standard MOR limitation."""
+    import os
+
+    from sslr_spark.operators.updates import (
+        append_delete_log,
+        append_upsert_log,
+        read_merged,
+    )
+    from sslr_spark.queries import LINEITEM_PK
+    from sslr_spark.sources.parquet import ParquetDatabase
+
+    work = _fresh_bench_dir("mor_asof")
+    db = ParquetDatabase(spark, os.path.join(work, "db"))
+    base = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(*LINEITEM_PK)
+        .withColumn("xmin", F.lit(100).cast("long"))
+    )
+    db.overwrite("lineitem", base)
+    for mod, ver in ((5, 200), (25, 300)):
+        batch = base.filter(F.col("l_orderkey") % mod == 0).withColumn(
+            "xmin", F.lit(ver).cast("long")
+        )
+        append_upsert_log(db, "lineitem", batch, LINEITEM_PK)
+    append_delete_log(
+        db, "lineitem",
+        base.filter(F.col("l_orderkey") % 3 == 0).select(*LINEITEM_PK),
+        LINEITEM_PK, version=400,
+    )
+    return read_merged(
+        db, "lineitem", LINEITEM_PK, as_of_version=250
+    ).filter(F.col("l_orderkey") < 2000)
+
+
+SQL_X_MOR_ASOF_READ = """
+select l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       cast(case when l_orderkey % 5 = 0 then 200
+                 else 100 end as bigint) as xmin
+from lineitem where l_orderkey < 2000
+"""
+
+
 def q_x_mor_tombstone_tie(spark, sf_dir):
     """MOR equal-version tie (round 9, operators/updates.py
     dedup_latest_version): tombstone every 10th key at version 200,
@@ -4895,6 +4943,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_sessionize": q_x_stream_sessionize,
     "x_sessionize_batch": q_x_sessionize_batch,
     "x_mor_upsert_read": q_x_mor_upsert_read,
+    "x_mor_asof_read": q_x_mor_asof_read,
     "x_mor_tombstone_tie": q_x_mor_tombstone_tie,
     "x_mor_delete_repair": q_x_mor_delete_repair,
     "x_mor_wide_pk_read": q_x_mor_wide_pk_read,
@@ -5005,6 +5054,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_sessionize": SQL_X_STREAM_SESSIONIZE,
     "x_sessionize_batch": SQL_X_SESSIONIZE_BATCH,
     "x_mor_upsert_read": SQL_X_MOR_UPSERT_READ,
+    "x_mor_asof_read": SQL_X_MOR_ASOF_READ,
     "x_mor_tombstone_tie": SQL_X_MOR_TOMBSTONE_TIE,
     "x_mor_delete_repair": SQL_X_MOR_DELETE_REPAIR,
     "x_mor_wide_pk_read": SQL_X_MOR_WIDE_PK_READ,

@@ -638,3 +638,42 @@ def test_weighted_sample_still_deterministic_after_null_guard(spark):
     a = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect()}
     b = {r.doc_id for r in weighted_sample(df, "doc_id", "w", 10).collect()}
     assert a == b and len(a) == 10
+
+
+# ------------------------------------------------------------------
+# as-of (time travel) read
+# ------------------------------------------------------------------
+
+def test_read_merged_as_of_version(spark, tmp_path):
+    """Snapshot read ignores log rows — upserts AND tombstones —
+    above the pinned version; None reads latest; the horizon is the
+    compaction boundary (post-compaction, old versions are gone)."""
+    db = _db(spark, tmp_path, "asof")
+    base = _base(spark, 30)
+    db.overwrite("t", base)
+    append_upsert_log(
+        db, "t",
+        base.filter("id % 5 = 0").withColumn("payload", F.lit("v200"))
+        .withColumn("xmin", F.lit(200)),
+        ["id"],
+    )
+    append_delete_log(
+        db, "t", base.filter("id % 10 = 0").select("id"), ["id"],
+        version=300,
+    )
+    # as of 100: the pristine base
+    at100 = _rows(read_merged(db, "t", ["id"], as_of_version=100))
+    assert at100 == _rows(base)
+    # as of 250: upserts visible, tombstones not yet
+    at250 = {r.id: r.payload for r in
+             read_merged(db, "t", ["id"], as_of_version=250).collect()}
+    assert len(at250) == 30
+    assert at250[5] == "v200" and at250[7] == "v7"
+    # latest: every 10th gone
+    latest = {r.id for r in read_merged(db, "t", ["id"]).collect()}
+    assert latest == {i for i in range(30) if i % 10 != 0}
+    # past compaction, the pre-compaction snapshot is unreachable:
+    # the log is dropped and the base holds only the latest state
+    compact_upsert_log(db, "t", ["id"])
+    post = _rows(read_merged(db, "t", ["id"], as_of_version=100))
+    assert {r[0] for r in post} == latest
