@@ -665,11 +665,33 @@ def append_upsert_log(
     delete batches — CDC transaction ids are). Columns align to the
     base table's schema so the overlay union never reorders fields;
     every log row carries the tombstone marker (False here)."""
-    base_cols = target.read(table).columns
+    base_schema = target.read(table).schema
+    base_cols = [f.name for f in base_schema]
     missing = [c for c in base_cols if c not in updates.columns]
     if missing:
         raise ValueError(
             f"upsert log batch for {table!r} lacks base columns: {missing}"
+        )
+    # TYPE guard, not just names: the log is one parquet directory —
+    # appending a batch whose column types differ from the base (e.g.
+    # an int literal version against a bigint base) writes MIXED
+    # physical types into that directory, and the read then fails
+    # NONDETERMINISTICALLY (whichever file schema-inference samples
+    # wins until a scan hits the other). Surface it here, loudly,
+    # at write time.
+    batch_types = {f.name: f.dataType for f in updates.schema}
+    mismatched = [
+        f"{f.name}: batch {batch_types[f.name].simpleString()} "
+        f"!= base {f.dataType.simpleString()}"
+        for f in base_schema
+        if batch_types[f.name] != f.dataType
+    ]
+    if mismatched:
+        raise ValueError(
+            f"upsert log batch for {table!r} has column types that "
+            f"differ from the base table — a mixed-type log directory "
+            f"fails nondeterministically at read; cast the batch "
+            f"first: {mismatched}"
         )
     batch = dedup_latest_version(updates, pk_cols, version_col)
     target.append(

@@ -654,7 +654,7 @@ def test_read_merged_as_of_version(spark, tmp_path):
     append_upsert_log(
         db, "t",
         base.filter("id % 5 = 0").withColumn("payload", F.lit("v200"))
-        .withColumn("xmin", F.lit(200)),
+        .withColumn("xmin", F.lit(200).cast("long")),
         ["id"],
     )
     append_delete_log(
@@ -672,6 +672,16 @@ def test_read_merged_as_of_version(spark, tmp_path):
     # latest: every 10th gone
     latest = {r.id for r in read_merged(db, "t", ["id"]).collect()}
     assert latest == {i for i in range(30) if i % 10 != 0}
+    # a batch whose version type differs from the base is rejected at
+    # write time (a mixed-type log dir fails nondeterministically at
+    # read — the bug this very test flushed out before the guard)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="column types"):
+        append_upsert_log(
+            db, "t",
+            base.limit(1).withColumn("xmin", F.lit(999)),  # int, not long
+            ["id"],
+        )
     # past compaction, the pre-compaction snapshot is unreachable:
     # the log is dropped and the base holds only the latest state
     compact_upsert_log(db, "t", ["id"])
