@@ -162,6 +162,7 @@ _TAIL_KEYS = [
     "text_strip_boilerplate",
     "sim_embedding_quality",
     "x_mor_asof_read",
+    "x_curation_pipeline_lm",
     # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",

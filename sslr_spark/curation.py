@@ -62,6 +62,8 @@ class CurationConfig:
     quality_weights: list[float] = field(default_factory=list)
     quality_bias: float = 0.0
     keep_fraction: float = 0.6
+    lm_keep_fraction: float | None = None
+    lm_vocab_size: int = 50_000
     max_per_source: int | None = None
     n_shards: int | None = 16
     mojibake: bool = False
@@ -85,6 +87,7 @@ _KNOWN_CURATION = {
     "exactDedup", "nearDup", "nearDupThreshold", "nearDupHashMode",
     "nearDupMaxDocFreq", "textColumn", "keyColumn", "langColumn",
     "sourceColumn", "mojibake", "blocklist", "blocklistMaxPpm",
+    "lmKeepFraction", "lmVocabSize",
 }
 
 
@@ -115,6 +118,11 @@ def load_curation_config(path_or_text: str) -> CurationConfig:
         quality_weights=[float(w) for w in raw.get("qualityWeights", [])],
         quality_bias=float(raw.get("qualityBias", 0.0)),
         keep_fraction=float(raw.get("keepFraction", 0.6)),
+        lm_keep_fraction=(
+            float(raw["lmKeepFraction"])
+            if raw.get("lmKeepFraction") is not None else None
+        ),
+        lm_vocab_size=int(raw.get("lmVocabSize", 50_000)),
         max_per_source=raw.get("maxPerSource"),
         n_shards=raw.get("nShards", 16),
         mojibake=bool(raw.get("mojibake", False)),
@@ -169,6 +177,8 @@ def run_curation(spark, cfg: CurationConfig) -> dict:
         mojibake=cfg.mojibake,
         blocklist=cfg.blocklist or None,
         blocklist_max_ppm=cfg.blocklist_max_ppm,
+        lm_keep_fraction=cfg.lm_keep_fraction,
+        lm_vocab_size=cfg.lm_vocab_size,
         text_col=cfg.text_column,
         key_col=cfg.key_column,
         lang_col=cfg.lang_column,
@@ -222,6 +232,8 @@ def curate_documents(
     mojibake: bool = False,
     blocklist: list[str] | None = None,
     blocklist_max_ppm: int = 0,
+    lm_keep_fraction: float | None = None,
+    lm_vocab_size: int = 50_000,
     text_col: str = "text",
     key_col: str = "doc_id",
     lang_col: str = "lang",
@@ -354,6 +366,20 @@ def curate_documents(
         ).select(kc)
         cur = cur.join(kept, kc, "left_semi")
         tick("quality_gate", cur)
+
+    if lm_keep_fraction is not None:
+        # CCNet-style LM stage AFTER the heuristic gate: the bigram
+        # model trains on THIS stage's survivors (garbage already
+        # gone, so the model learns the clean distribution) and cuts
+        # the bottom of the per-language perplexity distribution
+        from sslr_spark.functions.quality_model import lm_quality_gate
+
+        lm_kept = lm_quality_gate(
+            cur, lm_keep_fraction, by=lang_col, text_col=text_col,
+            vocab_size=lm_vocab_size,
+        ).select(kc)
+        cur = cur.join(lm_kept, kc, "left_semi")
+        tick("lm_gate", cur)
 
     if max_per_source is not None:
         cur = source_cap(cur, source_col, max_per_source, kc)

@@ -3764,9 +3764,14 @@ def q_text_bigram_logprob(spark, sf_dir):
     return X.bigram_logprob(_docs(spark, sf_dir), vocab_size=40)
 
 
-SQL_BIGRAM_LOGPROB = f"""
+def _bigram_logprob_sql(src: str = "documents", limit: int = 40) -> str:
+    """The bigram-logprob relation as a standalone subquery, over any
+    source relation exposing (doc_id, text) — the model trains on
+    WHATEVER corpus it scores (the pipeline's LM stage trains on the
+    stage's survivors)."""
+    return f"""
 with tok as (
-  select doc_id, {W_SQL} as ws from documents
+  select doc_id, {W_SQL} as ws from {src}
 ),
 bi as (
   select doc_id,
@@ -3783,7 +3788,7 @@ ctx as (
 tot as (select cast(sum(c12) as double) as total from counts),
 vocab as (
   select v.bg, v.c12, ctx.c1
-  from (select bg, c12 from counts order by c12 desc, bg limit 40) v
+  from (select bg, c12 from counts order by c12 desc, bg limit {limit}) v
   join ctx on string_split(v.bg, chr(31))[1] = ctx.w1
 ),
 scored as (
@@ -3803,8 +3808,11 @@ select d.doc_id,
        coalesce(a.n_bigrams, 0) as n_bigrams,
        coalesce(a.n_oov, 0) as n_oov,
        coalesce(a.mean_bigram_logprob, 0.0) as mean_bigram_logprob
-from documents d left join agg a using (doc_id)
+from {src} d left join agg a using (doc_id)
 """
+
+
+SQL_BIGRAM_LOGPROB = _bigram_logprob_sql()
 
 
 def q_text_unigram_logprob(spark, sf_dir):
@@ -4917,7 +4925,108 @@ from m
 """
 
 
+def q_x_curation_pipeline_lm(spark, sf_dir):
+    """The curation chain with the CCNet-style LM stage (curation.py
+    lm_keep_fraction): Gopher rules -> exact dedup -> heuristic
+    quality gate (0.6) -> bigram-LM perplexity gate (0.8, model
+    TRAINED ON THAT STAGE'S SURVIVORS — the clean distribution) ->
+    source cap -> shards. Proves the composition including the
+    survivor-trained model against one DuckDB CTE chain."""
+    from sslr_spark.curation import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir),
+        quality_weights=[_QW["n_tokens"], _QW["n_subtokens"],
+                         _QW["stopword_ratio"], _QW["mean_word_len"]],
+        quality_bias=_QW["bias"],
+        keep_fraction=0.6,
+        lm_keep_fraction=0.8,
+        lm_vocab_size=40,
+        max_per_source=10,
+        n_shards=16,
+    ).df
+
+
+SQL_X_CURATION_PIPELINE_LM = f"""
+with s1 as (
+  select d.doc_id, d.lang, d.source, d.text
+  from documents d
+  join ({SQL_TEXT_GOPHER_FLAGS}) g on g.doc_id = d.doc_id and g.keep
+),
+s2 as (
+  select * from s1
+  where doc_id in (select min(doc_id) from s1 group by md5(text))
+),
+sc as (
+  select q.doc_id, s2.lang,
+         cast(floor(q.score * 1e4 + 0.5) as int) as score_bp
+  from ({SQL_TEXT_QUALITY_SCORE}) q
+  join s2 on s2.doc_id = q.doc_id
+),
+h as (select lang, score_bp, count(*) as c from sc group by 1, 2),
+n as (select lang, count(*) as n from sc group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang, max(cum.score_bp) as threshold_bp
+  from cum join n on n.lang = cum.lang
+  where cum.cum >= ceil(0.6 * n.n)
+  group by cum.lang
+),
+s3 as (
+  select s2.doc_id, s2.lang, s2.source, s2.text from s2
+  join sc on sc.doc_id = s2.doc_id
+  join thr on thr.lang = s2.lang
+  where sc.score_bp >= thr.threshold_bp
+),
+lm as ({_bigram_logprob_sql("s3")}),
+lmsc as (
+  select lm.doc_id, s3.lang,
+         cast(floor(lm.mean_bigram_logprob * 1e4 + 0.5) as int)
+           as score_bp
+  from lm join s3 using (doc_id)
+),
+lmh as (select lang, score_bp, count(*) as c from lmsc group by 1, 2),
+lmn as (select lang, count(*) as n from lmsc group by 1),
+lmcum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from lmh
+),
+lmthr as (
+  select lmcum.lang, max(lmcum.score_bp) as threshold_bp
+  from lmcum join lmn on lmn.lang = lmcum.lang
+  where lmcum.cum >= ceil(0.8 * lmn.n)
+  group by lmcum.lang
+),
+s3b as (
+  select s3.doc_id, s3.lang, s3.source from s3
+  join lmsc on lmsc.doc_id = s3.doc_id
+  join lmthr on lmthr.lang = s3.lang
+  where lmsc.score_bp >= lmthr.threshold_bp
+),
+s4 as (
+  select doc_id, lang, source from (
+    select s3b.*, row_number() over (
+      partition by source order by {_CURATION_CAP_HASH}, doc_id
+    ) as rn from s3b
+  ) where rn <= 10
+)
+select doc_id, lang, source,
+       cast({_SHARD_KEY} % 16 as int) as shard
+from s4
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_curation_pipeline_lm": q_x_curation_pipeline_lm,
     "sim_embedding_quality": q_sim_embedding_quality,
     "text_dedup_lines": q_text_dedup_lines,
     "text_strip_boilerplate": q_text_strip_boilerplate,
@@ -5029,6 +5138,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "x_curation_pipeline_lm": SQL_X_CURATION_PIPELINE_LM,
     "sim_embedding_quality": SQL_SIM_EMBEDDING_QUALITY,
     "text_dedup_lines": SQL_TEXT_DEDUP_LINES,
     "text_strip_boilerplate": SQL_TEXT_STRIP_BOILERPLATE,

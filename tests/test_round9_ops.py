@@ -889,3 +889,46 @@ def test_embedding_quality_zero_shuffle(spark):
         "id as vec_id", "array(1.0, 2.0) as embedding"
     )
     assert "Exchange" not in plan_of(embedding_quality(df, 2))
+
+
+def test_curation_lm_stage_runs_after_quality_gate(spark):
+    from sslr_spark.curation import curate_documents
+
+    natural = "the cat sat on the mat and the dog sat on the rug here now"
+    rows = [(i, "en", "s", natural) for i in range(8)]
+    rows += [(100, "en", "s",
+              "mat the on sat cat rug and dog the sat on the here now")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    res = curate_documents(
+        docs,
+        quality_weights=[0.0, 0.0, 0.0, 0.0],
+        quality_bias=1.0,
+        keep_fraction=1.0,
+        gopher=False,
+        exact_dedup=False,
+        lm_keep_fraction=0.8,
+        lm_vocab_size=20,
+        with_funnel=True,
+    )
+    ids = {r.doc_id for r in res.df.collect()}
+    assert 100 not in ids  # the shuffled doc loses the LM cut
+    assert "lm_gate" in res.funnel
+    stages = list(res.funnel)
+    assert stages.index("quality_gate" if "quality_gate" in stages
+                        else "input") < stages.index("lm_gate")
+
+
+def test_curation_config_lm_keys(tmp_path):
+    from sslr_spark.curation import load_curation_config
+
+    cfg = load_curation_config(
+        '{"source": "/s", "output": "/o", "keepFraction": 1.0, '
+        '"lmKeepFraction": 0.7, "lmVocabSize": 1000}'
+    )
+    assert cfg.lm_keep_fraction == 0.7 and cfg.lm_vocab_size == 1000
+    cfg2 = load_curation_config(
+        '{"source": "/s", "output": "/o", "keepFraction": 1.0}'
+    )
+    assert cfg2.lm_keep_fraction is None
