@@ -45,7 +45,7 @@ from sslr_spark.config import ConfigError
 from sslr_spark.functions.dedup import exact_dedup_groups
 from sslr_spark.functions.quality_model import quality_quantile_gate
 from sslr_spark.functions.sampling import shard_assign, source_cap
-from sslr_spark.functions.text import gopher_keep
+from sslr_spark.functions.text import gopher_flags
 
 
 @dataclass
@@ -276,18 +276,27 @@ def curate_documents(
         # encoding screen FIRST: a mis-decoded doc poisons every
         # later heuristic (gopher word shapes, dedup shingles, the
         # quality model's features), so it must not even reach them.
-        # Bare-column filter, not flags-frame + semi join: the verdict
-        # is a pure per-row expression, so the filter fuses into the
-        # scan instead of paying a second scan and a join.
-        from sslr_spark.functions.text import mojibake_keep
+        # Shape note (measured, round 9): a scan-FUSED bare-column
+        # filter looks cheaper than flags-frame + semi join, but the
+        # pipeline's survivor frame feeds several downstream subtrees
+        # (dedup groups, the gate's scoring, the final projection) and
+        # a fused predicate re-evaluates its heavy token lambdas in
+        # EVERY one — whereas the semi join's broadcast keep-id
+        # exchange materializes once and Spark's ReusedExchange serves
+        # all consumers (warm A/B at sf0.1: 3.0-3.2 s semi vs
+        # 3.9-5.5 s fused for the full chain). Keep the semi join
+        # here; the bare-column mojibake_keep/gopher_keep helpers stay
+        # the right tool for SINGLE-consumer chains (streaming
+        # filters, one-pass screens).
+        from sslr_spark.functions.text import mojibake_flags
 
-        cur = cur.filter(mojibake_keep(text_col))
+        mk = mojibake_flags(df, text_col).filter("keep").select(kc)
+        cur = cur.join(mk, kc, "left_semi")
         tick("mojibake", cur)
 
     if gopher:
-        # same fusion: gopher_keep is the identical conjunction
-        # gopher_flags emits, as one scan-fused per-row predicate
-        cur = cur.filter(gopher_keep(text_col))
+        keep = gopher_flags(df, text_col).filter("keep").select(kc)
+        cur = cur.join(keep, kc, "left_semi")
         tick("gopher", cur)
 
     if blocklist:

@@ -710,10 +710,15 @@ def test_dataset_card_no_raw_row_window(spark):
     assert "Window" in opt  # the histogram cumulative exists
 
 
-def test_curation_gate_stages_fuse_into_scan(spark):
-    """mojibake + gopher are bare-column filters now: with only those
-    stages on, the whole plan is ONE scan with zero joins (previously
-    each stage cost a flags-frame scan plus a semi join)."""
+def test_curation_gate_semi_joins_reuse_exchange(spark):
+    """The gate stages are flags-frame semi joins ON PURPOSE: the
+    survivor frame feeds several downstream subtrees, and the semi
+    join's broadcast keep-id exchange materializes once (Spark
+    ReusedExchange) where a scan-fused predicate re-evaluates its
+    heavy token lambdas per subtree — measured 3.0-3.2 s vs 3.9-5.5 s
+    warm at sf0.1 for the full chain. The bare-column gopher_keep /
+    mojibake_keep helpers remain for single-consumer chains and must
+    stay expression-equal to the flags (pinned in their own tests)."""
     from sslr_spark.curation import curate_documents
 
     docs = spark.createDataFrame(
@@ -730,8 +735,8 @@ def test_curation_gate_stages_fuse_into_scan(spark):
         n_shards=None,
     )
     p = plan_of(res.df)
-    assert "Join" not in p
-    assert p.count("Scan") <= 1
+    # both gate stages present as semi joins
+    assert p.count("LeftSemi") >= 2
 
 
 # ------------------------------------------------------------------
