@@ -348,6 +348,26 @@ def main(only: set[str] | None = None) -> dict:
             docs, ["slow", "spill", "crash"], max_banned_ppm=30_000
         ).count(),
     )
+    # round-9 report / diff / LM-gate / line-cleaning sections — each
+    # runs the same composition its driver key verifies
+    if want("dataset_card", "corpus_diff", "lm_quality_gate",
+            "strip_boilerplate"):
+        from sslr_spark.queries_ext import (
+            q_dedup_corpus_diff,
+            q_text_strip_boilerplate,
+            q_x_dataset_card,
+            q_x_lm_quality_gate,
+        )
+    run("dataset_card", lambda: q_x_dataset_card(spark, SF_DIR).count())
+    run("corpus_diff", lambda: q_dedup_corpus_diff(spark, SF_DIR).count())
+    run(
+        "lm_quality_gate",
+        lambda: q_x_lm_quality_gate(spark, SF_DIR).count(),
+    )
+    run(
+        "strip_boilerplate",
+        lambda: q_text_strip_boilerplate(spark, SF_DIR).count(),
+    )
     run("sim_topk", lambda: q_sim_topk_bruteforce(spark, SF_DIR).collect())
     run("text_quality", lambda: q_text_quality(spark, SF_DIR).count())
 
