@@ -77,6 +77,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # this session AND pytest-pinned where the change touched them), all
 # first into the r10 head).
 _HEAD_KEYS = [
+    # NEW this round (r9, continuation session): DSIR importance
+    # resampling (weights + top-k selection), per-doc TF-IDF keyword
+    # extraction, cluster-capped diversity sampling — never
+    # driver-verified, so they take the head's first slots; the four
+    # r06-evidence keys they displace (j1/j3/j4/d1 — unchanged code,
+    # re-verified locally at sf0.01 AND sf0.001 this session) move to
+    # tail-top, first into the r10 head:
+    "text_dsir_weights",
+    "sample_dsir",
+    "text_tfidf_topk",
+    "sample_cluster_balance",
+    "x_curation_pipeline_dsir",
     # NEW this round (r9):
     "x_mor_tombstone_tie",
     "x_mor_delete_repair",
@@ -126,13 +138,17 @@ _HEAD_KEYS = [
     "a3_min_key_probe",
     "o1_event_sessionize",
     "o2_pagination_window",
+]
+_TAIL_KEYS = [
+    # r06-green, unchanged code, displaced from the r9 head by the
+    # five new-operator keys above (new keys earn driver rows first);
+    # re-verified locally at sf0.01 and sf0.001 this session, FIRST
+    # into the r10 head:
     "p6_key_range_scan",
     "j1_semi_join_keyset",
     "j3_range_repair",
     "j4_hash_diff",
     "d1_delete_by_keyset",
-]
-_TAIL_KEYS = [
     # r06-green, unchanged trivial OLAP queries, displaced from the r9
     # head by the three new-operator keys (new keys earn driver rows
     # first); re-verified locally via tools/verify_oracle.py and FIRST

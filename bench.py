@@ -699,6 +699,23 @@ def main(only: set[str] | None = None) -> dict:
         )
         DD.release_caches()
 
+    # ---- round-9 continuation operators ------------------------------
+    from sslr_spark.queries_ext import (
+        q_sample_cluster_balance,
+        q_sample_dsir,
+        q_text_tfidf_topk,
+    )
+
+    run("sample_dsir", lambda: q_sample_dsir(spark, SF_DIR).count())
+    run(
+        "text_tfidf",
+        lambda: q_text_tfidf_topk(spark, SF_DIR).count(),
+    )
+    run(
+        "cluster_balance",
+        lambda: q_sample_cluster_balance(spark, SF_DIR).count(),
+    )
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
 

@@ -64,6 +64,9 @@ class CurationConfig:
     keep_fraction: float = 0.6
     lm_keep_fraction: float | None = None
     lm_vocab_size: int = 50_000
+    dsir_keep_fraction: float | None = None
+    dsir_target_source: str = ""
+    dsir_buckets: int = 1024
     max_per_source: int | None = None
     n_shards: int | None = 16
     mojibake: bool = False
@@ -88,6 +91,7 @@ _KNOWN_CURATION = {
     "nearDupMaxDocFreq", "textColumn", "keyColumn", "langColumn",
     "sourceColumn", "mojibake", "blocklist", "blocklistMaxPpm",
     "lmKeepFraction", "lmVocabSize",
+    "dsirKeepFraction", "dsirTargetSource", "dsirBuckets",
 }
 
 
@@ -123,6 +127,12 @@ def load_curation_config(path_or_text: str) -> CurationConfig:
             if raw.get("lmKeepFraction") is not None else None
         ),
         lm_vocab_size=int(raw.get("lmVocabSize", 50_000)),
+        dsir_keep_fraction=(
+            float(raw["dsirKeepFraction"])
+            if raw.get("dsirKeepFraction") is not None else None
+        ),
+        dsir_target_source=str(raw.get("dsirTargetSource", "")),
+        dsir_buckets=int(raw.get("dsirBuckets", 1024)),
         max_per_source=raw.get("maxPerSource"),
         n_shards=raw.get("nShards", 16),
         mojibake=bool(raw.get("mojibake", False)),
@@ -148,6 +158,11 @@ def load_curation_config(path_or_text: str) -> CurationConfig:
     if not 0.0 < cfg.keep_fraction <= 1.0:
         raise ConfigError(
             f"keepFraction must be in (0, 1], got {cfg.keep_fraction}"
+        )
+    if cfg.dsir_keep_fraction is not None and not cfg.dsir_target_source:
+        raise ConfigError(
+            "dsirKeepFraction requires dsirTargetSource — a DSIR gate "
+            "without a target distribution silently keeps everything"
         )
     return cfg
 
@@ -179,6 +194,9 @@ def run_curation(spark, cfg: CurationConfig) -> dict:
         blocklist_max_ppm=cfg.blocklist_max_ppm,
         lm_keep_fraction=cfg.lm_keep_fraction,
         lm_vocab_size=cfg.lm_vocab_size,
+        dsir_keep_fraction=cfg.dsir_keep_fraction,
+        dsir_target_source=cfg.dsir_target_source,
+        dsir_buckets=cfg.dsir_buckets,
         text_col=cfg.text_column,
         key_col=cfg.key_column,
         lang_col=cfg.lang_column,
@@ -234,6 +252,9 @@ def curate_documents(
     blocklist_max_ppm: int = 0,
     lm_keep_fraction: float | None = None,
     lm_vocab_size: int = 50_000,
+    dsir_keep_fraction: float | None = None,
+    dsir_target_source: str = "",
+    dsir_buckets: int = 1024,
     text_col: str = "text",
     key_col: str = "doc_id",
     lang_col: str = "lang",
@@ -389,6 +410,31 @@ def curate_documents(
         ).select(kc)
         cur = cur.join(lm_kept, kc, "left_semi")
         tick("lm_gate", cur)
+
+    if dsir_keep_fraction is not None:
+        # DSIR domain-selection LAST among the content gates: it
+        # re-weights the already-clean pool toward the target
+        # distribution (the paper selects from a pre-filtered raw
+        # set), and both its distributions fit on survivors — the
+        # raw fit on this stage's pool, the target fit on the
+        # target-source docs still standing after the same cleaning,
+        # so a garbage doc inside the target source can't teach the
+        # gate that garbage is on-target.
+        from sslr_spark.functions.sampling import dsir_gate
+
+        if not dsir_target_source:
+            raise ValueError(
+                "dsir_keep_fraction requires dsir_target_source"
+            )
+        d_kept = dsir_gate(
+            cur,
+            cur.filter(F.col(source_col) == dsir_target_source),
+            dsir_keep_fraction,
+            text_col=text_col,
+            n_buckets=dsir_buckets,
+        ).select(kc)
+        cur = cur.join(d_kept, kc, "left_semi")
+        tick("dsir_gate", cur)
 
     if max_per_source is not None:
         cur = source_cap(cur, source_col, max_per_source, kc)

@@ -836,3 +836,280 @@ def shard_by_budget(
         )
         .drop("__before")
     )
+
+
+def dsir_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed n-gram feature occurrences for DSIR (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS): word unigrams AND adjacent-word bigrams, each hashed
+    into ``n_buckets`` buckets via the portable 60-bit md5 hash
+    (hashing.h60 % n_buckets). One output row per feature OCCURRENCE:
+    (``id_col``, ``__b``).
+
+    Bigrams join their two words with the \\x1f separator (the
+    text.bigram_logprob convention) so "a b" + "c" never collides
+    with "a" + "b c". The token array materializes once per doc
+    before the index lambda — inlining the split into the element
+    accesses would re-split the text per bigram element (the
+    shingles() O(tokens^2) pitfall).
+
+    100 TB shape: pure per-row explode — zero shuffle here; every
+    consumer aggregates map-side first.
+    """
+    from sslr_spark.functions.text import words
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    tok = df.select(
+        F.col(id_col),
+        words(F.coalesce(F.col(text_col), F.lit(""))).alias("__w"),
+    )
+    w = F.col("__w")
+    bi = F.when(F.size(w) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                "\x1f", w[i.cast("int")], w[(i + 1).cast("int")]
+            ),
+        )
+    )
+    return tok.select(
+        id_col, F.explode(F.concat(w, bi)).alias("__f")
+    ).select(
+        id_col, F.pmod(h60(F.col("__f")), F.lit(n_buckets)).alias("__b")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every raw
+    document by how much more likely its hashed n-gram features are
+    under the TARGET distribution (the domain you want more of —
+    e.g. wiki-quality text) than under the RAW distribution (the
+    crawl you are selecting from).
+
+        log w(x) = sum_b c_b(x) * (ln p_tgt[b] - ln p_raw[b])
+
+    with c_b(x) the doc's occurrence count in hash bucket b and both
+    distributions Laplace-smoothed: p[b] = (count_b + 1) /
+    (total + n_buckets). The per-bucket log-ratio quantizes to
+    integer MICROS before the per-doc sum, so the document weight is
+    an order-free bigint sum — hash-exact across engines (the bm25
+    convention; a float sum over shuffled rows has engine-dependent
+    order). The log-ratio table's domain is the raw corpus's own
+    buckets — every scored doc's features are raw-corpus features by
+    construction, so no doc ever hits a bucket outside it.
+
+    Output: (``id_col``, n_features, logratio_micros) — one row per
+    raw doc; zero-token docs score (0, 0).
+
+    100 TB shape: the paper's own two passes over the raw corpus —
+    a FIT pass (bucket histogram: map-side combine collapses every
+    task to <= n_buckets rows before a trivial exchange on the
+    integer bucket) and a SCORE pass (per-doc bucket counts joined
+    to the broadcast log-ratio table) — plus one pass over the
+    (smaller) target. The fit histogram deliberately aggregates
+    straight off the explode rather than through the score pass's
+    (doc, bucket) exchange: that exchange is corpus-sized, the
+    direct one is n_buckets-sized. Totals ride a single-partition
+    window over the <= n_buckets-row joined histogram (bounded by
+    construction — the quality_model.Window_all convention), NOT
+    1-row crossJoins, which would re-derive the whole count chain
+    once per total. Nothing global ever shuffles by feature string —
+    only by the integer bucket. (At crawl scale the fit pass can run
+    on a hash-sample of the corpus — the estimator is an aggregate —
+    but the exact fit is the verifiable default.)
+    """
+    feats = dsir_features(df, text_col, id_col, n_buckets)
+    docb = feats.groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    raw_c = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_c = (
+        dsir_features(target, text_col, id_col, n_buckets)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    b = float(n_buckets)
+    ct = F.coalesce(F.col("__ct"), F.lit(0)).cast("double")
+    wa = Window.partitionBy()  # bounded: <= n_buckets rows
+    lam = (
+        raw_c.join(tgt_c, "__b", "left")
+        .select(
+            "__b",
+            F.floor(
+                (
+                    F.log(ct + F.lit(1.0))
+                    - F.log(F.sum(ct).over(wa) + F.lit(b))
+                    - F.log(F.col("__cr").cast("double") + F.lit(1.0))
+                    + F.log(
+                        F.sum(F.col("__cr").cast("double")).over(wa)
+                        + F.lit(b)
+                    )
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__lam"),
+        )
+    )
+    scored = (
+        docb.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_features"),
+            F.sum(F.col("__c") * F.col("__lam")).alias("logratio_micros"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.coalesce("logratio_micros", F.lit(0)).alias(
+                "logratio_micros"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    keep_fraction: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR selection: keep the ``keep_fraction`` of raw docs with the
+    highest importance weights (the paper's deterministic top-k
+    variant — its Gumbel-resampling variant needs RNG state, which
+    every sampler in this module deliberately refuses; ties break on
+    ``id_col`` so the cut is total and replayable).
+
+    Output: (``id_col``, n_features, logratio_micros) for kept docs.
+
+    100 TB shape: everything in :func:`dsir_weights`, then ONE
+    TakeOrdered global cut (k = floor(fraction * N) — no full sort
+    materializes, no Window over the whole corpus).
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1], got {keep_fraction}"
+        )
+    w = dsir_weights(df, target, text_col, id_col, n_buckets)
+    n = df.count()  # one metadata-cheap action; bounds the cut
+    k = int(keep_fraction * n)
+    return w.orderBy(
+        F.col("logratio_micros").desc(), F.col(id_col)
+    ).limit(k)
+
+
+def cluster_balance(
+    df: DataFrame,
+    centroid_ids: list[int],
+    cap: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-capped diversity sampling over an embedding column:
+    assign every vector to its nearest frozen centroid (spherical
+    argmax-cosine, the similarity.assign_cells_fixed literal map —
+    zero shuffle, fully oracle-replayable), then keep at most ``cap``
+    vectors per cell, most-central first (round(cos, 9) desc, id asc
+    — the prototype-selection convention: survivors are each region's
+    most representative members, and head-heavy clusters stop
+    drowning the tail). The embedding-space twin of source_cap.
+
+    Output: (``id_col``, cell, rk) — rk is the 1-based centrality
+    rank within the cell (bigint, row_number cast for engine parity).
+
+    100 TB shape: assignment is a per-row expression over literal
+    centroids (bounded by construction); the cap is ONE hash exchange
+    on the cell id plus a per-cell window — never a global sort, never
+    a pairwise join. Skewed cells cost their own size only.
+    """
+    from sslr_spark.functions.similarity import (
+        assign_cells_fixed,
+        fixed_centroid_rows,
+    )
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    rows = fixed_centroid_rows(df, centroid_ids, vec_col, id_col)
+    assigned = assign_cells_fixed(df, rows, vec_col, score_col="__sim")
+    w = Window.partitionBy("__cell").orderBy(
+        F.col("__sim").desc(), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select(id_col, F.col("__cell").alias("cell"), "rk")
+    )
+
+
+def dsir_gate(
+    df: DataFrame,
+    target: DataFrame,
+    keep_fraction: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Action-free DSIR gate for pipeline composition: rank docs by
+    MEAN per-feature log-ratio in basis points and keep the top
+    ``keep_fraction`` through the shared histogram threshold
+    (quality_model.score_bp_quantile_gate, all-ties-kept; single
+    global group — domain selection is corpus-level, unlike the
+    per-language perplexity gates).
+
+    Deviation from :func:`dsir_select`, on purpose: the paper's
+    resampling weight is the SUM over features (the doc
+    log-likelihood ratio), which grows with doc length — a gate
+    ranking by the sum lets a long mediocre doc outrank a short
+    on-target one, and the sum's unbounded micros domain would make
+    the threshold histogram corpus-sized. The mean-per-feature bp
+    score is length-free and lives in a bounded domain (|ratio| <=
+    ln of the smoothed totals), which is what makes the histogram
+    threshold legal at 100 TB — no count() action, no global sort.
+
+    Output: (``id_col``, score_bp, threshold_bp) for kept docs.
+    """
+    from sslr_spark.functions.quality_model import (
+        score_bp_quantile_gate,
+    )
+
+    w = dsir_weights(df, target, text_col, id_col, n_buckets)
+    if id_col != "doc_id":  # the shared gate tail keys on doc_id
+        w = w.withColumnRenamed(id_col, "doc_id")
+    scored = w.select(
+        "doc_id",
+        F.lit("__all__").alias("__g"),
+        F.when(F.col("n_features") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.col("logratio_micros")
+                / (F.col("n_features") * F.lit(100.0))
+            )
+        )
+        .cast("int")
+        .alias("score_bp"),
+    )
+    out = score_bp_quantile_gate(scored, keep_fraction, "__g").select(
+        "doc_id", "score_bp", "threshold_bp"
+    )
+    if id_col != "doc_id":
+        out = out.withColumnRenamed("doc_id", id_col)
+    return out

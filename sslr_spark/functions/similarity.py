@@ -230,13 +230,18 @@ def fixed_centroid_rows(
 
 
 def assign_cells_fixed(
-    df: DataFrame, rows: list, vec_col: str = "embedding"
+    df: DataFrame,
+    rows: list,
+    vec_col: str = "embedding",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Literal-centroid cell assignment (the body of
     :func:`ivf_index_fixed`): argmax cosine over the collected
     centroid rows, ties to the LOWER cell — max of struct(sim, -cell)
     under struct ordering. Pure per-row map expression: zero shuffle,
-    zero row amplification."""
+    zero row amplification. Pass ``score_col`` to also keep the
+    winning rounded cosine (centrality consumers:
+    sampling.cluster_balance)."""
     scored = [
         F.struct(
             F.round(
@@ -253,12 +258,11 @@ def assign_cells_fixed(
         with_lits = with_lits.withColumn(
             f"__c{i}", F.lit([float(x) for x in r.centroid])
         )
-    return (
-        with_lits.withColumn(
-            "__cell", (-F.array_max(F.array(*scored))["nc"]).cast("int")
-        )
-        .drop(*[f"__c{i}" for i in range(len(rows))])
-    )
+    best = F.array_max(F.array(*scored))
+    out = with_lits.withColumn("__cell", (-best["nc"]).cast("int"))
+    if score_col is not None:
+        out = out.withColumn(score_col, best["s"])
+    return out.drop(*[f"__c{i}" for i in range(len(rows))])
 
 
 def _require_all_ids(rows, ids, kind: str, id_col: str) -> None:

@@ -1036,3 +1036,84 @@ def strip_boilerplate_lines(
             "text",
         )
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF — the classic keyword
+    extraction a corpus pipeline runs for topic tagging, cluster
+    labeling, and spot-check summaries (Sparck Jones 1972; smooth-idf
+    spelling as popularized by scikit-learn:
+    ``idf(t) = ln((1 + N) / (1 + df_t)) + 1`` — always > 0, never
+    divides by zero, and a term in every doc still scores).
+
+    score(t, d) = tf(t, d) * idf(t), with tf the raw occurrence
+    count. Each (doc, term) score quantizes to integer MICROS
+    (floor(x * 1e6 + 0.5)) BEFORE ranking, so the rank order is
+    engine-exact (the bm25 convention); ties break on the term text.
+
+    Output: (``id_col``, term, tf, score_micros, rk) — rk 1-based,
+    bigint for engine parity; zero-token docs contribute no rows.
+
+    100 TB shape: two passes over the corpus — FIT (document
+    frequencies: map-side-combined term aggregate) and SCORE
+    ((doc, term) counts joined to the df table on the term) — the
+    same fit+score shape as dsir_weights. The df side collapses to
+    one row per distinct term before the join; a per-term WINDOW
+    would compute df in one pass but buffers each term's full row
+    set in WindowExec — a stopword appearing in a billion docs
+    makes that one partition's buffer, while the aggregate's
+    map-side combine absorbs exactly that skew (and AQE skew-join
+    handles the probe side). The final top-k is a per-doc window
+    over each doc's DISTINCT terms — bounded by doc vocabulary,
+    never a global sort. The df table is NOT force-broadcast
+    (web-scale vocabularies run to billions of terms); AQE decides
+    per-run.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "__t"
+        ),
+    )
+    tf = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf.join(dfreq, "__t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            F.col("__t").alias("term"),
+            "tf",
+            F.floor(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("__n"))
+                        / (F.lit(1.0) + F.col("__df"))
+                    )
+                    + F.lit(1.0)
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("score_micros"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micros").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

@@ -5025,7 +5025,286 @@ from s4
 """
 
 
+def q_text_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (sampling.dsir_weights; Xie et al.
+    2023 "Data Selection for Language Models via Importance
+    Resampling"): hashed unigram+bigram log-ratio of the lang='en'
+    target distribution against the full raw corpus. 256 hash
+    buckets — small on purpose, so distinct n-grams genuinely
+    collide and the shared-bucket scoring path is exercised."""
+    from sslr_spark.functions.sampling import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=256
+    )
+
+
+def q_sample_dsir(spark, sf_dir):
+    """DSIR selection (sampling.dsir_select): keep the 40% of raw
+    docs whose hashed-n-gram features score most target-like — the
+    paper's deterministic top-k variant (ties on doc_id)."""
+    from sslr_spark.functions.sampling import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs, docs.filter(F.col("lang") == "en"), 0.4, n_buckets=256
+    )
+
+
+def _dsir_ctes(
+    src: str = "documents",
+    target_pred: str = "d.lang = 'en'",
+    n_buckets: int = 256,
+    p: str = "",
+) -> str:
+    """DSIR relations shared by the weights / selection / pipeline
+    oracles, over any relation exposing (doc_id, text): domain =
+    raw-corpus buckets (every scored doc's features are raw features
+    by construction), Laplace +1 over the bucket space, log-ratio in
+    integer micros before any per-doc sum (order-free bigint totals).
+    ``p`` prefixes every CTE name so composed oracles don't clash."""
+    b = int(n_buckets)
+    return f"""
+{p}feats as (
+  select doc_id,
+         cast(concat('0x', substr(md5(f), 1, 15)) as bigint) % {b} as b
+  from (
+    select doc_id,
+           unnest(list_concat(ws,
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> concat(ws[i], chr(31), ws[i + 1]))))
+             as f
+    from (select doc_id, {_GW} as ws from {src})
+  )
+),
+{p}rawc as (select b, count(*) as cr from {p}feats group by b),
+{p}tgtc as (
+  select f.b, count(*) as ct
+  from {p}feats f join {src} d using (doc_id)
+  where {target_pred} group by f.b
+),
+{p}lam as (
+  select {p}rawc.b,
+         cast(floor((ln(coalesce({p}tgtc.ct, 0) + 1.0)
+                     - ln((select coalesce(sum(ct), 0) from {p}tgtc)
+                          + {b}.0)
+                     - ln({p}rawc.cr + 1.0)
+                     + ln((select sum(cr) from {p}rawc) + {b}.0))
+                    * 1e6 + 0.5) as bigint) as lam
+  from {p}rawc left join {p}tgtc on {p}rawc.b = {p}tgtc.b
+),
+{p}dc as (
+  select doc_id, b, count(*) as c from {p}feats group by doc_id, b
+),
+{p}wgt as (
+  select doc_id, cast(sum(c) as bigint) as n_features,
+         cast(sum(c * lam) as bigint) as logratio_micros
+  from {p}dc join {p}lam using (b) group by doc_id
+),
+{p}allw as (
+  select d.doc_id,
+         cast(coalesce(w.n_features, 0) as bigint) as n_features,
+         cast(coalesce(w.logratio_micros, 0) as bigint)
+           as logratio_micros
+  from {src} d left join {p}wgt w using (doc_id)
+)"""
+
+
+SQL_TEXT_DSIR_WEIGHTS = f"""
+with {_dsir_ctes()}
+select doc_id, n_features, logratio_micros from allw
+"""
+
+SQL_SAMPLE_DSIR = f"""
+with {_dsir_ctes()},
+ranked as (
+  select *,
+         row_number() over (order by logratio_micros desc, doc_id)
+           as rn
+  from allw
+)
+select doc_id, n_features, logratio_micros from ranked
+where rn <= floor(0.4 * (select count(*) from documents))
+"""
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (text.tfidf_topk): smooth-idf
+    scores in integer micros, rank ties on the term text."""
+    from sslr_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+SQL_TEXT_TFIDF_TOPK = f"""
+with tok as (select doc_id, unnest({_GW}) as term from documents),
+tfr as (select doc_id, term, count(*) as tf from tok group by 1, 2),
+dfreq as (select term, count(*) as df from tfr group by 1),
+n as (select cast(count(*) as double) as n from documents),
+scored as (
+  select tfr.doc_id, tfr.term, cast(tfr.tf as bigint) as tf,
+         cast(floor(tfr.tf * (ln((1.0 + (select n from n))
+                                 / (1.0 + dfreq.df)) + 1.0)
+                    * 1e6 + 0.5) as bigint) as score_micros
+  from tfr join dfreq using (term)
+),
+ranked as (
+  select *, cast(row_number() over (
+           partition by doc_id order by score_micros desc, term
+         ) as bigint) as rk
+  from scored
+)
+select doc_id, term, tf, score_micros, rk from ranked where rk <= 3
+"""
+
+
+def q_sample_cluster_balance(spark, sf_dir):
+    """Cluster-capped diversity sampling (sampling.cluster_balance):
+    frozen 8-cell quantizer, keep the 20 most-central vectors per
+    cell (round(cos, 9) desc, vec_id) — the embedding-space twin of
+    the per-source cap."""
+    from sslr_spark.functions.sampling import cluster_balance
+
+    return cluster_balance(_emb(spark, sf_dir), _IVF_CENT_IDS, cap=20)
+
+
+SQL_SAMPLE_CLUSTER_BALANCE = f"""
+with cents as (
+  select cast(row_number() over (order by vec_id) - 1 as int) as cell,
+         embedding as centroid
+  from embeddings
+  where vec_id in ({", ".join(str(i) for i in _IVF_CENT_IDS)})
+),
+assigned as (
+  select vec_id, cell, sim from (
+    select e.vec_id, c.cell,
+           round({_cos_sql('e.embedding', 'c.centroid')}, 9) as sim,
+           row_number() over (
+             partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.centroid')},
+                            9) desc,
+                      c.cell
+           ) as rn
+    from embeddings e cross join cents c
+  ) where rn = 1
+),
+ranked as (
+  select vec_id, cell,
+         cast(row_number() over (
+           partition by cell order by sim desc, vec_id
+         ) as bigint) as rk
+  from assigned
+)
+select vec_id, cell, rk from ranked where rk <= 20
+"""
+
+
+def q_x_curation_pipeline_dsir(spark, sf_dir):
+    """The curation chain with the DSIR domain-selection stage
+    (curation.py dsir_keep_fraction): Gopher rules -> exact dedup ->
+    heuristic quality gate (0.6) -> DSIR gate (0.7, target = the
+    chain's own surviving 'src18' docs, 256 hash buckets) -> source
+    cap -> shards. Proves the composition — both DSIR distributions
+    fitted on the survivor pool — against one DuckDB CTE chain."""
+    from sslr_spark.curation import curate_documents
+
+    return curate_documents(
+        _docs(spark, sf_dir),
+        quality_weights=[_QW["n_tokens"], _QW["n_subtokens"],
+                         _QW["stopword_ratio"], _QW["mean_word_len"]],
+        quality_bias=_QW["bias"],
+        keep_fraction=0.6,
+        dsir_keep_fraction=0.7,
+        dsir_target_source="src18",
+        dsir_buckets=256,
+        max_per_source=10,
+        n_shards=16,
+    ).df
+
+
+SQL_X_CURATION_PIPELINE_DSIR = f"""
+with s1 as (
+  select d.doc_id, d.lang, d.source, d.text
+  from documents d
+  join ({SQL_TEXT_GOPHER_FLAGS}) g on g.doc_id = d.doc_id and g.keep
+),
+s2 as (
+  select * from s1
+  where doc_id in (select min(doc_id) from s1 group by md5(text))
+),
+sc as (
+  select q.doc_id, s2.lang,
+         cast(floor(q.score * 1e4 + 0.5) as int) as score_bp
+  from ({SQL_TEXT_QUALITY_SCORE}) q
+  join s2 on s2.doc_id = q.doc_id
+),
+h as (select lang, score_bp, count(*) as c from sc group by 1, 2),
+n as (select lang, count(*) as n from sc group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang, max(cum.score_bp) as threshold_bp
+  from cum join n on n.lang = cum.lang
+  where cum.cum >= ceil(0.6 * n.n)
+  group by cum.lang
+),
+s3 as (
+  select s2.doc_id, s2.lang, s2.source, s2.text from s2
+  join sc on sc.doc_id = s2.doc_id
+  join thr on thr.lang = s2.lang
+  where sc.score_bp >= thr.threshold_bp
+),
+{_dsir_ctes("s3", "d.source = 'src18'", 256, p="d")},
+dsc as (
+  select doc_id,
+         cast(case when n_features = 0 then 0
+              else floor(logratio_micros / (n_features * 100.0))
+              end as int) as score_bp
+  from dallw
+),
+dh as (select score_bp, count(*) as c from dsc group by 1),
+dn as (select count(*) as n from dsc),
+dcum as (
+  select score_bp,
+         sum(c) over (order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from dh
+),
+dthr as (
+  select max(score_bp) as threshold_bp from dcum
+  where cum >= ceil(0.7 * (select n from dn))
+),
+s3d as (
+  select s3.doc_id, s3.lang, s3.source from s3
+  join dsc using (doc_id)
+  where dsc.score_bp >= (select threshold_bp from dthr)
+),
+s4 as (
+  select doc_id, lang, source from (
+    select s3d.*, row_number() over (
+      partition by source order by {_CURATION_CAP_HASH}, doc_id
+    ) as rn from s3d
+  ) where rn <= 10
+)
+select doc_id, lang, source,
+       cast({_SHARD_KEY} % 16 as int) as shard
+from s4
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x_curation_pipeline_dsir": q_x_curation_pipeline_dsir,
+    "text_dsir_weights": q_text_dsir_weights,
+    "sample_dsir": q_sample_dsir,
+    "text_tfidf_topk": q_text_tfidf_topk,
+    "sample_cluster_balance": q_sample_cluster_balance,
     "x_curation_pipeline_lm": q_x_curation_pipeline_lm,
     "sim_embedding_quality": q_sim_embedding_quality,
     "text_dedup_lines": q_text_dedup_lines,
@@ -5138,6 +5417,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "x_curation_pipeline_dsir": SQL_X_CURATION_PIPELINE_DSIR,
+    "text_dsir_weights": SQL_TEXT_DSIR_WEIGHTS,
+    "sample_dsir": SQL_SAMPLE_DSIR,
+    "text_tfidf_topk": SQL_TEXT_TFIDF_TOPK,
+    "sample_cluster_balance": SQL_SAMPLE_CLUSTER_BALANCE,
     "x_curation_pipeline_lm": SQL_X_CURATION_PIPELINE_LM,
     "sim_embedding_quality": SQL_SIM_EMBEDDING_QUALITY,
     "text_dedup_lines": SQL_TEXT_DEDUP_LINES,
