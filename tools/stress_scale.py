@@ -495,6 +495,34 @@ def main() -> None:
             ).count()
     timings["containment_hits"] = n_cont
 
+    # round-9 continuation ops at K x: DSIR selection (fit histogram
+    # + broadcast-lam score + TakeOrdered cut — both passes must grow
+    # ~linearly in corpus rows; the lam table stays n_buckets rows at
+    # every K), per-doc TF-IDF top-k (fit df + score join + per-doc
+    # window), and cluster-capped diversity sampling (literal-map
+    # assignment + one cell exchange; output pinned by cap, cost by
+    # corpus size)
+    from sslr_spark.functions.sampling import cluster_balance, dsir_select
+    from sslr_spark.functions.text import tfidf_topk
+
+    with timed("dsir_select"):
+        n_dsir = dsir_select(
+            docs_scaled,
+            docs_scaled.filter(F.col("lang") == "en"),
+            0.4,
+            n_buckets=1024,
+        ).count()
+    timings["dsir_kept"] = n_dsir
+
+    with timed("tfidf_topk"):
+        tfidf_topk(docs_scaled, k=3).count()
+
+    with timed("cluster_balance"):
+        n_cb = cluster_balance(
+            emb_scaled, [1, 2, 3, 4, 5, 6, 7, 8], cap=20 * k
+        ).count()
+    timings["cluster_balance_kept"] = n_cb
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
