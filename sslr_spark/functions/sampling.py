@@ -1113,3 +1113,149 @@ def dsir_gate(
     if id_col != "doc_id":
         out = out.withColumnRenamed("doc_id", id_col)
     return out
+
+
+def epoch_allocation(
+    df: DataFrame,
+    strata_cols: list[str],
+    weight_col: str,
+    budget: int,
+    max_repeats: float = 4.0,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Repeat-capped training-mix budgeting — the data-constrained
+    regime (Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models": repeating data beyond ~4 epochs stops paying):
+    split ``budget`` tokens across domains proportionally to
+    temperature-scaled weights (``avail^alpha``, the mix_allocation
+    convention) but never give a domain more than ``max_repeats``
+    epochs of its available tokens. The budget a capped domain can't
+    absorb flows to the uncapped ones — EXACT continuous
+    water-filling, not a fixed number of redistribution rounds:
+
+        allocation_i = min(cap_i, lam * w_i),  cap_i = R * avail_i,
+        lam s.t. sum_i allocation_i = min(budget, sum_i cap_i).
+
+    Closed form over the aggregated domain rows: sort by repeat
+    pressure p_i = cap_i / w_i ascending — the water level rises past
+    domains in exactly this order, so the capped set is always a
+    prefix — and take the largest prefix j where p_j <= lam(j) with
+    lam(j) = (budget - sum_{i<=j} cap_i) / sum_{i>j} w_i.
+
+    Output: strata..., avail (tokens present once), cap, allocation
+    (floored bigint tokens), epochs_bp (allocation / avail in integer
+    basis points — 10000 = one epoch). Domains with zero available
+    tokens are dropped (nothing to repeat).
+
+    100 TB shape: ONE map-side-combined aggregate collapses the
+    corpus to n_domains rows; every window after that runs on the
+    bounded aggregate only (the mix_allocation convention). The
+    water level is a deterministic expression — no iteration, no
+    driver loop, no bisection.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_repeats <= 0:
+        raise ValueError(
+            f"max_repeats must be positive, got {max_repeats}"
+        )
+    tot = (
+        df.groupBy(*strata_cols)
+        .agg(F.sum(F.col(weight_col)).alias("avail"))
+        .filter(F.col("avail") > 0)
+    )
+    r = float(max_repeats)
+    b = float(budget)
+    wa = Window.partitionBy()  # n_domains aggregated rows — bounded
+    # cap and the temperature weight quantize to INTEGERS before any
+    # multi-row sum: a float sum over an unordered frame accumulates
+    # in engine-dependent order, and the water level is a ratio of
+    # these sums — bigint sums are order-free, so lam is bit-identical
+    # across engines (the bm25/micros convention; weights carry 1e6
+    # resolution, plenty for a mix share)
+    base = (
+        tot.withColumn(
+            "cap",
+            F.floor(F.col("avail").cast("double") * F.lit(r)).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.floor(
+                F.pow(F.col("avail").cast("double"), F.lit(alpha))
+                * F.lit(1e6)
+            ).cast("long"),
+        )
+        .withColumn(
+            "__p", F.col("cap").cast("double") / F.col("__w")
+        )
+    )
+    # prefix sums in repeat-pressure order; ties broken on the strata
+    # so the prefix is total and engine-exact
+    wp = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("__p").asc(), *[F.col(c).asc() for c in strata_cols]
+    )
+    pref = (
+        base.withColumn(
+            "__cum_cap",
+            F.sum("cap").over(
+                wp.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "__suf_w",
+            F.sum("__w").over(wa) - F.sum("__w").over(
+                wp.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        # lam if every domain up to AND INCLUDING this row is capped
+        .withColumn(
+            "__lam_here",
+            F.when(
+                F.col("__suf_w") > 0,
+                (F.lit(b) - F.col("__cum_cap")) / F.col("__suf_w"),
+            ),
+        )
+        # this row is genuinely capped iff its pressure clears the
+        # water level that remains after capping it
+        .withColumn(
+            "__capped",
+            F.col("__lam_here").isNotNull()
+            & (F.col("__p") <= F.col("__lam_here")),
+        )
+    )
+    # the final water level: lam after the LAST capped prefix row
+    # (budget >= total cap => everything capped, lam unused)
+    lam = F.max(
+        F.when(F.col("__capped"), F.col("__lam_here"))
+    ).over(wa)
+    total_cap = F.sum("cap").over(wa)
+    alloc = F.when(
+        F.lit(b) >= total_cap, F.col("cap").cast("double")
+    ).otherwise(
+        F.least(
+            F.col("cap").cast("double"),
+            F.coalesce(
+                lam,
+                F.lit(b) / F.sum("__w").over(wa).cast("double"),
+            )
+            * F.col("__w").cast("double"),
+        )
+    )
+    return (
+        pref.withColumn(
+            "allocation", F.floor(alloc).cast("long")
+        )
+        .withColumn(
+            "epochs_bp",
+            F.floor(
+                F.col("allocation")
+                * F.lit(10_000.0)
+                / F.col("avail").cast("double")
+            ).cast("long"),
+        )
+        .select(
+            *strata_cols, "avail", "cap", "allocation", "epochs_bp"
+        )
+    )

@@ -5200,6 +5200,78 @@ select vec_id, cell, rk from ranked where rk <= 20
 """
 
 
+def q_sample_epoch_plan(spark, sf_dir):
+    """Repeat-capped training-mix budgeting
+    (sampling.epoch_allocation): 2x the corpus's total chars split
+    across (lang, source) domains with sqrt-temperature weights
+    (alpha=0.5) and a 4-epoch repeat cap — exact continuous
+    water-filling; at sf0.01 eight small domains genuinely cap and
+    their overflow redistributes."""
+    from sslr_spark.functions.sampling import epoch_allocation
+
+    docs = _docs(spark, sf_dir)
+    total = int(docs.agg(F.sum("n_chars")).first()[0])
+    return epoch_allocation(
+        docs, ["lang", "source"], "n_chars",
+        budget=2 * total, max_repeats=4.0, alpha=0.5,
+    )
+
+
+SQL_SAMPLE_EPOCH_PLAN = """
+with base as (
+  select lang, source, cast(sum(n_chars) as bigint) as avail,
+         cast(floor(cast(sum(n_chars) as double) * 4.0) as bigint)
+           as cap,
+         cast(floor(pow(cast(sum(n_chars) as double), 0.5) * 1e6)
+              as bigint) as w
+  from documents group by 1, 2 having sum(n_chars) > 0
+),
+bb as (select cast(2 * sum(n_chars) as double) as b from documents),
+pref as (
+  select *,
+         cast(cap as double) / w as p,
+         sum(cap) over (
+           order by cast(cap as double) / w asc, lang asc, source asc
+           rows between unbounded preceding and current row
+         ) as cum_cap,
+         (select sum(w) from base) - sum(w) over (
+           order by cast(cap as double) / w asc, lang asc, source asc
+           rows between unbounded preceding and current row
+         ) as suf_w,
+         (select sum(cap) from base) as total_cap,
+         (select sum(w) from base) as tot_w
+  from base
+),
+lamt as (
+  select max(case when suf_w > 0
+                   and p <= ((select b from bb) - cum_cap) / suf_w
+                  then ((select b from bb) - cum_cap) / suf_w
+             end) as lam
+  from pref
+)
+select lang, source, avail, cap,
+       cast(floor(
+         case when (select b from bb) >= total_cap
+              then cast(cap as double)
+              else least(
+                cast(cap as double),
+                coalesce((select lam from lamt),
+                         (select b from bb) / tot_w) * w)
+         end) as bigint) as allocation,
+       cast(floor(
+         cast(floor(
+           case when (select b from bb) >= total_cap
+                then cast(cap as double)
+                else least(
+                  cast(cap as double),
+                  coalesce((select lam from lamt),
+                           (select b from bb) / tot_w) * w)
+           end) as bigint)
+         * 10000.0 / avail) as bigint) as epochs_bp
+from pref
+"""
+
+
 def q_x_curation_pipeline_dsir(spark, sf_dir):
     """The curation chain with the DSIR domain-selection stage
     (curation.py dsir_keep_fraction): Gopher rules -> exact dedup ->
@@ -5300,6 +5372,7 @@ from s4
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sample_epoch_plan": q_sample_epoch_plan,
     "x_curation_pipeline_dsir": q_x_curation_pipeline_dsir,
     "text_dsir_weights": q_text_dsir_weights,
     "sample_dsir": q_sample_dsir,
@@ -5417,6 +5490,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "sample_epoch_plan": SQL_SAMPLE_EPOCH_PLAN,
     "x_curation_pipeline_dsir": SQL_X_CURATION_PIPELINE_DSIR,
     "text_dsir_weights": SQL_TEXT_DSIR_WEIGHTS,
     "sample_dsir": SQL_SAMPLE_DSIR,

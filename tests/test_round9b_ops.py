@@ -409,3 +409,110 @@ def test_curation_config_dsir_keys():
             '{"source": "/s", "output": "/o", "keepFraction": 1.0, '
             '"dsirKeepFraction": 0.7}'
         )
+
+
+# ------------------------------------------------------------------
+# epoch_allocation (repeat-capped water-filling)
+# ------------------------------------------------------------------
+
+
+def _py_epoch(av: dict, budget: float, r: float, alpha: float):
+    """Closed-form mirror of epoch_allocation's exact arithmetic."""
+    cap = {d: math.floor(a * r) for d, a in av.items()}
+    wq = {d: math.floor((a ** alpha) * 1e6) for d, a in av.items()}
+    out = {}
+    if budget >= sum(cap.values()):
+        alloc = {d: float(c) for d, c in cap.items()}
+    else:
+        order = sorted(av, key=lambda d: (cap[d] / wq[d], d))
+        tw = sum(wq.values())
+        cum_cap = cum_w = 0
+        lam = None
+        for d in order:
+            cum_cap += cap[d]
+            cum_w += wq[d]
+            suf = tw - cum_w
+            if suf > 0:
+                lh = (budget - cum_cap) / suf
+                if cap[d] / wq[d] <= lh:
+                    lam = lh
+        if lam is None:
+            lam = budget / tw
+        alloc = {d: min(cap[d], lam * wq[d]) for d in av}
+    for d, a in av.items():
+        al = math.floor(alloc[d])
+        out[d] = (a, cap[d], al, math.floor(al * 10000.0 / a))
+    return out
+
+
+@pytest.fixture()
+def domains_df(spark):
+    # one row per (domain, doc) with n_chars; domain sizes spread so
+    # sqrt-temperature makes the small ones hit the repeat cap
+    rows = []
+    sizes = {"big": 4000, "mid": 900, "small": 100, "tiny": 25}
+    for d, tot in sizes.items():
+        rows += [(d, i, tot // 5) for i in range(5)]
+    return spark.createDataFrame(
+        rows, "domain string, doc_id long, n_chars long"
+    )
+
+
+def test_epoch_allocation_matches_closed_form(domains_df):
+    from sslr_spark.functions.sampling import epoch_allocation
+
+    av = {"big": 4000, "mid": 900, "small": 100, "tiny": 25}
+    budget = 2 * sum(av.values())
+    got = {
+        r.domain: (r.avail, r.cap, r.allocation, r.epochs_bp)
+        for r in epoch_allocation(
+            domains_df, ["domain"], "n_chars",
+            budget=budget, max_repeats=4.0, alpha=0.5,
+        ).collect()
+    }
+    assert got == _py_epoch(av, float(budget), 4.0, 0.5)
+    # the spread forces real capping: tiny/small at 4 epochs, big not
+    assert got["tiny"][3] >= 39990  # ~4.0 epochs in bp (floor slack)
+    assert got["big"][3] < 40000
+
+
+def test_epoch_allocation_water_level_conserves_budget(domains_df):
+    """When caps bind, the floored allocations sum to the budget up
+    to one floor-loss per domain — the water level is exact."""
+    from sslr_spark.functions.sampling import epoch_allocation
+
+    budget = 2 * 5025
+    rows = epoch_allocation(
+        domains_df, ["domain"], "n_chars",
+        budget=budget, max_repeats=4.0, alpha=0.5,
+    ).collect()
+    total = sum(r.allocation for r in rows)
+    assert budget - len(rows) <= total <= budget
+    for r in rows:
+        assert r.allocation <= r.cap
+
+
+def test_epoch_allocation_all_capped_when_budget_exceeds_supply(
+    domains_df,
+):
+    from sslr_spark.functions.sampling import epoch_allocation
+
+    rows = epoch_allocation(
+        domains_df, ["domain"], "n_chars",
+        budget=10**9, max_repeats=4.0, alpha=0.5,
+    ).collect()
+    for r in rows:
+        assert r.allocation == r.cap
+        assert 39990 <= r.epochs_bp <= 40000
+
+
+def test_epoch_allocation_validates_inputs(domains_df):
+    from sslr_spark.functions.sampling import epoch_allocation
+
+    with pytest.raises(ValueError, match="budget"):
+        epoch_allocation(domains_df, ["domain"], "n_chars", budget=0)
+    with pytest.raises(ValueError, match="max_repeats"):
+        epoch_allocation(
+            domains_df, ["domain"], "n_chars", budget=10,
+            max_repeats=0.0,
+        )
