@@ -80,17 +80,19 @@ _HEAD_KEYS = [
     # NEW this round (r9, continuation session): DSIR importance
     # resampling (weights + top-k selection + the curation-chain gate
     # composition), per-doc TF-IDF keyword extraction, cluster-capped
-    # diversity sampling, and the repeat-capped epoch/water-filling
-    # planner — never driver-verified, so they take the head's first
-    # slots; the six r06-evidence keys they displace (o2/p6/j1/j3/j4/
-    # d1 — unchanged code, re-verified locally at sf0.01 AND sf0.001
-    # this session) move to tail-top, first into the r10 head:
+    # diversity sampling, the repeat-capped epoch/water-filling
+    # planner, and WARC crawl-container ingestion — never
+    # driver-verified, so they take the head's first slots; the seven
+    # r06-evidence keys they displace (o1/o2/p6/j1/j3/j4/d1 —
+    # unchanged code, re-verified locally at sf0.01 AND sf0.001 this
+    # session) move to tail-top, first into the r10 head:
     "text_dsir_weights",
     "sample_dsir",
     "text_tfidf_topk",
     "sample_cluster_balance",
     "x_curation_pipeline_dsir",
     "sample_epoch_plan",
+    "x_warc_ingest",
     # NEW this round (r9):
     "x_mor_tombstone_tie",
     "x_mor_delete_repair",
@@ -138,13 +140,13 @@ _HEAD_KEYS = [
     "mm_extract_features",
     "a2_table_length",
     "a3_min_key_probe",
-    "o1_event_sessionize",
 ]
 _TAIL_KEYS = [
     # r06-green, unchanged code, displaced from the r9 head by the
-    # six new-operator keys above (new keys earn driver rows first);
-    # re-verified locally at sf0.01 and sf0.001 this session, FIRST
-    # into the r10 head:
+    # seven new-operator keys above (new keys earn driver rows
+    # first); re-verified locally at sf0.01 and sf0.001 this session,
+    # FIRST into the r10 head:
+    "o1_event_sessionize",
     "o2_pagination_window",
     "p6_key_range_scan",
     "j1_semi_join_keyset",

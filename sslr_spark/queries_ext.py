@@ -5272,6 +5272,56 @@ from pref
 """
 
 
+def q_x_warc_ingest(spark, sf_dir):
+    """WARC crawl-container ingestion (sources/warc.py): the key
+    builds a spec-shaped .warc + .warc.gz pair FROM the documents
+    table (bounded fixture construction — the serializer is a
+    separate code path from the parser), reads them back through the
+    one-file-per-task binaryFile + mapInPandas parser, and returns
+    the parsed fields; the oracle recomputes the expected fields
+    straight from documents, so the parse itself is what's checked."""
+    import os
+
+    from sslr_spark.sources.warc import build_warc, build_warc_gz, read_warc
+
+    docs = _docs(spark, sf_dir).collect()  # fixture build: corpus at
+    # verification sf only — production ingests EXISTING segments
+    recs = [
+        {
+            "record_id": f"<urn:doc:{r.doc_id}>",
+            "warc_type": "response",
+            "target_uri": f"http://example.com/doc/{r.doc_id}",
+            "warc_date": "2026-01-01T00:00:00Z",
+            "content_type": "text/plain",
+            "payload": (r.text or "").encode("utf-8"),
+        }
+        for r in docs
+    ]
+    half = len(recs) // 2
+    d = _fresh_bench_dir("warc")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "seg0.warc"), "wb") as f:
+        f.write(build_warc(recs[:half]))
+    with open(os.path.join(d, "seg1.warc.gz"), "wb") as f:
+        f.write(build_warc_gz(recs[half:]))
+    return read_warc(spark, d).select(
+        "target_uri",
+        "content_type",
+        "n_bytes",
+        F.col("payload").cast("string").alias("text"),
+    )
+
+
+SQL_X_WARC_INGEST = """
+select concat('http://example.com/doc/', doc_id) as target_uri,
+       'text/plain' as content_type,
+       cast(octet_length(encode(coalesce(text, ''))) as bigint)
+         as n_bytes,
+       coalesce(text, '') as text
+from documents
+"""
+
+
 def q_x_curation_pipeline_dsir(spark, sf_dir):
     """The curation chain with the DSIR domain-selection stage
     (curation.py dsir_keep_fraction): Gopher rules -> exact dedup ->
@@ -5373,6 +5423,7 @@ from s4
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
+    "x_warc_ingest": q_x_warc_ingest,
     "x_curation_pipeline_dsir": q_x_curation_pipeline_dsir,
     "text_dsir_weights": q_text_dsir_weights,
     "sample_dsir": q_sample_dsir,
@@ -5491,6 +5542,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLES: dict[str, str] = {
     "sample_epoch_plan": SQL_SAMPLE_EPOCH_PLAN,
+    "x_warc_ingest": SQL_X_WARC_INGEST,
     "x_curation_pipeline_dsir": SQL_X_CURATION_PIPELINE_DSIR,
     "text_dsir_weights": SQL_TEXT_DSIR_WEIGHTS,
     "sample_dsir": SQL_SAMPLE_DSIR,
