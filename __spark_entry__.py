@@ -81,9 +81,10 @@ _HEAD_KEYS = [
     # resampling (weights + top-k selection + the curation-chain gate
     # composition), per-doc TF-IDF keyword extraction, cluster-capped
     # diversity sampling, the repeat-capped epoch/water-filling
-    # planner, and WARC crawl-container ingestion — never
-    # driver-verified, so they take the head's first slots; the seven
-    # r06-evidence keys they displace (o1/o2/p6/j1/j3/j4/d1 —
+    # planner, WARC crawl-container ingestion, HTML text extraction
+    # and the WARC->HTTP->HTML end-to-end composition — never
+    # driver-verified, so they take the head's first slots; the nine
+    # r06-evidence keys they displace (a2/a3/o1/o2/p6/j1/j3/j4/d1 —
     # unchanged code, re-verified locally at sf0.01 AND sf0.001 this
     # session) move to tail-top, first into the r10 head:
     "text_dsir_weights",
@@ -93,6 +94,8 @@ _HEAD_KEYS = [
     "x_curation_pipeline_dsir",
     "sample_epoch_plan",
     "x_warc_ingest",
+    "text_html_extract",
+    "x_warc_http",
     # NEW this round (r9):
     "x_mor_tombstone_tie",
     "x_mor_delete_repair",
@@ -138,14 +141,14 @@ _HEAD_KEYS = [
     "text_repetition",
     "dedup_contamination",
     "mm_extract_features",
-    "a2_table_length",
-    "a3_min_key_probe",
 ]
 _TAIL_KEYS = [
     # r06-green, unchanged code, displaced from the r9 head by the
-    # seven new-operator keys above (new keys earn driver rows
+    # nine new-operator keys above (new keys earn driver rows
     # first); re-verified locally at sf0.01 and sf0.001 this session,
     # FIRST into the r10 head:
+    "a2_table_length",
+    "a3_min_key_probe",
     "o1_event_sessionize",
     "o2_pagination_window",
     "p6_key_range_scan",

@@ -1117,3 +1117,71 @@ def tfidf_topk(
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
     )
+
+
+# html_to_text regex stages, in application order. Kept as literals
+# shared with the DuckDB oracle spelling below: every pattern is
+# chosen to mean the same thing under Java regex (Spark codegen) and
+# RE2 (DuckDB) — inline (?is) flags, non-greedy spans, no backrefs,
+# no lookaround.
+HTML_STRIP_STAGES: list[tuple[str, str]] = [
+    (r"(?is)<script\b.*?</script>", " "),  # executable payloads first
+    (r"(?is)<style\b.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),              # comments (incl. markup)
+    (r"(?is)</?(p|br|div|li|tr|h[1-6])\b[^>]*>", "\n"),  # block edges
+    (r"(?s)<[^>]*>", " "),                 # every remaining tag
+]
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract visible text from HTML — the first transformation a
+    crawl pipeline applies to every response body (the trafilatura /
+    jusText problem, solved here with the regex-cascade heuristic
+    that covers the bulk of it): drop script/style/comments, turn
+    block-element boundaries into newlines, strip remaining tags,
+    decode the six entities that dominate web text, collapse
+    whitespace. Pure codegen expressions — no UDF, and every pattern
+    is engine-portable (the shared literals above), so the oracle
+    replays the cascade verbatim.
+
+    Whitespace contract: runs of spaces/tabs collapse to one space,
+    newline runs collapse to one newline, lines are trimmed, and the
+    result is trimmed — so the output is stable however the source
+    HTML was pretty-printed.
+    """
+    out = col
+    for pat, rep in HTML_STRIP_STAGES:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[ \t\r]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n+", "\n")
+    # trim() strips only spaces in both engines — newline edges need
+    # an explicit pass or every page starts with "\nTitle"
+    out = F.regexp_replace(out, r"^\n+|\n+$", "")
+    return F.trim(out)
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`html_to_text` — the same cascade over
+    the same literal patterns."""
+    out = expr
+    for pat, rep in HTML_STRIP_STAGES:
+        p = pat.replace("'", "''")
+        r = rep.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        r = rep.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{r}')"
+    out = f"regexp_replace({out}, '[ \\t\\r]+', ' ', 'g')"
+    out = (
+        f"regexp_replace({out}, ' ?\\n ?', chr(10), 'g')"
+    )
+    out = f"regexp_replace({out}, '\\n+', chr(10), 'g')"
+    out = f"regexp_replace({out}, '^\\n+|\\n+$', '', 'g')"
+    return f"trim({out})"

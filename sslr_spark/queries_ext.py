@@ -5322,6 +5322,106 @@ from documents
 """
 
 
+# the HTML page each doc is wrapped in for the extraction keys —
+# script/style/comment payloads that MUST vanish, block tags that
+# must become newlines; Python f-string (fixture), Spark expression,
+# and SQL concat all build the identical string
+_HTML_PRE = (
+    "<html><head><script>var t = 1;</script>"
+    "<style>p { color: red }</style></head><body><h1>Doc "
+)
+_HTML_MID = "</h1><p>"
+_HTML_POST = "</p><!-- footer note --></body></html>"
+
+
+def q_text_html_extract(spark, sf_dir):
+    """HTML -> visible text (text.html_to_text): every doc wrapped in
+    a page with script/style/comment payloads and block tags, then
+    run through the engine-portable regex cascade; the oracle builds
+    the SAME page in SQL and replays the cascade via
+    html_to_text_sql — both engines must agree on every byte."""
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(_HTML_POST),
+    )
+    return docs.select("doc_id", X.html_to_text(html).alias("text"))
+
+
+def _html_sql_expr() -> str:
+    return (
+        f"concat('{_HTML_PRE}', doc_id, '{_HTML_MID}', "
+        f"coalesce(text, ''), '{_HTML_POST}')"
+    )
+
+
+SQL_TEXT_HTML_EXTRACT = f"""
+select doc_id,
+       {X.html_to_text_sql(_html_sql_expr())} as text
+from documents
+"""
+
+
+def q_x_warc_http(spark, sf_dir):
+    """The crawl front door end-to-end: WARC segments whose response
+    payloads carry real HTTP envelopes around HTML pages -> record
+    parse (read_warc) -> envelope split (split_http_payload) -> HTML
+    text extraction (html_to_text). The oracle rebuilds the expected
+    page per doc in SQL and replays only the extraction cascade —
+    everything the Spark side recovers by actually parsing bytes."""
+    import os
+
+    from sslr_spark.sources.warc import (
+        build_warc_gz,
+        read_warc,
+        split_http_payload,
+    )
+
+    docs = _docs(spark, sf_dir).collect()  # bounded fixture build
+    recs = []
+    for r in docs:
+        html = (
+            f"{_HTML_PRE}{r.doc_id}{_HTML_MID}"
+            f"{r.text or ''}{_HTML_POST}"
+        )
+        payload = (
+            "HTTP/1.1 200 OK\r\nServer: test\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n\r\n" + html
+        ).encode("utf-8")
+        recs.append(
+            {
+                "record_id": f"<urn:doc:{r.doc_id}>",
+                "warc_type": "response",
+                "target_uri": f"http://example.com/doc/{r.doc_id}",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "payload": payload,
+            }
+        )
+    d = _fresh_bench_dir("warchttp")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "seg0.warc.gz"), "wb") as f:
+        f.write(build_warc_gz(recs))
+    return split_http_payload(read_warc(spark, d)).select(
+        "target_uri",
+        "http_status",
+        "http_content_type",
+        X.html_to_text(F.col("body")).alias("text"),
+    )
+
+
+SQL_X_WARC_HTTP = f"""
+select concat('http://example.com/doc/', doc_id) as target_uri,
+       cast(200 as int) as http_status,
+       'text/html; charset=utf-8' as http_content_type,
+       {X.html_to_text_sql(_html_sql_expr())} as text
+from documents
+"""
+
+
 def q_x_curation_pipeline_dsir(spark, sf_dir):
     """The curation chain with the DSIR domain-selection stage
     (curation.py dsir_keep_fraction): Gopher rules -> exact dedup ->
@@ -5424,6 +5524,8 @@ from s4
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
+    "text_html_extract": q_text_html_extract,
+    "x_warc_http": q_x_warc_http,
     "x_curation_pipeline_dsir": q_x_curation_pipeline_dsir,
     "text_dsir_weights": q_text_dsir_weights,
     "sample_dsir": q_sample_dsir,
@@ -5543,6 +5645,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "sample_epoch_plan": SQL_SAMPLE_EPOCH_PLAN,
     "x_warc_ingest": SQL_X_WARC_INGEST,
+    "text_html_extract": SQL_TEXT_HTML_EXTRACT,
+    "x_warc_http": SQL_X_WARC_HTTP,
     "x_curation_pipeline_dsir": SQL_X_CURATION_PIPELINE_DSIR,
     "text_dsir_weights": SQL_TEXT_DSIR_WEIGHTS,
     "sample_dsir": SQL_SAMPLE_DSIR,

@@ -177,3 +177,43 @@ def build_warc_gz(records: list[dict]) -> bytes:
     return b"".join(
         gzip.compress(build_warc([r])) for r in records
     )
+
+
+def split_http_payload(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Split the HTTP response envelope off WARC ``response`` payloads
+    (real crawl records carry ``application/http; msgtype=response``
+    bodies: status line + headers + CRLF CRLF + entity). Adds
+    http_status (int), http_content_type, and ``body`` (string) —
+    non-HTTP payloads pass through with null status/content-type and
+    the whole payload as body. Pure codegen expressions over the
+    payload cast to string; no Python, no shuffle."""
+    from pyspark.sql import functions as F
+
+    s = F.col(payload_col).cast("string")
+    sep = F.instr(s, "\r\n\r\n")
+    is_http = s.startswith("HTTP/1.")
+    status = F.when(
+        is_http,
+        F.nullif(
+            F.regexp_extract(s, r"^HTTP/1\.[01] (\d{3})", 1), F.lit("")
+        ).cast("int"),
+    )
+    ctype = F.when(
+        is_http,
+        F.nullif(
+            F.regexp_extract(
+                s, r"(?im)^content-type:[ \t]*([^\r\n]+)", 1
+            ),
+            F.lit(""),
+        ),
+    )
+    body = F.when(
+        is_http & (sep > 0), s.substr(sep + F.lit(4), F.length(s))
+    ).otherwise(s)
+    return (
+        df.withColumn("http_status", status)
+        .withColumn("http_content_type", ctype)
+        .withColumn("body", body)
+    )

@@ -94,3 +94,37 @@ def test_read_warc_plan_has_no_shuffle(spark, tmp_path):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_split_http_payload_and_html_extract(spark, tmp_path):
+    from sslr_spark.functions.text import html_to_text
+    from sslr_spark.sources.warc import split_http_payload
+    from pyspark.sql import functions as F
+
+    html = (
+        "<html><head><script>var x = '<p>sneaky</p>';</script>"
+        "<style>body { color: red }</style></head>"
+        "<body><h1>Title</h1><p>first &amp; second</p>"
+        "<ul><li>a</li><li>b</li></ul><!-- hidden note -->"
+        "<div>tail &nbsp;text</div></body></html>"
+    )
+    http = (
+        "HTTP/1.1 301 Moved\r\nLocation: /x\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n\r\n" + html
+    ).encode()
+    df = spark.createDataFrame(
+        [(http,), (b"plain bytes, no envelope",)],
+        "payload binary",
+    )
+    out = split_http_payload(df).withColumn(
+        "text", html_to_text(F.col("body"))
+    )
+    rows = sorted(out.collect(), key=lambda r: r.http_status is None)
+    assert rows[0].http_status == 301
+    assert rows[0].http_content_type == "text/html; charset=utf-8"
+    # script/style/comment payloads gone, entities decoded, block
+    # edges become newlines, whitespace collapsed
+    assert rows[0].text == "Title\nfirst & second\na\nb\ntail text"
+    assert "sneaky" not in rows[0].text
+    assert rows[1].http_status is None
+    assert rows[1].body == "plain bytes, no envelope"
