@@ -311,3 +311,80 @@ def Window_all():
     from pyspark.sql import Window
 
     return Window.partitionBy()
+
+
+def lm_perplexity_buckets(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2019): per
+    group, cut the bigram-LM score distribution into thirds — head =
+    the top third (lowest perplexity), tail = the bottom — the
+    labeling CCNet ships so downstream training can sample
+    perplexity-stratified mixes instead of hard-dropping the tail.
+
+    Thresholds come from the same bounded basis-point histogram the
+    gates use (one cumulative window over <= distinct-score rows per
+    group, broadcast thresholds back) with all-ties-kept semantics at
+    each boundary; the third-size targets are spelled
+    ``ceil(n / 3.0)`` / ``ceil(n * 2.0 / 3.0)`` so both engines round
+    the same doubles.
+
+    Output: (doc_id, ``by``, score_bp, bucket 'head'|'middle'|'tail').
+    """
+    from sslr_spark.functions.text import bigram_logprob
+
+    scored = (
+        bigram_logprob(df, text_col, vocab_size=vocab_size)
+        .join(df.select("doc_id", by), "doc_id")
+        .select(
+            "doc_id",
+            by,
+            F.floor(
+                F.col("mean_bigram_logprob") * F.lit(1e4) + F.lit(0.5)
+            )
+            .cast("int")
+            .alias("score_bp"),
+        )
+    )
+    hist = scored.groupBy(by, "score_bp").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    sizes = scored.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("score_bp").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).join(sizes, by)
+    thr = cum.groupBy(by).agg(
+        F.max(
+            F.when(
+                F.col("__cum") >= F.ceil(F.col("__n") / F.lit(3.0)),
+                F.col("score_bp"),
+            )
+        ).alias("__head_thr"),
+        F.max(
+            F.when(
+                F.col("__cum")
+                >= F.ceil(F.col("__n") * F.lit(2.0) / F.lit(3.0)),
+                F.col("score_bp"),
+            )
+        ).alias("__mid_thr"),
+    )
+    return (
+        scored.join(F.broadcast(thr), by)
+        .select(
+            "doc_id",
+            by,
+            "score_bp",
+            F.when(F.col("score_bp") >= F.col("__head_thr"), F.lit("head"))
+            .when(F.col("score_bp") >= F.col("__mid_thr"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

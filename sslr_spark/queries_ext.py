@@ -4788,6 +4788,54 @@ where s.score_bp >= thr.threshold_bp
 """
 
 
+def q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets (quality_model.py
+    lm_perplexity_buckets): per-language thirds of the bigram-LM
+    score distribution, vocab 40 (the OOV-floor-exercising
+    truncation), ties kept at each boundary."""
+    from sslr_spark.functions.quality_model import (
+        lm_perplexity_buckets,
+    )
+
+    return lm_perplexity_buckets(
+        _docs(spark, sf_dir), vocab_size=40
+    )
+
+
+SQL_TEXT_CCNET_BUCKETS = f"""
+with lp as ({SQL_BIGRAM_LOGPROB}),
+scored as (
+  select lp.doc_id, d.lang,
+         cast(floor(lp.mean_bigram_logprob * 1e4 + 0.5) as int)
+           as score_bp
+  from lp join documents d using (doc_id)
+),
+h as (select lang, score_bp, count(*) as c from scored group by 1, 2),
+n as (select lang, count(*) as n from scored group by 1),
+cum as (
+  select lang, score_bp,
+         sum(c) over (partition by lang order by score_bp desc
+                      rows between unbounded preceding and current row)
+           as cum
+  from h
+),
+thr as (
+  select cum.lang,
+         max(case when cum.cum >= ceil(n.n / 3.0)
+                  then cum.score_bp end) as head_thr,
+         max(case when cum.cum >= ceil(n.n * 2.0 / 3.0)
+                  then cum.score_bp end) as mid_thr
+  from cum join n on n.lang = cum.lang
+  group by cum.lang
+)
+select s.doc_id, s.lang, s.score_bp,
+       case when s.score_bp >= thr.head_thr then 'head'
+            when s.score_bp >= thr.mid_thr then 'middle'
+            else 'tail' end as bucket
+from scored s join thr on thr.lang = s.lang
+"""
+
+
 def _multiline_docs(spark, sf_dir):
     """The documents table re-laid as multi-line pages: two body
     lines, a shared footer (corpus boilerplate), and a repeat of line
@@ -5526,6 +5574,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_warc_ingest": q_x_warc_ingest,
     "text_html_extract": q_text_html_extract,
     "x_warc_http": q_x_warc_http,
+    "text_ccnet_buckets": q_text_ccnet_buckets,
     "x_curation_pipeline_dsir": q_x_curation_pipeline_dsir,
     "text_dsir_weights": q_text_dsir_weights,
     "sample_dsir": q_sample_dsir,
@@ -5647,6 +5696,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_warc_ingest": SQL_X_WARC_INGEST,
     "text_html_extract": SQL_TEXT_HTML_EXTRACT,
     "x_warc_http": SQL_X_WARC_HTTP,
+    "text_ccnet_buckets": SQL_TEXT_CCNET_BUCKETS,
     "x_curation_pipeline_dsir": SQL_X_CURATION_PIPELINE_DSIR,
     "text_dsir_weights": SQL_TEXT_DSIR_WEIGHTS,
     "sample_dsir": SQL_SAMPLE_DSIR,

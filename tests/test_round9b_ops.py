@@ -516,3 +516,41 @@ def test_epoch_allocation_validates_inputs(domains_df):
             domains_df, ["domain"], "n_chars", budget=10,
             max_repeats=0.0,
         )
+
+
+# ------------------------------------------------------------------
+# CCNet perplexity buckets
+# ------------------------------------------------------------------
+
+
+def test_ccnet_buckets_thirds_and_order(spark):
+    """head/middle/tail are per-group thirds with ties kept, and the
+    ordering invariant holds: every head score >= every middle score
+    >= every tail score within a group."""
+    from sslr_spark.functions.quality_model import (
+        lm_perplexity_buckets,
+    )
+
+    rows = [
+        (i, "the cat sat on the mat " * (1 + i % 3), "en")
+        for i in range(9)
+    ] + [(100 + i, f"unique{i} gibberish tokens xq{i}", "en")
+         for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = lm_perplexity_buckets(df, vocab_size=40).collect()
+    assert len(out) == 12
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.score_bp)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+    # thirds with all-ties-kept: head holds AT LEAST ceil(n/3) docs
+    assert len(by_bucket["head"]) >= 4
+    # the repeated-phrase docs are more probable under the corpus LM
+    # than the unique-gibberish docs, which land in the tail
+    assert {r.doc_id for r in out if r.bucket == "tail"} >= {
+        100, 101, 102
+    } - {r.doc_id for r in out if r.bucket != "tail"}
