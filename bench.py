@@ -703,6 +703,9 @@ def main(only: set[str] | None = None) -> dict:
     from sslr_spark.queries_ext import (
         q_sample_cluster_balance,
         q_sample_dsir,
+        q_sample_epoch_plan,
+        q_text_ccnet_buckets,
+        q_text_html_extract,
         q_text_tfidf_topk,
     )
 
@@ -714,6 +717,34 @@ def main(only: set[str] | None = None) -> dict:
     run(
         "cluster_balance",
         lambda: q_sample_cluster_balance(spark, SF_DIR).count(),
+    )
+    run(
+        "epoch_plan",
+        lambda: q_sample_epoch_plan(spark, SF_DIR).count(),
+    )
+    if want("warc_http"):
+        # crawl front door: WARC gzip members -> record parse ->
+        # HTTP envelope split -> HTML text extraction; the fixture
+        # build (serialize the corpus into segments) happens ONCE,
+        # outside the timer — the timed work is parse + extract
+        from sslr_spark.queries_ext import q_x_warc_http
+
+        _warc_df = [None]
+
+        def _warc_build():
+            if _warc_df[0] is None:
+                _warc_df[0] = q_x_warc_http(spark, SF_DIR)
+            return _warc_df[0]
+
+        _warc_build()
+        run("warc_http", lambda: _warc_build().count())
+    run(
+        "html_extract",
+        lambda: q_text_html_extract(spark, SF_DIR).count(),
+    )
+    run(
+        "ccnet_buckets",
+        lambda: q_text_ccnet_buckets(spark, SF_DIR).count(),
     )
 
     # ---- analytics shapes -------------------------------------------
