@@ -83,9 +83,9 @@ _HEAD_KEYS = [
     # diversity sampling, the repeat-capped epoch/water-filling
     # planner, WARC crawl-container ingestion, HTML text extraction
     # and the WARC->HTTP->HTML end-to-end composition — never
-    # driver-verified, so they take the head's first slots; the ten
-    # r06-evidence keys they displace (mm_extract_features/a2/a3/o1/
-    # o2/p6/j1/j3/j4/d1 —
+    # driver-verified, so they take the head's first slots; the eleven
+    # r06-evidence keys they displace (dedup_contamination/
+    # mm_extract_features/a2/a3/o1/o2/p6/j1/j3/j4/d1 —
     # unchanged code, re-verified locally at sf0.01 AND sf0.001 this
     # session) move to tail-top, first into the r10 head:
     "text_dsir_weights",
@@ -98,6 +98,7 @@ _HEAD_KEYS = [
     "text_html_extract",
     "x_warc_http",
     "text_ccnet_buckets",
+    "sample_dsir_incremental",
     # NEW this round (r9):
     "x_mor_tombstone_tie",
     "x_mor_delete_repair",
@@ -141,13 +142,13 @@ _HEAD_KEYS = [
     "sim_topk_quantized",
     "sample_hash_split",
     "text_repetition",
-    "dedup_contamination",
 ]
 _TAIL_KEYS = [
     # r06-green, unchanged code, displaced from the r9 head by the
-    # ten new-operator keys above (new keys earn driver rows
+    # eleven new-operator keys above (new keys earn driver rows
     # first); re-verified locally at sf0.01 and sf0.001 this session,
     # FIRST into the r10 head:
+    "dedup_contamination",
     "mm_extract_features",
     "a2_table_length",
     "a3_min_key_probe",

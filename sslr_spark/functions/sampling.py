@@ -1259,3 +1259,125 @@ def epoch_allocation(
             *strata_cols, "avail", "cap", "allocation", "epochs_bp"
         )
     )
+
+
+def dsir_fit(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> tuple[list[tuple[int, int]], int]:
+    """Fit the DSIR log-ratio model on the ACCEPTED corpus and freeze
+    it: returns (``[(bucket, lam_micros), ...]`` over the corpus's
+    buckets, ``default_lam_micros`` for buckets the corpus never
+    produced — the empty-bucket ratio ln(T_raw + B) - ln(T_tgt + B)).
+    The model is bounded by ``n_buckets`` (caller-fixed), so the
+    collect is bounded by construction — the frozen-centroid /
+    codebook convention (similarity.fixed_centroid_rows): fit once on
+    the corpus, score every incoming batch with the same literals,
+    append-stable by design. Arithmetic is identical to
+    :func:`dsir_weights` (Laplace +1, micros floor), evaluated
+    driver-side over the collected histogram so fit and per-batch
+    scoring cannot drift."""
+    import math
+
+    feats = dsir_features(raw, text_col, id_col, n_buckets)
+    tfeats = dsir_features(target, text_col, id_col, n_buckets)
+    raw_c = {
+        r["__b"]: r["c"]
+        for r in feats.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: <= n_buckets rows
+    }
+    tgt_c = {
+        r["__b"]: r["c"]
+        for r in tfeats.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # bounded: <= n_buckets rows
+    }
+    tr, tt, b = (
+        float(sum(raw_c.values())),
+        float(sum(tgt_c.values())),
+        float(n_buckets),
+    )
+
+    def lam(ct: int, cr: int) -> int:
+        return math.floor(
+            (
+                math.log(ct + 1.0)
+                - math.log(tt + b)
+                - math.log(cr + 1.0)
+                + math.log(tr + b)
+            )
+            * 1e6
+            + 0.5
+        )
+
+    rows = sorted(
+        (bk, lam(tgt_c.get(bk, 0), cr)) for bk, cr in raw_c.items()
+    )
+    return rows, lam(0, 0)
+
+
+def dsir_score_batch(
+    batch: DataFrame,
+    lam_rows: list[tuple[int, int]],
+    default_lam: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Score a batch against a frozen :func:`dsir_fit` model — the
+    incremental twin of :func:`dsir_weights` (batch features only;
+    the corpus is never re-read): bucket counts join the broadcast
+    literal model, buckets the corpus never produced score
+    ``default_lam``. Same output columns as dsir_weights."""
+    spark = batch.sparkSession
+    lam = spark.createDataFrame(
+        list(lam_rows), "__b long, __lam long"
+    )
+    docb = dsir_features(batch, text_col, id_col, n_buckets).groupBy(
+        id_col, "__b"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    scored = (
+        docb.join(F.broadcast(lam), "__b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_features"),
+            F.sum(
+                F.col("__c")
+                * F.coalesce(F.col("__lam"), F.lit(int(default_lam)))
+            ).alias("logratio_micros"),
+        )
+    )
+    return (
+        batch.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0)).alias("n_features"),
+            F.coalesce("logratio_micros", F.lit(0)).alias(
+                "logratio_micros"
+            ),
+        )
+    )
+
+
+def dsir_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Convenience composition: fit on (corpus, target), score the
+    batch — production callers fit ONCE and reuse the model across
+    batches via :func:`dsir_fit` / :func:`dsir_score_batch`."""
+    rows, default = dsir_fit(
+        corpus, target, text_col, id_col, n_buckets
+    )
+    return dsir_score_batch(
+        batch, rows, default, text_col, id_col, n_buckets
+    )

@@ -5177,6 +5177,77 @@ where rn <= floor(0.4 * (select count(*) from documents))
 """
 
 
+def q_sample_dsir_incremental(spark, sf_dir):
+    """Incremental DSIR (sampling.dsir_fit / dsir_score_batch): the
+    log-ratio model freezes on the accepted corpus (vec of <=256
+    bucket lambdas collected driver-side — the frozen-centroid
+    convention) and scores the incoming batch (doc_id % 10 == 0)
+    without re-reading the corpus; batch buckets the corpus never
+    produced score the empty-bucket default."""
+    from sslr_spark.functions.sampling import dsir_incremental
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dsir_incremental(
+        batch, corpus, corpus.filter(F.col("lang") == "en"),
+        n_buckets=256,
+    )
+
+
+_DSIR_FEATS_INNER = """
+  select doc_id,
+         cast(concat('0x', substr(md5(f), 1, 15)) as bigint) % 256 as b
+  from (
+    select doc_id,
+           unnest(list_concat(ws,
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> concat(ws[i], chr(31), ws[i + 1]))))
+             as f
+    from (select doc_id, {gw} as ws from documents where {pred})
+  )
+"""
+
+SQL_SAMPLE_DSIR_INCREMENTAL = f"""
+with cf as ({_DSIR_FEATS_INNER.format(gw=_GW, pred="doc_id % 10 != 0")}),
+bf as ({_DSIR_FEATS_INNER.format(gw=_GW, pred="doc_id % 10 = 0")}),
+rawc as (select b, count(*) as cr from cf group by b),
+tgtc as (
+  select f.b, count(*) as ct
+  from cf f join documents d using (doc_id)
+  where d.lang = 'en' group by f.b
+),
+lam as (
+  select rawc.b,
+         cast(floor((ln(coalesce(tgtc.ct, 0) + 1.0)
+                     - ln((select coalesce(sum(ct), 0) from tgtc)
+                          + 256.0)
+                     - ln(rawc.cr + 1.0)
+                     + ln((select sum(cr) from rawc) + 256.0))
+                    * 1e6 + 0.5) as bigint) as lam
+  from rawc left join tgtc on rawc.b = tgtc.b
+),
+defl as (
+  select cast(floor((ln((select sum(cr) from rawc) + 256.0)
+                     - ln((select coalesce(sum(ct), 0) from tgtc)
+                          + 256.0)) * 1e6 + 0.5) as bigint) as lam
+),
+dc as (select doc_id, b, count(*) as c from bf group by doc_id, b),
+wgt as (
+  select doc_id, cast(sum(c) as bigint) as n_features,
+         cast(sum(c * coalesce(lam.lam, (select lam from defl)))
+              as bigint) as logratio_micros
+  from dc left join lam using (b) group by doc_id
+)
+select d.doc_id,
+       cast(coalesce(w.n_features, 0) as bigint) as n_features,
+       cast(coalesce(w.logratio_micros, 0) as bigint)
+         as logratio_micros
+from (select doc_id from documents where doc_id % 10 = 0) d
+left join wgt w using (doc_id)
+"""
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Per-doc top-3 TF-IDF keywords (text.tfidf_topk): smooth-idf
     scores in integer micros, rank ties on the term text."""
@@ -5575,6 +5646,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_html_extract": q_text_html_extract,
     "x_warc_http": q_x_warc_http,
     "text_ccnet_buckets": q_text_ccnet_buckets,
+    "sample_dsir_incremental": q_sample_dsir_incremental,
     "x_curation_pipeline_dsir": q_x_curation_pipeline_dsir,
     "text_dsir_weights": q_text_dsir_weights,
     "sample_dsir": q_sample_dsir,
@@ -5697,6 +5769,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_html_extract": SQL_TEXT_HTML_EXTRACT,
     "x_warc_http": SQL_X_WARC_HTTP,
     "text_ccnet_buckets": SQL_TEXT_CCNET_BUCKETS,
+    "sample_dsir_incremental": SQL_SAMPLE_DSIR_INCREMENTAL,
     "x_curation_pipeline_dsir": SQL_X_CURATION_PIPELINE_DSIR,
     "text_dsir_weights": SQL_TEXT_DSIR_WEIGHTS,
     "sample_dsir": SQL_SAMPLE_DSIR,

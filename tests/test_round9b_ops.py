@@ -554,3 +554,65 @@ def test_ccnet_buckets_thirds_and_order(spark):
     assert {r.doc_id for r in out if r.bucket == "tail"} >= {
         100, 101, 102
     } - {r.doc_id for r in out if r.bucket != "tail"}
+
+
+# ------------------------------------------------------------------
+# incremental DSIR (frozen-model fit + batch scoring)
+# ------------------------------------------------------------------
+
+
+def test_dsir_incremental_matches_full_weights_on_corpus_buckets(
+    spark,
+):
+    """A batch doc whose features all exist in the corpus must score
+    IDENTICALLY under the frozen model and under dsir_weights run on
+    the corpus (same arithmetic, same quantization)."""
+    from sslr_spark.functions.sampling import (
+        dsir_fit,
+        dsir_score_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        DOCS, "doc_id long, text string"
+    )
+    tgt = corpus.filter(F.col("doc_id").isin([1, 2]))
+    rows, default = dsir_fit(corpus, tgt, n_buckets=64)
+    # batch doc 100 reuses doc 1's text -> all buckets known
+    batch = spark.createDataFrame(
+        [(100, DOCS[0][1])], "doc_id long, text string"
+    )
+    got = dsir_score_batch(batch, rows, default, n_buckets=64).collect()[0]
+    want = _py_dsir(DOCS, TARGET_IDS, 64)[1]
+    assert (got.n_features, got.logratio_micros) == want
+
+
+def test_dsir_incremental_unknown_buckets_use_default(spark):
+    """Features the corpus never produced score the empty-bucket
+    default, not null/zero."""
+    import math
+
+    from sslr_spark.functions.sampling import (
+        dsir_fit,
+        dsir_score_batch,
+    )
+
+    corpus = spark.createDataFrame(DOCS, "doc_id long, text string")
+    tgt = corpus.filter(F.col("doc_id").isin([1, 2]))
+    rows, default = dsir_fit(corpus, tgt, n_buckets=4096)
+    # 4096 buckets over a 6-doc corpus: novel words won't collide
+    batch = spark.createDataFrame(
+        [(200, "xylophone quasar nebulae")],
+        "doc_id long, text string",
+    )
+    got = dsir_score_batch(
+        batch, rows, default, n_buckets=4096
+    ).collect()[0]
+    assert got.n_features == 5  # 3 unigrams + 2 bigrams
+    assert got.logratio_micros == 5 * default
+    # default = ln(tr + B) - ln(tt + B) in micros
+    w = _py_dsir(DOCS, TARGET_IDS, 4096)
+    tr = sum(nf for nf, _ in w.values())
+    tt = sum(nf for d, (nf, _) in w.items() if d in TARGET_IDS)
+    assert default == math.floor(
+        (math.log(tr + 4096.0) - math.log(tt + 4096.0)) * 1e6 + 0.5
+    )
