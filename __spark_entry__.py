@@ -83,9 +83,10 @@ _HEAD_KEYS = [
     # diversity sampling, the repeat-capped epoch/water-filling
     # planner, WARC crawl-container ingestion, HTML text extraction
     # and the WARC->HTTP->HTML end-to-end composition — never
-    # driver-verified, so they take the head's first slots; the eleven
-    # r06-evidence keys they displace (dedup_contamination/
-    # mm_extract_features/a2/a3/o1/o2/p6/j1/j3/j4/d1 —
+    # driver-verified, so they take the head's first slots; the twelve
+    # r06-evidence keys they displace (text_repetition/
+    # dedup_contamination/mm_extract_features/a2/a3/o1/o2/p6/j1/j3/
+    # j4/d1 —
     # unchanged code, re-verified locally at sf0.01 AND sf0.001 this
     # session) move to tail-top, first into the r10 head:
     "text_dsir_weights",
@@ -99,6 +100,7 @@ _HEAD_KEYS = [
     "x_warc_http",
     "text_ccnet_buckets",
     "sample_dsir_incremental",
+    "x_url_dedup",
     # NEW this round (r9):
     "x_mor_tombstone_tie",
     "x_mor_delete_repair",
@@ -141,13 +143,13 @@ _HEAD_KEYS = [
     "dedup_incremental",
     "sim_topk_quantized",
     "sample_hash_split",
-    "text_repetition",
 ]
 _TAIL_KEYS = [
     # r06-green, unchanged code, displaced from the r9 head by the
-    # eleven new-operator keys above (new keys earn driver rows
+    # twelve new-operator keys above (new keys earn driver rows
     # first); re-verified locally at sf0.01 and sf0.001 this session,
     # FIRST into the r10 head:
+    "text_repetition",
     "dedup_contamination",
     "mm_extract_features",
     "a2_table_length",

@@ -5177,6 +5177,85 @@ where rn <= floor(0.4 * (select count(*) from documents))
 """
 
 
+def q_x_url_dedup(spark, sf_dir):
+    """URL-level dedup (functions/urls.py): every doc appears under a
+    messy URL (uppercase scheme/host, default port, fragment) and its
+    clean twin; canonicalization must collapse each pair to ONE
+    survivor. Even docs exercise the http:80 family, odd docs
+    https:443 — both engines canonicalize via the same shared regex
+    literal."""
+    from sslr_spark.functions.urls import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    messy = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?q=1#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://Example.COM:443/doc/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    clean = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("http://example.com/doc/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?q=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/doc/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    return url_dedup(messy.unionByName(clean), "url")
+
+
+def _url_dedup_sql() -> str:
+    from sslr_spark.functions.urls import canonical_url_sql
+
+    return f"""
+with u as (
+  select doc_id * 2 as doc_id,
+         case when doc_id % 2 = 0
+              then concat('HTTP://Example.COM:80/doc/', doc_id,
+                          '?q=1#frag')
+              else concat('HTTPS://Example.COM:443/doc/', doc_id)
+         end as url
+  from documents
+  union all
+  select doc_id * 2 + 1 as doc_id,
+         case when doc_id % 2 = 0
+              then concat('http://example.com/doc/', doc_id, '?q=1')
+              else concat('https://example.com/doc/', doc_id)
+         end as url
+  from documents
+)
+select {canonical_url_sql('url')} as canonical_url,
+       cast(count(*) as bigint) as n_urls,
+       min(doc_id) as keep_id
+from u group by 1
+"""
+
+
+SQL_X_URL_DEDUP = _url_dedup_sql()
+
+
 def q_sample_dsir_incremental(spark, sf_dir):
     """Incremental DSIR (sampling.dsir_fit / dsir_score_batch): the
     log-ratio model freezes on the accepted corpus (vec of <=256
@@ -5647,6 +5726,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_warc_http": q_x_warc_http,
     "text_ccnet_buckets": q_text_ccnet_buckets,
     "sample_dsir_incremental": q_sample_dsir_incremental,
+    "x_url_dedup": q_x_url_dedup,
     "x_curation_pipeline_dsir": q_x_curation_pipeline_dsir,
     "text_dsir_weights": q_text_dsir_weights,
     "sample_dsir": q_sample_dsir,
@@ -5770,6 +5850,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_warc_http": SQL_X_WARC_HTTP,
     "text_ccnet_buckets": SQL_TEXT_CCNET_BUCKETS,
     "sample_dsir_incremental": SQL_SAMPLE_DSIR_INCREMENTAL,
+    "x_url_dedup": SQL_X_URL_DEDUP,
     "x_curation_pipeline_dsir": SQL_X_CURATION_PIPELINE_DSIR,
     "text_dsir_weights": SQL_TEXT_DSIR_WEIGHTS,
     "sample_dsir": SQL_SAMPLE_DSIR,

@@ -616,3 +616,50 @@ def test_dsir_incremental_unknown_buckets_use_default(spark):
     assert default == math.floor(
         (math.log(tr + 4096.0) - math.log(tt + 4096.0)) * 1e6 + 0.5
     )
+
+
+# ------------------------------------------------------------------
+# URL canonicalization + dedup
+# ------------------------------------------------------------------
+
+
+def test_canonical_url_rules(spark):
+    from sslr_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/doc/1?q=1#frag",
+         "http://example.com/doc/1?q=1"),
+        ("https://Site.ORG:443/a", "https://site.org/a"),
+        ("http://h:8080/x", "http://h:8080/x"),  # non-default kept
+        ("example.com", "http://example.com/"),  # scheme-less
+        ("ftp://Files.Net:21/pub/", "ftp://files.net:21/pub/"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want
+
+
+def test_url_dedup_collapses_variants(spark):
+    from sslr_spark.functions.urls import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTP://A.com:80/x#f"),
+            (2, "http://a.com/x"),
+            (3, "http://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.canonical_url: (r.n_urls, r.keep_id)
+           for r in url_dedup(df, "url").collect()}
+    assert out["http://a.com/x"] == (2, 1)
+    assert out["http://a.com/y"] == (1, 3)
