@@ -663,3 +663,20 @@ def test_url_dedup_collapses_variants(spark):
            for r in url_dedup(df, "url").collect()}
     assert out["http://a.com/x"] == (2, 1)
     assert out["http://a.com/y"] == (1, 3)
+
+
+def test_epoch_allocation_single_corpus_exchange(domains_df):
+    """The corpus is touched by exactly ONE hash exchange (the domain
+    aggregate); the water-filling windows run on the bounded
+    aggregated rows only (single-partition exchanges, not
+    corpus-keyed ones)."""
+    from sslr_spark.functions.sampling import epoch_allocation
+
+    plan = plan_of(
+        epoch_allocation(
+            domains_df, ["domain"], "n_chars",
+            budget=1000, max_repeats=4.0, alpha=0.5,
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan

@@ -523,6 +523,50 @@ def main() -> None:
         ).count()
     timings["cluster_balance_kept"] = n_cb
 
+    # WARC front door at K x: serialize the scaled corpus into 32
+    # gzip segment files (outside the timer), then parse + HTTP-split
+    # + HTML-extract. Cost must track corpus bytes; parallelism unit
+    # is the segment file (one per task), so 32 segments keep all
+    # cores busy at every K
+    from sslr_spark.functions.text import html_to_text
+    from sslr_spark.sources.warc import (
+        build_warc_gz,
+        read_warc,
+        split_http_payload,
+    )
+
+    wdocs = docs_scaled.select("doc_id", "text").collect()
+    wdir = os.path.join(TMP, "warc")
+    os.makedirs(wdir, exist_ok=True)
+    n_seg = 32
+    seg_recs: list[list[dict]] = [[] for _ in range(n_seg)]
+    for r in wdocs:
+        html = f"<html><body><p>{r.text or ''}</p></body></html>"
+        payload = (
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html
+        ).encode()
+        seg_recs[r.doc_id % n_seg].append(
+            {
+                "record_id": f"<urn:doc:{r.doc_id}>",
+                "warc_type": "response",
+                "target_uri": f"http://example.com/doc/{r.doc_id}",
+                "warc_date": "2026-01-01T00:00:00Z",
+                "content_type": "application/http; msgtype=response",
+                "payload": payload,
+            }
+        )
+    for i, recs in enumerate(seg_recs):
+        with open(os.path.join(wdir, f"seg{i}.warc.gz"), "wb") as f:
+            f.write(build_warc_gz(recs))
+    with timed("warc_http_extract"):
+        n_warc = (
+            split_http_payload(read_warc(spark, wdir))
+            .select(html_to_text(F.col("body")).alias("t"))
+            .count()
+        )
+    timings["warc_records"] = n_warc
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
