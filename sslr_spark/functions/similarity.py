@@ -2281,3 +2281,96 @@ def embedding_quality(
             & (norm_micros > 0)
         ).alias("keep"),
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_lex: int = 20,
+    k_vec: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack/Clarke/
+    Buettcher 2009): fuse a lexical BM25 top-``k_lex`` list and a
+    dense cosine top-``k_vec`` list into one ranking —
+    ``score(d) = sum over lists of 1/(rrf_k + rank_list(d))`` —
+    the standard zero-tuning combiner behind most production hybrid
+    search stacks (it needs no score calibration because it consumes
+    RANKS, not scores).
+
+    Engine parity: each reciprocal contribution is the INTEGER
+    ``1_000_000 // (rrf_k + rank)`` so the fused score is an exact
+    bigint sum — no float division crosses engines. The dense list
+    ranks on cosine quantized to round-half-up micros (on top of the
+    module's round(6) convention) so rank order itself is
+    integer-decided.
+
+    Scale shape: both candidate lists are already top-k cuts (BM25's
+    TakeOrdered, the brute/ANN scan's TakeOrdered), so the fusion
+    operates on at most ``k_lex + k_vec`` rows — the rank windows and
+    the full-outer join are driver-trivial regardless of corpus size,
+    and the expensive parts inherit their operators' documented
+    100 TB shapes (term-prefiltered explode; broadcast query side).
+    Swap :func:`topk_bruteforce` for any ANN variant without touching
+    the fusion.
+
+    Output: (doc_id, rrf_micros, lex_rank, vec_rank) — ranks are
+    1-based, NULL when the doc appears in only one list; top-``k`` by
+    (rrf_micros desc, doc_id).
+    """
+    from pyspark.sql import Window
+
+    from sslr_spark.functions.text import bm25_topk
+
+    lex = bm25_topk(
+        docs, query_terms, k=k_lex, text_col=text_col, id_col=doc_id_col
+    ).select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("score_micros").desc(), F.col(doc_id_col))
+        )
+        .alias("lex_rank"),
+    )
+    dense = (
+        topk_bruteforce(
+            emb, query_vec_id, k=k_vec, vec_col=vec_col, id_col=vec_id_col
+        )
+        .select(
+            F.col(vec_id_col).alias("doc_id"),
+            F.floor(F.col("cos_sim") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("__cos_micros"),
+        )
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("__cos_micros").desc(), F.col("doc_id")))
+            .alias("vec_rank"),
+        )
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_micros",
+            (
+                F.coalesce(
+                    F.floor(F.lit(1_000_000) / (F.lit(rrf_k) + F.col("lex_rank"))),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.floor(F.lit(1_000_000) / (F.lit(rrf_k) + F.col("vec_rank"))),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .select("doc_id", "rrf_micros", "lex_rank", "vec_rank")
+    )
+    return fused.orderBy(F.col("rrf_micros").desc(), F.col("doc_id")).limit(k)

@@ -5719,6 +5719,86 @@ from s4
 """
 
 
+# ------------------------------------------------------------------
+# hybrid retrieval (round 9 continuation-2)
+# ------------------------------------------------------------------
+
+
+def q_sim_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (similarity.py
+    hybrid_rrf_topk): a BM25 lexical top-20 over documents and a
+    dense cosine top-20 around vec_id 0 over embeddings fuse into one
+    top-10 by integer RRF — sum of 1_000_000 // (60 + rank) per list.
+    The oracle replays both candidate lists (the BM25 micro-quantized
+    scoring CTE chain, the round(6)+micros cosine ranking) and the
+    integer fusion — rank arithmetic never leaves bigints, so the
+    fused ordering is bit-identical across engines."""
+    return S.hybrid_rrf_topk(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        _BM25_TERMS,
+        query_vec_id=0,
+        k=10,
+        k_lex=20,
+        k_vec=20,
+    )
+
+
+SQL_SIM_HYBRID_RRF = f"""
+with tok as (select doc_id, {W_SQL} as ws from documents),
+hits as (
+  select doc_id, len(ws) as dl, unnest(list_filter(ws,
+    w -> w in ({_BM25_IN}))) as t
+  from tok
+),
+tf as (
+  select doc_id, t, count(*) as tf, min(dl) as dl
+  from hits group by 1, 2
+),
+stats as (select count(*) as n, sum(len(ws)) as sumdl from tok),
+dfq as (select t, count(*) as dfr from tf group by t),
+lexs as (
+  select doc_id,
+         cast(sum(cast(floor(
+           ln(1.0 + (n - dfr + 0.5) / (dfr + 0.5)) * tf
+             / (tf + cast(1.2 as double)
+                * (cast(0.25 as double)
+                   + cast(0.75 as double) * dl / (sumdl / n)))
+           * 1000000 + 0.5) as bigint)) as bigint) as score_micros
+  from tf join dfq using (t) cross join stats
+  group by doc_id
+  order by score_micros desc, doc_id
+  limit 20
+),
+lex as (
+  select doc_id, cast(row_number() over (
+    order by score_micros desc, doc_id) as int) as lex_rank
+  from lexs
+),
+q as (select embedding as qvec from embeddings where vec_id = 0),
+denses as (
+  select vec_id as doc_id,
+         cast(floor(round({_cos_sql('embedding', 'qvec')}, 6) * 1000000 + 0.5) as bigint) as cm
+  from embeddings, q where vec_id != 0
+  order by cm desc, doc_id
+  limit 20
+),
+dense as (
+  select doc_id, cast(row_number() over (
+    order by cm desc, doc_id) as int) as vec_rank
+  from denses
+)
+select coalesce(l.doc_id, d.doc_id) as doc_id,
+       cast(coalesce(1000000 // (60 + lex_rank), 0)
+            + coalesce(1000000 // (60 + vec_rank), 0) as bigint)
+         as rrf_micros,
+       lex_rank, vec_rank
+from lex l full outer join dense d on l.doc_id = d.doc_id
+order by rrf_micros desc, doc_id
+limit 10
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -5767,6 +5847,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_curation_pipeline_neardup": q_x_curation_pipeline_neardup,
     "x_embedding_pipeline": q_x_embedding_pipeline,
     "files_roundtrip": q_files_roundtrip,
+    "sim_hybrid_rrf": q_sim_hybrid_rrf,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
     "sample_leakage_safe": q_sample_leakage_safe,
@@ -5914,6 +5995,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_ivf_recall": SQL_SIM_IVF_RECALL,
     "dedup_simhash_calibration": SQL_DEDUP_SIMHASH_CALIBRATION,
     "dedup_cluster_sizes": SQL_DEDUP_CLUSTER_SIZES,
+    "sim_hybrid_rrf": SQL_SIM_HYBRID_RRF,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,

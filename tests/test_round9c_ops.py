@@ -1,0 +1,123 @@
+"""Round-9 continuation-2 operators:
+
+- hybrid_rrf_topk: Reciprocal Rank Fusion of a BM25 lexical list and
+  a dense cosine list (Cormack/Clarke/Buettcher 2009) — integer
+  1e6 // (60 + rank) contributions, bigint fused score.
+"""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sslr_spark.functions.similarity import hybrid_rrf_topk, topk_bruteforce
+from sslr_spark.functions.text import bm25_topk
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------------
+# hybrid RRF
+# ------------------------------------------------------------------
+
+_DOCS = [
+    (1, "spark joins vectors fast"),
+    (2, "spark spark spark"),
+    (3, "vectors and joins"),
+    (4, "nothing relevant here"),
+    (5, "spark vectors"),
+]
+# embeddings: vec 0 is the query; 1 and 3 near it, 2/4/5 far
+_EMB = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.8, 0.2, 0.0]),
+    (4, [0.0, 0.0, 1.0]),
+    (5, [-1.0, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def hybrid_inputs(spark):
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        _EMB, "vec_id long, embedding array<double>"
+    )
+    return docs, emb
+
+
+def test_rrf_matches_python_fusion_of_component_lists(spark, hybrid_inputs):
+    """The fused ranking equals fusing the two component operators'
+    own outputs with exact integer arithmetic in Python."""
+    docs, emb = hybrid_inputs
+    terms = ["spark", "vectors"]
+    lex_rows = bm25_topk(docs, terms, k=4).collect()
+    lex_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r.score_micros, r.doc_id))
+        )
+    }
+    vec_rows = topk_bruteforce(emb, 0, k=4).collect()
+    vec_rank = {
+        r.vec_id: i + 1
+        for i, r in enumerate(
+            sorted(
+                vec_rows,
+                key=lambda r: (-int(r.cos_sim * 1e6 + 0.5), r.vec_id),
+            )
+        )
+    }
+    expect = {}
+    for d in set(lex_rank) | set(vec_rank):
+        score = 0
+        if d in lex_rank:
+            score += 1_000_000 // (60 + lex_rank[d])
+        if d in vec_rank:
+            score += 1_000_000 // (60 + vec_rank[d])
+        expect[d] = score
+    got = hybrid_rrf_topk(
+        docs, emb, terms, query_vec_id=0, k=10, k_lex=4, k_vec=4
+    ).collect()
+    assert {r.doc_id: r.rrf_micros for r in got} == expect
+    # ordering: fused score desc, id asc
+    keys = [(r.rrf_micros, r.doc_id) for r in got]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+
+
+def test_rrf_single_list_docs_carry_null_other_rank(spark, hybrid_inputs):
+    docs, emb = hybrid_inputs
+    got = {
+        r.doc_id: r
+        for r in hybrid_rrf_topk(
+            docs, emb, ["spark"], query_vec_id=0, k=10, k_lex=3, k_vec=2
+        ).collect()
+    }
+    # doc 4 matches no term and is far from the query: absent entirely
+    assert 4 not in got
+    # a dense-only doc has null lex_rank (and vice versa)
+    dense_only = [r for r in got.values() if r.lex_rank is None]
+    lex_only = [r for r in got.values() if r.vec_rank is None]
+    assert dense_only and lex_only
+    for r in dense_only:
+        assert r.rrf_micros == 1_000_000 // (60 + r.vec_rank)
+    for r in lex_only:
+        assert r.rrf_micros == 1_000_000 // (60 + r.lex_rank)
+
+
+def test_rrf_both_lists_beats_equal_rank_single_list(spark, hybrid_inputs):
+    """A doc ranked r in BOTH lists strictly outscores a doc ranked r
+    in one list — the property that makes RRF favor agreement."""
+    docs, emb = hybrid_inputs
+    got = hybrid_rrf_topk(
+        docs, emb, ["spark", "vectors"], query_vec_id=0, k=10
+    ).collect()
+    both = [r for r in got if r.lex_rank and r.vec_rank]
+    single = [r for r in got if (r.lex_rank is None) != (r.vec_rank is None)]
+    assert both, "fixture must produce agreement docs"
+    for b in both:
+        for s in single:
+            if (s.lex_rank or s.vec_rank) >= min(b.lex_rank, b.vec_rank):
+                assert b.rrf_micros > s.rrf_micros
