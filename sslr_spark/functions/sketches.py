@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sslr_spark.functions.hashing import h60
+
 
 def distinct_stats(
     df: DataFrame,
@@ -119,4 +121,120 @@ def heavy_hitters(
     )
     return df.sparkSession.createDataFrame(
         [(v,) for v in vals], f"value {dict(df.dtypes)[value_col]}"
+    )
+
+
+# ------------------------------------------------------------------
+# Mergeable HyperLogLog registers (engine-portable)
+# ------------------------------------------------------------------
+#
+# Spark's approx_count_distinct is HLL++ but its sketch never leaves
+# the aggregate — you cannot persist a per-shard sketch today and
+# union it with next week's. This is the PORTABLE register form
+# (Flajolet et al. 2007): registers are plain (group, bucket, rho)
+# rows built from the oracle-parity h60 hash, so they can be written
+# to parquet per shard/day, merged later with a register-wise MAX
+# (associative + idempotent — re-merging a shard is harmless), and
+# estimated on read. At 100 TB the sketch table is m rows per group
+# per shard (m = 2^p, constant), so cross-epoch distinct counts never
+# re-touch raw data. The estimate arithmetic is integer until one
+# final double division, identical expression shape on both engines.
+
+HLL_P = 6  # 2^6 = 64 registers: ~13% rse — a demo-friendly default
+
+
+def _hll_rho(h: Column, p: int) -> Column:
+    """Position of the first 1-bit (from the left) in the top
+    ``60 - p`` bits of the 60-bit hash ``h`` after the bucket bits are
+    stripped: rho = (60-p) - bit_length(w) + 1, with the all-zeros
+    case pinned to (60-p)+1. bit_length via length(bin(w)) — Spark and
+    DuckDB both print minimal-length binary for non-negative longs."""
+    # h >> p, NOT h/2^p: double division would round a 60-bit value
+    # (2^53 mantissa); shiftright is exact and mirrors DuckDB's >>
+    w = F.shiftright(h, p)
+    width = F.lit(60 - p)
+    return F.when(w == 0, width + 1).otherwise(
+        width - F.length(F.bin(w)) + 1
+    ).cast("int")
+
+
+def hll_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """Per-group HLL registers of ``value_col``: one row per (group,
+    bucket) with the max rho seen — at most 2^p rows per group
+    regardless of input size, built with one map-side-combinable
+    aggregate. The output IS the sketch: persist it per shard, merge
+    with :func:`hll_merge`, estimate with :func:`hll_estimate`."""
+    h = F.col("__h")
+    hashed = df.select(
+        *group_cols,
+        h60(F.coalesce(F.col(value_col).cast("string"), F.lit("\x00")))
+        .alias("__h"),
+    )
+    return (
+        hashed.select(
+            *group_cols,
+            (h % F.lit(1 << p)).cast("int").alias("bucket"),
+            _hll_rho(h, p).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register rows across shards/epochs: register-wise MAX.
+    Associative, commutative, idempotent — the union of any number of
+    :func:`hll_build` outputs (same p) is again a valid sketch."""
+    return sketch.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    group_cols: list[str],
+    p: int = HLL_P,
+) -> DataFrame:
+    """Distinct-count estimate per group from register rows.
+
+    Standard HLL: raw = alpha_m * m^2 / sum(2^-rho) with the
+    linear-counting fallback m*ln(m/V) when raw <= 2.5m and some
+    register is still zero (V = zero-register count). Engine parity:
+    the harmonic sum is the exact BIGINT ``sum(2^(maxw - rho))`` over
+    present registers plus ``V * 2^maxw`` for absent ones (maxw =
+    61-p, so 64 registers never overflow a long); only the final
+    alpha-scale and ln are doubles, with the same literal expression
+    shape both sides. Output: (group..., n_buckets_set, estimate)."""
+    m = 1 << p
+    maxw = 61 - p  # rho <= (60-p)+1 => exponent >= 0, sum < 2^61
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_set"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(maxw) - F.col("rho")).cast("double"))
+            .cast("long")
+        ).alias("__s_present"),
+    )
+    v_zero = (F.lit(m) - F.col("n_buckets_set")).cast("long")
+    s_total = (
+        F.col("__s_present") + v_zero * F.lit(1 << maxw).cast("long")
+    ).cast("double")
+    raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << maxw))
+        / s_total
+    )
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0), lc
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        "n_buckets_set",
+        F.floor(est + F.lit(0.5)).cast("long").alias("estimate"),
     )

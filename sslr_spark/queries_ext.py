@@ -5799,6 +5799,111 @@ limit 10
 """
 
 
+def q_x_hll_distinct(spark, sf_dir):
+    """Mergeable HyperLogLog distinct sketch (sketches.py hll_build /
+    hll_merge / hll_estimate): per-event-type distinct users counted
+    the way a 100 TB pipeline must — 8 shard-local register sketches
+    built independently (one map-side aggregate each; here one pass
+    with shard in the key), merged with a register-wise MAX, then
+    estimated. Joined against the exact distinct count with the error
+    in basis points. The register build uses the oracle-parity h60
+    hash and the estimate stays integer until one final double scale,
+    so both engines produce bit-identical registers AND estimates."""
+    from sslr_spark.functions.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+    from sslr_spark.queries import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 8).alias("__shard"),
+        F.col("user_id"),
+    )
+    shard_sketches = hll_build(
+        ev, ["event_type", "__shard"], "user_id"
+    )
+    merged = hll_merge(shard_sketches, ["event_type"])
+    est = hll_estimate(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_buckets_set",
+            "estimate",
+            "n_exact",
+            (
+                F.abs(F.col("estimate") - F.col("n_exact"))
+                * F.lit(10_000)
+                / F.col("n_exact")
+            )
+            .cast("long")
+            .alias("err_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# replays the register pipeline: h60 per user, bucket = h % 64,
+# rho from the bin()-length of h >> 6, register-wise max (the shard
+# split is a no-op for max, replayed anyway to pin mergeability),
+# then the exact-integer harmonic sum and the alpha/linear-counting
+# estimate with the same literal expression shape
+SQL_X_HLL_DISTINCT = f"""
+with ev as (
+  select event_type, event_id % 8 as shard, user_id,
+         {h60_sql("coalesce(cast(user_id as varchar), chr(0))")} as h
+  from events
+),
+regs as (
+  select event_type, shard, h % 64 as bucket,
+         cast(case when (h >> 6) = 0 then 55
+              else 54 - length(bin(h >> 6)) + 1 end as int) as rho
+  from ev
+),
+shard_sketch as (
+  select event_type, shard, bucket, max(rho) as rho
+  from regs group by 1, 2, 3
+),
+merged as (
+  select event_type, bucket, max(rho) as rho
+  from shard_sketch group by 1, 2
+),
+agg as (
+  select event_type,
+         cast(count(*) as bigint) as n_buckets_set,
+         sum(cast(pow(2.0, 55 - rho) as bigint)) as s_present
+  from merged group by 1
+),
+est as (
+  select event_type, n_buckets_set,
+         cast(floor(
+           case when (cast(2905.460551022604 as double) * cast(36028797018963968 as double)
+                      / cast(s_present + (64 - n_buckets_set)
+                             * 36028797018963968 as double)) <= 160.0
+                     and n_buckets_set < 64
+                then 64.0 * ln(64.0 / cast(64 - n_buckets_set as double))
+                else cast(2905.460551022604 as double) * cast(36028797018963968 as double)
+                     / cast(s_present + (64 - n_buckets_set)
+                            * 36028797018963968 as double)
+           end + 0.5) as bigint) as estimate
+  from agg
+),
+exact as (
+  select event_type, cast(count(distinct user_id) as bigint) as n_exact
+  from ev group by 1
+)
+select e.event_type, n_buckets_set, estimate, n_exact,
+       cast(floor(abs(estimate - n_exact) * 10000 / n_exact) as bigint) as err_bp
+from est e join exact using (event_type)
+order by event_type
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -5848,6 +5953,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_embedding_pipeline": q_x_embedding_pipeline,
     "files_roundtrip": q_files_roundtrip,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
+    "x_hll_distinct": q_x_hll_distinct,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
     "sample_leakage_safe": q_sample_leakage_safe,
@@ -5996,6 +6102,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_simhash_calibration": SQL_DEDUP_SIMHASH_CALIBRATION,
     "dedup_cluster_sizes": SQL_DEDUP_CLUSTER_SIZES,
     "sim_hybrid_rrf": SQL_SIM_HYBRID_RRF,
+    "x_hll_distinct": SQL_X_HLL_DISTINCT,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,

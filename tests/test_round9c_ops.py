@@ -121,3 +121,82 @@ def test_rrf_both_lists_beats_equal_rank_single_list(spark, hybrid_inputs):
         for s in single:
             if (s.lex_rank or s.vec_rank) >= min(b.lex_rank, b.vec_rank):
                 assert b.rrf_micros > s.rrf_micros
+
+
+# ------------------------------------------------------------------
+# mergeable HLL registers
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.sketches import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+
+@pytest.fixture(scope="module")
+def hll_df(spark):
+    return spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 4).alias("shard"),
+        # 1100 distinct values within group 0, etc.
+        F.concat(F.lit("u"), (F.col("id") % 1100).cast("string")).alias("v"),
+    )
+
+
+def test_hll_merge_of_shards_equals_sketch_of_union(spark, hll_df):
+    """Register-wise max over shard sketches is EXACTLY the sketch of
+    the unsharded data — mergeability is lossless, not approximate."""
+    whole = {
+        (r.g, r.bucket): r.rho
+        for r in hll_build(hll_df, ["g"], "v").collect()
+    }
+    shards = hll_build(hll_df, ["g", "shard"], "v")
+    merged = {
+        (r.g, r.bucket): r.rho
+        for r in hll_merge(shards, ["g"]).collect()
+    }
+    assert merged == whole
+    # idempotence: re-merging a doubled sketch changes nothing
+    remerged = {
+        (r.g, r.bucket): r.rho
+        for r in hll_merge(
+            hll_merge(shards, ["g"]).unionAll(hll_merge(shards, ["g"])),
+            ["g"],
+        ).collect()
+    }
+    assert remerged == whole
+
+
+def test_hll_estimate_within_rse_envelope(spark, hll_df):
+    """p=6 gives rse ~ 1.04/sqrt(64) = 13%; assert within 3x that."""
+    sk = hll_build(hll_df, ["g"], "v")
+    est = {r.g: r.estimate for r in hll_estimate(sk, ["g"]).collect()}
+    exact = {
+        r.g: r.n
+        for r in hll_df.groupBy("g")
+        .agg(F.count_distinct("v").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 0.4 * n, (g, est[g], n)
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    """Tiny cardinalities route through the linear-counting branch
+    and land much tighter than the raw-HLL envelope."""
+    df = spark.range(0, 400).select(
+        F.lit(0).alias("g"),
+        (F.col("id") % 7).cast("string").alias("v"),
+    )
+    est = hll_estimate(hll_build(df, ["g"], "v"), ["g"]).first()
+    assert est.n_buckets_set <= 7
+    assert abs(est.estimate - 7) <= 1
+
+
+def test_hll_build_is_one_partial_aggregate(spark, hll_df):
+    """The sketch build must be a single hash aggregate with a
+    map-side partial (no extra exchange beyond the group shuffle)."""
+    plan = plan_of(hll_build(hll_df, ["g"], "v"))
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan or "partial" in plan.lower()
