@@ -2203,3 +2203,66 @@ def incremental_containment_dedup(
             "containment",
         )
     )
+
+
+def image_phash_near_dup(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    n_bands: int = 8,
+    band_bits: int = 7,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Image near-dup pairs from perceptual hashes (multimodal.py
+    dhash64): multi-index Hamming search — the 56-bit hash splits
+    into ``n_bands`` bit-slices; two images are CANDIDATES iff some
+    slice matches exactly (pigeonhole: any pair within
+    ``n_bands - 1`` Hamming bits is guaranteed a clean slice), then
+    candidates verify with ``bit_count(xor) <= max_hamming``.
+
+    The banded-LSH join shape of minhash dedup, re-keyed on bit
+    slices: the hash table is |docs| x n_bands tiny rows, the join is
+    an equi-join on (band_idx, band_val) — never all-pairs — and the
+    verify is a narrow integer expression on rows that already carry
+    both hashes. 100 TB: same skew note as minhash LSH — a dominant
+    slice value (e.g. flat-color images all hashing 0) hot-spots one
+    key; cap or salt such bands upstream.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, one row per pair.
+    """
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.shiftright(F.col(hash_col), band_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("__b"),
+    ).select("__id", "__h", "__b.i", "__b.v")
+    a = banded.withColumnsRenamed({"__id": "doc_a", "__h": "__ha"})
+    b = banded.withColumnsRenamed({"__id": "doc_b", "__h": "__hb"})
+    pairs = (
+        a.join(b, ["i", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("__ha").bitwiseXOR(F.col("__hb"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1161,3 +1161,123 @@ def binary_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
             "magic_hex"
         ),
     )
+
+
+# ------------------------------------------------------------------
+# Perceptual hashing (image near-dup dedup)
+# ------------------------------------------------------------------
+
+DHASH_W, DHASH_H = 9, 7  # 9x7 grid -> 8x7 = 56 comparison bits
+
+
+def make_bmp_gray(values) -> bytes:
+    """A 24-bit BMP whose pixels are the given grayscale grid
+    (``values``: h x w ints in 0..255, VISUAL top-down order; r=g=b).
+    Rows are stored bottom-up with 4-byte stride padding per the BMP
+    spec — the decoder must undo both to see the visual grid."""
+    import numpy as np
+
+    px = np.asarray(values, dtype=np.uint8)
+    h, w = px.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rgb = np.repeat(px[:, :, None], 3, axis=2).reshape(h, w * 3)
+    rows[:, : w * 3] = rgb
+    data = rows[::-1].tobytes()  # bottom-up storage
+    header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0,
+    )
+    return header + dib + data
+
+
+def _dhash_value(grp: int, var: int, x: int, y: int) -> int:
+    """The synthetic corpus' pixel formula, shared verbatim with the
+    DuckDB oracle: a quadratic base (wrap pattern pseudo-random, so
+    different groups land far apart in Hamming space) with ONE pixel
+    swapped per non-zero variant (so a group's variants stay within
+    ~2 Hamming bits of each other — genuine near-duplicates)."""
+    t = x + 9 * y + 17 * grp
+    v = (t * t + x) % 251
+    if var > 0 and x == (grp + var) % 9 and y == (grp + 2 * var) % 7:
+        v = (v + 128) % 251
+    return v
+
+
+def synthesize_images_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc rows -> real 9x7 grayscale BMPs from :func:`_dhash_value`:
+    doc_id // 4 picks a base pattern (group), doc_id % 4 a near-dup
+    variant of it. Arrow-batched; output (doc_id, payload)."""
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col].astype("int64"):
+                g, v = int(d) // 4, int(d) % 4
+                grid = [
+                    [_dhash_value(g, v, x, y) for x in range(DHASH_W)]
+                    for y in range(DHASH_H)
+                ]
+                out.append(make_bmp_gray(grid))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": out})
+
+    return df.select(id_col).mapInPandas(synth, "doc_id long, payload binary")
+
+
+def dhash64(binary_df: DataFrame) -> DataFrame:
+    """REAL difference-hash over BMP payloads: parse the header,
+    un-pad and un-flip the bottom-up pixel rows, integer-luma each
+    pixel ((299r + 587g + 114b) // 1000 — exact for gray pixels), and
+    set bit y*8+x iff gray[y][x+1] > gray[y][x] on the 9x7 grid. The
+    production path resizes first (resize_bmp / resize_png to 9x7);
+    payloads here are already grid-sized. 56 bits -> non-negative
+    bigint, so banding and XOR Hamming stay in plain long arithmetic.
+
+    Arrow-batched mapInPandas, zero shuffle. Output: (doc_id, phash).
+    Raises on non-BMP/truncated payloads — quarantine upstream, the
+    hygiene-screen convention."""
+    import numpy as np
+    import pandas as pd
+
+    def hash_batches(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                if len(b) < 54 or b[:2] != b"BM":
+                    raise ValueError("not a BMP")
+                w, h_signed = struct.unpack_from("<ii", b, 18)
+                h = abs(h_signed)
+                off = struct.unpack_from("<I", b, 10)[0]
+                stride = ((w * 3 + 3) // 4) * 4
+                if off + stride * h > len(b):
+                    raise ValueError("truncated BMP pixel data")
+                px = (
+                    np.frombuffer(
+                        b, dtype=np.uint8, count=stride * h, offset=off
+                    )
+                    .reshape(h, stride)[:, : w * 3]
+                    .reshape(h, w, 3)
+                )
+                if h_signed > 0:
+                    px = px[::-1]  # bottom-up storage -> visual order
+                gray = (
+                    px[:, :, 2].astype(np.int64) * 299
+                    + px[:, :, 1].astype(np.int64) * 587
+                    + px[:, :, 0].astype(np.int64) * 114
+                ) // 1000
+                bits = gray[:, 1:] > gray[:, :-1]  # (h, w-1)
+                ph = 0
+                for y in range(bits.shape[0]):
+                    for x in range(bits.shape[1]):
+                        if bits[y, x]:
+                            ph |= 1 << (y * 8 + x)
+                out.append(ph)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pd.array(out, dtype="int64")}
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        hash_batches, "doc_id long, phash long"
+    )

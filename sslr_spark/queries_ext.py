@@ -5904,6 +5904,254 @@ order by event_type
 """
 
 
+_PR_HOSTS = 24  # synthetic host count for the link-graph keys
+
+
+def _pr_pages(spark, sf_dir):
+    """documents -> synthetic crawled pages: every doc gets a page URL
+    on host{doc_id % 24}.test and an HTML body with two outlinks whose
+    target hosts are formulas of (doc_id, n_chars) — so the oracle can
+    rebuild the exact same page string in SQL and both engines run the
+    SAME extraction regex over the SAME bytes."""
+    docs = _docs(spark, sf_dir)
+    host = lambda k: F.concat(  # noqa: E731
+        F.lit("host"), k.cast("string"), F.lit(".test")
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            host(F.col("doc_id") % _PR_HOSTS),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("page_url"),
+        F.concat(
+            F.lit('<html><body><a href="http://'),
+            host((F.col("doc_id") * 7 + F.col("n_chars")) % _PR_HOSTS),
+            F.lit('/a">l1</a><p><a href="https://'),
+            host((F.col("doc_id") * 13 + 3) % _PR_HOSTS),
+            F.lit(':443/b?q=2">l2</a></body></html>'),
+        ).alias("html"),
+    )
+
+
+def q_x_link_graph(spark, sf_dir):
+    """Host-level link graph from real HTML href extraction
+    (functions/graph.py extract_links + host_edges): pages ->
+    regexp_extract_all over the shared HREF_RE literal -> host
+    normalization (lowercase, port stripped — the :443 outlink
+    exercises it) -> self-loop-free (src, dst, n_links) aggregate."""
+    from sslr_spark.functions.graph import extract_links, host_edges
+
+    pages = _pr_pages(spark, sf_dir)
+    links = extract_links(pages, "doc_id", "html").join(
+        pages.select("doc_id", "page_url"), "doc_id"
+    )
+    return host_edges(links).orderBy("src", "dst")
+
+
+_PR_PAGE_SQL = f"""
+  select doc_id,
+         concat('http://host', doc_id % 24, '.test/p/', doc_id)
+           as page_url,
+         concat('<html><body><a href="http://host',
+                (doc_id * 7 + n_chars) % 24,
+                '.test/a">l1</a><p><a href="https://host',
+                (doc_id * 13 + 3) % 24,
+                '.test:443/b?q=2">l2</a></body></html>') as html
+  from documents
+"""
+
+_HOST_SQL = (
+    "regexp_replace(lower(regexp_extract({u}, "
+    "'^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)([^?#]*)"
+    "(?:\\?([^#]*))?(?:#.*)?$', 2)), ':[0-9]+$', '')"
+)
+
+SQL_X_LINK_GRAPH = f"""
+with pages as ({{PAGES}}),
+links as (
+  select doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+    as link
+  from pages
+),
+hosted as (
+  select {{SRC_HOST}} as src, {{DST_HOST}} as dst
+  from links join pages using (doc_id)
+)
+select src, dst, cast(count(*) as bigint) as n_links
+from hosted
+where src != dst and dst != ''
+group by src, dst
+order by src, dst
+"""
+
+
+def q_x_pagerank(spark, sf_dir):
+    """Integer-quantized PageRank (functions/graph.py pagerank) over
+    the extracted host graph: 3 fixed iterations, damping 0.85 in
+    basis points, ranks in micros with integer-division contributions
+    — the oracle replays every iteration as a nested CTE and matches
+    bit-for-bit (no float accumulation anywhere)."""
+    from sslr_spark.functions.graph import (
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+
+    pages = _pr_pages(spark, sf_dir)
+    links = extract_links(pages, "doc_id", "html").join(
+        pages.select("doc_id", "page_url"), "doc_id"
+    )
+    return pagerank(host_edges(links), n_iters=3).orderBy("host")
+
+
+SQL_X_PAGERANK = f"""
+with pages as ({{PAGES}}),
+links as (
+  select doc_id, unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+    as link
+  from pages
+),
+hosted as (
+  select {{SRC_HOST}} as src, {{DST_HOST}} as dst
+  from links join pages using (doc_id)
+),
+e as (
+  select distinct src, dst from hosted where src != dst and dst != ''
+),
+nodes as (select src as host from e union select dst from e),
+deg as (select src, count(*) as out_deg from e group by src),
+r0 as (select host, cast(1000000 as bigint) as rank_micros from nodes),
+{{ITERS}}
+select host, rank_micros from r3 order by host
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    return f"""r{k} as (
+  select n.host,
+         cast(150000 + (coalesce(s.s, 0) * 8500) // 10000 as bigint)
+           as rank_micros
+  from nodes n left join (
+    select e.dst as host, sum(r.rank_micros // d.out_deg) as s
+    from e join deg d on e.src = d.src
+         join r{k - 1} r on e.src = r.host
+    group by e.dst
+  ) s on n.host = s.host
+)"""
+
+
+SQL_X_PAGERANK = SQL_X_PAGERANK.replace(
+    "{ITERS}", ",\n".join(_pr_iter_sql(k) for k in (1, 2, 3))
+)
+
+_PR_SUBS = {
+    "{PAGES}": _PR_PAGE_SQL,
+    "{SRC_HOST}": _HOST_SQL.format(u="page_url"),
+    "{DST_HOST}": _HOST_SQL.format(u="link"),
+}
+for _k, _v in _PR_SUBS.items():
+    SQL_X_LINK_GRAPH = SQL_X_LINK_GRAPH.replace(_k, _v)
+    SQL_X_PAGERANK = SQL_X_PAGERANK.replace(_k, _v)
+del _PR_SUBS, _k, _v
+
+
+# pixel formula shared verbatim with multimodal._dhash_value: grp =
+# doc_id // 4, var = doc_id % 4, t = x + 9y + 17*grp,
+# v = (t*t + x) % 251, one pixel +128-swapped per non-zero variant
+_DHASH_V = (
+    "case when (doc_id % 4) > 0"
+    " and x = ((doc_id // 4) + (doc_id % 4)) % 9"
+    " and y = ((doc_id // 4) + 2 * (doc_id % 4)) % 7"
+    " then (((x + 9*y + 17*(doc_id // 4)) * (x + 9*y + 17*(doc_id // 4))"
+    "        + x) % 251 + 128) % 251"
+    " else ((x + 9*y + 17*(doc_id // 4)) * (x + 9*y + 17*(doc_id // 4))"
+    "       + x) % 251 end"
+)
+
+_DHASH_PH_CTES = f"""
+px as (
+  select doc_id, y, x, {_DHASH_V} as v
+  from (select doc_id from documents where doc_id < 200),
+       generate_series(0, 6) t1(y), generate_series(0, 8) t2(x)
+),
+ph as (
+  select a.doc_id,
+         cast(sum(case when b.v > a.v
+                       then (1::bigint << (a.y * 8 + a.x)) else 0 end)
+           as bigint) as phash
+  from px a join px b
+    on a.doc_id = b.doc_id and a.y = b.y and b.x = a.x + 1
+  where a.x < 8
+  group by a.doc_id
+)"""
+
+
+def q_mm_phash(spark, sf_dir):
+    """REAL perceptual hashing end-to-end (multimodal.py
+    synthesize_images_dhash -> dhash64): documents become genuine
+    9x7 grayscale BMPs (bottom-up rows, stride padding) whose pixel
+    values follow a formula both engines know; the Spark side then
+    recovers the 56-bit difference hash OUT OF THE BYTES — header
+    parse, row un-flip, integer luma, neighbor comparisons — while
+    the oracle computes the same bits from the formula alone. Any
+    stride, row-order, or bit-index bug diverges."""
+    from sslr_spark.functions.multimodal import (
+        dhash64,
+        synthesize_images_dhash,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return dhash64(synthesize_images_dhash(docs)).orderBy("doc_id")
+
+
+SQL_MM_PHASH = f"""
+with {_DHASH_PH_CTES}
+select doc_id, phash from ph order by doc_id
+"""
+
+
+def q_dedup_image_phash(spark, sf_dir):
+    """Image near-dup dedup over REAL decoded perceptual hashes
+    (dedup.py image_phash_near_dup): 8 bit-slices of 7 bits index the
+    56-bit dHash (pigeonhole-complete up to Hamming 7), slice-equal
+    candidates verify with bit_count(xor) <= 4. The synthetic corpus
+    plants 4 variants per base pattern one swapped pixel apart, so
+    every group contributes near-dup pairs while the quadratic base
+    keeps distinct groups ~half the hash apart."""
+    from sslr_spark.functions.dedup import image_phash_near_dup
+    from sslr_spark.functions.multimodal import (
+        dhash64,
+        synthesize_images_dhash,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    hashes = dhash64(synthesize_images_dhash(docs))
+    return image_phash_near_dup(hashes, max_hamming=4).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+SQL_DEDUP_IMAGE_PHASH = f"""
+with {_DHASH_PH_CTES},
+bands as (
+  select doc_id, phash, i, (phash >> (7 * i)) & 127 as v
+  from ph, generate_series(0, 7) t(i)
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b,
+         a.phash as ha, b.phash as hb
+  from bands a join bands b
+    on a.i = b.i and a.v = b.v and a.doc_id < b.doc_id
+)
+select doc_a, doc_b, cast(bit_count(xor(ha, hb)) as int) as hamming
+from cand
+where bit_count(xor(ha, hb)) <= 4
+order by doc_a, doc_b
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -5954,6 +6202,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "files_roundtrip": q_files_roundtrip,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
     "x_hll_distinct": q_x_hll_distinct,
+    "x_link_graph": q_x_link_graph,
+    "mm_phash": q_mm_phash,
+    "dedup_image_phash": q_dedup_image_phash,
+    "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
     "sample_leakage_safe": q_sample_leakage_safe,
@@ -6103,6 +6355,10 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_cluster_sizes": SQL_DEDUP_CLUSTER_SIZES,
     "sim_hybrid_rrf": SQL_SIM_HYBRID_RRF,
     "x_hll_distinct": SQL_X_HLL_DISTINCT,
+    "x_link_graph": SQL_X_LINK_GRAPH,
+    "mm_phash": SQL_MM_PHASH,
+    "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
+    "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,
     "sim_hard_negatives": SQL_SIM_HARD_NEGATIVES,

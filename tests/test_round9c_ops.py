@@ -200,3 +200,92 @@ def test_hll_build_is_one_partial_aggregate(spark, hll_df):
     plan = plan_of(hll_build(hll_df, ["g"], "v"))
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+# ------------------------------------------------------------------
+# link graph + PageRank
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.graph import (  # noqa: E402
+    extract_links,
+    host_edges,
+    pagerank,
+)
+
+
+def test_extract_links_and_host_edges(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "http://a.test/p/1",
+             '<a href="http://b.test/x">x</a><a href="https://C.TEST:443/y">y</a>'),
+            (2, "http://b.test/p/2",
+             '<a href="http://a.test/z">z</a><a href="http://b.test/self">s</a>'),
+            (3, "http://c.test/p/3", "no links here"),
+        ],
+        "doc_id long, page_url string, html string",
+    )
+    links = extract_links(pages, "doc_id", "html").join(
+        pages.select("doc_id", "page_url"), "doc_id"
+    )
+    edges = {(r.src, r.dst): r.n_links for r in host_edges(links).collect()}
+    # self-loop (b -> b) dropped; port stripped and host lowercased
+    assert edges == {
+        ("a.test", "b.test"): 1,
+        ("a.test", "c.test"): 1,
+        ("b.test", "a.test"): 1,
+    }
+
+
+def _py_pagerank(edges, n_iters=3):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in set(edges):
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(n_iters):
+        s = {n: 0 for n in nodes}
+        for u, v in set(edges):
+            s[v] += rank[u] // deg[u]
+        rank = {n: 150_000 + (s[n] * 8500) // 10_000 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+    ]
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges], "src string, dst string, n_links long"
+    )
+    got = {r.host: r.rank_micros for r in pagerank(df, n_iters=3).collect()}
+    assert got == _py_pagerank(edges, 3)
+    # d has no in-links: pinned at the base term
+    assert got["d"] == 150_000
+    # c is the sink hub: strictly the highest rank
+    assert got["c"] == max(got.values())
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edges = [(f"h{i}", f"h{(i * 3 + 1) % 17}") for i in range(40)]
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges], "src string, dst string, n_links long"
+    )
+    a = {r.host: r.rank_micros for r in pagerank(df, 3).collect()}
+    b = {
+        r.host: r.rank_micros
+        for r in pagerank(df.repartition(13), 3).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_checkpoint_every_matches_uncheckpointed(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(
+        [(s, d, 1) for s, d in edges], "src string, dst string, n_links long"
+    )
+    plain = {r.host: r.rank_micros for r in pagerank(df, 4).collect()}
+    ckpt = {
+        r.host: r.rank_micros
+        for r in pagerank(df, 4, checkpoint_every=2).collect()
+    }
+    assert plain == ckpt
