@@ -289,3 +289,93 @@ def test_pagerank_checkpoint_every_matches_uncheckpointed(spark):
         for r in pagerank(df, 4, checkpoint_every=2).collect()
     }
     assert plain == ckpt
+
+
+# ------------------------------------------------------------------
+# image perceptual hashing
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.dedup import image_phash_near_dup  # noqa: E402
+from sslr_spark.functions.multimodal import (  # noqa: E402
+    _dhash_value,
+    dhash64,
+    make_bmp_gray,
+    synthesize_images_dhash,
+)
+
+
+def _py_dhash(grid):
+    ph = 0
+    for y in range(len(grid)):
+        for x in range(len(grid[0]) - 1):
+            if grid[y][x + 1] > grid[y][x]:
+                ph |= 1 << (y * 8 + x)
+    return ph
+
+
+def test_dhash64_decodes_real_bmp_bytes(spark):
+    """dhash64 must recover the hash from the BYTES — bottom-up row
+    order and stride padding included (9*3=27 pad to 28)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.phash
+        for r in dhash64(synthesize_images_dhash(docs)).collect()
+    }
+    for d in range(12):
+        grid = [
+            [_dhash_value(d // 4, d % 4, x, y) for x in range(9)]
+            for y in range(7)
+        ]
+        assert got[d] == _py_dhash(grid), d
+
+
+def test_dhash64_row_order_matters(spark):
+    """A vertically-asymmetric image must hash differently from its
+    flip — catches decoders that skip the bottom-up un-flip."""
+    a = [[0] * 9] * 3 + [[x * 20 for x in range(9)]] + [[0] * 9] * 3
+    flipped = a[::-1]
+    df = spark.createDataFrame(
+        [(1, make_bmp_gray(a)), (2, make_bmp_gray(flipped))],
+        "doc_id long, payload binary",
+    )
+    r = {x.doc_id: x.phash for x in dhash64(df).collect()}
+    # same comparisons per row set, same hash — rows identical sets
+    assert r[1] == r[2]
+    # now an image whose ROWS differ between top and bottom halves
+    b = [[x * 20 for x in range(9)]] + [[(8 - x) * 20 for x in range(9)]] \
+        + [[0] * 9] * 5
+    df2 = spark.createDataFrame(
+        [(1, make_bmp_gray(b)), (2, make_bmp_gray(b[::-1]))],
+        "doc_id long, payload binary",
+    )
+    r2 = {x.doc_id: x.phash for x in dhash64(df2).collect()}
+    assert r2[1] != r2[2]
+
+
+def test_image_phash_near_dup_finds_variant_groups(spark):
+    """Every group's C(4,2)=6 variant pairs must surface; the
+    quadratic base keeps distinct groups out at hamming <= 4."""
+    docs = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    hashes = dhash64(synthesize_images_dhash(docs))
+    pairs = image_phash_near_dup(hashes, max_hamming=4).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    expect = {
+        (g * 4 + i, g * 4 + j)
+        for g in range(10)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert got == expect
+    for r in pairs:
+        assert 0 <= r.hamming <= 4
+
+
+def test_image_phash_band_join_not_all_pairs(spark):
+    """The candidate join must key on (band_idx, band_val) — the plan
+    has a real equi-join, not a cartesian."""
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    hashes = dhash64(synthesize_images_dhash(docs))
+    plan = plan_of(image_phash_near_dup(hashes))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
