@@ -1281,3 +1281,121 @@ def dhash64(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         hash_batches, "doc_id long, phash long"
     )
+
+
+# ------------------------------------------------------------------
+# Audio voice-activity detection (energy VAD)
+# ------------------------------------------------------------------
+
+VAD_FRAME = 80  # samples per frame (10 ms at 8 kHz)
+
+
+def _vad_sample(doc_id: int, i: int) -> int:
+    """Synthetic-corpus PCM sample formula, shared verbatim with the
+    DuckDB oracle: 160-sample silence/activity alternation, active
+    samples a doc-seeded pseudo-random value in [-1000, 1000]."""
+    if (i // 160) % 2 == 0:
+        return 0
+    return (i * 37 + doc_id * 11) % 2001 - 1000
+
+
+def synthesize_audio_vad(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc rows -> real 16-bit mono PCM WAVs (8 kHz, 400 + n_chars %
+    300 samples) whose samples follow :func:`_vad_sample` — silence
+    and activity alternate in 160-sample blocks, so frame energies
+    are exactly predictable. Arrow-batched; (doc_id, payload) out."""
+    import numpy as np
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for d, c in zip(
+                pdf[id_col].astype("int64"), pdf["n_chars"].astype("int64")
+            ):
+                d, n = int(d), 400 + int(c) % 300
+                i = np.arange(n, dtype=np.int64)
+                s = np.where(
+                    (i // 160) % 2 == 0, 0, (i * 37 + d * 11) % 2001 - 1000
+                ).astype("<i2")
+                data = s.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                out.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": out})
+
+    return df.select(id_col, "n_chars").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )
+
+
+def audio_vad(
+    binary_df: DataFrame,
+    frame_len: int = VAD_FRAME,
+    energy_threshold: int = 2_000_000,
+) -> DataFrame:
+    """REAL energy-based voice-activity detection over WAV payloads:
+    walk the RIFF chunks to the int16 PCM data, frame it
+    (``frame_len`` samples, tail remainder dropped), and score each
+    frame with its exact INTEGER energy ``sum(sample^2)`` — active
+    iff energy > threshold. The bigint energy makes frames
+    hash-comparable across engines (a float RMS would not be); a
+    production VAD swaps in a windowed filterbank with identical
+    plumbing (same framing, same per-frame row shape).
+
+    Arrow-batched mapInPandas, zero shuffle. Output one row per full
+    frame: (doc_id, frame, energy, active). Raises on non-PCM-16
+    payloads — quarantine upstream."""
+    import numpy as np
+    import pandas as pd
+
+    def vad(batches):
+        for pdf in batches:
+            ids, frames, energies = [], [], []
+            for d, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError("not a WAV")
+                pos, fmt_chunk, data_off, data_size = 12, None, None, None
+                while pos + 8 <= len(b):
+                    cid = b[pos:pos + 4]
+                    size = struct.unpack_from("<I", b, pos + 4)[0]
+                    if cid == b"fmt " and pos + 8 + 16 <= len(b):
+                        fmt_chunk = struct.unpack_from("<HHIIHH", b, pos + 8)
+                    elif cid == b"data":
+                        data_off, data_size = pos + 8, size
+                    pos += 8 + size + (size & 1)
+                if fmt_chunk is None or data_off is None:
+                    raise ValueError("missing fmt/data chunk")
+                audio_fmt, channels, _rate, _br, _al, bits = fmt_chunk
+                if (audio_fmt, channels, bits) != (1, 1, 16):
+                    raise ValueError("only 16-bit mono PCM supported")
+                s = np.frombuffer(
+                    b, dtype="<i2", count=data_size // 2, offset=data_off
+                ).astype(np.int64)
+                n_frames = len(s) // frame_len
+                e = (
+                    (s[: n_frames * frame_len] ** 2)
+                    .reshape(n_frames, frame_len)
+                    .sum(axis=1)
+                )
+                ids.extend([int(d)] * n_frames)
+                frames.extend(range(n_frames))
+                energies.extend(int(x) for x in e)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame": pd.array(frames, dtype="int32"),
+                    "energy": pd.array(energies, dtype="int64"),
+                }
+            )
+
+    framed = binary_df.select("doc_id", "payload").mapInPandas(
+        vad, "doc_id long, frame int, energy long"
+    )
+    return framed.withColumn(
+        "active", F.col("energy") > F.lit(energy_threshold)
+    )

@@ -1381,3 +1381,64 @@ def dsir_incremental(
     return dsir_score_batch(
         batch, rows, default, text_col, id_col, n_buckets
     )
+
+
+def curriculum_tiers(
+    df: DataFrame,
+    score_col: str,
+    n_tiers: int = 10,
+    id_col: str = "doc_id",
+    seed: str = "curriculum",
+) -> DataFrame:
+    """Curriculum-learning order: assign every row an easy-to-hard
+    TIER (0 = lowest ``score_col``) plus a deterministic intra-tier
+    shuffle key, so a trainer consuming ``(tier, order_key)`` order
+    sees difficulty ramp globally while each tier is internally
+    source-mixed (Bengio et al. 2009's staged curriculum, the way
+    corpus pipelines actually serve it — tier boundaries exact, order
+    within a tier hash-pseudo-random and replayable).
+
+    Tier assignment is HISTOGRAM-exact, not windowed-over-rows: a
+    (score, count) aggregate (at most |distinct scores| rows), one
+    bounded cumulative window over that histogram, and a broadcast
+    join back — the quantile-gate pattern, so no global row window
+    ever sees the corpus. Rows sharing a score share a tier
+    (tier = n_tiers * cum_count_before(score) div N), which keeps the
+    boundary engine-exact under ties at the cost of tiers flexing by
+    up to one score-value's multiplicity.
+
+    Returns df columns + (tier int, order_key bigint). Downstream:
+    ``repartitionByRange(tier, order_key)`` + ``sortWithinPartitions``
+    writes the curriculum without any single-partition sort.
+    """
+    hist = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy("__s")  # bounded: one row per DISTINCT score
+    tiers = hist.select(
+        "__s",
+        (
+            F.sum("__c").over(w) - F.col("__c")
+        ).alias("__cum_before"),
+        F.sum("__c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__n"),
+    ).select(
+        "__s",
+        F.expr(f"cast(({n_tiers} * __cum_before) div __n as int)").alias(
+            "tier"
+        ),
+    )
+    keyed = df.join(
+        F.broadcast(tiers), F.col(score_col) == F.col("__s")
+    ).drop("__s")
+    return keyed.withColumn(
+        "order_key",
+        h60(
+            F.concat_ws(
+                ":", F.lit(seed), F.col(id_col).cast("string")
+            )
+        ),
+    )

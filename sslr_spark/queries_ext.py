@@ -6152,6 +6152,75 @@ order by doc_a, doc_b
 """
 
 
+def q_sample_curriculum(spark, sf_dir):
+    """Curriculum tiering (sampling.py curriculum_tiers): documents
+    split into 10 easy-to-hard tiers by n_chars via the histogram-
+    exact boundary (no global row window — one bounded window over
+    the (score, count) histogram, broadcast back), each row carrying
+    its deterministic intra-tier shuffle key."""
+    from sslr_spark.functions.sampling import curriculum_tiers
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return curriculum_tiers(docs, "n_chars").orderBy("doc_id")
+
+
+SQL_SAMPLE_CURRICULUM = f"""
+with d as (select doc_id, source, n_chars from documents),
+hist as (select n_chars as s, count(*) as c from d group by 1),
+t as (
+  select s, cast((10 * (sum(c) over (order by s) - c))
+                 // (sum(c) over ()) as int) as tier
+  from hist
+)
+select d.doc_id, d.source, d.n_chars, t.tier,
+       {h60_sql("concat('curriculum:', cast(doc_id as varchar))")}
+         as order_key
+from d join t on d.n_chars = t.s
+order by d.doc_id
+"""
+
+
+def q_mm_audio_vad(spark, sf_dir):
+    """REAL energy VAD end-to-end (multimodal.py synthesize_audio_vad
+    -> audio_vad): documents become genuine 16-bit PCM WAVs whose
+    samples alternate 160-sample silence/activity blocks by formula;
+    the Spark side recovers per-frame integer energies OUT OF THE
+    BYTES (RIFF chunk walk, int16 LE framing) while the oracle
+    computes the same energies from the formula alone. Activity
+    blocks align to the 80-sample frame, so active flags flip
+    deterministically frame-by-frame."""
+    from sslr_spark.functions.multimodal import audio_vad, synthesize_audio_vad
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return audio_vad(synthesize_audio_vad(docs)).orderBy(
+        "doc_id", "frame"
+    )
+
+
+SQL_MM_AUDIO_VAD = """
+with d as (
+  select doc_id, 400 + n_chars % 300 as n
+  from documents where doc_id < 150
+),
+samp as (
+  select doc_id, n, i,
+         case when (i // 160) % 2 = 0 then cast(0 as bigint)
+              else (i * 37 + doc_id * 11) % 2001 - 1000 end as s
+  from d, lateral unnest(generate_series(0, n - 1)) t(i)
+),
+fr as (
+  select doc_id, cast(i // 80 as int) as frame, sum(s * s) as energy
+  from samp
+  where i < (n // 80) * 80
+  group by 1, 2
+)
+select doc_id, frame, cast(energy as bigint) as energy,
+       energy > 2000000 as active
+from fr
+order by doc_id, frame
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6204,6 +6273,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_hll_distinct": q_x_hll_distinct,
     "x_link_graph": q_x_link_graph,
     "mm_phash": q_mm_phash,
+    "sample_curriculum": q_sample_curriculum,
+    "mm_audio_vad": q_mm_audio_vad,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6357,6 +6428,8 @@ EXT_ORACLES: dict[str, str] = {
     "x_hll_distinct": SQL_X_HLL_DISTINCT,
     "x_link_graph": SQL_X_LINK_GRAPH,
     "mm_phash": SQL_MM_PHASH,
+    "sample_curriculum": SQL_SAMPLE_CURRICULUM,
+    "mm_audio_vad": SQL_MM_AUDIO_VAD,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

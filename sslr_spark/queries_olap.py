@@ -614,6 +614,90 @@ where s.n_h > 1
 """
 
 
+def q_x_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority revenue): the classic
+    3-table star join — selective dimension filters pushed to both
+    scans, revenue aggregate per order, top-10 TakeOrdered. The
+    generator's orders table has no o_shippriority; o_orderpriority
+    stands in."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+select l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue,
+       strftime(o_orderdate, '%Y-%m-%d') as o_orderdate,
+       o_orderpriority
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1995-03-15 00:00:00'
+  and l_shipdate > timestamp '1995-03-15 00:00:00'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, l_orderkey
+limit 10
+"""
+
+
+def q_x_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    scan-filter-aggregate — every predicate pushable to the parquet
+    reader, one global 1-row aggregate, zero joins. The whole-stage-
+    codegen showcase."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_TPCH_Q6 = """
+select round(sum(l_extendedprice * l_discount), 2) as revenue,
+       count(*) as n_rows
+from lineitem
+where l_shipdate >= timestamp '1994-01-01 00:00:00'
+  and l_shipdate < timestamp '1995-01-01 00:00:00'
+  and l_discount >= 0.05 and l_discount <= 0.07
+  and l_quantity < 24
+"""
+
+
 OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_grouping_sets": q_x_grouping_sets,
     "x_quantile_stats": q_x_quantile_stats,
@@ -628,6 +712,8 @@ OLAP_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_join_star": q_x_join_star,
     "x_scalar_functions": q_x_scalar_functions,
     "x_tpch_q1": q_x_tpch_q1,
+    "x_tpch_q3": q_x_tpch_q3,
+    "x_tpch_q6": q_x_tpch_q6,
     "x_topk_per_group": q_x_topk_per_group,
     "x_pivot": q_x_pivot,
     "x_rollup": q_x_rollup,
@@ -651,6 +737,8 @@ OLAP_ORACLES: dict[str, str] = {
     "x_join_star": SQL_JOIN_STAR,
     "x_scalar_functions": SQL_SCALARS,
     "x_tpch_q1": SQL_TPCH_Q1,
+    "x_tpch_q3": SQL_TPCH_Q3,
+    "x_tpch_q6": SQL_TPCH_Q6,
     "x_topk_per_group": SQL_TOPK_GROUP,
     "x_pivot": SQL_PIVOT,
     "x_rollup": SQL_ROLLUP,

@@ -379,3 +379,105 @@ def test_image_phash_band_join_not_all_pairs(spark):
     hashes = dhash64(synthesize_images_dhash(docs))
     plan = plan_of(image_phash_near_dup(hashes))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------------
+# curriculum tiers
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.sampling import curriculum_tiers  # noqa: E402
+
+
+def test_curriculum_tiers_boundaries_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", i % 50) for i in range(600)],
+        "doc_id long, source string, score long",
+    )
+    out = curriculum_tiers(df, "score").collect()
+    # tier monotone in score; all 10 tiers hit; ~60 rows each
+    by_tier = {}
+    for r in out:
+        by_tier.setdefault(r.tier, []).append(r.score)
+    assert set(by_tier) == set(range(10))
+    for t in range(9):
+        assert max(by_tier[t]) <= min(by_tier[t + 1])
+    for t, rows in by_tier.items():
+        assert 48 <= len(rows) <= 72, (t, len(rows))
+    # equal scores share a tier
+    score_tiers = {}
+    for r in out:
+        score_tiers.setdefault(r.score, set()).add(r.tier)
+    assert all(len(v) == 1 for v in score_tiers.values())
+
+
+def test_curriculum_order_key_mixes_sources(spark):
+    """Within a tier, hash order interleaves sources: the first half
+    of any tier (by order_key) must not be single-source."""
+    df = spark.createDataFrame(
+        [(i, f"s{i // 300}", i % 10) for i in range(600)],
+        "doc_id long, source string, score long",
+    )
+    out = sorted(
+        curriculum_tiers(df, "score").collect(),
+        key=lambda r: (r.tier, r.order_key),
+    )
+    tiers = {}
+    for r in out:
+        tiers.setdefault(r.tier, []).append(r.source)
+    for t, srcs in tiers.items():
+        head = srcs[: max(4, len(srcs) // 2)]
+        assert len(set(head)) > 1, (t, head[:8])
+
+
+def test_curriculum_no_global_row_window(spark):
+    """The plan must not sort the corpus globally: the only window
+    runs over the bounded score histogram."""
+    df = spark.createDataFrame(
+        [(i, "s", i % 50) for i in range(600)],
+        "doc_id long, source string, score long",
+    )
+    plan = plan_of(curriculum_tiers(df, "score"))
+    # broadcast join back to rows, not a shuffle of the corpus by score
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------------
+# audio VAD
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.multimodal import (  # noqa: E402
+    _vad_sample,
+    audio_vad,
+    synthesize_audio_vad,
+)
+
+
+def test_audio_vad_energies_match_formula(spark):
+    docs = spark.createDataFrame(
+        [(d, 100 + d * 7) for d in range(6)], "doc_id long, n_chars long"
+    )
+    rows = audio_vad(synthesize_audio_vad(docs)).collect()
+    got = {(r.doc_id, r.frame): (r.energy, r.active) for r in rows}
+    for d in range(6):
+        n = 400 + (100 + d * 7) % 300
+        n_frames = n // 80
+        for fidx in range(n_frames):
+            e = sum(
+                _vad_sample(d, i) ** 2
+                for i in range(fidx * 80, (fidx + 1) * 80)
+            )
+            assert got[(d, fidx)] == (e, e > 2_000_000), (d, fidx)
+    # silence/activity alternation: frames 0,1 silent, 2,3 active...
+    for d in range(6):
+        assert not got[(d, 0)][1] and not got[(d, 1)][1]
+        assert got[(d, 2)][1] and got[(d, 3)][1]
+
+
+def test_audio_vad_rejects_non_pcm(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxxWAVEjunk"))], "doc_id long, payload binary"
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="fmt/data|WAV"):
+        audio_vad(df).collect()
