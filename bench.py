@@ -747,10 +747,99 @@ def main(only: set[str] | None = None) -> dict:
         lambda: q_text_ccnet_buckets(spark, SF_DIR).count(),
     )
 
+    # ---- round-9c sections ------------------------------------------
+    # each runs the operator over the FULL sf table (the driver keys
+    # cap doc_id for oracle size; bench measures the uncapped shape)
+    if want("pagerank", "image_phash", "hll_distinct", "hybrid_rrf",
+            "audio_vad", "curriculum"):
+        from sslr_spark.functions.dedup import image_phash_near_dup
+        from sslr_spark.functions.graph import (
+            extract_links,
+            host_edges,
+            pagerank,
+        )
+        from sslr_spark.functions.multimodal import (
+            audio_vad,
+            dhash64,
+            synthesize_audio_vad,
+            synthesize_images_dhash,
+        )
+        from sslr_spark.functions.sampling import curriculum_tiers
+        from sslr_spark.functions.similarity import hybrid_rrf_topk
+        from sslr_spark.functions.sketches import (
+            hll_build,
+            hll_estimate,
+            hll_merge,
+        )
+        from sslr_spark.queries import read_events
+        from sslr_spark.queries_ext import _pr_pages
+
+        bdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        bemb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def _bench_pagerank():
+        pages = _pr_pages(spark, SF_DIR)
+        links = extract_links(pages, "doc_id", "html").join(
+            pages.select("doc_id", "page_url"), "doc_id"
+        )
+        return pagerank(host_edges(links), 3).count()
+
+    run("pagerank", _bench_pagerank)
+    run(
+        "image_phash",
+        lambda: image_phash_near_dup(
+            dhash64(synthesize_images_dhash(bdocs)), max_hamming=4
+        ).count(),
+    )
+    run(
+        "hll_distinct",
+        lambda: hll_estimate(
+            hll_merge(
+                hll_build(
+                    read_events(spark, SF_DIR).select(
+                        "event_type",
+                        (F.col("event_id") % 8).alias("sh"),
+                        "user_id",
+                    ),
+                    ["event_type", "sh"],
+                    "user_id",
+                ),
+                ["event_type"],
+            ),
+            ["event_type"],
+        ).count(),
+    )
+    run(
+        "hybrid_rrf",
+        lambda: hybrid_rrf_topk(
+            bdocs, bemb, ["join", "spark", "vector"], 0, k=10
+        ).count(),
+    )
+    run(
+        "audio_vad",
+        lambda: audio_vad(synthesize_audio_vad(bdocs))
+        .groupBy()
+        .agg(F.sum(F.col("active").cast("long")))
+        .collect(),
+    )
+    run(
+        "curriculum",
+        lambda: curriculum_tiers(
+            bdocs.select("doc_id", "source", "n_chars"), "n_chars"
+        ).count(),
+    )
+
     # ---- analytics shapes -------------------------------------------
-    from sslr_spark.queries_olap import q_x_join_star, q_x_tpch_q1
+    from sslr_spark.queries_olap import (
+        q_x_join_star,
+        q_x_tpch_q1,
+        q_x_tpch_q3,
+        q_x_tpch_q6,
+    )
 
     run("tpch_q1", lambda: q_x_tpch_q1(spark, SF_DIR).collect())
+    run("tpch_q3", lambda: q_x_tpch_q3(spark, SF_DIR).collect())
+    run("tpch_q6", lambda: q_x_tpch_q6(spark, SF_DIR).collect())
     run("join_star", lambda: q_x_join_star(spark, SF_DIR).collect())
 
     # ---- flagship smoke (sf0.001 per BASELINE.md) --------------------

@@ -1268,12 +1268,12 @@ def dhash64(binary_df: DataFrame) -> DataFrame:
                     + px[:, :, 0].astype(np.int64) * 114
                 ) // 1000
                 bits = gray[:, 1:] > gray[:, :-1]  # (h, w-1)
-                ph = 0
-                for y in range(bits.shape[0]):
-                    for x in range(bits.shape[1]):
-                        if bits[y, x]:
-                            ph |= 1 << (y * 8 + x)
-                out.append(ph)
+                hh, ww = bits.shape
+                weights = 1 << (
+                    np.arange(hh, dtype=np.int64)[:, None] * 8
+                    + np.arange(ww, dtype=np.int64)[None, :]
+                )
+                out.append(int((bits * weights).sum()))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "phash": pd.array(out, dtype="int64")}
             )

@@ -2374,3 +2374,65 @@ def hybrid_rrf_topk(
         .select("doc_id", "rrf_micros", "lex_rank", "vec_rank")
     )
     return fused.orderBy(F.col("rrf_micros").desc(), F.col("doc_id")).limit(k)
+
+
+def topk_matryoshka(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    prefix_dim: int = 4,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage ANN over Matryoshka-style embeddings (Kusupati et
+    al. 2022): stage 1 ranks on the cosine of the first
+    ``prefix_dim`` components only (MRL-trained embeddings front-load
+    information, so the prefix is a usable coarse score), keeps a
+    ``shortlist``; stage 2 reranks the shortlist with the full
+    vector. The I/O story at 100 TB: the prefix scan reads a
+    ``prefix_dim / d`` slice of the vector bytes (store the prefix as
+    its own column/file for real column pruning — same narrow-scan
+    re-plan as the PQ ranking scan), and only ``shortlist`` full
+    vectors are ever touched per query.
+
+    Both stages quantize their cosine to round-half-up micros before
+    ranking (ties on id), so the cut and the final order are
+    integer-decided — engine-exact. Output: (id, cos_prefix_micros,
+    cos_full_micros), top-``k`` by full-vector cosine.
+    """
+    pref = f"slice({vec_col}, 1, {prefix_dim})"
+    q = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__qvec"),
+        F.expr(pref).alias("__qpref"),
+    )
+    cos_p = dot_expr("__pref", "__qpref") / (
+        norm_expr("__pref") * norm_expr("__qpref")
+    )
+    stage1 = (
+        df.filter(F.col(id_col) != query_vec_id)
+        .withColumn("__pref", F.expr(pref))
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            vec_col,
+            "__qvec",
+            F.floor(F.round(cos_p, 6) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_prefix_micros"),
+        )
+        .orderBy(F.col("cos_prefix_micros").desc(), F.col(id_col))
+        .limit(shortlist)
+    )
+    cos_f = cosine_expr(vec_col, "__qvec")
+    return (
+        stage1.select(
+            id_col,
+            "cos_prefix_micros",
+            F.floor(F.round(cos_f, 6) * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_full_micros"),
+        )
+        .orderBy(F.col("cos_full_micros").desc(), F.col(id_col))
+        .limit(k)
+    )

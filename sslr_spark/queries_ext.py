@@ -6221,6 +6221,40 @@ order by doc_id, frame
 """
 
 
+def q_sim_topk_matryoshka(spark, sf_dir):
+    """Matryoshka two-stage ANN (similarity.py topk_matryoshka):
+    rank on the 4-component PREFIX cosine, shortlist 50, rerank the
+    shortlist with the full vector — both scores integer-micros so
+    the cut and the order replay exactly in SQL."""
+    return S.topk_matryoshka(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, prefix_dim=4,
+        shortlist=50,
+    )
+
+
+SQL_SIM_TOPK_MATRYOSHKA = f"""
+with q as (
+  select embedding as qvec, embedding[1:4] as qpref
+  from embeddings where vec_id = 0
+),
+s1 as (
+  select vec_id, embedding, qvec,
+         cast(floor(round(
+           {_cos_sql('embedding[1:4]', 'qpref')}, 6) * 1000000 + 0.5)
+           as bigint) as cos_prefix_micros
+  from embeddings, q where vec_id != 0
+  order by cos_prefix_micros desc, vec_id
+  limit 50
+)
+select vec_id, cos_prefix_micros,
+       cast(floor(round({_cos_sql('embedding', 'qvec')}, 6) * 1000000
+                  + 0.5) as bigint) as cos_full_micros
+from s1
+order by cos_full_micros desc, vec_id
+limit 10
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6275,6 +6309,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_phash": q_mm_phash,
     "sample_curriculum": q_sample_curriculum,
     "mm_audio_vad": q_mm_audio_vad,
+    "sim_topk_matryoshka": q_sim_topk_matryoshka,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6430,6 +6465,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_phash": SQL_MM_PHASH,
     "sample_curriculum": SQL_SAMPLE_CURRICULUM,
     "mm_audio_vad": SQL_MM_AUDIO_VAD,
+    "sim_topk_matryoshka": SQL_SIM_TOPK_MATRYOSHKA,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

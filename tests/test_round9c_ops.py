@@ -481,3 +481,51 @@ def test_audio_vad_rejects_non_pcm(spark):
 
     with _pt.raises(Exception, match="fmt/data|WAV"):
         audio_vad(df).collect()
+
+
+# ------------------------------------------------------------------
+# Matryoshka two-stage ANN
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.similarity import topk_matryoshka  # noqa: E402
+
+
+def test_matryoshka_full_rerank_matches_bruteforce_when_shortlist_covers(
+    spark,
+):
+    """With shortlist >= corpus, stage 2 IS brute force: the top-k ids
+    must equal topk_bruteforce's."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = topk_matryoshka(emb, 0, k=5, prefix_dim=4, shortlist=60).collect()
+    brute = topk_bruteforce(emb, 0, k=5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in brute]
+    # full-vector micros scores agree with the brute cosine to 1e-6
+    for g, b in zip(got, brute):
+        assert g.cos_full_micros == int(round(b.cos_sim * 1e6))
+
+
+def test_matryoshka_prefix_stage_prunes(spark):
+    """A tight shortlist must cut stage-2 work: candidates whose
+    PREFIX disagrees with the query never reach the rerank."""
+    # prefix (first 2 dims) aligned for ids 1-3, orthogonal for 4-6;
+    # tails make 4-6 the TRUE nearest — a tiny shortlist misses them,
+    # which is the documented recall trade of prefix pruning
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, -0.9, 0.0]),
+        (2, [0.8, 0.1, -0.8, 0.1]),
+        (3, [0.7, 0.1, -0.7, 0.0]),
+        (4, [0.0, 1.0, 0.9, 0.0]),
+        (5, [0.1, 1.0, 0.8, 0.0]),
+        (6, [0.0, 0.9, 0.7, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tight = topk_matryoshka(emb, 0, k=3, prefix_dim=2, shortlist=3)
+    ids = {r.vec_id for r in tight.collect()}
+    assert ids == {1, 2, 3}  # the prefix-aligned set, not the true top

@@ -567,6 +567,88 @@ def main() -> None:
         )
     timings["warc_records"] = n_warc
 
+    # round-9c operators at K x --------------------------------------
+    # PageRank: host count scales with K (more docs -> more hosts), so
+    # both the edge list AND the node set grow ~linearly; each of the
+    # 3 iterations is one join + one aggregate over the edge list —
+    # cost must track edges, with no single-partition stage
+    from sslr_spark.functions.graph import host_edges, pagerank
+
+    n_hosts = 24 * k
+    pages = docs_scaled.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % n_hosts).cast("string"),
+            F.lit(".test/p/"), F.col("doc_id").cast("string"),
+        ).alias("page_url"),
+        F.concat(
+            F.lit("http://h"),
+            ((F.col("doc_id") * 7 + F.col("n_chars")) % n_hosts).cast("string"),
+            F.lit(".test/a"),
+        ).alias("link"),
+    )
+    with timed("pagerank_3iter"):
+        n_pr = pagerank(host_edges(pages, "page_url", "link"), 3).count()
+    timings["pagerank_nodes"] = n_pr
+
+    # image phash near-dup: the banded join's candidate count is
+    # bounded by real slice collisions (variant groups), never
+    # all-pairs — cost must track docs, pairs track planted groups
+    from sslr_spark.functions.dedup import image_phash_near_dup
+    from sslr_spark.functions.multimodal import (
+        dhash64,
+        synthesize_images_dhash,
+    )
+
+    with timed("image_phash_neardup"):
+        n_pairs = image_phash_near_dup(
+            dhash64(synthesize_images_dhash(docs_scaled)), max_hamming=4
+        ).count()
+    timings["image_phash_pairs"] = n_pairs
+
+    # mergeable HLL: register build is ONE map-side-combined
+    # aggregate whose output is <= groups x shards x 64 rows at any K
+    from sslr_spark.functions.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    with timed("hll_shard_merge"):
+        hll_estimate(
+            hll_merge(
+                hll_build(
+                    docs_scaled.select(
+                        "lang",
+                        (F.col("doc_id") % 16).alias("sh"),
+                        "doc_id",
+                    ),
+                    ["lang", "sh"],
+                    "doc_id",
+                ),
+                ["lang"],
+            ),
+            ["lang"],
+        ).count()
+
+    # energy VAD: pure Arrow map over WAV bytes, zero shuffle — cost
+    # tracks total audio samples
+    from sslr_spark.functions.multimodal import audio_vad, synthesize_audio_vad
+
+    with timed("audio_vad"):
+        audio_vad(synthesize_audio_vad(docs_scaled)).groupBy().agg(
+            F.sum(F.col("active").cast("long"))
+        ).collect()
+
+    # hybrid RRF: both candidate lists are top-k cuts; fusion cost is
+    # constant — total cost must track the two scans, not the fusion
+    from sslr_spark.functions.similarity import hybrid_rrf_topk
+
+    with timed("hybrid_rrf"):
+        hybrid_rrf_topk(
+            docs_scaled, emb_scaled, ["join", "spark", "vector"], 0, k=10
+        ).count()
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
