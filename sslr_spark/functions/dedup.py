@@ -2220,6 +2220,14 @@ def image_phash_near_dup(
     ``n_bands - 1`` Hamming bits is guaranteed a clean slice), then
     candidates verify with ``bit_count(xor) <= max_hamming``.
 
+    Output size caveat (K-scale probe finding): PAIR output is
+    quadratic in duplicate-cluster size — a corpus where one image
+    repeats c times emits C(c, 2) rows (the 10x probe's aliased
+    pattern space yields ~5M pairs from 50k docs in ~8 s; the JOIN
+    copes, the output explodes). For dup-heavy corpora feed these
+    pairs into the star-clustering collapse (:func:`dup_clusters`)
+    instead of materializing the pair list.
+
     The banded-LSH join shape of minhash dedup, re-keyed on bit
     slices: the hash table is |docs| x n_bands tiny rows, the join is
     an equi-join on (band_idx, band_val) — never all-pairs — and the

@@ -6255,6 +6255,55 @@ limit 10
 """
 
 
+def q_x_bucketed_join(spark, sf_dir):
+    """Exchange-free co-located join via bucketed storage
+    (sources/bucketed.py): lineitem and orders are staged ONCE as
+    same-bucketing parquet tables (8 hash buckets on the order key,
+    sorted within buckets), then joined through the catalog handles —
+    the planner sees matching bucket specs and drops BOTH join
+    Exchanges (plan-pinned in tests/test_round9c_ops.py). The paid-
+    once shuffle at write time is the bucketing trade; every repeated
+    join on the key rides free. Result: revenue per returnflag over
+    the joined tables — the oracle replays the plain join."""
+    from sslr_spark.sources.bucketed import bucketed_pair
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lt, rt = bucketed_pair(
+        spark, li, orders, "l_orderkey", "o_orderkey",
+        _fresh_bench_dir("bucketed"),
+    )
+    return (
+        # merge hint: small test tables would broadcast (skipping
+        # bucketing); the 100 TB fact-fact shape is the bucketed SMJ
+        lt.hint("merge")
+        .join(rt, lt.l_orderkey == rt.o_orderkey)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "o_orderpriority")
+    )
+
+
+SQL_X_BUCKETED_JOIN = """
+select l_returnflag, o_orderpriority,
+       count(*) as n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem join orders on l_orderkey = o_orderkey
+group by l_returnflag, o_orderpriority
+order by l_returnflag, o_orderpriority
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6310,6 +6359,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_curriculum": q_sample_curriculum,
     "mm_audio_vad": q_mm_audio_vad,
     "sim_topk_matryoshka": q_sim_topk_matryoshka,
+    "x_bucketed_join": q_x_bucketed_join,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6466,6 +6516,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_curriculum": SQL_SAMPLE_CURRICULUM,
     "mm_audio_vad": SQL_MM_AUDIO_VAD,
     "sim_topk_matryoshka": SQL_SIM_TOPK_MATRYOSHKA,
+    "x_bucketed_join": SQL_X_BUCKETED_JOIN,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

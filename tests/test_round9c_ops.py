@@ -529,3 +529,57 @@ def test_matryoshka_prefix_stage_prunes(spark):
     tight = topk_matryoshka(emb, 0, k=3, prefix_dim=2, shortlist=3)
     ids = {r.vec_id for r in tight.collect()}
     assert ids == {1, 2, 3}  # the prefix-aligned set, not the true top
+
+
+# ------------------------------------------------------------------
+# bucketed co-located join
+# ------------------------------------------------------------------
+
+from sslr_spark.sources.bucketed import bucketed_pair  # noqa: E402
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The whole point of bucketing: the join over two same-bucketed
+    catalog tables must plan WITHOUT any Exchange."""
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a")
+    )
+    right = spark.range(0, 2000).select(
+        F.col("id").alias("k2"), (F.col("id") % 7).alias("b")
+    )
+    lt, rt = bucketed_pair(
+        spark, left, right, "k", "k2", str(tmp_path / "bk"),
+        n_buckets=4, name_prefix="t9c",
+    )
+    # tiny fixtures would broadcast (which also skips bucketing);
+    # force the sort-merge strategy a 100 TB fact-fact join would use
+    joined = lt.hint("merge").join(rt, lt.k == rt.k2)
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 2000
+    # the same merge join WITHOUT bucketing shuffles both sides
+    plain = left.hint("merge").join(right, left.k == right.k2)
+    assert "Exchange hashpartitioning" in plan_of(plain)
+
+
+def test_bucketed_join_values_match_plain_join(spark, tmp_path):
+    left = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("a")
+    )
+    right = spark.range(0, 500).select(
+        F.col("id").alias("k2"), (F.col("id") % 7).alias("b")
+    )
+    lt, rt = bucketed_pair(
+        spark, left, right, "k", "k2", str(tmp_path / "bk2"),
+        n_buckets=4, name_prefix="t9cv",
+    )
+    got = sorted(
+        (r.k, r.a, r.b)
+        for r in lt.join(rt, lt.k == rt.k2).collect()
+    )
+    want = sorted(
+        (r.k, r.a, r.b)
+        for r in left.join(right, left.k == right.k2).collect()
+    )
+    assert got == want
