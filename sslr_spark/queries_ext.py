@@ -6304,6 +6304,93 @@ order by l_returnflag, o_orderpriority
 """
 
 
+def q_x_robots(spark, sf_dir):
+    """robots.txt crawl-permission evaluation end-to-end
+    (functions/robots.py): per-host policies are synthesized from a
+    formula both engines know — hosts divisible by 3 ship an exact
+    ``sslr-bot`` group (Disallow /blocked, Allow /blocked/except —
+    longest-match override) ABOVE a catch-all ``Disallow: /`` star
+    group; other hosts ship a star group with one prefix rule and an
+    empty Disallow (the allow-all idiom) — then the Spark side REALLY
+    parses the text (comment strip, group numbering, agent-precedence
+    selection, longest-prefix decision) while the oracle predicts
+    each URL's verdict in closed form. A parser that leaks the star
+    group into exact-group hosts, mishandles the Allow override, or
+    honors the empty Disallow diverges immediately."""
+    from sslr_spark.functions.robots import robots_allowed, robots_rules
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 10
+    host = F.concat(F.lit("host"), k.cast("string"), F.lit(".test"))
+    robots = (
+        docs.select((F.col("doc_id") % 10).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("host"), F.col("k").cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.when(
+                F.col("k") % 3 == 0,
+                F.concat(
+                    F.lit(
+                        "# crawl policy\nUser-agent: sslr-bot\n"
+                        "Disallow: /blocked\nAllow: /blocked/except\n"
+                        "User-agent: *\nDisallow: /\n"
+                    )
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("User-agent: *\nDisallow: /priv"),
+                    F.col("k").cast("string"),
+                    F.lit("\nDisallow:\n# trailing comment\n"),
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    m = F.col("doc_id") % 5
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            host,
+            F.when(m == 0, F.concat(F.lit("/open/"), F.col("doc_id").cast("string")))
+            .when(m == 1, F.lit("/blocked/page"))
+            .when(m == 2, F.lit("/blocked/except/page"))
+            .when(m == 3, F.concat(F.lit("/priv"), k.cast("string"), F.lit("/x")))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    rules = robots_rules(robots, agent="sslr-bot")
+    return robots_allowed(urls, rules).orderBy("doc_id")
+
+
+SQL_X_ROBOTS = """
+with d as (
+  select doc_id, doc_id % 10 as k, doc_id % 5 as m from documents
+),
+u as (
+  select doc_id, k, m,
+         concat('http://host', k, '.test',
+                case m when 0 then concat('/open/', doc_id)
+                       when 1 then '/blocked/page'
+                       when 2 then '/blocked/except/page'
+                       when 3 then concat('/priv', k, '/x')
+                       else '' end) as url
+  from d
+)
+select doc_id, url,
+       not ((k % 3 = 0 and m = 1) or (k % 3 != 0 and m = 3)) as allowed,
+       cast(case when k % 3 = 0 and m = 1 then 8
+                 when k % 3 = 0 and m = 2 then 15
+                 when k % 3 != 0 and m = 3 then 6
+                 else 0 end as int) as rule_len
+from u
+order by doc_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6360,6 +6447,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_audio_vad": q_mm_audio_vad,
     "sim_topk_matryoshka": q_sim_topk_matryoshka,
     "x_bucketed_join": q_x_bucketed_join,
+    "x_robots": q_x_robots,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6517,6 +6605,7 @@ EXT_ORACLES: dict[str, str] = {
     "mm_audio_vad": SQL_MM_AUDIO_VAD,
     "sim_topk_matryoshka": SQL_SIM_TOPK_MATRYOSHKA,
     "x_bucketed_join": SQL_X_BUCKETED_JOIN,
+    "x_robots": SQL_X_ROBOTS,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

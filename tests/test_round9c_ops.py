@@ -583,3 +583,71 @@ def test_bucketed_join_values_match_plain_join(spark, tmp_path):
         for r in left.join(right, left.k == right.k2).collect()
     )
     assert got == want
+
+
+# ------------------------------------------------------------------
+# robots.txt
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.robots import robots_allowed, robots_rules  # noqa: E402
+
+_ROBOTS = """# policy
+User-agent: MyBot
+User-agent: otherbot
+Disallow: /a
+Allow: /a/b
+Unknown-directive: ignored
+User-agent: *
+Disallow: /
+"""
+
+
+def test_robots_rules_group_selection_and_parsing(spark):
+    df = spark.createDataFrame(
+        [("h.test", _ROBOTS)], "host string, robots_txt string"
+    )
+    # exact-agent group wins: the star group's Disallow: / must NOT
+    # survive; consecutive UA lines share the group
+    rules = {(r.allow, r.path) for r in robots_rules(df, "mybot").collect()}
+    assert rules == {(False, "/a"), (True, "/a/b")}
+    # unknown agent: only the star group applies
+    star = {(r.allow, r.path) for r in robots_rules(df, "nobody").collect()}
+    assert star == {(False, "/")}
+
+
+def test_robots_allowed_longest_match_and_defaults(spark):
+    robots = spark.createDataFrame(
+        [("h.test", _ROBOTS), ("open.test", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://h.test/a/x"),        # /a disallow
+            (2, "http://h.test/a/b/x"),      # /a/b allow overrides
+            (3, "http://h.test/c"),          # no match -> allowed
+            (4, "http://H.TEST:80/a/y"),     # host normalization
+            (5, "http://open.test/a"),       # empty Disallow = allow-all
+            (6, "http://unknown.test/a"),    # no robots at all
+        ],
+        "doc_id long, url string",
+    )
+    rules = robots_rules(robots, "mybot")
+    got = {r.doc_id: (r.allowed, r.rule_len)
+           for r in robots_allowed(urls, rules).collect()}
+    assert got == {
+        1: (False, 2),
+        2: (True, 4),
+        3: (True, 0),
+        4: (False, 2),
+        5: (True, 0),
+        6: (True, 0),
+    }
+
+
+def test_robots_rules_before_any_group_ignored(spark):
+    df = spark.createDataFrame(
+        [("h.test", "Disallow: /orphan\nUser-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    rules = {(r.allow, r.path) for r in robots_rules(df, "any").collect()}
+    assert rules == {(False, "/x")}
