@@ -131,3 +131,59 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def crawl_frontier(
+    urls: DataFrame,
+    ranks: DataFrame,
+    per_host_cap: int = 3,
+    top_n: int = 40,
+) -> DataFrame:
+    """Frontier scheduling — the crawl front door's last stage: given
+    candidate URLs (already robots-filtered, see functions/robots.py)
+    and host authority ranks (:func:`pagerank`), emit the next fetch
+    batch: URLs deduped into a set, at most ``per_host_cap`` per host
+    (politeness — a host's crawl budget, independent of its rank),
+    globally prioritized by host rank. This is the standard
+    frontier shape (OPIC/BFS hybrids in Heritrix/Nutch): authority
+    picks WHICH hosts first, the cap keeps any one host from
+    monopolizing the batch.
+
+    Scale shape: set-dedup is one map-side-combined distinct on the
+    URL; the politeness cap is a per-host window (hosts are the
+    partition key — no global window); rank attachment is an
+    equi-join on host (ranks: one row per host); the final cut is a
+    TakeOrdered. Unranked hosts (no in/out links yet) default to rank
+    0 — they still crawl, last.
+
+    Output: (url, host, rank_micros, host_pos), top-``top_n`` by
+    (rank desc, url); host_pos is the URL's 1-based politeness slot.
+    """
+    from pyspark.sql import Window
+
+    u = urls.select("url", "host").distinct()
+    w = Window.partitionBy("host").orderBy("url")
+    capped = (
+        u.withColumn("host_pos", F.row_number().over(w))
+        .filter(F.col("host_pos") <= per_host_cap)
+    )
+    ranked = (
+        capped.join(
+            ranks.select(
+                F.col("host").alias("__rh"), "rank_micros"
+            ),
+            F.col("host") == F.col("__rh"),
+            "left",
+        )
+        .select(
+            "url",
+            "host",
+            F.coalesce(F.col("rank_micros"), F.lit(0))
+            .cast("long")
+            .alias("rank_micros"),
+            F.col("host_pos").cast("int").alias("host_pos"),
+        )
+    )
+    return ranked.orderBy(
+        F.col("rank_micros").desc(), F.col("url")
+    ).limit(top_n)

@@ -6349,7 +6349,7 @@ def q_x_robots(spark, sf_dir):
             .alias("robots_txt"),
         )
     )
-    m = F.col("doc_id") % 5
+    m = F.expr("doc_id div 10") % 5
     urls = docs.select(
         "doc_id",
         F.concat(
@@ -6368,7 +6368,7 @@ def q_x_robots(spark, sf_dir):
 
 SQL_X_ROBOTS = """
 with d as (
-  select doc_id, doc_id % 10 as k, doc_id % 5 as m from documents
+  select doc_id, doc_id % 10 as k, (doc_id // 10) % 5 as m from documents
 ),
 u as (
   select doc_id, k, m,
@@ -6389,6 +6389,120 @@ select doc_id, url,
 from u
 order by doc_id
 """
+
+
+def q_x_crawl_frontier(spark, sf_dir):
+    """The crawl front door composed end-to-end (graph.py
+    crawl_frontier): robots-filtered candidate URLs (the x_robots
+    fixture, REALLY parsed) + host authority from 3-iteration
+    PageRank over the extracted link graph (the x_pagerank chain) ->
+    the next fetch batch: URL-set dedup, politeness cap 3 per host,
+    global priority by rank. The oracle replays the pagerank CTE
+    chain, the robots closed form, and both windows."""
+    from sslr_spark.functions.graph import (
+        crawl_frontier,
+        extract_links,
+        host_edges,
+        pagerank,
+    )
+    from sslr_spark.functions.robots import robots_allowed, robots_rules
+    from sslr_spark.functions.urls import url_host
+
+    docs = _docs(spark, sf_dir)
+    # authority: the host link graph of the synthetic crawl
+    pages = _pr_pages(spark, sf_dir)
+    links = extract_links(pages, "doc_id", "html").join(
+        pages.select("doc_id", "page_url"), "doc_id"
+    )
+    ranks = pagerank(host_edges(links), n_iters=3)
+    # candidates: the robots fixture, really parsed and filtered
+    k = F.col("doc_id") % 10
+    host = F.concat(F.lit("host"), k.cast("string"), F.lit(".test"))
+    robots = (
+        docs.select((F.col("doc_id") % 10).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("host"), F.col("k").cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.when(
+                F.col("k") % 3 == 0,
+                F.lit(
+                    "# crawl policy\nUser-agent: sslr-bot\n"
+                    "Disallow: /blocked\nAllow: /blocked/except\n"
+                    "User-agent: *\nDisallow: /\n"
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("User-agent: *\nDisallow: /priv"),
+                    F.col("k").cast("string"),
+                    F.lit("\nDisallow:\n# trailing comment\n"),
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    m = F.expr("doc_id div 10") % 5
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            host,
+            F.when(m == 0, F.concat(F.lit("/open/"), F.col("doc_id").cast("string")))
+            .when(m == 1, F.lit("/blocked/page"))
+            .when(m == 2, F.lit("/blocked/except/page"))
+            .when(m == 3, F.concat(F.lit("/priv"), k.cast("string"), F.lit("/x")))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    allowed = (
+        robots_allowed(urls, robots_rules(robots, agent="sslr-bot"))
+        .filter(F.col("allowed"))
+        .select("url", url_host(F.col("url")).alias("host"))
+    )
+    return crawl_frontier(allowed, ranks, per_host_cap=3, top_n=40)
+
+
+_FRONTIER_TAIL = """, d2 as (
+  select doc_id, doc_id % 10 as k, (doc_id // 10) % 5 as m from documents
+),
+u2 as (
+  select doc_id, k, m,
+         concat('http://host', k, '.test',
+                case m when 0 then concat('/open/', doc_id)
+                       when 1 then '/blocked/page'
+                       when 2 then '/blocked/except/page'
+                       when 3 then concat('/priv', k, '/x')
+                       else '' end) as url
+  from d2
+),
+alw as (
+  select distinct url, concat('host', k, '.test') as host
+  from u2
+  where not ((k % 3 = 0 and m = 1) or (k % 3 != 0 and m = 3))
+),
+capped as (
+  select url, host,
+         row_number() over (partition by host order by url) as host_pos
+  from alw
+),
+fr as (
+  select c.url, c.host,
+         cast(coalesce(r.rank_micros, 0) as bigint) as rank_micros,
+         cast(c.host_pos as int) as host_pos
+  from capped c left join r3 r on c.host = r.host
+  where c.host_pos <= 3
+)
+select url, host, rank_micros, host_pos
+from fr
+order by rank_micros desc, url
+limit 40
+"""
+
+SQL_X_CRAWL_FRONTIER = SQL_X_PAGERANK.replace(
+    "select host, rank_micros from r3 order by host", _FRONTIER_TAIL
+)
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -6448,6 +6562,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_matryoshka": q_sim_topk_matryoshka,
     "x_bucketed_join": q_x_bucketed_join,
     "x_robots": q_x_robots,
+    "x_crawl_frontier": q_x_crawl_frontier,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6606,6 +6721,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_topk_matryoshka": SQL_SIM_TOPK_MATRYOSHKA,
     "x_bucketed_join": SQL_X_BUCKETED_JOIN,
     "x_robots": SQL_X_ROBOTS,
+    "x_crawl_frontier": SQL_X_CRAWL_FRONTIER,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

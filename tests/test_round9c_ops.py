@@ -651,3 +651,59 @@ def test_robots_rules_before_any_group_ignored(spark):
     )
     rules = {(r.allow, r.path) for r in robots_rules(df, "any").collect()}
     assert rules == {(False, "/x")}
+
+
+# ------------------------------------------------------------------
+# crawl frontier
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.graph import crawl_frontier  # noqa: E402
+
+
+def test_crawl_frontier_cap_dedup_and_priority(spark):
+    urls = spark.createDataFrame(
+        [
+            ("http://a.test/1", "a.test"),
+            ("http://a.test/1", "a.test"),  # duplicate collapses
+            ("http://a.test/2", "a.test"),
+            ("http://a.test/3", "a.test"),
+            ("http://a.test/4", "a.test"),  # over the cap of 3
+            ("http://b.test/1", "b.test"),
+            ("http://c.test/1", "c.test"),  # no rank row -> rank 0
+        ],
+        "url string, host string",
+    )
+    ranks = spark.createDataFrame(
+        [("a.test", 500_000), ("b.test", 900_000)],
+        "host string, rank_micros long",
+    )
+    got = crawl_frontier(urls, ranks, per_host_cap=3, top_n=10).collect()
+    assert [r.url for r in got] == [
+        "http://b.test/1",
+        "http://a.test/1",
+        "http://a.test/2",
+        "http://a.test/3",
+        "http://c.test/1",
+    ]
+    assert [r.host_pos for r in got] == [1, 1, 2, 3, 1]
+    # cap enforced: /4 never scheduled; top_n cuts globally
+    top2 = crawl_frontier(urls, ranks, per_host_cap=3, top_n=2).collect()
+    assert [r.url for r in top2] == ["http://b.test/1", "http://a.test/1"]
+
+
+def test_crawl_frontier_no_global_window(spark):
+    urls = spark.createDataFrame(
+        [(f"http://h{i % 7}.t/{i}", f"h{i % 7}.t") for i in range(100)],
+        "url string, host string",
+    )
+    ranks = spark.createDataFrame(
+        [(f"h{i}.t", i * 1000) for i in range(7)],
+        "host string, rank_micros long",
+    )
+    plan = plan_of(crawl_frontier(urls, ranks))
+    # the politeness window partitions by host; the global cut is a
+    # TakeOrdered, not a single-partition Window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan and "partitionBy" not in plan.lower().replace(
+        "partition by", ""
+    )
