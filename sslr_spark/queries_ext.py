@@ -6505,6 +6505,126 @@ SQL_X_CRAWL_FRONTIER = SQL_X_PAGERANK.replace(
 )
 
 
+def q_x_stream_hll(spark, sf_dir):
+    """Streaming mergeable-HLL distinct counting (streaming/
+    pipeline.py stream_hll): events stream through a REAL Structured
+    Streaming windowed aggregation that maintains <= 64 register rows
+    per (day window, event_type) — constant state where a streaming
+    count_distinct would need one entry per user — then the emitted
+    registers estimate in batch (sketches.py hll_estimate) and join
+    the exact per-window count. Registers are the same portable form
+    as the batch sketch, so the oracle replays the whole chain:
+    epoch-aligned day windows, h60 bucket/rho, register max, integer
+    harmonic sum, alpha/linear-counting estimate."""
+    import os
+
+    from sslr_spark.functions.sketches import hll_estimate
+    from sslr_spark.queries import read_events
+    from sslr_spark.streaming.pipeline import stream_hll
+
+    work = _fresh_bench_dir("stream_hll")
+    src = os.path.join(work, "src")
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    ev.coalesce(1).write.parquet(src)
+    # sentinel batch: one far-future event advances the watermark
+    # past every real day window so append mode emits them all; its
+    # own (never-closing) window is dropped by the exact-side join
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    spark.createDataFrame(
+        [(-1, max_us + 3 * 86_400_000_000, -1, "__sentinel__")],
+        "event_id long, ts_us long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(work, "out")
+    stream_hll(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        out,
+        os.path.join(work, "ckpt"),
+        group_cols=["event_type"],
+        value_col="user_id",
+        max_files_per_trigger=1,
+    )
+    regs = spark.read.parquet(out)
+    est = hll_estimate(regs, ["win_start_us", "event_type"])
+    exact = (
+        ev.select(
+            (
+                F.expr("unix_micros(ts) div 86400000000") * F.lit(86400000000)
+            ).alias("win_start_us"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("win_start_us", "event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, ["win_start_us", "event_type"])
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+SQL_X_STREAM_HLL = f"""
+with ev as (
+  select (epoch_us(cast(ts as timestamp)) // 86400000000) * 86400000000
+           as win_start_us,
+         event_type, user_id,
+         {h60_sql("coalesce(cast(user_id as varchar), chr(0))")} as h
+  from events
+),
+regs as (
+  select win_start_us, event_type, h % 64 as bucket,
+         cast(case when (h >> 6) = 0 then 55
+              else 54 - length(bin(h >> 6)) + 1 end as int) as rho
+  from ev
+),
+merged as (
+  select win_start_us, event_type, bucket, max(rho) as rho
+  from regs group by 1, 2, 3
+),
+agg as (
+  select win_start_us, event_type,
+         cast(count(*) as bigint) as n_buckets_set,
+         sum(cast(pow(2.0, 55 - rho) as bigint)) as s_present
+  from merged group by 1, 2
+),
+est as (
+  select win_start_us, event_type, n_buckets_set,
+         cast(floor(
+           case when (cast(2905.460551022604 as double)
+                      * cast(36028797018963968 as double)
+                      / cast(s_present + (64 - n_buckets_set)
+                             * 36028797018963968 as double)) <= 160.0
+                     and n_buckets_set < 64
+                then 64.0 * ln(64.0 / cast(64 - n_buckets_set as double))
+                else cast(2905.460551022604 as double)
+                     * cast(36028797018963968 as double)
+                     / cast(s_present + (64 - n_buckets_set)
+                            * 36028797018963968 as double)
+           end + 0.5) as bigint) as estimate
+  from agg
+),
+exact as (
+  select win_start_us, event_type,
+         cast(count(distinct user_id) as bigint) as n_exact
+  from ev group by 1, 2
+)
+select e.win_start_us, e.event_type, n_buckets_set, estimate, n_exact
+from est e join exact using (win_start_us, event_type)
+order by win_start_us, event_type
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6563,6 +6683,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_bucketed_join": q_x_bucketed_join,
     "x_robots": q_x_robots,
     "x_crawl_frontier": q_x_crawl_frontier,
+    "x_stream_hll": q_x_stream_hll,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6722,6 +6843,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_bucketed_join": SQL_X_BUCKETED_JOIN,
     "x_robots": SQL_X_ROBOTS,
     "x_crawl_frontier": SQL_X_CRAWL_FRONTIER,
+    "x_stream_hll": SQL_X_STREAM_HLL,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

@@ -1279,3 +1279,78 @@ def sessionize_batch(
         )
         .drop("__sess")
     )
+
+
+def stream_hll(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "30 minutes",
+    p: int = 6,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming build of MERGEABLE HyperLogLog registers per
+    (event-time window, group) — continuous distinct counting whose
+    state is CONSTANT per group (<= 2^p register rows) instead of one
+    entry per distinct value (what a streaming count_distinct would
+    need; Spark refuses it on streams for exactly that reason).
+
+    The registers written are the same portable form
+    ``functions/sketches.py hll_build`` produces in batch: today's
+    streamed registers and last month's batch backfill merge with one
+    register-wise MAX (hll_merge), then estimate — the
+    batch/streaming LAMBDA UNION for cardinality, no raw re-scan.
+
+    Watermark + append output: a window's registers emit once its
+    close passes the watermark; late events inside the horizon fold
+    into the open window's max like any other row. The LAST window
+    only closes when a later micro-batch advances the watermark past
+    it — drain with ``max_files_per_trigger`` and a far-future
+    sentinel batch (the stream_sessionize flush pattern) when the
+    source is finite and every window must emit. One availableNow
+    drain writes (win_start_us, group..., bucket, rho) parquet rows —
+    win_start_us as TZ-free epoch micros (windows align to the epoch,
+    so boundaries are session-timezone-independent)."""
+    from sslr_spark.functions.hashing import h60
+    from sslr_spark.functions.sketches import _hll_rho
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_path)
+    df = _event_time(df, ts_col).withWatermark(ts_col, watermark)
+    h = h60(
+        F.coalesce(F.col(value_col).cast("string"), F.lit("\x00"))
+    ).alias("__h")
+    regs = (
+        df.select(F.window(F.col(ts_col), window).alias("__w"), *group_cols, h)
+        .select(
+            "__w",
+            *group_cols,
+            (F.col("__h") % F.lit(1 << p)).cast("int").alias("bucket"),
+            _hll_rho(F.col("__h"), p).alias("rho"),
+        )
+        .groupBy("__w", *group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("win_start_us"),
+            *group_cols,
+            "bucket",
+            "rho",
+        )
+    )
+    q = (
+        regs.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -707,3 +707,68 @@ def test_crawl_frontier_no_global_window(spark):
     assert "Window" in plan and "partitionBy" not in plan.lower().replace(
         "partition by", ""
     )
+
+
+# ------------------------------------------------------------------
+# streaming HLL
+# ------------------------------------------------------------------
+
+
+def test_stream_hll_registers_match_batch_build(spark, tmp_path):
+    """The streamed registers must be EXACTLY the batch hll_build of
+    the same data per window — the lambda-union contract; duplicates
+    crossing micro-batch boundaries must fold into the same max."""
+    import os
+
+    from sslr_spark.streaming.pipeline import stream_hll
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 800).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (F.lit(1_700_000_000_000_000) + F.col("id") * 60_000_000)
+        ).alias("ts"),
+        (F.col("id") % 97).alias("user_id"),
+        F.lit("t").alias("event_type"),
+    )
+    # two files -> duplicates of the same user cross batches
+    base.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    base.filter("event_id % 2 = 1").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # sentinel far-future batch closes all real windows
+    spark.createDataFrame(
+        [(-1, 1_800_000_000_000_000, -1, "__s__")],
+        "event_id long, ts_us long, user_id long, event_type string",
+    ).select(
+        "event_id", F.timestamp_micros("ts_us").alias("ts"),
+        "user_id", "event_type",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    stream_hll(
+        spark, src, spark.read.parquet(src).schema, out,
+        str(tmp_path / "ckpt"), ["event_type"], "user_id",
+        window="1 hour", max_files_per_trigger=1,
+    )
+    got = {
+        (r.win_start_us, r.event_type, r.bucket): r.rho
+        for r in spark.read.parquet(out).filter(
+            F.col("event_type") == "t"
+        ).collect()
+    }
+    batch = hll_build(
+        base.select(
+            (
+                F.expr("unix_micros(ts) div 3600000000") * F.lit(3_600_000_000)
+            ).alias("win_start_us"),
+            "event_type",
+            "user_id",
+        ),
+        ["win_start_us", "event_type"],
+        "user_id",
+    )
+    want = {
+        (r.win_start_us, r.event_type, r.bucket): r.rho
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
