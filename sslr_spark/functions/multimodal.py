@@ -1399,3 +1399,30 @@ def audio_vad(
     return framed.withColumn(
         "active", F.col("energy") > F.lit(energy_threshold)
     )
+
+
+def sniff_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Magic-byte content sniffing — the dispatch step BEFORE any
+    decode: classify payloads by their leading bytes (BMP 'BM', PNG
+    \\x89PNG, JPEG FF D8 FF, RIFF/WAVE, ISO-BMFF 'ftyp' at offset 4,
+    gzip 1F 8B, else unknown) so a mixed media column routes each
+    format to its decoder without a Python round-trip: this is pure
+    JVM ``substring``-on-binary expressions inside whole-stage
+    codegen, zero shuffle, zero UDF — at 100 TB the sniff costs one
+    scan and prunes every payload the downstream decoder would
+    reject. Adds ``fmt_sniffed`` to the input columns."""
+    p = F.col(payload_col)
+    fmt = (
+        F.when(F.substring(p, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
+        .when(F.substring(p, 1, 4) == F.lit(b"\x89PNG"), "png")
+        .when(
+            (F.substring(p, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(p, 9, 4) == F.lit(b"WAVE")),
+            "wav",
+        )
+        .when(F.substring(p, 5, 4) == F.lit(b"ftyp"), "mp4")
+        .when(F.substring(p, 1, 2) == F.lit(b"BM"), "bmp")
+        .when(F.substring(p, 1, 2) == F.lit(b"\x1f\x8b"), "gzip")
+        .otherwise("unknown")
+    )
+    return df.withColumn("fmt_sniffed", fmt)

@@ -6625,6 +6625,32 @@ order by win_start_us, event_type
 """
 
 
+def q_mm_sniff(spark, sf_dir):
+    """Magic-byte content sniffing (multimodal.py sniff_media): the
+    four-format media corpus (real BMP/WAV/PNG/JPEG bytes) classifies
+    by leading bytes ALONE — pure JVM substring-on-binary expressions
+    (zero UDF, zero shuffle) — and the oracle predicts every verdict
+    from the construction formula. The dispatch stage every mixed
+    media column runs before decoding."""
+    from sslr_spark.functions.multimodal import (
+        sniff_media,
+        synthesize_media_all,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return sniff_media(synthesize_media_all(docs)).select(
+        "doc_id", "fmt_sniffed"
+    )
+
+
+SQL_MM_SNIFF = """
+select doc_id,
+       case doc_id % 4 when 0 then 'bmp' when 1 then 'wav'
+                       when 2 then 'png' else 'jpeg' end as fmt_sniffed
+from documents where doc_id < 400
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6684,6 +6710,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_robots": q_x_robots,
     "x_crawl_frontier": q_x_crawl_frontier,
     "x_stream_hll": q_x_stream_hll,
+    "mm_sniff": q_mm_sniff,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6844,6 +6871,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_robots": SQL_X_ROBOTS,
     "x_crawl_frontier": SQL_X_CRAWL_FRONTIER,
     "x_stream_hll": SQL_X_STREAM_HLL,
+    "mm_sniff": SQL_MM_SNIFF,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

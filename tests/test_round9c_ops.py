@@ -772,3 +772,35 @@ def test_stream_hll_registers_match_batch_build(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------------------
+# magic-byte sniffing
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.multimodal import sniff_media  # noqa: E402
+
+
+def test_sniff_media_all_magics_and_plan(spark):
+    import gzip as _gz
+
+    rows = [
+        (1, b"BM" + bytes(60)),
+        (2, b"\x89PNG\r\n\x1a\n" + bytes(20)),
+        (3, b"\xff\xd8\xff\xe0" + bytes(20)),
+        (4, b"RIFF" + bytes(4) + b"WAVE" + bytes(20)),
+        (5, bytes(4) + b"ftypisom" + bytes(20)),
+        (6, _gz.compress(b"payload")),
+        (7, b"<html>not media</html>"),
+        (8, b"RIFF" + bytes(4) + b"AVI " + bytes(8)),  # RIFF, not WAVE
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r.fmt_sniffed for r in sniff_media(df).collect()}
+    assert got == {
+        1: "bmp", 2: "png", 3: "jpeg", 4: "wav",
+        5: "mp4", 6: "gzip", 7: "unknown", 8: "unknown",
+    }
+    plan = plan_of(sniff_media(df))
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
