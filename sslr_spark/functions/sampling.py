@@ -1442,3 +1442,63 @@ def curriculum_tiers(
             )
         ),
     )
+
+
+def length_batches(
+    df: DataFrame,
+    len_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+    batch_size: int = 32,
+    n_shards: int = 4,
+    seed: str = "lenbatch",
+) -> DataFrame:
+    """Sequence-length bucketed batching — the trainer-side batcher
+    that minimizes padding: rows tier into ``n_buckets`` length
+    buckets (histogram-exact boundaries via
+    :func:`curriculum_tiers`, so similar lengths batch together),
+    then fixed-size batches of ``batch_size`` form inside each
+    (bucket, shard) in deterministic hash order. Padding cost per
+    batch is ``n_rows * max_len - sum_len`` — the tokens a dense
+    rectangular batch wastes; bucketing by length is what keeps that
+    number near zero.
+
+    Scale shape: batch numbering needs a sequential order, which
+    never scales corpus-wide — so batches form within (bucket,
+    shard): the window partitions by both, each partition is
+    corpus/(buckets*shards), and batches simply never cross shards
+    (the standard trainer sharding contract; shuffle_order makes the
+    same trade). Raise ``n_shards`` with the cluster, not the data.
+
+    Output one row per batch: (tier, shard, batch_id, n_rows,
+    max_len, sum_len, pad_waste).
+    """
+    tiers = curriculum_tiers(
+        df, len_col, n_tiers=n_buckets, id_col=id_col, seed=seed
+    ).select(
+        F.col(id_col),
+        F.col(len_col).alias("__len"),
+        "tier",
+        (F.col("order_key") % n_shards).cast("int").alias("shard"),
+        "order_key",
+    )
+    batched = tiers.withColumn(
+        "batch_id",
+        F.expr(f"(row_number() over (partition by tier, shard "
+               f"order by order_key, {id_col}) - 1) div {batch_size}")
+        .cast("int"),
+    )
+    return (
+        batched.groupBy("tier", "shard", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("__len").alias("max_len"),
+            F.sum("__len").alias("sum_len"),
+        )
+        .withColumn(
+            "pad_waste",
+            (F.col("n_rows") * F.col("max_len") - F.col("sum_len")).cast(
+                "long"
+            ),
+        )
+    )

@@ -6651,6 +6651,58 @@ from documents where doc_id < 400
 """
 
 
+def q_sample_length_batches(spark, sf_dir):
+    """Length-bucketed batch forming (sampling.py length_batches):
+    documents tier into 4 length buckets (histogram-exact
+    boundaries), shard deterministically, and form 16-row batches
+    inside each (bucket, shard) — output is per-batch padding
+    accounting (n*max - sum), the number length-bucketing exists to
+    minimize. The oracle replays tiers, hash order, windows and the
+    waste arithmetic."""
+    from sslr_spark.functions.sampling import length_batches
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return length_batches(
+        docs, "n_chars", n_buckets=4, batch_size=16, n_shards=4
+    ).orderBy("tier", "shard", "batch_id")
+
+
+SQL_SAMPLE_LENGTH_BATCHES = f"""
+with d as (select doc_id, n_chars from documents),
+hist as (select n_chars as s, count(*) as c from d group by 1),
+t as (
+  select s, cast((4 * (sum(c) over (order by s) - c))
+                 // (sum(c) over ()) as int) as tier
+  from hist
+),
+keyed as (
+  select d.doc_id, d.n_chars, t.tier,
+         {h60_sql("concat('lenbatch:', cast(doc_id as varchar))")}
+           as order_key
+  from d join t on d.n_chars = t.s
+),
+sharded as (
+  select doc_id, n_chars, tier,
+         cast(order_key % 4 as int) as shard, order_key
+  from keyed
+),
+batched as (
+  select tier, shard, n_chars,
+         cast((row_number() over (partition by tier, shard
+               order by order_key, doc_id) - 1) // 16 as int) as batch_id
+  from sharded
+)
+select tier, shard, batch_id,
+       cast(count(*) as bigint) as n_rows,
+       max(n_chars) as max_len,
+       cast(sum(n_chars) as bigint) as sum_len,
+       cast(count(*) * max(n_chars) - sum(n_chars) as bigint) as pad_waste
+from batched
+group by tier, shard, batch_id
+order by tier, shard, batch_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6711,6 +6763,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_crawl_frontier": q_x_crawl_frontier,
     "x_stream_hll": q_x_stream_hll,
     "mm_sniff": q_mm_sniff,
+    "sample_length_batches": q_sample_length_batches,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6872,6 +6925,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_crawl_frontier": SQL_X_CRAWL_FRONTIER,
     "x_stream_hll": SQL_X_STREAM_HLL,
     "mm_sniff": SQL_MM_SNIFF,
+    "sample_length_batches": SQL_SAMPLE_LENGTH_BATCHES,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

@@ -804,3 +804,56 @@ def test_sniff_media_all_magics_and_plan(spark):
     }
     plan = plan_of(sniff_media(df))
     assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------------------------------------------------
+# length-bucketed batching
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.sampling import length_batches  # noqa: E402
+
+
+def test_length_batches_padding_drops_vs_unbucketed(spark):
+    """The point of the operator: bucketed batches waste much less
+    padding than batching the same corpus unbucketed."""
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 97) % 990) for i in range(1024)],
+        "doc_id long, n_chars long",
+    )
+    out = length_batches(df, "n_chars", n_buckets=8, batch_size=16,
+                         n_shards=2).collect()
+    assert sum(r.n_rows for r in out) == 1024
+    bucketed_waste = sum(r.pad_waste for r in out)
+    flat = length_batches(df, "n_chars", n_buckets=1, batch_size=16,
+                          n_shards=2).collect()
+    flat_waste = sum(r.pad_waste for r in flat)
+    assert bucketed_waste < 0.35 * flat_waste, (bucketed_waste, flat_waste)
+    # full batches except at most one ragged tail per (tier, shard)
+    for (t, s), rows in {
+        (t, s): [r for r in out if r.tier == t and r.shard == s]
+        for t in range(8) for s in range(2)
+    }.items():
+        ragged = [r for r in rows if r.n_rows < 16]
+        assert len(ragged) <= 1, (t, s)
+
+
+def test_length_batches_batches_are_length_homogeneous(spark):
+    df = spark.createDataFrame(
+        [(i, (i % 32) * 100) for i in range(512)],
+        "doc_id long, n_chars long",
+    )
+    from sslr_spark.functions.sampling import curriculum_tiers
+
+    out = length_batches(df, "n_chars", n_buckets=4, batch_size=8,
+                         n_shards=2).collect()
+    # every batch's waste is bounded by its tier's VALUE range: a
+    # batch only mixes lengths from one tier
+    tier_vals = {}
+    for r in curriculum_tiers(df, "n_chars", n_tiers=4,
+                              seed="lenbatch").collect():
+        tier_vals.setdefault(r.tier, []).append(r.n_chars)
+    for r in out:
+        spread = max(tier_vals[r.tier]) - min(tier_vals[r.tier])
+        assert r.pad_waste <= r.n_rows * spread, r
+        # and the batch max really is a value of its tier
+        assert r.max_len in set(tier_vals[r.tier]), r
