@@ -77,6 +77,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # this session AND pytest-pinned where the change touched them), all
 # first into the r10 head).
 _HEAD_KEYS = [
+    # NEW this round (r9, continuation session 2) — 17 keys, never
+    # driver-verified, every one green locally at sf0.01 AND sf0.001
+    # via tools/verify_oracle.py on the final code. All other code
+    # changes this session are purely ADDITIVE (new functions appended
+    # to similarity/dedup/multimodal/sampling/sketches/streaming; new
+    # modules graph/robots/bucketed), so no existing key's semantics
+    # moved — the rotation policy's unchanged-semantics claim holds:
+    "sim_hybrid_rrf",
+    "x_hll_distinct",
+    "x_link_graph",
+    "x_pagerank",
+    "mm_phash",
+    "dedup_image_phash",
+    "sample_curriculum",
+    "mm_audio_vad",
+    "x_tpch_q3",
+    "x_tpch_q6",
+    "sim_topk_matryoshka",
+    "x_bucketed_join",
+    "x_robots",
+    "x_crawl_frontier",
+    "x_stream_hll",
+    "mm_sniff",
+    "sample_length_batches",
     # NEW this round (r9, continuation session): DSIR importance
     # resampling (weights + top-k selection + the curation-chain gate
     # composition), per-doc TF-IDF keyword extraction, cluster-capped
@@ -126,6 +150,12 @@ _HEAD_KEYS = [
     "text_bpe_pairs",
     "dedup_minhash_calibration",
     "sim_ivf_recall",
+]
+_TAIL_KEYS = [
+    # r06-green, unchanged code, displaced from the r9 head by the 17
+    # continuation-2 keys (new keys earn driver rows first);
+    # re-verified locally on the final code via the full-registry
+    # sf0.01 + sf0.001 sweeps this session, FIRST into the r10 head:
     "dedup_simhash_calibration",
     "dedup_cluster_sizes",
     "dedup_jaccard_prefix",
@@ -143,8 +173,6 @@ _HEAD_KEYS = [
     "dedup_incremental",
     "sim_topk_quantized",
     "sample_hash_split",
-]
-_TAIL_KEYS = [
     # r06-green, unchanged code, displaced from the r9 head by the
     # twelve new-operator keys above (new keys earn driver rows
     # first); re-verified locally at sf0.01 and sf0.001 this session,
