@@ -238,3 +238,48 @@ def hll_estimate(
         "n_buckets_set",
         F.floor(est + F.lit(0.5)).cast("long").alias("estimate"),
     )
+
+
+def column_stats(
+    df: DataFrame,
+    cols: list[str],
+    exact_ndv: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ANALYZE-shape per-column statistics in ONE scan: for each
+    requested column, (n_rows, n_nulls, n_distinct, min_val, max_val)
+    — the numbers a planner prunes with (CBO join ordering, scan
+    elimination) and an operator (zone maps, bucket pruning, AQE skew
+    thresholds) budgets by. All columns aggregate in a single pass
+    (one wide aggregate row, unpivoted to long form driver-side-free
+    via stack); ``exact_ndv=False`` swaps count_distinct for the
+    HLL++ sketch when columns hold billions of distincts.
+
+    min/max are cast to string so heterogeneous column types share
+    one output schema — the same convention catalog stats tables use.
+    Output: (col_name, n_rows, n_nulls, n_distinct, min_val, max_val).
+    """
+    aggs = []
+    for c in cols:
+        v = F.col(c)
+        ndv = (
+            F.count_distinct(v)
+            if exact_ndv
+            else F.approx_count_distinct(v, rsd=rsd)
+        )
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(v.isNull().cast("long")).alias(f"__nulls_{c}"),
+            ndv.cast("long").alias(f"__ndv_{c}"),
+            F.min(v).cast("string").alias(f"__min_{c}"),
+            F.max(v).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __nulls_{c}, __ndv_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )

@@ -6703,6 +6703,49 @@ order by tier, shard, batch_id
 """
 
 
+def q_x_table_stats(spark, sf_dir):
+    """ANALYZE-shape column statistics in one scan (sketches.py
+    column_stats): n_rows/n_nulls/exact-ndv/min/max per column over
+    lineitem, unpivoted to the long catalog-stats form via stack —
+    the numbers scan pruning and CBO join ordering run on."""
+    from sslr_spark.functions.sketches import column_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_stats(
+        li, ["l_orderkey", "l_quantity", "l_returnflag"]
+    ).orderBy("col_name")
+
+
+SQL_X_TABLE_STATS = """
+with agg as (
+  select count(*) as n,
+         cast(sum(case when l_orderkey is null then 1 else 0 end)
+              as bigint) as nulls_k,
+         cast(count(distinct l_orderkey) as bigint) as ndv_k,
+         cast(min(l_orderkey) as varchar) as min_k,
+         cast(max(l_orderkey) as varchar) as max_k,
+         cast(sum(case when l_quantity is null then 1 else 0 end)
+              as bigint) as nulls_q,
+         cast(count(distinct l_quantity) as bigint) as ndv_q,
+         cast(min(l_quantity) as varchar) as min_q,
+         cast(max(l_quantity) as varchar) as max_q,
+         cast(sum(case when l_returnflag is null then 1 else 0 end)
+              as bigint) as nulls_r,
+         cast(count(distinct l_returnflag) as bigint) as ndv_r,
+         cast(min(l_returnflag) as varchar) as min_r,
+         cast(max(l_returnflag) as varchar) as max_r
+  from lineitem
+)
+select 'l_orderkey' as col_name, n as n_rows, nulls_k as n_nulls,
+       ndv_k as n_distinct, min_k as min_val, max_k as max_val from agg
+union all
+select 'l_quantity', n, nulls_q, ndv_q, min_q, max_q from agg
+union all
+select 'l_returnflag', n, nulls_r, ndv_r, min_r, max_r from agg
+order by col_name
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6764,6 +6807,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_stream_hll": q_x_stream_hll,
     "mm_sniff": q_mm_sniff,
     "sample_length_batches": q_sample_length_batches,
+    "x_table_stats": q_x_table_stats,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6926,6 +6970,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_stream_hll": SQL_X_STREAM_HLL,
     "mm_sniff": SQL_MM_SNIFF,
     "sample_length_batches": SQL_SAMPLE_LENGTH_BATCHES,
+    "x_table_stats": SQL_X_TABLE_STATS,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,

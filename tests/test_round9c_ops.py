@@ -857,3 +857,28 @@ def test_length_batches_batches_are_length_homogeneous(spark):
         assert r.pad_waste <= r.n_rows * spread, r
         # and the batch max really is a value of its tier
         assert r.max_len in set(tier_vals[r.tier]), r
+
+
+# ------------------------------------------------------------------
+# column stats
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.sketches import column_stats  # noqa: E402
+
+
+def test_column_stats_values_and_single_scan(spark):
+    df = spark.createDataFrame(
+        [(1, None, "b"), (2, 5.0, "a"), (2, 7.5, None), (4, 5.0, "c")],
+        "k long, q double, f string",
+    )
+    got = {r.col_name: r for r in column_stats(df, ["k", "q", "f"]).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 0
+    assert got["k"].n_distinct == 3
+    assert (got["k"].min_val, got["k"].max_val) == ("1", "4")
+    assert got["q"].n_nulls == 1 and got["q"].n_distinct == 2
+    assert (got["q"].min_val, got["q"].max_val) == ("5.0", "7.5")
+    assert got["f"].n_nulls == 1 and got["f"].n_distinct == 3
+    assert (got["f"].min_val, got["f"].max_val) == ("a", "c")
+    # one scan: a single FileScan/LocalTableScan feeds the aggregate
+    plan = plan_of(column_stats(df, ["k", "q", "f"]))
+    assert plan.count("Scan") <= 2  # scan + (possible) reused exchange
