@@ -6746,6 +6746,91 @@ order by col_name
 """
 
 
+def q_x_skew_salted_join(spark, sf_dir):
+    """Skew-salted join (functions/skew.py salted_join): lineitem
+    joins the orders dimension with the big side salted 16 ways and
+    the small side replicated — the hot-key straggler rewrite. The
+    RESULT must be bit-identical to the plain join (the whole point:
+    same rows, different shuffle shape), which is exactly what the
+    oracle replays."""
+    from sslr_spark.functions.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_quantity",
+        "l_returnflag",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["okey"], n_salts=16)
+    return (
+        joined.groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "o_orderpriority")
+    )
+
+
+SQL_X_SKEW_SALTED_JOIN = """
+select l_returnflag, o_orderpriority,
+       cast(count(*) as bigint) as n_rows,
+       cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty
+from lineitem join orders on l_orderkey = o_orderkey
+group by l_returnflag, o_orderpriority
+order by l_returnflag, o_orderpriority
+"""
+
+
+def q_x_zorder_key(spark, sf_dir):
+    """Z-order (Morton) clustering key (functions/zorder.py
+    morton_code): 8-bit two-column interleave over (l_orderkey,
+    l_partkey) — the multi-column data-clustering sort key behind
+    OPTIMIZE ZORDER BY. The oracle recomputes the min/max
+    normalization and unrolls the 16-term bit interleave, so every
+    shift/mask in the codegen chain is value-checked."""
+    from sslr_spark.functions.zorder import morton_code
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_orderkey") < 500
+    )
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_linenumber",
+        morton_code(li, ["l_orderkey", "l_partkey"], bits=8).alias("zkey"),
+    ).orderBy("l_orderkey", "l_partkey", "l_linenumber")
+
+
+SQL_X_ZORDER_KEY = """
+with li as (
+  select l_orderkey, l_partkey, l_linenumber
+  from lineitem where l_orderkey < 500
+),
+stats as (
+  select min(l_orderkey) as mnk, max(l_orderkey) as mxk,
+         min(l_partkey) as mnp, max(l_partkey) as mxp
+  from li
+),
+ranks as (
+  select l_orderkey, l_partkey, l_linenumber,
+         cast(floor(least(greatest(
+           (cast(l_orderkey as double) - mnk) / (mxk - mnk),
+           0.0), 1.0) * 255) as bigint) as rk,
+         cast(floor(least(greatest(
+           (cast(l_partkey as double) - mnp) / (mxp - mnp),
+           0.0), 1.0) * 255) as bigint) as rp
+  from li, stats
+)
+select l_orderkey, l_partkey, l_linenumber,
+       cast((((rk >> 0) & 1) << 0) + (((rk >> 1) & 1) << 2) + (((rk >> 2) & 1) << 4) + (((rk >> 3) & 1) << 6) + (((rk >> 4) & 1) << 8) + (((rk >> 5) & 1) << 10) + (((rk >> 6) & 1) << 12) + (((rk >> 7) & 1) << 14) + (((rp >> 0) & 1) << 1) + (((rp >> 1) & 1) << 3) + (((rp >> 2) & 1) << 5) + (((rp >> 3) & 1) << 7) + (((rp >> 4) & 1) << 9) + (((rp >> 5) & 1) << 11) + (((rp >> 6) & 1) << 13) + (((rp >> 7) & 1) << 15) as bigint) as zkey
+from ranks
+order by l_orderkey, l_partkey, l_linenumber
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6808,6 +6893,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_sniff": q_mm_sniff,
     "sample_length_batches": q_sample_length_batches,
     "x_table_stats": q_x_table_stats,
+    "x_skew_salted_join": q_x_skew_salted_join,
+    "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
@@ -6971,6 +7058,8 @@ EXT_ORACLES: dict[str, str] = {
     "mm_sniff": SQL_MM_SNIFF,
     "sample_length_batches": SQL_SAMPLE_LENGTH_BATCHES,
     "x_table_stats": SQL_X_TABLE_STATS,
+    "x_skew_salted_join": SQL_X_SKEW_SALTED_JOIN,
+    "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
