@@ -180,3 +180,41 @@ def robots_allowed(
         )
     )
     return matched
+
+
+# shared literals — the DuckDB oracle runs these exact patterns
+SITEMAP_ENTRY_RE = "(?s)<url>(.*?)</url>"
+SITEMAP_LOC_RE = "(?s)<loc>\\s*(.*?)\\s*</loc>"
+SITEMAP_LASTMOD_RE = "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>"
+
+
+def sitemap_entries(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Sitemap ingestion — the crawl's OTHER discovery channel next
+    to link extraction (sitemaps.org protocol; robots.txt points at
+    them via ``Sitemap:`` lines): split the XML into ``<url>``
+    entries, recover each entry's ``<loc>`` (whitespace-trimmed, as
+    the protocol requires parsers to accept) and optional
+    ``<lastmod>`` — the freshness hint a recrawl scheduler keys on.
+    A regex cascade over shared literals (the html_to_text
+    convention), one narrow explode, zero shuffle, zero UDF; entries
+    with no ``<loc>`` are protocol violations and are dropped.
+
+    Every input column rides through; adds (url, lastmod)."""
+    carry = [c for c in df.columns if c != xml_col]
+    entries = df.select(
+        *carry,
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(SITEMAP_ENTRY_RE), 1)
+        ).alias("__entry"),
+    )
+    return entries.select(
+        *carry,
+        F.regexp_extract(F.col("__entry"), SITEMAP_LOC_RE, 1).alias("url"),
+        F.nullif(
+            F.regexp_extract(F.col("__entry"), SITEMAP_LASTMOD_RE, 1),
+            F.lit(""),
+        ).alias("lastmod"),
+    ).filter(F.col("url") != "")

@@ -6831,6 +6831,66 @@ order by l_orderkey, l_partkey, l_linenumber
 """
 
 
+def q_x_sitemap(spark, sf_dir):
+    """Sitemap ingestion (functions/robots.py sitemap_entries): each
+    host publishes a sitemap whose first entry carries a lastmod and
+    whose second entry is a MESSY url (uppercase scheme/host, default
+    port, fragment) with no lastmod — the Spark side REALLY splits
+    entries and recovers loc/lastmod through the shared regex
+    cascade, then canonicalizes; the oracle predicts both rows per
+    host in closed form (including the canonical twin)."""
+    from sslr_spark.functions.robots import sitemap_entries
+    from sslr_spark.functions.urls import canonical_url
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("k")
+    sitemaps = (
+        docs.select((F.col("doc_id") % 10).alias("k"))
+        .distinct()
+        .select(
+            F.concat(F.lit("host"), k.cast("string"), F.lit(".test")).alias(
+                "host"
+            ),
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset><url><loc>\n  http://host'),
+                k.cast("string"),
+                F.lit(".test/p/a"),
+                F.lit("</loc><lastmod>2026-01-0"),
+                (k % 9 + 1).cast("string"),
+                F.lit("</lastmod></url><url><loc>HTTP://HOST"),
+                k.cast("string"),
+                F.lit(".Test:80/p/b#frag</loc></url>"),
+                F.lit("<url><lastmod>2026-02-02</lastmod></url></urlset>"),
+            ).alias("sitemap_xml"),
+        )
+    )
+    out = sitemap_entries(sitemaps)
+    return out.select(
+        "host",
+        canonical_url(F.col("url")).alias("canonical_url"),
+        "lastmod",
+    ).orderBy("host", "canonical_url")
+
+
+SQL_X_SITEMAP = """
+with k as (select distinct doc_id % 10 as k from documents),
+rows_ as (
+  select concat('host', k, '.test') as host,
+         concat('http://host', k, '.test/p/a') as canonical_url,
+         concat('2026-01-0', k % 9 + 1) as lastmod
+  from k
+  union all
+  select concat('host', k, '.test'),
+         concat('http://host', k, '.test/p/b'),
+         null
+  from k
+)
+select host, canonical_url, lastmod
+from rows_
+order by host, canonical_url
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6894,6 +6954,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_length_batches": q_sample_length_batches,
     "x_table_stats": q_x_table_stats,
     "x_skew_salted_join": q_x_skew_salted_join,
+    "x_sitemap": q_x_sitemap,
     "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
@@ -7059,6 +7120,7 @@ EXT_ORACLES: dict[str, str] = {
     "sample_length_batches": SQL_SAMPLE_LENGTH_BATCHES,
     "x_table_stats": SQL_X_TABLE_STATS,
     "x_skew_salted_join": SQL_X_SKEW_SALTED_JOIN,
+    "x_sitemap": SQL_X_SITEMAP,
     "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,

@@ -882,3 +882,50 @@ def test_column_stats_values_and_single_scan(spark):
     # one scan: a single FileScan/LocalTableScan feeds the aggregate
     plan = plan_of(column_stats(df, ["k", "q", "f"]))
     assert plan.count("Scan") <= 2  # scan + (possible) reused exchange
+
+
+# ------------------------------------------------------------------
+# sitemap ingestion + skew/zorder keys
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.robots import sitemap_entries  # noqa: E402
+
+
+def test_sitemap_entries_parsing(spark):
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>\n  http://a.test/1  \n</loc>"
+        "<lastmod>2026-03-01</lastmod></url>"
+        "<url><loc>http://a.test/2</loc></url>"
+        "<url><lastmod>2026-04-01</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a.test", xml)], "host string, sitemap_xml string"
+    )
+    got = sorted(
+        (r.host, r.url, r.lastmod) for r in sitemap_entries(df).collect()
+    )
+    assert got == [
+        ("a.test", "http://a.test/1", "2026-03-01"),
+        ("a.test", "http://a.test/2", None),
+    ]
+    plan = plan_of(sitemap_entries(df))
+    assert "Exchange" not in plan  # narrow explode, zero shuffle
+
+
+def test_salted_join_equals_plain_join(spark):
+    from sslr_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, i) for i in range(3000)], "k long, v long"
+    )  # key 0/1/2 each hot
+    small = spark.createDataFrame([(0, "x"), (1, "y")], "k long, t string")
+    got = sorted(
+        (r.k, r.v, r.t)
+        for r in salted_join(big, small, ["k"], n_salts=8).collect()
+    )
+    want = sorted(
+        (r.k, r.v, r.t) for r in big.join(small, "k").collect()
+    )
+    assert got == want and len(got) == 2000
