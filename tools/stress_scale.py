@@ -649,6 +649,64 @@ def main() -> None:
             docs_scaled, emb_scaled, ["join", "spark", "vector"], 0, k=10
         ).count()
 
+    # crawl policy + frontier at K x: robots parse cost tracks hosts
+    # (10*k policies), URL evaluation is one host equi-join over the
+    # scaled corpus, frontier windows partition by host — per-host
+    # work is bounded by the politeness cap
+    from sslr_spark.functions.graph import crawl_frontier
+    from sslr_spark.functions.robots import robots_allowed, robots_rules
+    from sslr_spark.functions.urls import url_host
+
+    n_rhosts = 10 * k
+    robots_fix = (
+        docs_scaled.select((F.col("doc_id") % n_rhosts).alias("kk"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("kk").cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /priv"),
+                F.col("kk").cast("string"), F.lit("\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    urls_fix = docs_scaled.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % n_rhosts).cast("string"),
+            F.lit(".test/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    with timed("robots_frontier"):
+        allowed = robots_allowed(
+            urls_fix, robots_rules(robots_fix, "bot")
+        ).filter(F.col("allowed")).select(
+            "url", url_host(F.col("url")).alias("host")
+        )
+        ranks_fix = robots_fix.select(
+            "host", F.lit(1_000_000).alias("rank_micros")
+        )
+        crawl_frontier(allowed, ranks_fix, per_host_cap=3,
+                       top_n=100).count()
+
+    # length-bucketed batching at K x: histogram window is bounded by
+    # distinct lengths; batch windows partition by (tier, shard)
+    from sslr_spark.functions.sampling import length_batches
+
+    with timed("length_batches"):
+        length_batches(
+            docs_scaled.select("doc_id", "n_chars"), "n_chars",
+            n_buckets=8, batch_size=64, n_shards=8,
+        ).count()
+
+    # Matryoshka two-stage ANN at K x: prefix scan over the scaled
+    # corpus, constant-size shortlist rerank
+    from sslr_spark.functions.similarity import topk_matryoshka
+
+    with timed("matryoshka"):
+        topk_matryoshka(emb_scaled, 0, k=10, shortlist=100).count()
+
     shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps({"k": k, "rows": n_rows, "docs": n_docs, "timings": timings}))
 
