@@ -867,6 +867,19 @@ def main(only: set[str] | None = None) -> dict:
 # item 4: regressions must be attributed, not shrugged at). Keys are
 # section names; values are one-line findings with the evidence.
 SECTION_NOTES = {
+    # round-9c first recordings
+    "image_phash": (
+        "3.9 s at sf0.1 = synth+decode+band-join over 5k images; pair "
+        "OUTPUT is quadratic in duplicate-cluster size (K=10 probe: "
+        "~5M true pairs from the aliased pattern space in ~8 s) — "
+        "dup-heavy corpora should collapse via star clustering "
+        "instead of materializing pairs"
+    ),
+    "pagerank": (
+        "3 fixed iterations over the host graph; each iteration adds "
+        "one join+agg to the plan — deep iteration counts should pass "
+        "checkpoint_every to truncate lineage"
+    ),
     # r8 clean reruns flagged these three >1.25x vs the r7 full-pass
     # minima. Attribution (r9): ENVIRONMENT, two mechanisms, both
     # measured on identical code. (1) fresh-JVM bias: --only reruns
