@@ -12,7 +12,7 @@ for production).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sslr_spark.functions.hashing import h60
@@ -282,4 +282,105 @@ def column_stats(
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) as "
         "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+def topk_bounded(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    m: int = 20,
+    k: int = 10,
+) -> DataFrame:
+    """Communication-efficient distributed top-k with ERROR BOUNDS
+    (the TPUT / threshold-algorithm shape, Cao & Wang 2004): each
+    shard contributes only its local top-``m`` (value, count) pairs
+    plus one residual bound — the count of its m-th item, the most
+    any UNREPORTED value could have there. Merged per candidate:
+    lb = sum of reported counts, ub = lb + sum of absent shards'
+    residuals; a candidate is a CERTIFIED top-k member when its lb
+    beats the k-th best ub among the others.
+
+    Why not groupBy(value).count().orderBy? That moves the FULL
+    (value, count) table through one shuffle. Here each shard's
+    contribution is m+1 rows regardless of how many distinct values
+    it holds — at 100 TB the merge input is shards x (m+1) rows. The
+    trade is certainty: skewed-across-shards tails may come back
+    uncertified (raise m until they do — the standard TPUT round).
+
+    A shard with fewer than m distinct values reports them all and a
+    residual of 0 (nothing was withheld). Per-shard ranking windows
+    partition by shard — no global window anywhere.
+
+    Output: top-``k`` candidates by (lb desc, value): (value, lb, ub,
+    certified).
+    """
+    counts = df.groupBy(
+        F.col(shard_col).alias("__sh"), F.col(value_col).alias("value")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy("__sh").orderBy(
+        F.col("__c").desc(), F.col("value")
+    )
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    reported = ranked.filter(F.col("__rn") <= m)
+    # residual: the m-th count per shard, 0 when the shard reported
+    # everything it had
+    residual = (
+        ranked.groupBy("__sh")
+        .agg(
+            F.max(F.col("__rn")).alias("__maxrn"),
+            F.max(F.when(F.col("__rn") == m, F.col("__c"))).alias("__mth"),
+        )
+        .select(
+            "__sh",
+            F.when(F.col("__maxrn") < m, F.lit(0))
+            .otherwise(F.col("__mth"))
+            .cast("long")
+            .alias("__res"),
+        )
+    )
+    cands = reported.select("value").distinct()
+    grid = cands.crossJoin(residual)  # candidates x shards — bounded
+    merged = (
+        grid.join(
+            reported.select("__sh", "value", "__c"), ["__sh", "value"], "left"
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(F.coalesce(F.col("__c"), F.lit(0))).alias("lb"),
+            F.sum(
+                F.coalesce(F.col("__c"), F.col("__res"))
+            ).alias("ub"),
+        )
+    )
+    topk = merged.orderBy(F.col("lb").desc(), F.col("value")).limit(k)
+    # certification: lb must beat every count any OTHER value could
+    # reach — the max ub among non-chosen candidates AND the phantom
+    # bound for values no shard reported at all (sum of residuals: a
+    # value just under every shard's cut could total that much).
+    # Conservative spelling over bounded rows.
+    phantom = residual.agg(
+        F.coalesce(F.sum("__res"), F.lit(0)).alias("__ph")
+    )
+    others_max_ub = (
+        merged.join(topk.select("value"), "value", "left_anti")
+        .agg(F.max("ub").alias("__mx0"))
+        .crossJoin(F.broadcast(phantom))
+        .select(
+            F.greatest(
+                F.coalesce(F.col("__mx0"), F.lit(0)), F.col("__ph")
+            ).alias("__mx")
+        )
+    )
+    return (
+        topk.crossJoin(F.broadcast(others_max_ub))
+        .select(
+            "value",
+            F.col("lb").cast("long").alias("lb"),
+            F.col("ub").cast("long").alias("ub"),
+            # STRICT: a tie with an excluded/unreported value means
+            # membership is ambiguous, so refuse to certify it
+            (F.col("lb") > F.col("__mx")).alias("certified"),
+        )
+        .orderBy(F.col("lb").desc(), F.col("value"))
     )

@@ -6891,6 +6891,69 @@ order by host, canonical_url
 """
 
 
+def q_x_topk_bounded(spark, sf_dir):
+    """Distributed bounded top-k (sketches.py topk_bounded, the
+    TPUT/threshold-algorithm shape): per-shard local top-20 user
+    counts + one residual bound per shard merge into global
+    lower/upper count bounds and a certification flag — the
+    communication-efficient alternative to shuffling the full
+    (value, count) table. The oracle replays the per-shard windows,
+    the residual arithmetic and the certification comparison."""
+    from sslr_spark.functions.sketches import topk_bounded
+    from sslr_spark.queries import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", (F.col("event_id") % 8).alias("shard")
+    )
+    return topk_bounded(ev, "user_id", "shard", m=20, k=10)
+
+
+SQL_X_TOPK_BOUNDED = """
+with counts as (
+  select event_id % 8 as sh, user_id as value, count(*) as c
+  from events group by 1, 2
+),
+ranked as (
+  select sh, value, c,
+         row_number() over (partition by sh order by c desc, value)
+           as rn
+  from counts
+),
+reported as (select sh, value, c from ranked where rn <= 20),
+residual as (
+  select sh,
+         cast(case when max(rn) < 20 then 0
+              else max(case when rn = 20 then c end) end as bigint)
+           as res
+  from ranked group by sh
+),
+cands as (select distinct value from reported),
+grid as (select value, sh, res from cands, residual),
+merged as (
+  select g.value,
+         cast(sum(coalesce(r.c, 0)) as bigint) as lb,
+         cast(sum(coalesce(r.c, g.res)) as bigint) as ub
+  from grid g left join reported r
+    on g.sh = r.sh and g.value = r.value
+  group by g.value
+),
+topk as (
+  select value, lb, ub from merged
+  order by lb desc, value limit 10
+),
+others as (
+  select greatest(
+           coalesce((select max(ub) from merged
+                     where value not in (select value from topk)), 0),
+           (select coalesce(sum(res), 0) from residual)
+         ) as mx
+)
+select value, lb, ub, lb > mx as certified
+from topk, others
+order by lb desc, value
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -6955,6 +7018,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_table_stats": q_x_table_stats,
     "x_skew_salted_join": q_x_skew_salted_join,
     "x_sitemap": q_x_sitemap,
+    "x_topk_bounded": q_x_topk_bounded,
     "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
@@ -7121,6 +7185,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_table_stats": SQL_X_TABLE_STATS,
     "x_skew_salted_join": SQL_X_SKEW_SALTED_JOIN,
     "x_sitemap": SQL_X_SITEMAP,
+    "x_topk_bounded": SQL_X_TOPK_BOUNDED,
     "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,

@@ -929,3 +929,44 @@ def test_salted_join_equals_plain_join(spark):
         (r.k, r.v, r.t) for r in big.join(small, "k").collect()
     )
     assert got == want and len(got) == 2000
+
+
+# ------------------------------------------------------------------
+# bounded distributed top-k
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.sketches import topk_bounded  # noqa: E402
+
+
+def test_topk_bounded_bounds_contain_truth_and_certify(spark):
+    import random
+
+    rng = random.Random(11)
+    # zipf-ish: value v appears ~ 3000/(v+1) times, spread over shards
+    rows = []
+    for v in range(40):
+        for _ in range(3000 // (v + 1)):
+            rows.append((v, rng.randrange(6)))
+    df = spark.createDataFrame(rows, "v long, shard long")
+    truth = {}
+    for v, _ in rows:
+        truth[v] = truth.get(v, 0) + 1
+    got = topk_bounded(df, "v", "shard", m=15, k=5).collect()
+    for r in got:
+        assert r.lb <= truth[r.value] <= r.ub, (r, truth[r.value])
+    # the head of a zipf is unambiguous: top-5 certified and correct
+    true_top5 = sorted(truth, key=lambda v: (-truth[v], v))[:5]
+    assert [r.value for r in got] == true_top5
+    assert all(r.certified for r in got)
+
+
+def test_topk_bounded_small_m_uncertifies_ties(spark):
+    # uniform counts: with tiny m the residuals swamp the gaps, so
+    # certification must refuse rather than guess
+    rows = [(v, s) for v in range(30) for s in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "v long, shard long")
+    got = topk_bounded(df, "v", "shard", m=3, k=5).collect()
+    assert not all(r.certified for r in got)
+    # bounds still valid: every value has exactly 20 occurrences
+    for r in got:
+        assert r.lb <= 20 <= r.ub
