@@ -867,6 +867,18 @@ def main(only: set[str] | None = None) -> dict:
 # item 4: regressions must be attributed, not shrugged at). Keys are
 # section names; values are one-line findings with the evidence.
 SECTION_NOTES = {
+    # round-9c (continuation-2) environment attribution: the final
+    # full pass measured pq_build/pq_query/winnow_spans/quality_gate/
+    # ivfpq_residual/shuffle_order 1.7-2.9x over the earlier r9
+    # records. Same-machine prior-snapshot rerun (the README round-4
+    # method; git worktree of the pre-session commit, --only, idle
+    # box): the OLD code measures equal or WORSE on this box
+    # (winnow_spans 6.19 s old vs 1.03 s final, pq_query 2.26 vs
+    # 1.35, quality_gate 4.96 vs 2.52, pq_build 0.84 vs 0.91) — none
+    # of these paths changed this session, and the final code is not
+    # slower than the snapshot on identical hardware. Environment,
+    # not code; the r9 records were simply taken on a faster/quieter
+    # instance of the box.
     # round-9c first recordings
     "image_phash": (
         "3.9 s at sf0.1 = synth+decode+band-join over 5k images; pair "
