@@ -1185,3 +1185,49 @@ def html_to_text_sql(expr: str) -> str:
     out = f"regexp_replace({out}, '\\n+', chr(10), 'g')"
     out = f"regexp_replace({out}, '^\\n+|\\n+$', '', 'g')"
     return f"trim({out})"
+
+
+def chat_flatten(
+    df: DataFrame,
+    json_col: str = "conversation",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flatten chat-transcript JSON into per-turn rows — the first
+    step of every SFT/dialog data pipeline: ``{"turns": [{"role":
+    ..., "text": ...}, ...]}`` parses with a REAL typed ``from_json``
+    (malformed JSON yields null turns, surfaced as ``n_turns = -1``
+    rows for quarantine rather than silently dropped), then
+    ``posexplode`` emits (turn_idx, role, content, content_chars).
+    All JVM-side: typed JSON path + explode, zero UDF, zero shuffle.
+
+    At 100 TB the transcript column dominates row width — project it
+    away immediately after the explode (this function keeps only the
+    per-turn fields), and partition downstream work by ``id_col``
+    so a conversation's turns stay co-located for windowed ops
+    (turn-pair extraction, truncation-to-budget).
+    """
+    schema = "struct<turns: array<struct<role: string, text: string>>>"
+    parsed = df.select(
+        id_col,
+        F.from_json(F.col(json_col), schema).alias("__c"),
+    )
+    good = parsed.filter(F.col("__c.turns").isNotNull()).select(
+        id_col,
+        F.posexplode(F.col("__c.turns")).alias("turn_idx", "__t"),
+    ).select(
+        id_col,
+        "turn_idx",
+        F.col("__t.role").alias("role"),
+        F.col("__t.text").alias("content"),
+        F.length(F.coalesce(F.col("__t.text"), F.lit("")))
+        .cast("long")
+        .alias("content_chars"),
+    )
+    bad = parsed.filter(F.col("__c.turns").isNull()).select(
+        id_col,
+        F.lit(-1).alias("turn_idx"),
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(0).cast("long").alias("content_chars"),
+    )
+    return good.unionByName(bad)

@@ -6954,6 +6954,71 @@ order by lb desc, value
 """
 
 
+def q_text_chat_flatten(spark, sf_dir):
+    """Chat-transcript flattening (text.py chat_flatten): documents
+    become JSON conversations (2 + doc_id % 3 alternating user/
+    assistant turns, formula content) plus one doc in ten carrying
+    MALFORMED JSON; the Spark side parses with a real typed from_json
+    and explodes turns, surfacing broken transcripts as quarantine
+    rows (turn_idx -1) instead of dropping them. The oracle predicts
+    every turn row — and the quarantine rows — in closed form."""
+    from sslr_spark.functions.text import chat_flatten
+
+    docs = _docs(spark, sf_dir)
+    n_turns = (F.col("doc_id") % 3 + 2).cast("int")
+    body = F.concat(
+        F.lit('{"turns": ['),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_turns - 1),
+                lambda i: F.concat(
+                    F.lit('{"role": "'),
+                    F.when(i % 2 == 0, F.lit("user")).otherwise(
+                        F.lit("assistant")
+                    ),
+                    F.lit('", "text": "m'),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                    F.lit('"}'),
+                ),
+            ),
+            ", ",
+        ),
+        F.lit("]}"),
+    )
+    conv = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 7, F.lit('{"turns": [broken'))
+        .otherwise(body)
+        .alias("conversation"),
+    )
+    return chat_flatten(conv).orderBy("doc_id", "turn_idx")
+
+
+SQL_TEXT_CHAT_FLATTEN = """
+with d as (
+  select doc_id, cast(doc_id % 3 + 2 as int) as n_turns,
+         doc_id % 10 = 7 as broken
+  from documents
+),
+good as (
+  select doc_id, cast(i as int) as turn_idx,
+         case when i % 2 = 0 then 'user' else 'assistant' end as role,
+         concat('m', doc_id, 'x', i) as content
+  from d, lateral unnest(generate_series(0, n_turns - 1)) t(i)
+  where not broken
+)
+select doc_id, turn_idx, role, content,
+       cast(length(content) as bigint) as content_chars
+from good
+union all
+select doc_id, -1, null, null, cast(0 as bigint)
+from d where broken
+order by doc_id, turn_idx
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7019,6 +7084,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_skew_salted_join": q_x_skew_salted_join,
     "x_sitemap": q_x_sitemap,
     "x_topk_bounded": q_x_topk_bounded,
+    "text_chat_flatten": q_text_chat_flatten,
     "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
@@ -7186,6 +7252,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_skew_salted_join": SQL_X_SKEW_SALTED_JOIN,
     "x_sitemap": SQL_X_SITEMAP,
     "x_topk_bounded": SQL_X_TOPK_BOUNDED,
+    "text_chat_flatten": SQL_TEXT_CHAT_FLATTEN,
     "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,

@@ -970,3 +970,34 @@ def test_topk_bounded_small_m_uncertifies_ties(spark):
     # bounds still valid: every value has exactly 20 occurrences
     for r in got:
         assert r.lb <= 20 <= r.ub
+
+
+# ------------------------------------------------------------------
+# chat flattening
+# ------------------------------------------------------------------
+
+from sslr_spark.functions.text import chat_flatten  # noqa: E402
+
+
+def test_chat_flatten_turns_and_quarantine(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"turns": [{"role": "user", "text": "hi"},'
+                ' {"role": "assistant", "text": "hello!"}]}'),
+            (2, "not json at all"),
+            (3, '{"turns": []}'),
+        ],
+        "doc_id long, conversation string",
+    )
+    rows = sorted(
+        (r.doc_id, r.turn_idx, r.role, r.content, r.content_chars)
+        for r in chat_flatten(df).collect()
+    )
+    assert rows == [
+        (1, 0, "user", "hi", 2),
+        (1, 1, "assistant", "hello!", 6),
+        (2, -1, None, None, 0),  # malformed -> quarantine row
+        # doc 3: zero turns, zero rows — empty but well-formed
+    ]
+    plan = plan_of(chat_flatten(df))
+    assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
