@@ -1231,3 +1231,53 @@ def chat_flatten(
         F.lit(0).cast("long").alias("content_chars"),
     )
     return good.unionByName(bad)
+
+
+def chat_pairs(
+    turns: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(prompt, response) pair extraction from :func:`chat_flatten`
+    output — the SFT/DPO training-example shape: every user turn
+    immediately followed by an assistant turn yields one pair; other
+    adjacencies (assistant-assistant retries, trailing user turns,
+    quarantine rows) yield none. One lead() window PARTITIONED BY the
+    conversation id (turns are co-located per conversation; no global
+    window), then a narrow filter.
+
+    Output: (id_col, pair_idx, prompt, response, prompt_chars,
+    response_chars) with pair_idx numbering a conversation's pairs
+    0-based in turn order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("turn_idx")
+    nxt = turns.filter(F.col("turn_idx") >= 0).select(
+        id_col,
+        "turn_idx",
+        "role",
+        "content",
+        F.lead("role").over(w).alias("__nrole"),
+        F.lead("content").over(w).alias("__ncontent"),
+    )
+    pairs = nxt.filter(
+        (F.col("role") == "user") & (F.col("__nrole") == "assistant")
+    )
+    return pairs.select(
+        id_col,
+        (
+            F.row_number()
+            .over(Window.partitionBy(id_col).orderBy("turn_idx"))
+            - 1
+        )
+        .cast("int")
+        .alias("pair_idx"),
+        F.col("content").alias("prompt"),
+        F.col("__ncontent").alias("response"),
+        F.length(F.coalesce(F.col("content"), F.lit("")))
+        .cast("long")
+        .alias("prompt_chars"),
+        F.length(F.coalesce(F.col("__ncontent"), F.lit("")))
+        .cast("long")
+        .alias("response_chars"),
+    )

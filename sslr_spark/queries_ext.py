@@ -7019,6 +7019,65 @@ order by doc_id, turn_idx
 """
 
 
+def q_text_chat_pairs(spark, sf_dir):
+    """(prompt, response) pair mining (text.py chat_pairs) over the
+    flattened chat fixture: alternating user/assistant turns yield
+    floor(n_turns / 2) pairs per conversation; malformed transcripts
+    (quarantine rows) yield none. The oracle derives every pair from
+    the construction formula."""
+    from sslr_spark.functions.text import chat_flatten, chat_pairs
+
+    docs = _docs(spark, sf_dir)
+    n_turns = (F.col("doc_id") % 3 + 2).cast("int")
+    body = F.concat(
+        F.lit('{"turns": ['),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_turns - 1),
+                lambda i: F.concat(
+                    F.lit('{"role": "'),
+                    F.when(i % 2 == 0, F.lit("user")).otherwise(
+                        F.lit("assistant")
+                    ),
+                    F.lit('", "text": "m'),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                    F.lit('"}'),
+                ),
+            ),
+            ", ",
+        ),
+        F.lit("]}"),
+    )
+    conv = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 7, F.lit('{"turns": [broken'))
+        .otherwise(body)
+        .alias("conversation"),
+    )
+    return chat_pairs(chat_flatten(conv)).orderBy("doc_id", "pair_idx")
+
+
+SQL_TEXT_CHAT_PAIRS = """
+with d as (
+  select doc_id, cast(doc_id % 3 + 2 as int) as n_turns
+  from documents where doc_id % 10 != 7
+),
+p as (
+  select doc_id, cast(i as int) as pair_idx,
+         concat('m', doc_id, 'x', 2 * i) as prompt,
+         concat('m', doc_id, 'x', 2 * i + 1) as response
+  from d, lateral unnest(generate_series(0, n_turns // 2 - 1)) t(i)
+)
+select doc_id, pair_idx, prompt, response,
+       cast(length(prompt) as bigint) as prompt_chars,
+       cast(length(response) as bigint) as response_chars
+from p
+order by doc_id, pair_idx
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7085,6 +7144,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_sitemap": q_x_sitemap,
     "x_topk_bounded": q_x_topk_bounded,
     "text_chat_flatten": q_text_chat_flatten,
+    "text_chat_pairs": q_text_chat_pairs,
     "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
@@ -7253,6 +7313,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_sitemap": SQL_X_SITEMAP,
     "x_topk_bounded": SQL_X_TOPK_BOUNDED,
     "text_chat_flatten": SQL_TEXT_CHAT_FLATTEN,
+    "text_chat_pairs": SQL_TEXT_CHAT_PAIRS,
     "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,

@@ -1001,3 +1001,33 @@ def test_chat_flatten_turns_and_quarantine(spark):
     ]
     plan = plan_of(chat_flatten(df))
     assert "BatchEvalPython" not in plan and "mapInPandas" not in plan
+
+
+def test_chat_pairs_skips_non_adjacent_and_numbers_pairs(spark):
+    from sslr_spark.functions.text import chat_pairs
+
+    turns = spark.createDataFrame(
+        [
+            # doc 1: u,a,u,a -> two pairs
+            (1, 0, "user", "q1", 2), (1, 1, "assistant", "a1", 2),
+            (1, 2, "user", "q2", 2), (1, 3, "assistant", "a2", 2),
+            # doc 2: a,u (wrong order), trailing user -> no pairs
+            (2, 0, "assistant", "x", 1), (2, 1, "user", "y", 1),
+            # doc 3: u,u,a -> ONE pair (second user + assistant)
+            (3, 0, "user", "p0", 2), (3, 1, "user", "p1", 2),
+            (3, 2, "assistant", "r", 1),
+            # doc 4: quarantine row only
+            (4, -1, None, None, 0),
+        ],
+        "doc_id long, turn_idx int, role string, content string,"
+        " content_chars long",
+    )
+    got = sorted(
+        (r.doc_id, r.pair_idx, r.prompt, r.response)
+        for r in chat_pairs(turns).collect()
+    )
+    assert got == [
+        (1, 0, "q1", "a1"),
+        (1, 1, "q2", "a2"),
+        (3, 0, "p1", "r"),
+    ]
