@@ -1281,3 +1281,34 @@ def chat_pairs(
         .cast("long")
         .alias("response_chars"),
     )
+
+
+def chat_truncate(
+    turns: DataFrame,
+    budget_chars: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-budget truncation of conversations — keep the NEWEST
+    turns whose total size fits ``budget_chars`` (the standard SFT
+    packing rule: recent context survives, the oldest turns fall
+    off). One suffix cumulative sum per conversation (window
+    partitioned by ``id_col``, ordered by turn_idx DESC — turns are
+    co-located, no global window), then a narrow filter; a single
+    oversized turn that alone busts the budget is dropped like any
+    other (cum > budget), never partially split — token-level
+    splitting belongs to the chunker (:func:`chunk_text`).
+
+    Output: the kept turn rows + ``suffix_chars`` (total size of this
+    turn and everything after it — the number the cut was decided
+    on)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = turns.filter(F.col("turn_idx") >= 0).withColumn(
+        "suffix_chars", F.sum("content_chars").over(w).cast("long")
+    )
+    return sized.filter(F.col("suffix_chars") <= budget_chars)

@@ -7078,6 +7078,68 @@ order by doc_id, pair_idx
 """
 
 
+def q_text_chat_truncate(spark, sf_dir):
+    """Context-budget truncation (text.py chat_truncate) over the
+    flattened chat fixture: keep each conversation's newest turns
+    whose running suffix size fits 16 chars — older turns fall off.
+    The oracle replays the suffix cumsum window and the cut."""
+    from sslr_spark.functions.text import chat_flatten, chat_truncate
+
+    docs = _docs(spark, sf_dir)
+    n_turns = (F.col("doc_id") % 3 + 2).cast("int")
+    body = F.concat(
+        F.lit('{"turns": ['),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_turns - 1),
+                lambda i: F.concat(
+                    F.lit('{"role": "'),
+                    F.when(i % 2 == 0, F.lit("user")).otherwise(
+                        F.lit("assistant")
+                    ),
+                    F.lit('", "text": "m'),
+                    F.col("doc_id").cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                    F.lit('"}'),
+                ),
+            ),
+            ", ",
+        ),
+        F.lit("]}"),
+    )
+    conv = docs.select("doc_id", body.alias("conversation"))
+    return chat_truncate(chat_flatten(conv), budget_chars=16).orderBy(
+        "doc_id", "turn_idx"
+    )
+
+
+SQL_TEXT_CHAT_TRUNCATE = """
+with d as (
+  select doc_id, cast(doc_id % 3 + 2 as int) as n_turns from documents
+),
+turns as (
+  select doc_id, cast(i as int) as turn_idx,
+         case when i % 2 = 0 then 'user' else 'assistant' end as role,
+         concat('m', doc_id, 'x', i) as content
+  from d, lateral unnest(generate_series(0, n_turns - 1)) t(i)
+),
+sized as (
+  select doc_id, turn_idx, role, content,
+         cast(length(content) as bigint) as content_chars,
+         cast(sum(length(content)) over (
+           partition by doc_id order by turn_idx desc
+           rows between unbounded preceding and current row
+         ) as bigint) as suffix_chars
+  from turns
+)
+select doc_id, turn_idx, role, content, content_chars, suffix_chars
+from sized
+where suffix_chars <= 16
+order by doc_id, turn_idx
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7145,6 +7207,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_topk_bounded": q_x_topk_bounded,
     "text_chat_flatten": q_text_chat_flatten,
     "text_chat_pairs": q_text_chat_pairs,
+    "text_chat_truncate": q_text_chat_truncate,
     "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
@@ -7314,6 +7377,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_topk_bounded": SQL_X_TOPK_BOUNDED,
     "text_chat_flatten": SQL_TEXT_CHAT_FLATTEN,
     "text_chat_pairs": SQL_TEXT_CHAT_PAIRS,
+    "text_chat_truncate": SQL_TEXT_CHAT_TRUNCATE,
     "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,

@@ -1031,3 +1031,26 @@ def test_chat_pairs_skips_non_adjacent_and_numbers_pairs(spark):
         (1, 1, "q2", "a2"),
         (3, 0, "p1", "r"),
     ]
+
+
+def test_chat_truncate_keeps_newest_within_budget(spark):
+    from sslr_spark.functions.text import chat_truncate
+
+    turns = spark.createDataFrame(
+        [
+            (1, 0, "user", "aaaaaaaa", 8),      # oldest
+            (1, 1, "assistant", "bbbb", 4),
+            (1, 2, "user", "cc", 2),            # newest
+            (2, 0, "user", "x" * 50, 50),       # alone busts budget
+            (2, 1, "assistant", "ok", 2),
+        ],
+        "doc_id long, turn_idx int, role string, content string,"
+        " content_chars long",
+    )
+    got = sorted(
+        (r.doc_id, r.turn_idx, r.suffix_chars)
+        for r in chat_truncate(turns, budget_chars=7).collect()
+    )
+    # doc1: cc (2) + bbbb (6) fit; the 8-char opener would make 14
+    # doc2: only the trailing 'ok' fits; the 50-char turn drops whole
+    assert got == [(1, 1, 6), (1, 2, 2), (2, 1, 2)]
