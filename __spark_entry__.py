@@ -155,7 +155,7 @@ _TAIL_KEYS = [
     # NEW in continuation-2 AFTER the head filled: the window holds
     # the 17 earlier continuation-2 keys plus the four oldest-evidence
     # r06 keys (so no registry key's evidence lands older than r07
-    # after the r09 check — the VERDICT r8 freshness goal). These eight
+    # after the r09 check — the VERDICT r8 freshness goal). These nine
     # are green locally at sf0.01 AND sf0.001 AND under the combined
     # hostile matrix via tools/verify_oracle.py, and take the r10
     # head's first slots:
@@ -167,6 +167,7 @@ _TAIL_KEYS = [
     "text_chat_flatten",
     "text_chat_pairs",
     "text_chat_truncate",
+    "x_frontier_delay",
     # r06-green, unchanged code, displaced from the r9 head by the 17
     # continuation-2 keys (new keys earn driver rows first);
     # re-verified locally on the final code via the full-registry

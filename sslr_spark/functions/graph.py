@@ -138,6 +138,7 @@ def crawl_frontier(
     ranks: DataFrame,
     per_host_cap: int = 3,
     top_n: int = 40,
+    delays: DataFrame | None = None,
 ) -> DataFrame:
     """Frontier scheduling — the crawl front door's last stage: given
     candidate URLs (already robots-filtered, see functions/robots.py)
@@ -158,6 +159,10 @@ def crawl_frontier(
 
     Output: (url, host, rank_micros, host_pos), top-``top_n`` by
     (rank desc, url); host_pos is the URL's 1-based politeness slot.
+    With ``delays`` (robots_crawl_delay output: host, crawl_delay_s)
+    each row also carries ``fetch_offset_s = (host_pos - 1) *
+    crawl_delay_s`` — the earliest in-batch fetch time that honors
+    the host's Crawl-delay (slot 1 fetches immediately).
     """
     from pyspark.sql import Window
 
@@ -184,6 +189,25 @@ def crawl_frontier(
             F.col("host_pos").cast("int").alias("host_pos"),
         )
     )
+    if delays is not None:
+        ranked = ranked.join(
+            delays.select(
+                F.col("host").alias("__dh"), "crawl_delay_s"
+            ),
+            F.col("host") == F.col("__dh"),
+            "left",
+        ).select(
+            "url",
+            "host",
+            "rank_micros",
+            "host_pos",
+            (
+                (F.col("host_pos") - 1)
+                * F.coalesce(F.col("crawl_delay_s"), F.lit(0))
+            )
+            .cast("int")
+            .alias("fetch_offset_s"),
+        )
     return ranked.orderBy(
         F.col("rank_micros").desc(), F.col("url")
     ).limit(top_n)

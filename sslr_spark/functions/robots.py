@@ -34,23 +34,21 @@ from pyspark.sql import functions as F
 from sslr_spark.functions.urls import URL_RE
 
 # shared literal — the DuckDB oracle runs this exact pattern
-ROBOTS_LINE_RE = "^(user-agent|allow|disallow)\\s*:\\s*(.*)$"
+ROBOTS_LINE_RE = "^(user-agent|allow|disallow|crawl-delay)\\s*:\\s*(.*)$"
 
 
-def robots_rules(
+def _effective_group_rows(
     robots_df: DataFrame,
     agent: str,
     host_col: str = "host",
     body_col: str = "robots_txt",
 ) -> DataFrame:
-    """Parse robots.txt bodies into the effective rule set for
-    ``agent``: (host, allow boolean, path) — only the rules of each
-    host's most-specific matching group survive.
-
-    One narrow line explode + two per-host windows (group numbering,
-    group-class max); no cross-host data movement beyond the initial
-    host partitioning.
-    """
+    """Shared robots parsing core: line explode, comment strip,
+    directive extraction, consecutive-UA group numbering and
+    most-specific-group selection — returns every DIRECTIVE row
+    (allow/disallow/crawl-delay) of each host's selected group as
+    (host, directive, value). :func:`robots_rules` and
+    :func:`robots_crawl_delay` are projections of this."""
     agent_lc = agent.lower()
     lines = robots_df.select(
         F.col(host_col).alias("host"),
@@ -106,10 +104,30 @@ def robots_rules(
         F.col("cls") == F.col("top_cls")
     )
     rules = grouped.filter(
-        F.col("directive").isin("allow", "disallow") & (F.col("gid") > 0)
+        (F.col("directive") != "user-agent") & (F.col("gid") > 0)
     )
+    return rules.join(eligible, ["host", "gid"]).select(
+        "host", "directive", "value"
+    )
+
+
+def robots_rules(
+    robots_df: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into the effective rule set for
+    ``agent``: (host, allow boolean, path) — only the rules of each
+    host's most-specific matching group survive.
+
+    One narrow line explode + two per-host windows (group numbering,
+    group-class max); no cross-host data movement beyond the initial
+    host partitioning.
+    """
+    rows = _effective_group_rows(robots_df, agent, host_col, body_col)
     return (
-        rules.join(eligible, ["host", "gid"])
+        rows.filter(F.col("directive").isin("allow", "disallow"))
         .filter(F.col("value") != "")  # empty Disallow: matches nothing
         .select(
             "host",
@@ -117,6 +135,42 @@ def robots_rules(
             F.col("value").alias("path"),
         )
         .distinct()
+    )
+
+
+def robots_crawl_delay(
+    robots_df: DataFrame,
+    agent: str,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    default_s: int = 0,
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (the de-facto politeness directive —
+    not in RFC 9309 but honored by most crawlers): the selected
+    group's delay in seconds, ``default_s`` when absent or
+    non-numeric, the MAX when a group repeats it (be conservative).
+    Output: (host, crawl_delay_s) for every host with a robots body.
+    """
+    rows = _effective_group_rows(robots_df, agent, host_col, body_col)
+    delays = rows.filter(F.col("directive") == "crawl-delay").select(
+        "host",
+        # try_cast: a malformed delay means "no usable directive",
+        # not a poisoned job (ANSI mode makes a plain cast throw)
+        F.col("value").try_cast("int").alias("__d"),
+    )
+    hosts = robots_df.select(F.col(host_col).alias("host")).distinct()
+    return (
+        hosts.join(
+            delays.groupBy("host").agg(F.max("__d").alias("__d")),
+            "host",
+            "left",
+        )
+        .select(
+            "host",
+            F.coalesce(F.col("__d"), F.lit(default_s))
+            .cast("int")
+            .alias("crawl_delay_s"),
+        )
     )
 
 

@@ -7140,6 +7140,125 @@ order by doc_id, turn_idx
 """
 
 
+def q_x_frontier_delay(spark, sf_dir):
+    """Crawl-delay-aware frontier (robots.py robots_crawl_delay +
+    graph.py crawl_frontier with delays): the robots fixture gains a
+    per-host Crawl-delay line ONLY inside the exact-agent group of
+    k%3==0 hosts (1 + k%5 seconds) — so star-group hosts fall back to
+    the 0-second default, pinning group-scoped directive binding —
+    and each scheduled URL carries its earliest politeness-honoring
+    fetch offset (host_pos - 1) * delay. Oracle: closed form."""
+    from sslr_spark.functions.graph import crawl_frontier
+    from sslr_spark.functions.robots import (
+        robots_allowed,
+        robots_crawl_delay,
+        robots_rules,
+    )
+    from sslr_spark.functions.urls import url_host
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 10
+    host = F.concat(F.lit("host"), k.cast("string"), F.lit(".test"))
+    robots = (
+        docs.select((F.col("doc_id") % 10).alias("k"))
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("host"), F.col("k").cast("string"), F.lit(".test")
+            ).alias("host"),
+            F.when(
+                F.col("k") % 3 == 0,
+                F.concat(
+                    F.lit(
+                        "User-agent: sslr-bot\nDisallow: /blocked\n"
+                        "Crawl-delay: "
+                    ),
+                    (F.col("k") % 5 + 1).cast("string"),
+                    F.lit("\nUser-agent: *\nDisallow: /\nCrawl-delay: 99\n"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("User-agent: *\nDisallow: /priv"),
+                    F.col("k").cast("string"),
+                    F.lit("\n"),
+                )
+            )
+            .alias("robots_txt"),
+        )
+    )
+    m = F.expr("doc_id div 10") % 5
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            host,
+            F.when(m == 0, F.concat(F.lit("/open/"), F.col("doc_id").cast("string")))
+            .when(m == 1, F.lit("/blocked/page"))
+            .when(m == 2, F.lit("/blocked/except/page"))
+            .when(m == 3, F.concat(F.lit("/priv"), k.cast("string"), F.lit("/x")))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    allowed = (
+        robots_allowed(urls, robots_rules(robots, agent="sslr-bot"))
+        .filter(F.col("allowed"))
+        .select("url", url_host(F.col("url")).alias("host"))
+    )
+    ranks = robots.select("host", F.lit(1_000_000).cast("long").alias("rank_micros"))
+    return crawl_frontier(
+        allowed,
+        ranks,
+        per_host_cap=3,
+        top_n=40,
+        delays=robots_crawl_delay(robots, agent="sslr-bot"),
+    ).orderBy("url")
+
+
+# closed form: k%3==0 hosts run the exact-agent group — /blocked*
+# blocked (no Allow line in this fixture), delay 1 + k%5; other hosts
+# run the star group — /priv{k} blocked, no delay (default 0; the
+# star group's Crawl-delay 99 binds only to hosts whose SELECTED
+# group is the star one, and those hosts' bodies carry no delay)
+SQL_X_FRONTIER_DELAY = """
+with d as (
+  select doc_id, doc_id % 10 as k, (doc_id // 10) % 5 as m from documents
+),
+u as (
+  select doc_id, k, m,
+         concat('http://host', k, '.test',
+                case m when 0 then concat('/open/', doc_id)
+                       when 1 then '/blocked/page'
+                       when 2 then '/blocked/except/page'
+                       when 3 then concat('/priv', k, '/x')
+                       else '' end) as url
+  from d
+),
+alw as (
+  select distinct url, concat('host', k, '.test') as host, k
+  from u
+  where not (k % 3 = 0 and m in (1, 2))
+    and not (k % 3 != 0 and m = 3)
+),
+capped as (
+  select url, host, k,
+         row_number() over (partition by host order by url) as host_pos
+  from alw
+),
+fr as (
+  select url, host, cast(1000000 as bigint) as rank_micros,
+         cast(host_pos as int) as host_pos,
+         cast((host_pos - 1)
+              * case when k % 3 = 0 then k % 5 + 1 else 0 end as int)
+           as fetch_offset_s
+  from capped where host_pos <= 3
+)
+select url, host, rank_micros, host_pos, fetch_offset_s
+from (select * from fr order by rank_micros desc, url limit 40)
+order by url
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7208,6 +7327,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chat_flatten": q_text_chat_flatten,
     "text_chat_pairs": q_text_chat_pairs,
     "text_chat_truncate": q_text_chat_truncate,
+    "x_frontier_delay": q_x_frontier_delay,
     "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
     "x_pagerank": q_x_pagerank,
@@ -7378,6 +7498,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_chat_flatten": SQL_TEXT_CHAT_FLATTEN,
     "text_chat_pairs": SQL_TEXT_CHAT_PAIRS,
     "text_chat_truncate": SQL_TEXT_CHAT_TRUNCATE,
+    "x_frontier_delay": SQL_X_FRONTIER_DELAY,
     "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "x_pagerank": SQL_X_PAGERANK,

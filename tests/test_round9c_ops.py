@@ -1054,3 +1054,48 @@ def test_chat_truncate_keeps_newest_within_budget(spark):
     # doc1: cc (2) + bbbb (6) fit; the 8-char opener would make 14
     # doc2: only the trailing 'ok' fits; the 50-char turn drops whole
     assert got == [(1, 1, 6), (1, 2, 2), (2, 1, 2)]
+
+
+def test_robots_crawl_delay_group_scoped(spark):
+    from sslr_spark.functions.robots import robots_crawl_delay
+
+    df = spark.createDataFrame(
+        [
+            ("a.test",
+             "User-agent: mybot\nCrawl-delay: 5\nDisallow: /x\n"
+             "User-agent: *\nCrawl-delay: 99\n"),
+            ("b.test", "User-agent: *\nDisallow: /y\n"),   # no delay
+            ("c.test", "User-agent: *\nCrawl-delay: junk\n"),  # non-numeric
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r.host: r.crawl_delay_s
+           for r in robots_crawl_delay(df, "mybot").collect()}
+    # exact group's 5 wins over the star group's 99; absent/junk -> 0
+    assert got == {"a.test": 5, "b.test": 0, "c.test": 0}
+
+
+def test_crawl_frontier_fetch_offsets(spark):
+    from sslr_spark.functions.graph import crawl_frontier
+
+    urls = spark.createDataFrame(
+        [(f"http://a.test/{i}", "a.test") for i in range(3)]
+        + [("http://b.test/1", "b.test")],
+        "url string, host string",
+    )
+    ranks = spark.createDataFrame(
+        [("a.test", 10), ("b.test", 20)], "host string, rank_micros long"
+    )
+    delays = spark.createDataFrame(
+        [("a.test", 4)], "host string, crawl_delay_s int"
+    )
+    got = {
+        r.url: (r.host_pos, r.fetch_offset_s)
+        for r in crawl_frontier(urls, ranks, delays=delays).collect()
+    }
+    assert got == {
+        "http://b.test/1": (1, 0),   # no delay row -> default 0
+        "http://a.test/0": (1, 0),
+        "http://a.test/1": (2, 4),
+        "http://a.test/2": (3, 8),
+    }
