@@ -49,116 +49,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 keys of queries()
-# in dict insertion order; with >50 registered queries some keys rotate
-# out of the window each round.  Ordering policy:
-#   HEAD — keys that have never (or least recently) been driver-verified,
-#     plus keys new or code-changed this round, so every query earns a
-#     hash-checked CORRECTNESS row as early as possible.
+# in dict insertion order; with 190 registered queries some keys rotate
+# out of the window each round.  Ordering policy (now ENFORCED by
+# tools/rotation_check.py, wired into pytest via tests/test_rotation.py):
+#   HEAD — keys with the weakest driver evidence: never-driver-verified
+#     keys first, then stalest-first, plus any key listed in
+#     CHANGED_KEYS (semantics changed this session).
 #   TAIL — keys safe to fall outside the window: hash-verified green in
 #     recent rounds with unchanged code (freshest evidence last).
-# Every registered key is oracle-backed. r9 rotation: head = 14 new
-# keys (the MOR tombstone-tie / delete-repair / wide-PK overlay keys,
-# the integer-exact cosine range search, containment dedup + its
-# incremental batch-vs-corpus twin, the word+phrase blocklist gates,
-# the mojibake screen, the PSI drift monitor, ordered range shards,
-# byte-budget shard packing, the corpus snapshot diff and the IVF
-# cell-drift monitor) + 3 code-changed keys (updates.py
-# gained the broadcast byte gate, the copy-pending marker, the
-# tombstone-tie ordering and the bytes compaction trigger — s2/a1/t3/
-# j2/d2/x_mor_upsert_read route through it; sampling.py gained the
-# null-key guard — sample_weighted; job.py's delete phase gained MOR
-# repair parity — t6 routes through the job loop; dedup.py gained the
-# candidate-pruned verify joins — the dedup_* keys below route through
-# it) + 33 of the 38 keys whose latest evidence is r06 (the VERDICT r8
-# item-3 list; the five displaced by the new-operator keys — x_funnel /
-# x_pivot / x_rollup / x_topk_per_group / x_tpch_q1, trivial unchanged
-# OLAP — sit at tail-top with t3/t6/a1/d2/sample_weighted (r07/r08-
-# green, lightly routed through changed files, locally re-verified
-# this session AND pytest-pinned where the change touched them), all
-# first into the r10 head).
+#
+# r10 rotation (VERDICT r9 item 1 — registration freeze): the entire
+# head is the evidence debt — the 17 keys never driver-verified followed
+# by 33 of the 34 keys whose latest driver evidence is r06.  The one
+# leftover (x_tpch_q1, trivial OLAP, re-verified locally) leads the tail
+# and is first into the r11 head.  NO new key enters the head this
+# round; any operator added in r10 registers at the tail top, directly
+# after x_tpch_q1.
+
+# Keys whose semantics changed in the CURRENT session (exempt from the
+# staleness ordering check in tools/rotation_check.py because they
+# deserve re-verification regardless of old evidence).  Empty for r10:
+# every r10 code change is either additive or verified locally to be
+# output-identical on the registered keys (see test_round10_fixes.py).
+CHANGED_KEYS: list[str] = []
+
 _HEAD_KEYS = [
-    # NEW this round (r9, continuation session 2) — 17 keys, never
-    # driver-verified, every one green locally at sf0.01 AND sf0.001
-    # via tools/verify_oracle.py on the final code. All other code
-    # changes this session are purely ADDITIVE (new functions appended
-    # to similarity/dedup/multimodal/sampling/sketches/streaming; new
-    # modules graph/robots/bucketed), so no existing key's semantics
-    # moved — the rotation policy's unchanged-semantics claim holds:
-    "sim_hybrid_rrf",
-    "x_hll_distinct",
-    "x_link_graph",
-    "x_pagerank",
-    "mm_phash",
-    "dedup_image_phash",
-    "sample_curriculum",
-    "mm_audio_vad",
-    "x_tpch_q3",
-    "x_tpch_q6",
-    "sim_topk_matryoshka",
-    "x_bucketed_join",
-    "x_robots",
-    "x_crawl_frontier",
-    "x_stream_hll",
-    "mm_sniff",
-    "sample_length_batches",
-    # NEW this round (r9, continuation session): DSIR importance
-    # resampling (weights + top-k selection + the curation-chain gate
-    # composition), per-doc TF-IDF keyword extraction, cluster-capped
-    # diversity sampling, the repeat-capped epoch/water-filling
-    # planner, WARC crawl-container ingestion, HTML text extraction
-    # and the WARC->HTTP->HTML end-to-end composition — never
-    # driver-verified, so they take the head's first slots; the twelve
-    # r06-evidence keys they displace (text_repetition/
-    # dedup_contamination/mm_extract_features/a2/a3/o1/o2/p6/j1/j3/
-    # j4/d1 —
-    # unchanged code, re-verified locally at sf0.01 AND sf0.001 this
-    # session) move to tail-top, first into the r10 head:
-    "text_dsir_weights",
-    "sample_dsir",
-    "text_tfidf_topk",
-    "sample_cluster_balance",
-    "x_curation_pipeline_dsir",
-    "sample_epoch_plan",
-    "x_warc_ingest",
-    "text_html_extract",
-    "x_warc_http",
-    "text_ccnet_buckets",
-    "sample_dsir_incremental",
-    "x_url_dedup",
-    # NEW this round (r9):
-    "x_mor_tombstone_tie",
-    "x_mor_delete_repair",
-    "x_mor_wide_pk_read",
-    "sim_range_search",
-    "dedup_containment",
-    "text_blocklist",
-    "text_mojibake",
-    "quality_psi_drift",
-    "sample_range_shards",
-    "dedup_corpus_diff",
-    "sim_cell_drift",
-    "text_blocklist_phrases",
-    "dedup_incremental_containment",
-    "sample_shard_budget",
-    # code changed THIS round (r9):
-    "x_mor_upsert_read",
-    "j2_upsert_merge",
-    "s2_incremental_scan",
-    # the 38 keys whose latest driver evidence is r06 (unchanged
-    # code; re-verified locally via tools/verify_oracle.py):
-    "sample_shard_diff",
-    "text_bpe_pairs",
-    "dedup_minhash_calibration",
-    "sim_ivf_recall",
-]
-_TAIL_KEYS = [
-    # NEW in continuation-2 AFTER the head filled: the window holds
-    # the 17 earlier continuation-2 keys plus the four oldest-evidence
-    # r06 keys (so no registry key's evidence lands older than r07
-    # after the r09 check — the VERDICT r8 freshness goal). These nine
-    # are green locally at sf0.01 AND sf0.001 AND under the combined
-    # hostile matrix via tools/verify_oracle.py, and take the r10
-    # head's first slots:
+    # 17 never-driver-verified keys (registered in the r9 continuation
+    # sessions after the r9 head filled; all green locally at sf0.01
+    # and sf0.001 via tools/verify_oracle.py):
     "x_table_stats",
     "x_skew_salted_join",
     "x_zorder_key",
@@ -168,10 +86,16 @@ _TAIL_KEYS = [
     "text_chat_pairs",
     "text_chat_truncate",
     "x_frontier_delay",
-    # r06-green, unchanged code, displaced from the r9 head by the 17
-    # continuation-2 keys (new keys earn driver rows first);
-    # re-verified locally on the final code via the full-registry
-    # sf0.01 + sf0.001 sweeps this session, FIRST into the r10 head:
+    "x_curation_pipeline_gates",
+    "x_dataset_card",
+    "x_lm_quality_gate",
+    "text_dedup_lines",
+    "text_strip_boilerplate",
+    "sim_embedding_quality",
+    "x_mor_asof_read",
+    "x_curation_pipeline_lm",
+    # 33 of the 34 keys whose latest driver evidence is r06 (unchanged
+    # code since; each re-verified locally on final r10 code):
     "dedup_simhash_calibration",
     "dedup_cluster_sizes",
     "dedup_jaccard_prefix",
@@ -189,10 +113,6 @@ _TAIL_KEYS = [
     "dedup_incremental",
     "sim_topk_quantized",
     "sample_hash_split",
-    # r06-green, unchanged code, displaced from the r9 head by the
-    # twelve new-operator keys above (new keys earn driver rows
-    # first); re-verified locally at sf0.01 and sf0.001 this session,
-    # FIRST into the r10 head:
     "text_repetition",
     "dedup_contamination",
     "mm_extract_features",
@@ -205,37 +125,19 @@ _TAIL_KEYS = [
     "j3_range_repair",
     "j4_hash_diff",
     "d1_delete_by_keyset",
-    # r06-green, unchanged trivial OLAP queries, displaced from the r9
-    # head by the three new-operator keys (new keys earn driver rows
-    # first); re-verified locally via tools/verify_oracle.py and FIRST
-    # in line for the r10 head:
     "x_funnel",
     "x_pivot",
     "x_rollup",
     "x_topk_per_group",
+]
+_TAIL_KEYS = [
+    # the single r06-evidence leftover that did not fit the 50-key
+    # window — FIRST into the r11 head:
     "x_tpch_q1",
-    # r08/r07-green, lightly code-routed this round (t3: metadata-only
-    # count over updates.py; t6: job loop) — displaced by the last two
-    # new-operator keys, re-verified locally this session via
-    # tools/verify_oracle.py, first into the r10 head:
-    "t3_staleness_check",
+    # r07-green (stalest remaining evidence — next in line after the
+    # leftover and any r10-new keys):
     "t6_event_window_agg",
-    "a1_watermark_probe",
     "d2_range_delete",
-    "sample_weighted",
-    # new r9 composition keys — their component operators ARE in the
-    # r9 window (text_mojibake, text_blocklist) or are plain bounded
-    # aggregates; both verified locally at sf0.01 (70 / 33 rows
-    # match), first into the r10 head:
-    "x_curation_pipeline_gates",
-    "x_dataset_card",
-    "x_lm_quality_gate",
-    "text_dedup_lines",
-    "text_strip_boilerplate",
-    "sim_embedding_quality",
-    "x_mor_asof_read",
-    "x_curation_pipeline_lm",
-    # r07-green with unchanged code — next in line for the r10 head:
     "mm_decode_png_jpeg",
     "mm_resize_multi",
     "mm_resample_audio",
@@ -276,7 +178,10 @@ _TAIL_KEYS = [
     "x_stream_interval_join",
     "dedup_incremental_spans",
     "dedup_ngram_coverage",
-    # r08-green (freshest evidence — safest outside the window):
+    # r08-green:
+    "t3_staleness_check",
+    "a1_watermark_probe",
+    "sample_weighted",
     "x_sessionize_batch",
     "mm_decode_pixels_jpeg",
     "dedup_incremental_semantic",
@@ -321,6 +226,57 @@ _TAIL_KEYS = [
     "text_quality_gate",
     "x_stream_dedup",
     "sample_shuffle_order",
+    # r09-green (freshest evidence — safest outside the window):
+    "sim_hybrid_rrf",
+    "x_hll_distinct",
+    "x_link_graph",
+    "x_pagerank",
+    "mm_phash",
+    "dedup_image_phash",
+    "sample_curriculum",
+    "mm_audio_vad",
+    "x_tpch_q3",
+    "x_tpch_q6",
+    "sim_topk_matryoshka",
+    "x_bucketed_join",
+    "x_robots",
+    "x_crawl_frontier",
+    "x_stream_hll",
+    "mm_sniff",
+    "sample_length_batches",
+    "text_dsir_weights",
+    "sample_dsir",
+    "text_tfidf_topk",
+    "sample_cluster_balance",
+    "x_curation_pipeline_dsir",
+    "sample_epoch_plan",
+    "x_warc_ingest",
+    "text_html_extract",
+    "x_warc_http",
+    "text_ccnet_buckets",
+    "sample_dsir_incremental",
+    "x_url_dedup",
+    "x_mor_tombstone_tie",
+    "x_mor_delete_repair",
+    "x_mor_wide_pk_read",
+    "sim_range_search",
+    "dedup_containment",
+    "text_blocklist",
+    "text_mojibake",
+    "quality_psi_drift",
+    "sample_range_shards",
+    "dedup_corpus_diff",
+    "sim_cell_drift",
+    "text_blocklist_phrases",
+    "dedup_incremental_containment",
+    "sample_shard_budget",
+    "x_mor_upsert_read",
+    "j2_upsert_merge",
+    "s2_incremental_scan",
+    "sample_shard_diff",
+    "text_bpe_pairs",
+    "dedup_minhash_calibration",
+    "sim_ivf_recall",
 ]
 
 

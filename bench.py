@@ -777,57 +777,62 @@ def main(only: set[str] | None = None) -> dict:
         bdocs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         bemb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
-    def _bench_pagerank():
-        pages = _pr_pages(spark, SF_DIR)
-        links = extract_links(pages, "doc_id", "html").join(
-            pages.select("doc_id", "page_url"), "doc_id"
-        )
-        return pagerank(host_edges(links), 3).count()
+        # run() calls live INSIDE the staging guard (ADVICE r9): the
+        # section lambdas close over bdocs/bemb and the staged
+        # imports, so invoking one outside the guard would NameError
+        # under --only; run() re-checks want() per section, so only
+        # the requested ones time.
+        def _bench_pagerank():
+            pages = _pr_pages(spark, SF_DIR)
+            links = extract_links(pages, "doc_id", "html").join(
+                pages.select("doc_id", "page_url"), "doc_id"
+            )
+            return pagerank(host_edges(links), 3).count()
 
-    run("pagerank", _bench_pagerank)
-    run(
-        "image_phash",
-        lambda: image_phash_near_dup(
-            dhash64(synthesize_images_dhash(bdocs)), max_hamming=4
-        ).count(),
-    )
-    run(
-        "hll_distinct",
-        lambda: hll_estimate(
-            hll_merge(
-                hll_build(
-                    read_events(spark, SF_DIR).select(
-                        "event_type",
-                        (F.col("event_id") % 8).alias("sh"),
+        run("pagerank", _bench_pagerank)
+        run(
+            "image_phash",
+            lambda: image_phash_near_dup(
+                dhash64(synthesize_images_dhash(bdocs)), max_hamming=4
+            ).count(),
+        )
+        run(
+            "hll_distinct",
+            lambda: hll_estimate(
+                hll_merge(
+                    hll_build(
+                        read_events(spark, SF_DIR).select(
+                            "event_type",
+                            (F.col("event_id") % 8).alias("sh"),
+                            "user_id",
+                        ),
+                        ["event_type", "sh"],
                         "user_id",
                     ),
-                    ["event_type", "sh"],
-                    "user_id",
+                    ["event_type"],
                 ),
                 ["event_type"],
-            ),
-            ["event_type"],
-        ).count(),
-    )
-    run(
-        "hybrid_rrf",
-        lambda: hybrid_rrf_topk(
-            bdocs, bemb, ["join", "spark", "vector"], 0, k=10
-        ).count(),
-    )
-    run(
-        "audio_vad",
-        lambda: audio_vad(synthesize_audio_vad(bdocs))
-        .groupBy()
-        .agg(F.sum(F.col("active").cast("long")))
-        .collect(),
-    )
-    run(
-        "curriculum",
-        lambda: curriculum_tiers(
-            bdocs.select("doc_id", "source", "n_chars"), "n_chars"
-        ).count(),
-    )
+            ).count(),
+        )
+        run(
+            "hybrid_rrf",
+            lambda: hybrid_rrf_topk(
+                bdocs, bemb, ["join", "spark", "vector"], 0, k=10
+            ).count(),
+        )
+        run(
+            "audio_vad",
+            lambda: audio_vad(synthesize_audio_vad(bdocs))
+            .groupBy()
+            .agg(F.sum(F.col("active").cast("long")))
+            .collect(),
+        )
+        run(
+            "curriculum",
+            lambda: curriculum_tiers(
+                bdocs.select("doc_id", "source", "n_chars"), "n_chars"
+            ).count(),
+        )
 
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import (

@@ -511,3 +511,109 @@ def curate_embeddings(
             F.sum("__csum").alias("code_digest"),
         )
     )
+
+
+def crawl_epoch(
+    candidates: DataFrame,
+    robots: DataFrame,
+    pages: DataFrame,
+    ranks: DataFrame,
+    agent: str = "*",
+    per_host_cap: int = 20,
+    top_n: int = 150,
+    n_shards: int = 8,
+) -> DataFrame:
+    """One crawl refresh epoch, end to end (VERDICT r9 item 5) — the
+    composition of the already-verified crawl operators in the order
+    a production crawl runs them:
+
+      1. robots gate       — robots.robots_rules + robots_allowed
+      2. frontier schedule — graph.crawl_frontier (URL-set dedup,
+                             per-host politeness cap, authority cut)
+         + fetch-offset plan (robots.robots_crawl_delay: each URL's
+         earliest Crawl-delay-honoring in-batch fetch time)
+      3. ingest            — ``pages`` is the fetch boundary: (url,
+                             html) rows, in production the WARC store
+                             (sources/warc.py read_warc ->
+                             split_http_payload), joined on url
+      4. extract           — text.html_to_text regex cascade
+      5. URL dedup         — urls.canonical_url collapse (the messy
+                             twin a crawl re-discovers under casing /
+                             default ports / fragments), smallest raw
+                             URL survives
+      6. content dedup     — exact text collapse across canonical
+                             URLs (same page served at two paths),
+                             smallest URL survives; commutes with the
+                             gate (verdict depends only on text) but
+                             runs first so the kept representative is
+                             dedup-stable
+      7. quality gate      — text.gopher_keep over the EXTRACTED text
+      8. shard manifest    — sampling.shard_manifest keyed on url,
+                             checksum covering (url, text,
+                             fetch_offset_s, rank_micros)
+
+    Scale shape: each shuffle re-keys on a genuinely new key — host
+    (politeness window), canonical_url, text, shard hash — none
+    repartitions what a prior stage already partitioned; stages 1, 4
+    and 7 are narrow codegen expressions fused into the adjacent
+    scans, and the frontier cut bounds every downstream stage at
+    ``top_n`` rows. ``pages`` joins on url AFTER the cut, so at
+    100 TB the fetch store is probed for only the scheduled batch
+    (broadcast the top_n schedule against the store, never the
+    reverse).
+
+    Output: the epoch's export manifest — ``n_shards`` rows of
+    (shard, n_rows, n_keys, min_key, max_key, content_sum).
+    """
+    from pyspark.sql import Window
+
+    from sslr_spark.functions.graph import crawl_frontier
+    from sslr_spark.functions.robots import (
+        robots_allowed,
+        robots_crawl_delay,
+        robots_rules,
+    )
+    from sslr_spark.functions.sampling import shard_manifest
+    from sslr_spark.functions.text import gopher_keep, html_to_text
+    from sslr_spark.functions.urls import canonical_url, url_host
+
+    allowed = (
+        robots_allowed(
+            candidates.select("url"), robots_rules(robots, agent=agent)
+        )
+        .filter(F.col("allowed"))
+        .select("url", url_host(F.col("url")).alias("host"))
+    )
+    schedule = crawl_frontier(
+        allowed,
+        ranks,
+        per_host_cap=per_host_cap,
+        top_n=top_n,
+        delays=robots_crawl_delay(robots, agent=agent),
+    )
+    extracted = schedule.join(pages, "url").select(
+        "url",
+        "rank_micros",
+        "fetch_offset_s",
+        html_to_text(F.col("html")).alias("text"),
+    )
+    w_url = Window.partitionBy("canonical_url").orderBy("url")
+    url_deduped = (
+        extracted.withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn("__rn", F.row_number().over(w_url))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "canonical_url")
+    )
+    w_txt = Window.partitionBy("text").orderBy("url")
+    content_deduped = (
+        url_deduped.withColumn("__rn", F.row_number().over(w_txt))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    gated = content_deduped.filter(gopher_keep("text"))
+    return shard_manifest(
+        gated,
+        n_shards,
+        key_col="url",
+        content_cols=["url", "text", "fetch_offset_s", "rank_micros"],
+    )

@@ -187,7 +187,16 @@ def robots_allowed(
     URLs of their own host. Every input COLUMN and ROW rides through
     (grouping is by the full input row, so duplicate URLs under
     different ids stay distinct rows).
+
+    ``rules.host`` is normalized (lowercase, ``:port`` stripped) the
+    same way the per-URL host is, so a rules corpus keyed by
+    mixed-case or port-suffixed hosts still matches instead of
+    failing open to allowed=true.
     """
+    rules = rules.withColumn(
+        "host",
+        F.lower(F.regexp_replace(F.col("host"), ":[0-9]+$", "")),
+    )
     carry = [c for c in urls_df.columns if c != url_col]
     targets = urls_df.select(
         *carry,

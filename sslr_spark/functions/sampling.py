@@ -1389,6 +1389,7 @@ def curriculum_tiers(
     n_tiers: int = 10,
     id_col: str = "doc_id",
     seed: str = "curriculum",
+    null_tier: int | None = None,
 ) -> DataFrame:
     """Curriculum-learning order: assign every row an easy-to-hard
     TIER (0 = lowest ``score_col``) plus a deterministic intra-tier
@@ -1407,12 +1408,21 @@ def curriculum_tiers(
     boundary engine-exact under ties at the cost of tiers flexing by
     up to one score-value's multiplicity.
 
+    Rows with a NULL ``score_col`` are EXCLUDED from the output by
+    default (an inner join on the score can never match NULL, and a
+    null difficulty has no place on an easy-to-hard ramp); pass
+    ``null_tier`` to instead route them to that sentinel tier via a
+    null-safe join.  Either way NULL rows never count toward the tier
+    boundaries.
+
     Returns df columns + (tier int, order_key bigint). Downstream:
     ``repartitionByRange(tier, order_key)`` + ``sortWithinPartitions``
     writes the curriculum without any single-partition sort.
     """
-    hist = df.groupBy(F.col(score_col).alias("__s")).agg(
-        F.count(F.lit(1)).alias("__c")
+    hist = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     w = Window.orderBy("__s")  # bounded: one row per DISTINCT score
     tiers = hist.select(
@@ -1431,9 +1441,19 @@ def curriculum_tiers(
             "tier"
         ),
     )
-    keyed = df.join(
-        F.broadcast(tiers), F.col(score_col) == F.col("__s")
-    ).drop("__s")
+    if null_tier is not None:
+        sentinel = (
+            df.sparkSession.range(1)
+            .select(
+                F.lit(None).cast(df.schema[score_col].dataType).alias("__s"),
+                F.lit(int(null_tier)).cast("int").alias("tier"),
+            )
+        )
+        tiers = tiers.unionByName(sentinel)
+        cond = F.col(score_col).eqNullSafe(F.col("__s"))
+    else:
+        cond = F.col(score_col) == F.col("__s")
+    keyed = df.join(F.broadcast(tiers), cond).drop("__s")
     return keyed.withColumn(
         "order_key",
         h60(
@@ -1469,6 +1489,10 @@ def length_batches(
     corpus/(buckets*shards), and batches simply never cross shards
     (the standard trainer sharding contract; shuffle_order makes the
     same trade). Raise ``n_shards`` with the cluster, not the data.
+
+    Rows with a NULL ``len_col`` are excluded (inherited from
+    :func:`curriculum_tiers`; a row without a length cannot be packed
+    into a rectangular batch).
 
     Output one row per batch: (tier, shard, batch_id, n_rows,
     max_len, sum_len, pad_waste).

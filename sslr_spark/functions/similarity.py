@@ -2400,14 +2400,32 @@ def topk_matryoshka(
     ranking (ties on id), so the cut and the final order are
     integer-decided — engine-exact. Output: (id, cos_prefix_micros,
     cos_full_micros), top-``k`` by full-vector cosine.
+
+    A zero-norm vector (or zero-norm PREFIX slice — possible even for
+    nonzero vectors) makes the cosine 0/0: Spark yields NaN→NULL
+    while DuckDB sorts NaN highest, so such rows would diverge
+    between engine and oracle. Both stages therefore guard the
+    denominator with nullif and coalesce the quantized score to a
+    MIN-sentinel, ranking undefined-similarity rows last on every
+    engine (the oracle SQL applies the identical guard).
     """
+    sentinel = -(1 << 62)
+
+    def _micros(cos):
+        return F.coalesce(
+            F.floor(F.round(cos, 6) * F.lit(1e6) + F.lit(0.5)).cast(
+                "long"
+            ),
+            F.lit(sentinel),
+        )
+
     pref = f"slice({vec_col}, 1, {prefix_dim})"
     q = df.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__qvec"),
         F.expr(pref).alias("__qpref"),
     )
-    cos_p = dot_expr("__pref", "__qpref") / (
-        norm_expr("__pref") * norm_expr("__qpref")
+    cos_p = dot_expr("__pref", "__qpref") / F.nullif(
+        norm_expr("__pref") * norm_expr("__qpref"), F.lit(0.0)
     )
     stage1 = (
         df.filter(F.col(id_col) != query_vec_id)
@@ -2417,21 +2435,19 @@ def topk_matryoshka(
             id_col,
             vec_col,
             "__qvec",
-            F.floor(F.round(cos_p, 6) * F.lit(1e6) + F.lit(0.5))
-            .cast("long")
-            .alias("cos_prefix_micros"),
+            _micros(cos_p).alias("cos_prefix_micros"),
         )
         .orderBy(F.col("cos_prefix_micros").desc(), F.col(id_col))
         .limit(shortlist)
     )
-    cos_f = cosine_expr(vec_col, "__qvec")
+    cos_f = dot_expr(vec_col, "__qvec") / F.nullif(
+        norm_expr(vec_col) * norm_expr("__qvec"), F.lit(0.0)
+    )
     return (
         stage1.select(
             id_col,
             "cos_prefix_micros",
-            F.floor(F.round(cos_f, 6) * F.lit(1e6) + F.lit(0.5))
-            .cast("long")
-            .alias("cos_full_micros"),
+            _micros(cos_f).alias("cos_full_micros"),
         )
         .orderBy(F.col("cos_full_micros").desc(), F.col(id_col))
         .limit(k)

@@ -792,13 +792,18 @@ def read_merged(
     keys = log.select(*pk_cols)
     # pre-collapse footer count is an upper bound on distinct keys —
     # zero Spark jobs; the width sample (bounded collect of 100 keys)
-    # only runs when the 16-byte-minimum lower bound already fits
+    # only runs when the 16-byte-minimum lower bound already fits.
+    # Sample from the RAW log, not the collapsed one: key width is
+    # identical (same columns) but the collapsed frame would drag the
+    # latest-version window's shuffle into the probe — the r9
+    # mor_append_read regression (clean 1.34 s vs r8 0.80 s) was
+    # exactly that extra per-read log shuffle.
     log_rows = (
         target.table_rows(log_t) if hasattr(target, "table_rows") else None
     )
     force_broadcast = False
     if log_rows is not None and log_rows * 16 <= broadcast_key_bytes:
-        sample = keys.limit(100).collect()
+        sample = raw_log.select(*pk_cols).limit(100).collect()
         row_bytes = max(  # conservative: max sampled width
             (sum(len(str(v)) for v in r) + 16 for r in sample),
             default=16,

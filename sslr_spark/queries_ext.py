@@ -1427,6 +1427,16 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _cos_sql_guarded(a: str, b: str) -> str:
+    """Cosine with a nullif(0) denominator — NULL instead of NaN on a
+    zero-norm side, matching the Spark-side guard in
+    similarity.topk_matryoshka."""
+    return (
+        _DOT.format(a=a, b=b)
+        + f" / nullif({_NORM.format(a=a)} * {_NORM.format(a=b)}, 0)"
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup pairs (cosine >= 0.3, label-blocked).
     0.3 is deliberately low: the synthetic embeddings' within-label
@@ -3424,15 +3434,20 @@ def q_text_gopher_flags(spark, sf_dir):
 
 
 # words over coalesced text (gopher treats null as empty, like Spark)
-SQL_TEXT_GOPHER_FLAGS = f"""
+def _gopher_flags_sql(source: str = "documents", id_col: str = "doc_id") -> str:
+    """The Gopher rule battery over any (id, text) relation — the
+    SQL_TEXT_GOPHER_FLAGS body parameterized so composition oracles
+    (x_crawl_epoch) can gate THEIR text column with byte-identical
+    rules."""
+    return f"""
 with base as (
-  select doc_id, coalesce(text, '') as t, {_GW} as ws,
+  select {id_col}, coalesce(text, '') as t, {_GW} as ws,
          list_filter(string_split(coalesce(text, ''), chr(10)),
                      l -> length(trim(l)) > 0) as ls
-  from documents
+  from {source}
 ),
 m as (
-  select doc_id,
+  select {id_col},
     cast(len(ws) as bigint) as n_words,
     cast(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
          as bigint) as sum_word_chars,
@@ -3453,7 +3468,7 @@ m as (
       as n_stopwords_present
   from base
 )
-select doc_id, n_words, sum_word_chars, n_lines, n_bullet_lines,
+select {id_col}, n_words, sum_word_chars, n_lines, n_bullet_lines,
        n_ellipsis_lines, n_alpha_words, n_symbol_hits,
        n_stopwords_present,
        n_words >= 50 and n_words <= 100000 as ok_word_count,
@@ -3474,6 +3489,9 @@ select doc_id, n_words, sum_word_chars, n_lines, n_bullet_lines,
          and (n_stopwords_present >= 2) as keep
 from m
 """
+
+
+SQL_TEXT_GOPHER_FLAGS = _gopher_flags_sql()
 
 
 def q_x_curation_pipeline(spark, sf_dir):
@@ -6152,6 +6170,65 @@ order by doc_a, doc_b
 """
 
 
+def q_dedup_image_phash_clusters(spark, sf_dir):
+    """Linear-output image near-dup dedup (dedup.py
+    image_phash_clusters — the VERDICT r9 item-3 star-collapse):
+    identical hashes collapse to hub nodes BEFORE any pair forms, the
+    banded Hamming join runs over distinct hash values only, and
+    large/small-star CC labels each image with its component's
+    smallest doc_id. One row per image, never C(c,2) pair rows —
+    the dedup path for dup-heavy crawl corpora, next to
+    dedup_image_phash's calibration pair list."""
+    from sslr_spark.functions.dedup import image_phash_clusters
+    from sslr_spark.functions.multimodal import (
+        dhash64,
+        synthesize_images_dhash,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    hashes = dhash64(synthesize_images_dhash(docs))
+    return image_phash_clusters(hashes, max_hamming=4).orderBy("doc_id")
+
+
+SQL_DEDUP_IMAGE_PHASH_CLUSTERS = f"""
+with {_DHASH_PH_CTES},
+hubs as (select phash, min(doc_id) as hub from ph group by phash),
+hb as (
+  select hub, phash, i, (phash >> (7 * i)) & 127 as v
+  from hubs, generate_series(0, 7) t(i)
+),
+hpairs as (
+  select distinct a.hub as doc_a, b.hub as doc_b
+  from hb a join hb b
+    on a.i = b.i and a.v = b.v and a.hub < b.hub
+  where bit_count(xor(a.phash, b.phash)) <= 4
+),
+hedges as (
+  select doc_a as src, doc_b as dst from hpairs
+  union
+  select doc_b as src, doc_a as dst from hpairs
+),
+hreach as (
+  with recursive r(src, dst) as (
+    select src, dst from hedges
+    union
+    select r.src, e.dst from r join hedges e on r.dst = e.src
+  )
+  select * from r
+),
+hcomp as (
+  select src as hub, least(src, min(dst)) as cluster_id
+  from hreach group by src
+)
+select p.doc_id, p.phash,
+       coalesce(c.cluster_id, h.hub) as cluster_id
+from ph p
+join hubs h using (phash)
+left join hcomp c on c.hub = h.hub
+order by p.doc_id
+"""
+
+
 def q_sample_curriculum(spark, sf_dir):
     """Curriculum tiering (sampling.py curriculum_tiers): documents
     split into 10 easy-to-hard tiers by n_chars via the histogram-
@@ -6238,17 +6315,22 @@ with q as (
   from embeddings where vec_id = 0
 ),
 s1 as (
+  -- zero-norm guard mirrors topk_matryoshka: nullif(denominator, 0)
+  -- + MIN-sentinel keeps undefined-cosine rows ranked LAST on both
+  -- engines (DuckDB would otherwise sort the raw NaN highest)
   select vec_id, embedding, qvec,
-         cast(floor(round(
-           {_cos_sql('embedding[1:4]', 'qpref')}, 6) * 1000000 + 0.5)
-           as bigint) as cos_prefix_micros
+         coalesce(cast(floor(round(
+           {_cos_sql_guarded('embedding[1:4]', 'qpref')}, 6)
+           * 1000000 + 0.5) as bigint),
+           -4611686018427387904) as cos_prefix_micros
   from embeddings, q where vec_id != 0
   order by cos_prefix_micros desc, vec_id
   limit 50
 )
 select vec_id, cos_prefix_micros,
-       cast(floor(round({_cos_sql('embedding', 'qvec')}, 6) * 1000000
-                  + 0.5) as bigint) as cos_full_micros
+       coalesce(cast(floor(round(
+         {_cos_sql_guarded('embedding', 'qvec')}, 6) * 1000000
+         + 0.5) as bigint), -4611686018427387904) as cos_full_micros
 from s1
 order by cos_full_micros desc, vec_id
 limit 10
@@ -7259,6 +7341,187 @@ order by url
 """
 
 
+def q_x_crawl_epoch(spark, sf_dir):
+    """One crawl refresh epoch end-to-end (curation.py crawl_epoch —
+    VERDICT r9 item 5): robots gate -> frontier schedule with
+    Crawl-delay fetch offsets -> page ingest at the fetch boundary ->
+    HTML text extraction -> canonical-URL dedup (every page also
+    appears under a messy cased/ported/fragmented twin, which the
+    r10 robots host normalization must still gate correctly) ->
+    exact content dedup -> Gopher quality gate over the EXTRACTED
+    text -> 8-shard export manifest. Every stage is an
+    already-verified operator; this key pins the COMPOSITION
+    against one DuckDB CTE chain."""
+    from sslr_spark.curation import crawl_epoch
+
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id") % 10
+    m = F.expr("doc_id div 10") % 5
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(m == 0, F.concat(F.lit("/open/"), did))
+        .when(m == 1, F.concat(F.lit("/blocked/"), did))
+        .when(m == 2, F.concat(F.lit("/blocked/except/"), did))
+        .when(m == 3, F.concat(F.lit("/priv"), k.cast("string"), F.lit("/"), did))
+        .otherwise(F.concat(F.lit("/page/"), did))
+    )
+    clean = F.concat(F.lit("http://host"), k.cast("string"), F.lit(".test"), path)
+    messy = F.concat(
+        F.lit("HTTP://Host"), k.cast("string"), F.lit(".TEST:80"), path,
+        F.lit("#frag"),
+    )
+    html = F.concat(
+        F.lit(_HTML_PRE), did, F.lit(_HTML_MID),
+        F.coalesce(F.col("text"), F.lit("")), F.lit(_HTML_POST),
+    )
+    candidates = docs.select(clean.alias("url")).unionByName(
+        docs.select(messy.alias("url"))
+    )
+    pages = docs.select(clean.alias("url"), html.alias("html")).unionByName(
+        docs.select(messy.alias("url"), html.alias("html"))
+    )
+    ks = docs.select((F.col("doc_id") % 10).alias("k")).distinct()
+    kc = F.col("k").cast("string")
+    robots = ks.select(
+        F.concat(F.lit("host"), kc, F.lit(".test")).alias("host"),
+        F.when(
+            F.col("k") % 3 == 0,
+            F.concat(
+                F.lit("User-agent: sslr-bot\nDisallow: /blocked\nCrawl-delay: "),
+                (F.col("k") % 5 + 1).cast("string"),
+                F.lit("\nUser-agent: *\nDisallow: /\nCrawl-delay: 99\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("User-agent: *\nDisallow: /priv"), kc, F.lit("\n"))
+        )
+        .alias("robots_txt"),
+    )
+    ranks = ks.select(
+        F.concat(F.lit("host"), kc, F.lit(".test")).alias("host"),
+        ((F.lit(1000) - F.col("k")) * 1000).cast("long").alias("rank_micros"),
+    )
+    return crawl_epoch(
+        candidates, robots, pages, ranks,
+        agent="sslr-bot", per_host_cap=20, top_n=150, n_shards=8,
+    ).orderBy("shard")
+
+
+_EPOCH_SHARD_KEY = h60_sql(
+    "concat('shard', ':', coalesce(cast(url as varchar), chr(0)))"
+)
+_EPOCH_SHARD_SIG = h60_sql(
+    "concat_ws(chr(31), coalesce(cast(url as varchar), chr(0)), "
+    "coalesce(cast(text as varchar), chr(0)), "
+    "coalesce(cast(fetch_offset_s as varchar), chr(0)), "
+    "coalesce(cast(rank_micros as varchar), chr(0)))"
+)
+
+
+def _crawl_epoch_sql() -> str:
+    from sslr_spark.functions.text import html_to_text_sql
+    from sslr_spark.functions.urls import canonical_url_sql
+
+    return f"""
+with d as (
+  select doc_id, text, doc_id % 10 as k, (doc_id // 10) % 5 as m,
+         case (doc_id // 10) % 5
+              when 0 then concat('/open/', doc_id)
+              when 1 then concat('/blocked/', doc_id)
+              when 2 then concat('/blocked/except/', doc_id)
+              when 3 then concat('/priv', doc_id % 10, '/', doc_id)
+              else concat('/page/', doc_id) end as path
+  from documents
+),
+cand as (
+  select doc_id, k, m, concat('http://host', k, '.test', path) as url
+  from d
+  union all
+  select doc_id, k, m,
+         concat('HTTP://Host', k, '.TEST:80', path, '#frag') as url
+  from d
+),
+alw as (
+  -- robots closed form for agent sslr-bot: exact-agent hosts
+  -- (k%3==0) block /blocked*, star hosts block /priv{{k}}
+  select url, doc_id, k, concat('host', k, '.test') as host
+  from cand
+  where not (k % 3 = 0 and m in (1, 2)) and not (k % 3 != 0 and m = 3)
+),
+slots as (
+  select url, host,
+         row_number() over (partition by host order by url) as host_pos
+  from (select distinct url, host from alw)
+),
+sched as (
+  select s.url, s.host,
+         cast((1000 - a.k) * 1000 as bigint) as rank_micros,
+         cast((s.host_pos - 1)
+              * case when a.k % 3 = 0 then a.k % 5 + 1 else 0 end as int)
+           as fetch_offset_s,
+         a.doc_id
+  from slots s
+  join (select distinct url, doc_id, k from alw) a on a.url = s.url
+  where s.host_pos <= 20
+  order by rank_micros desc, s.url
+  limit 150
+),
+pgsrc as (
+  select s.url, s.rank_micros, s.fetch_offset_s, doc.doc_id, doc.text
+  from sched s join documents doc on doc.doc_id = s.doc_id
+),
+ext as (
+  select url, rank_micros, fetch_offset_s,
+         {html_to_text_sql(_html_sql_expr())} as text
+  from pgsrc
+),
+udd as (
+  select url, rank_micros, fetch_offset_s, text
+  from (select *, row_number() over (partition by curl order by url) as rn
+        from (select *, {canonical_url_sql('url')} as curl from ext))
+  where rn = 1
+),
+cdd as (
+  select url, rank_micros, fetch_offset_s, text
+  from (select *,
+               row_number() over (partition by text order by url) as rn
+        from udd)
+  where rn = 1
+),
+gf as ({_gopher_flags_sql('cdd', 'url')}),
+gated as (
+  select cdd.* from cdd join gf on gf.url = cdd.url and gf.keep
+),
+sh as (
+  select cast({_EPOCH_SHARD_KEY} % 8 as int) as shard,
+         {_EPOCH_SHARD_SIG} % 1000000000000 as sig,
+         url
+  from gated
+),
+agg as (
+  select shard,
+         cast(count(*) as bigint) as n_rows,
+         cast(count(distinct url) as bigint) as n_keys,
+         min(url) as min_key,
+         max(url) as max_key,
+         cast(sum(cast(sig as decimal(38,0))) % 1000000000000 as bigint)
+           as content_sum
+  from sh group by shard
+)
+select g.shard,
+       coalesce(agg.n_rows, 0) as n_rows,
+       coalesce(agg.n_keys, 0) as n_keys,
+       agg.min_key, agg.max_key,
+       coalesce(agg.content_sum, 0) as content_sum
+from (select cast(range as int) as shard from range(0, 8)) g
+left join agg on agg.shard = g.shard
+order by g.shard
+"""
+
+
+SQL_X_CRAWL_EPOCH = _crawl_epoch_sql()
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7330,6 +7593,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_frontier_delay": q_x_frontier_delay,
     "x_zorder_key": q_x_zorder_key,
     "dedup_image_phash": q_dedup_image_phash,
+    "dedup_image_phash_clusters": q_dedup_image_phash_clusters,
+    "x_crawl_epoch": q_x_crawl_epoch,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -7501,6 +7766,8 @@ EXT_ORACLES: dict[str, str] = {
     "x_frontier_delay": SQL_X_FRONTIER_DELAY,
     "x_zorder_key": SQL_X_ZORDER_KEY,
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
+    "dedup_image_phash_clusters": SQL_DEDUP_IMAGE_PHASH_CLUSTERS,
+    "x_crawl_epoch": SQL_X_CRAWL_EPOCH,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,

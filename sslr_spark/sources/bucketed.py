@@ -61,20 +61,26 @@ def bucketed_pair(
     path: str,
     n_buckets: int = 8,
     name_prefix: str = "bucketed",
+    tag: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Stage two DataFrames as same-bucketing tables keyed for an
     exchange-free join: both bucketed into ``n_buckets`` on their join
-    key and sorted within buckets. Unique table names per call (the
-    in-memory catalog is session-global)."""
-    import uuid
+    key and sorted within buckets.
 
-    tag = uuid.uuid4().hex[:12]
+    Table names are DETERMINISTIC per ``name_prefix`` so repeated
+    calls in one session (e.g. bench reps) reclaim the previous
+    pair's catalog entries and table directory through
+    write_bucketed's drop-if-exists + overwrite, instead of
+    accumulating uuid-suffixed tables.  Pass ``tag`` when two pairs
+    must coexist in one session (the in-memory catalog is
+    session-global)."""
+    suffix = f"_{tag}" if tag else ""
     lt = write_bucketed(
-        left, f"{path}/l", f"{name_prefix}_l_{tag}",
+        left, f"{path}/l", f"{name_prefix}_l{suffix}",
         [key_left], n_buckets, sort_cols=[key_left],
     )
     rt = write_bucketed(
-        right, f"{path}/r", f"{name_prefix}_r_{tag}",
+        right, f"{path}/r", f"{name_prefix}_r{suffix}",
         [key_right], n_buckets, sort_cols=[key_right],
     )
     return lt, rt

@@ -1,0 +1,254 @@
+"""Round-10 ADVICE fixes (ADVICE.md r9, all low severity).
+
+Each test pins one fix:
+  1. curriculum_tiers NULL-score handling (excluded by default,
+     sentinel tier via null_tier=..., boundaries never count NULLs);
+  2. robots_allowed normalizes rules.host (mixed-case / :port rules
+     corpora no longer fail open to allowed=true);
+  3. bucketed_pair deterministic table names (repeated calls reclaim
+     catalog entries instead of accumulating uuid tables);
+  4. topk_matryoshka zero-norm guard (sentinel micros instead of
+     NaN/NULL ordering divergence between Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---- 1. curriculum_tiers NULL scores --------------------------------
+
+
+def _docs_with_nulls(spark):
+    rows = [(i, float(i % 7) if i % 5 else None) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def test_curriculum_null_scores_excluded_by_default(spark):
+    from sslr_spark.functions.sampling import curriculum_tiers
+
+    df = _docs_with_nulls(spark)
+    out = curriculum_tiers(df, "score", n_tiers=4)
+    ids = {r.doc_id for r in out.collect()}
+    assert ids == {i for i in range(40) if i % 5}  # NULL rows dropped
+    assert out.filter(F.col("tier").isNull()).count() == 0
+
+
+def test_curriculum_null_tier_sentinel_routes_nulls(spark):
+    from sslr_spark.functions.sampling import curriculum_tiers
+
+    df = _docs_with_nulls(spark)
+    out = curriculum_tiers(df, "score", n_tiers=4, null_tier=-1)
+    rows = {r.doc_id: r.tier for r in out.collect()}
+    assert set(rows) == set(range(40))  # every row survives
+    for i in range(0, 40, 5):
+        assert rows[i] == -1  # NULL scores land on the sentinel tier
+    # non-null rows get real tiers, and the sentinel rows still carry
+    # a deterministic order_key
+    assert all(0 <= t < 4 for d, t in rows.items() if d % 5)
+    ok = {r.doc_id: r.order_key for r in out.collect()}
+    out2 = curriculum_tiers(df, "score", n_tiers=4, null_tier=-1)
+    assert ok == {r.doc_id: r.order_key for r in out2.collect()}
+
+
+def test_curriculum_boundaries_ignore_null_rows(spark):
+    """Tier boundaries must be computed over non-NULL rows only: the
+    same non-null data with extra NULL rows appended yields identical
+    tiers for the non-null ids."""
+    from sslr_spark.functions.sampling import curriculum_tiers
+
+    clean = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "doc_id long, score double"
+    )
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(100 + i, None) for i in range(30)],
+            "doc_id long, score double",
+        )
+    )
+    t_clean = {
+        r.doc_id: r.tier
+        for r in curriculum_tiers(clean, "score", n_tiers=4).collect()
+    }
+    t_noisy = {
+        r.doc_id: r.tier
+        for r in curriculum_tiers(noisy, "score", n_tiers=4).collect()
+        if r.doc_id < 100
+    }
+    assert t_clean == t_noisy
+
+
+# ---- 2. robots_allowed host normalization ----------------------------
+
+
+def test_robots_allowed_normalizes_rules_host(spark):
+    from sslr_spark.functions.robots import robots_allowed
+
+    rules = spark.createDataFrame(
+        [
+            ("EXAMPLE.com", "/private", False),
+            ("shop.example.org:8080", "/", False),
+        ],
+        "host string, path string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.com/private/x"),
+            (2, "https://example.com/public"),
+            (3, "http://shop.example.org/anything"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.allowed for r in robots_allowed(urls, rules).collect()
+    }
+    # pre-fix these all came back allowed=true (fail-open): the
+    # mixed-case and port-suffixed rule hosts never matched
+    assert got == {1: False, 2: True, 3: False}
+
+
+# ---- 3. bucketed_pair deterministic names ----------------------------
+
+
+def test_bucketed_pair_reclaims_catalog_entries(spark, tmp_path):
+    from sslr_spark.sources.bucketed import bucketed_pair
+
+    left = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k2"), (F.col("id") * 3).alias("w")
+    )
+
+    def n_tables():
+        return len(
+            [
+                t
+                for t in spark.catalog.listTables()
+                if t.name.startswith("bpair10_")
+            ]
+        )
+
+    for i in range(3):  # bench-style repeated calls
+        lt, rt = bucketed_pair(
+            spark, left, right, "k", "k2",
+            str(tmp_path / f"b{i}"), n_buckets=4,
+            name_prefix="bpair10",
+        )
+        assert lt.join(rt, lt.k == rt.k2).count() == 100
+        assert n_tables() == 2  # reclaimed, not accumulated
+
+    # coexisting pairs still possible via explicit tags
+    bucketed_pair(
+        spark, left, right, "k", "k2", str(tmp_path / "tagged"),
+        n_buckets=4, name_prefix="bpair10", tag="aux",
+    )
+    assert n_tables() == 4
+    for t in list(spark.catalog.listTables()):
+        if t.name.startswith("bpair10_"):
+            spark.sql(f"drop table if exists {t.name}")
+
+
+# ---- image_phash_clusters: linear output on dup-heavy corpora --------
+
+
+def test_image_phash_clusters_linear_on_dup_heavy(spark):
+    """VERDICT r9 item 3: a c-fold duplicate cluster must emit c
+    (doc, cluster) rows and ZERO intra-cluster pairs at any stage —
+    where the pair list materializes C(c, 2) rows."""
+    from sslr_spark.functions.dedup import (
+        image_phash_clusters,
+        image_phash_near_dup,
+    )
+
+    # 300 docs: 200 share ONE hash (the aliased-pattern crawl shape),
+    # 50 sit 2 bits away (near-dups of the big cluster), 50 spread
+    # out via a 7x repetition code (pairwise Hamming >= 7 — mutually
+    # far AND far from the big cluster, asserted below).
+    def spread(i):
+        v = 0
+        for j in range(8):
+            if (i >> j) & 1:
+                v |= 0x7F << (7 * j)
+        return v ^ 0x2A2A2A2A2A2A2A  # offset away from the big hash
+
+    big, near = 0x00FF00FF00FF00, 0x00FF00FF00FF03
+    rows = (
+        [(i, big) for i in range(200)]
+        + [(200 + i, near) for i in range(50)]
+        + [(250 + i, spread(i)) for i in range(50)]
+    )
+    # brute-force union-find oracle over the distinct hashes
+    hashes = sorted({h for _, h in rows})
+    parent = {h: h for h in hashes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in hashes:
+        for b in hashes:
+            if a < b and bin(a ^ b).count("1") <= 4:
+                parent[find(a)] = find(b)
+    min_doc = {}
+    for d, h in rows:
+        r = find(h)
+        min_doc[r] = min(min_doc.get(r, d), d)
+    expected = {d: min_doc[find(h)] for d, h in rows}
+    # fixture sanity: one big 250-doc component + 50 singletons
+    assert sorted(
+        sum(1 for v in expected.values() if v == c)
+        for c in set(expected.values())
+    ) == [1] * 50 + [250]
+
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    out = image_phash_clusters(df, max_hamming=4).collect()
+    assert len(out) == 300  # linear: one row per doc, never C(c,2)
+    assert {r.doc_id: r.cluster_id for r in out} == expected
+
+    # contrast: the calibration pair list on the same corpus is
+    # quadratic — C(200,2) + 200*50 + C(50,2) intra-component pairs
+    n_pairs = image_phash_near_dup(df, max_hamming=4).count()
+    assert n_pairs == 200 * 199 // 2 + 200 * 50 + 50 * 49 // 2
+
+    # and the structural fix: the hub edge set the clusters path
+    # feeds to CC is ONE edge (two distinct hash values), not 31k
+    hubs = df.groupBy("phash").agg(F.min("doc_id").alias("d"))
+    hub_edges = image_phash_near_dup(
+        hubs.select(F.col("d").alias("doc_id"), "phash"), max_hamming=4
+    ).count()
+    assert hub_edges == 1
+
+
+# ---- 4. topk_matryoshka zero-norm sentinel ---------------------------
+
+
+def test_matryoshka_zero_norm_prefix_ranks_last(spark):
+    from sslr_spark.functions.similarity import topk_matryoshka
+
+    sentinel = -(1 << 62)
+    # vec 99 has a ZERO prefix (first 4 comps) but a nonzero tail —
+    # its prefix cosine is 0/0; vec 98 is all-zero (full cosine 0/0
+    # too). Both must rank LAST via the sentinel, never NaN.
+    rows = [
+        (i, [float(i + 1), 1.0, 0.5, 0.25, 1.0, 2.0]) for i in range(6)
+    ]
+    rows.append((99, [0.0, 0.0, 0.0, 0.0, 5.0, 5.0]))
+    rows.append((98, [0.0] * 6))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = topk_matryoshka(
+        df, query_vec_id=0, k=10, prefix_dim=4, shortlist=10
+    ).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert by_id[99].cos_prefix_micros == sentinel
+    assert by_id[98].cos_prefix_micros == sentinel
+    assert by_id[98].cos_full_micros == sentinel
+    # zero-prefix vec still gets a REAL full-vector score in stage 2
+    assert by_id[99].cos_full_micros > sentinel
+    # sentinel rows sort last among the k results
+    assert out[-1].vec_id == 98
+    for r in out:
+        assert r.cos_prefix_micros is not None
+        assert r.cos_full_micros is not None
