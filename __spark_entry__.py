@@ -61,10 +61,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # r10 rotation (VERDICT r9 item 1 — registration freeze): the entire
 # head is the evidence debt — the 17 keys never driver-verified followed
 # by 33 of the 34 keys whose latest driver evidence is r06.  The one
-# leftover (x_tpch_q1, trivial OLAP, re-verified locally) leads the tail
-# and is first into the r11 head.  NO new key enters the head this
-# round; any operator added in r10 registers at the tail top, directly
-# after x_tpch_q1.
+# leftover (x_tpch_q1, trivial OLAP, re-verified locally) waits just
+# behind them.  NO new key enters the head this round; operators added
+# in r10 (dedup_image_phash_clusters, x_crawl_epoch — both verified
+# locally at sf0.01 and sf0.001) are deliberately ABSENT from both
+# lists, so _ordered() places them between head and tail where they
+# lead the never-verified queue for the r11 head, followed by
+# x_tpch_q1 (tools/rotation_check.py asserts exactly this shape).
 
 # Keys whose semantics changed in the CURRENT session (exempt from the
 # staleness ordering check in tools/rotation_check.py because they

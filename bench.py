@@ -750,9 +750,12 @@ def main(only: set[str] | None = None) -> dict:
     # ---- round-9c sections ------------------------------------------
     # each runs the operator over the FULL sf table (the driver keys
     # cap doc_id for oracle size; bench measures the uncapped shape)
-    if want("pagerank", "image_phash", "hll_distinct", "hybrid_rrf",
-            "audio_vad", "curriculum"):
-        from sslr_spark.functions.dedup import image_phash_near_dup
+    if want("pagerank", "image_phash", "image_phash_clusters",
+            "hll_distinct", "hybrid_rrf", "audio_vad", "curriculum"):
+        from sslr_spark.functions.dedup import (
+            image_phash_clusters,
+            image_phash_near_dup,
+        )
         from sslr_spark.functions.graph import (
             extract_links,
             host_edges,
@@ -797,6 +800,14 @@ def main(only: set[str] | None = None) -> dict:
             ).count(),
         )
         run(
+            "image_phash_clusters",
+            # the r10 dedup path: linear (doc, cluster) output — the
+            # number to compare against image_phash's quadratic pairs
+            lambda: image_phash_clusters(
+                dhash64(synthesize_images_dhash(bdocs)), max_hamming=4
+            ).count(),
+        )
+        run(
             "hll_distinct",
             lambda: hll_estimate(
                 hll_merge(
@@ -832,6 +843,15 @@ def main(only: set[str] | None = None) -> dict:
             lambda: curriculum_tiers(
                 bdocs.select("doc_id", "source", "n_chars"), "n_chars"
             ).count(),
+        )
+
+    # ---- round-10: the crawl family composed end-to-end --------------
+    if want("crawl_epoch"):
+        from sslr_spark.queries_ext import q_x_crawl_epoch
+
+        run(
+            "crawl_epoch",
+            lambda: q_x_crawl_epoch(spark, SF_DIR).count(),
         )
 
     # ---- analytics shapes -------------------------------------------

@@ -591,7 +591,11 @@ def crawl_epoch(
         top_n=top_n,
         delays=robots_crawl_delay(robots, agent=agent),
     )
-    extracted = schedule.join(pages, "url").select(
+    # the fetch store (pages) is the 100 TB side; the schedule is
+    # top_n rows by construction — broadcast it so the store is
+    # probed without a shuffle (the docstring's "broadcast the top_n
+    # schedule against the store, never the reverse")
+    extracted = pages.join(F.broadcast(schedule), "url").select(
         "url",
         "rank_micros",
         "fetch_offset_s",

@@ -252,3 +252,77 @@ def test_matryoshka_zero_norm_prefix_ranks_last(spark):
     for r in out:
         assert r.cos_prefix_micros is not None
         assert r.cos_full_micros is not None
+
+
+# ---- crawl_epoch composition: exchange audit --------------------------
+
+
+def test_crawl_epoch_exchange_audit(spark):
+    """VERDICT r9 item 5's plan criterion: no stage of the composed
+    crawl epoch re-shuffles what a prior stage already partitioned.
+
+    Audited over pre-materialized local inputs so the fixture
+    contributes no exchanges of its own.  The DATA side (pages — the
+    100 TB side — and the scheduled batch flowing through dedup and
+    gates) must show each semantic re-key exactly once and the fetch
+    join must NOT shuffle the store (the bounded top_n schedule
+    broadcasts against it).  host-keyed exchanges all belong to the
+    METADATA side: robots group-selection windows and the politeness
+    window run over per-host rows (~1e8 hosts at web scale, not
+    100 TB), so they are bounded, not forbidden."""
+    import re
+    from collections import Counter
+
+    from sslr_spark.curation import crawl_epoch
+    from tests.test_plans import plan_of
+
+    cand = spark.createDataFrame(
+        [(f"http://h{i % 5}.test/p/{i}",) for i in range(200)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            (f"h{i}.test", "User-agent: *\nDisallow: /x\nCrawl-delay: 2\n")
+            for i in range(5)
+        ],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (
+                f"http://h{i % 5}.test/p/{i}",
+                f"<html><body><p>{'word ' * 60}{i}</p></body></html>",
+            )
+            for i in range(200)
+        ],
+        "url string, html string",
+    )
+    ranks = spark.createDataFrame(
+        [(f"h{i}.test", 1000 * i) for i in range(5)],
+        "host string, rank_micros long",
+    )
+    df = crawl_epoch(
+        cand, robots, pages, ranks, per_host_cap=50, top_n=100, n_shards=4
+    )
+    plan = plan_of(df)
+    specs = re.findall(r"Exchange hashpartitioning\(([^)\n]*)", plan)
+    counts = Counter(s.split("#")[0].split(",")[0].strip() for s in specs)
+    # data-side re-keys: exactly one exchange each for the dedup
+    # collapses; url-keyed exchanges belong to the PRE-CUT candidate
+    # set (robots verdict aggregate, frontier URL-set distinct — at
+    # most those two), never the fetch store: the bounded top_n
+    # schedule broadcasts against pages instead of shuffling it
+    assert counts["canonical_url"] == 1, (counts, plan)
+    assert counts["text"] == 1, (counts, plan)
+    assert counts["url"] <= 2, (counts, plan)
+    assert "BroadcastHashJoin" in plan
+    # shard: partial/final aggregate + the n_shards-row cover join
+    assert counts["shard"] <= 3, (counts, plan)
+    # metadata side: robots parse windows + politeness window, bounded
+    host_like = sum(
+        n for k, n in counts.items() if k in ("host", "__rh", "__dh")
+    )
+    assert host_like <= 20, (counts, plan)
+    # and the frontier cut must be a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert df.count() == 4
