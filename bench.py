@@ -892,6 +892,34 @@ def main(only: set[str] | None = None) -> dict:
 # item 4: regressions must be attributed, not shrugged at). Keys are
 # section names; values are one-line findings with the evidence.
 SECTION_NOTES = {
+    "ivfpq_residual": (
+        "r10 attribution (VERDICT r9 item 2 — the one section >2x "
+        "without its own snapshot figure): byte-level comparison of "
+        "every function on the path (ivfpq_topk_residual/_serve, "
+        "ivf_index_fixed, pq_encode_with_books, _codebooks_from_ids, "
+        "_topk_per_query_salted, the q_ wrapper and its constants) "
+        "shows r8 -> r10 IDENTICAL; same-box --only snapshot runs: "
+        "r8 code min 4.85-5.73 s across 4 trials, r9-head code "
+        "4.57-5.54 s across 3 — and the decisive SAME-SparkSession "
+        "interleaved A/B (old and new queries_ext loaded side by "
+        "side, alternating reps in one JVM) reads old 6.07 s min vs "
+        "new 5.82 s min with both swinging 6-22 s rep-to-rep on "
+        "identical code. The r9 10.98 s (and its 8.97 s 'clean' "
+        "rerun) are noisy-box samples of a ~4.5-5.5 s section; no "
+        "code regression exists."
+    ),
+    "mor_append_read": (
+        "r10 attribution + fix (VERDICT r9 item 4): same-box --only "
+        "trials — r8 snapshot 1.25 s min (its recorded 0.80 was a "
+        "quieter window), r9 head 1.67 s (+0.42: the broadcast "
+        "byte-gate's width sample collected from the POST-collapse "
+        "log, dragging the latest-version window's shuffle into "
+        "every read), r10 1.41 s after sampling the RAW log instead "
+        "(updates.py read_merged — key width is identical, zero "
+        "extra shuffle). Remaining +0.16 vs r8 code = the footer "
+        "row-count probe + bounded 100-key collect + copy-pending "
+        "marker check the r9 features legitimately added per read."
+    ),
     # round-9c (continuation-2) environment attribution: the final
     # full pass measured pq_build/pq_query/winnow_spans/quality_gate/
     # ivfpq_residual/shuffle_order 1.7-2.9x over the earlier r9
@@ -910,7 +938,11 @@ SECTION_NOTES = {
         "OUTPUT is quadratic in duplicate-cluster size (K=10 probe: "
         "~5M true pairs from the aliased pattern space in ~8 s) — "
         "dup-heavy corpora should collapse via star clustering "
-        "instead of materializing pairs"
+        "instead of materializing pairs. CLOSED in r10: "
+        "image_phash_clusters (its own section) collapses identical "
+        "hashes to hub nodes BEFORE any pair forms — output linear; "
+        "probe: 10x data grew the pair list 63x but cluster rows "
+        "exactly 10x"
     ),
     "pagerank": (
         "3 fixed iterations over the host graph; each iteration adds "
