@@ -908,6 +908,15 @@ SECTION_NOTES = {
         "rerun) are noisy-box samples of a ~4.5-5.5 s section; no "
         "code regression exists."
     ),
+    "incr_update": (
+        "r10 full-pass 8.87 s vs r9 3.57 s attributed ENVIRONMENT: "
+        "isolated same-box --only trials read r10 5.28 s (min 3.79) "
+        "vs r9-HEAD CODE 5.09 s (min 4.57) — old code equal-or-worse "
+        "on today's box; nothing on the path changed in r10. "
+        "full_copy (1.55x) and agg_probe (3.55x, 0.4 s absolute) "
+        "likewise read 1.17/0.16 s isolated — exactly their r9 "
+        "records; full-pass contention, not code."
+    ),
     "mor_append_read": (
         "r10 attribution + fix (VERDICT r9 item 4): same-box --only "
         "trials — r8 snapshot 1.25 s min (its recorded 0.80 was a "
