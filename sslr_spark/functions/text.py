@@ -1312,3 +1312,101 @@ def chat_truncate(
         "suffix_chars", F.sum("content_chars").over(w).cast("long")
     )
     return sized.filter(F.col("suffix_chars") <= budget_chars)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+    word_re: str = "^[a-z]+$",
+) -> DataFrame:
+    """Byte-pair-encoding merge-RULE training (Sennrich et al. 2016)
+    — the iterative trainer on top of :func:`bpe_merge_pairs`'s single
+    counting step: ``n_merges`` rounds of (count adjacent symbol
+    pairs over the word histogram) -> (pick the most frequent pair,
+    ties by pair text) -> (merge every occurrence corpus-wide), the
+    loop that actually produces a tokenizer's merge table.
+
+    Words live as SPACE-JOINED symbol strings; a round's merge is the
+    canonical greedy left-to-right fold (``aggregate`` over the
+    symbol array: when the accumulator's last symbol is ``lhs`` and
+    the next is ``rhs``, splice in ``merged``) — provably identical
+    to the reference re.sub-on-the-pre-round-string semantics,
+    including runs like 'aaaa' -> [aa, aa] (pinned in tests). The
+    fold's lhs/rhs/merged come from a CROSS-JOINED broadcast 1-row
+    argmax frame, so no training statistic ever rides through the
+    driver and the whole loop replays as nested SQL CTEs in the
+    oracle.
+
+    Scale shape — the two-level plan real BPE trainers use: the
+    corpus collapses ONCE to the (word, freq) vocabulary (billions of
+    token occurrences -> millions of distinct words), and every round
+    costs one map-side-combined pair aggregate + a TakeOrdered(1) +
+    one narrow fold projection over the vocabulary only.
+    localCheckpoint per round keeps the plan flat (the pagerank
+    lineage-truncation pattern); rounds are inherently sequential —
+    that is BPE, not a Spark limitation. ``word_re`` restricts
+    training to plain lowercase words by default so character
+    splitting is engine-portable (no grapheme-cluster ambiguity).
+
+    Output: one row per learned rule — (rank, lhs, rhs, merged,
+    pair_count), rank 1 = first merge.
+    """
+    a = "split(s, ' ')"
+    # guard: sequence(1, 0) DESCENDS in Spark, so a fully-merged
+    # single-symbol word would index element_at(a, 2) out of bounds
+    pair_expr = (
+        f"case when size({a}) < 2 then "
+        "array()::array<struct<lhs string, rhs string>> else "
+        f"transform(sequence(1, size({a}) - 1), "
+        f"i -> struct(element_at({a}, i) as lhs, "
+        f"element_at({a}, i + 1) as rhs)) end"
+    )
+    merge_expr = (
+        f"case when size({a}) = 1 then element_at({a}, 1) else "
+        f"aggregate(slice({a}, 2, size({a}) - 1), element_at({a}, 1), "
+        "(acc, x) -> case when regexp_extract(acc, '([^ ]+)$', 1) = lhs "
+        "and x = rhs "
+        "then concat(substring(acc, 1, length(acc) - length(lhs)), merged) "
+        "else concat(acc, ' ', x) end) end"
+    )
+    vocab = (
+        df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
+        .filter(F.col("w").rlike(word_re) & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = vocab.select(
+        F.array_join(F.split(F.col("w"), ""), " ").alias("s"), "freq"
+    ).localCheckpoint(eager=True)
+    rounds = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            cur.select(F.explode(F.expr(pair_expr)).alias("p"), "freq")
+            .groupBy(
+                F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+            )
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+            .limit(1)
+            .withColumn("merged", F.concat(F.col("lhs"), F.col("rhs")))
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            best.select(
+                F.lit(rank).cast("int").alias("rank"),
+                "lhs",
+                "rhs",
+                "merged",
+                "pair_count",
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(F.expr(merge_expr).alias("s"), "freq")
+            .localCheckpoint(eager=True)
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out

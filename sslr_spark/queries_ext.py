@@ -7522,6 +7522,68 @@ order by g.shard
 SQL_X_CRAWL_EPOCH = _crawl_epoch_sql()
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """BPE merge-rule training, 5 rounds (text.py bpe_train — the
+    iterative trainer over bpe_merge_pairs' counting step): per round
+    the most frequent adjacent symbol pair over the word histogram
+    (ties by pair text) merges corpus-wide via the canonical greedy
+    left-to-right fold; the argmax rides a broadcast 1-row frame, so
+    the whole loop is declarative and the oracle replays all 5 rounds
+    as nested CTEs (the pagerank fixed-iteration pattern)."""
+    from sslr_spark.functions.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=5).orderBy("rank")
+
+
+def _bpe_train_sql(n_merges: int = 5) -> str:
+    rounds = []
+    for k in range(1, n_merges + 1):
+        rounds.append(f"""
+p{k} as (
+  select a[i] as lhs, a[i + 1] as rhs, sum(freq) as pair_count
+  from (select string_split(s, ' ') as a, freq,
+               unnest(generate_series(1, len(string_split(s, ' ')) - 1))
+                 as i
+        from w{k - 1})
+  group by 1, 2
+),
+b{k} as (select lhs, rhs, lhs || rhs as merged, pair_count
+         from p{k} order by pair_count desc, lhs, rhs limit 1),
+w{k} as (
+  select case when len(a) = 1 then a[1]
+    else list_reduce(a, (acc, x) -> case
+      when regexp_extract(acc, '([^ ]+)$', 1) = b.lhs and x = b.rhs
+      then substring(acc, 1, length(acc) - length(b.lhs)) || b.merged
+      else acc || ' ' || x end) end as s, freq
+  from (select string_split(s, ' ') as a, freq from w{k - 1}), b{k} b
+)""")
+    finals = "\nunion all\n".join(
+        f"select cast({k} as int) as rank, lhs, rhs, merged, "
+        f"cast(pair_count as bigint) as pair_count from b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        """
+with v as (
+  select w, count(*) as freq from (
+    select unnest(string_split_regex(trim(coalesce(lower(text), '')),
+                                     '\\s+')) as w
+    from documents
+  ) where regexp_matches(w, '^[a-z]+$') and length(w) >= 2
+  group by w
+),
+w0 as (select array_to_string(string_split(w, ''), ' ') as s, freq
+       from v),"""
+        + ",".join(rounds)
+        + "\n"
+        + finals
+        + "\norder by rank"
+    )
+
+
+SQL_TEXT_BPE_TRAIN = _bpe_train_sql()
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7595,6 +7657,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_image_phash": q_dedup_image_phash,
     "dedup_image_phash_clusters": q_dedup_image_phash_clusters,
     "x_crawl_epoch": q_x_crawl_epoch,
+    "text_bpe_train": q_text_bpe_train,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -7768,6 +7831,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_image_phash": SQL_DEDUP_IMAGE_PHASH,
     "dedup_image_phash_clusters": SQL_DEDUP_IMAGE_PHASH_CLUSTERS,
     "x_crawl_epoch": SQL_X_CRAWL_EPOCH,
+    "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,

@@ -326,3 +326,57 @@ def test_crawl_epoch_exchange_audit(spark):
     # and the frontier cut must be a TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
     assert df.count() == 4
+
+
+# ---- bpe_train: canonical reference comparison ------------------------
+
+
+def test_bpe_train_matches_reference_merges(spark):
+    """bpe_train vs an independent canonical implementation
+    (Sennrich-style: re.sub over the pre-round space-joined word
+    histogram), including the 'aaaa' repeated-run case where greedy
+    merging must yield [aa, aa]."""
+    import re
+    from collections import Counter
+
+    from sslr_spark.functions.text import bpe_train
+
+    texts = [
+        "low low low low lower lower newest newest",
+        "newest newest newest widest widest aaaa lower low",
+        "the quick brown fox jumps over the lazy dog aaaa",
+    ]
+
+    def reference(texts, n_merges):
+        vocab = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                if re.fullmatch("[a-z]+", w) and len(w) >= 2:
+                    vocab[w] += 1
+        hist = {" ".join(w): c for w, c in vocab.items()}
+        rules = []
+        for rank in range(1, n_merges + 1):
+            pairs = Counter()
+            for s, c in hist.items():
+                syms = s.split(" ")
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            (l, r), cnt = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            rules.append((rank, l, r, l + r, cnt))
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(l) + " " + re.escape(r) + r"(?!\S)"
+            )
+            hist = {pat.sub(l + r, s): c for s, c in hist.items()}
+        return rules
+
+    expected = reference(texts, 5)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+        for r in bpe_train(df, n_merges=5).orderBy("rank").collect()
+    ]
+    assert got == expected, (got, expected)
