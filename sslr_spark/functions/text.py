@@ -1314,6 +1314,24 @@ def chat_truncate(
     return sized.filter(F.col("suffix_chars") <= budget_chars)
 
 
+def _bpe_merge_expr(lhs: str, rhs: str, merged: str) -> str:
+    """One BPE merge round over a space-joined symbol string column
+    ``s`` as a Spark SQL expression: the canonical greedy
+    left-to-right fold, parameterized by SQL expressions for the
+    rule's sides (column references in the trainer, quoted literals
+    in the tokenizer)."""
+    a = "split(s, ' ')"
+    return (
+        f"case when size({a}) = 1 then element_at({a}, 1) else "
+        f"aggregate(slice({a}, 2, size({a}) - 1), element_at({a}, 1), "
+        f"(acc, x) -> case when regexp_extract(acc, '([^ ]+)$', 1) = {lhs} "
+        f"and x = {rhs} "
+        f"then concat(substring(acc, 1, length(acc) - length({lhs})), "
+        f"{merged}) "
+        "else concat(acc, ' ', x) end) end"
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -1362,14 +1380,7 @@ def bpe_train(
         f"i -> struct(element_at({a}, i) as lhs, "
         f"element_at({a}, i + 1) as rhs)) end"
     )
-    merge_expr = (
-        f"case when size({a}) = 1 then element_at({a}, 1) else "
-        f"aggregate(slice({a}, 2, size({a}) - 1), element_at({a}, 1), "
-        "(acc, x) -> case when regexp_extract(acc, '([^ ]+)$', 1) = lhs "
-        "and x = rhs "
-        "then concat(substring(acc, 1, length(acc) - length(lhs)), merged) "
-        "else concat(acc, ' ', x) end) end"
-    )
+    merge_expr = _bpe_merge_expr("lhs", "rhs", "merged")
     vocab = (
         df.select(F.explode(words(F.lower(F.col(text_col)))).alias("w"))
         .filter(F.col("w").rlike(word_re) & (F.length("w") >= 2))
@@ -1410,3 +1421,62 @@ def bpe_train(
     for r in rounds[1:]:
         out = out.unionByName(r)
     return out
+
+
+def bpe_tokenize_count(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_re: str = "^[a-z]+$",
+) -> DataFrame:
+    """Apply a TRAINED merge table (:func:`bpe_train` output) to the
+    corpus: per-document BPE token count — the number a token-budget
+    packer or a price estimate actually needs, under the tokenizer the
+    corpus itself trained.
+
+    The merge table is bounded by construction (one row per learned
+    rule), so it collects once and each rule becomes a literal greedy
+    fold applied IN RANK ORDER over the DISTINCT word set — the same
+    two-level trick as training: segmentation work scales with
+    vocabulary, not corpus; docs then join their words' symbol counts
+    back (one hash join on the word). Words outside ``word_re`` or
+    shorter than 2 chars pass through untrained as a single token.
+
+    Output: (id_col, n_words, n_bpe_tokens).
+    """
+    rules = [
+        (r.lhs, r.rhs, r.merged)
+        for r in merges.orderBy("rank").collect()
+    ]
+    for lhs, rhs, merged in rules:
+        if "'" in lhs + rhs + merged:
+            raise ValueError("merge rule symbols must not contain quotes")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(words(F.lower(F.col(text_col)))).alias("w"),
+    ).filter(F.col("w") != "")
+    trained = (
+        toks.filter(F.col("w").rlike(word_re) & (F.length("w") >= 2))
+        .select("w")
+        .distinct()
+        .withColumn("s", F.array_join(F.split(F.col("w"), ""), " "))
+    )
+    for lhs, rhs, merged in rules:
+        trained = trained.withColumn(
+            "s",
+            F.expr(_bpe_merge_expr(f"'{lhs}'", f"'{rhs}'", f"'{merged}'")),
+        )
+    seg = trained.select(
+        "w", F.size(F.split(F.col("s"), " ")).cast("long").alias("__n")
+    )
+    return (
+        toks.join(seg, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce(F.col("__n"), F.lit(1).cast("long"))).alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )

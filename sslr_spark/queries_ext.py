@@ -7584,6 +7584,53 @@ w0 as (select array_to_string(string_split(w, ''), ' ') as s, freq
 SQL_TEXT_BPE_TRAIN = _bpe_train_sql()
 
 
+def q_text_bpe_tokenize(spark, sf_dir):
+    """Corpus-trained BPE tokenization (text.py bpe_train ->
+    bpe_tokenize_count): train 5 merge rules on the documents table,
+    then segment every document with them — per-doc word count and
+    BPE token count, the token-budget number a packer prices with.
+    The oracle replays training AND application as one CTE chain
+    (untrained words pass through as single tokens)."""
+    from sslr_spark.functions.text import bpe_tokenize_count, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    return bpe_tokenize_count(docs, bpe_train(docs, n_merges=5)).orderBy(
+        "doc_id"
+    )
+
+
+def _bpe_tokenize_sql(n_merges: int = 5) -> str:
+    train = _bpe_train_sql(n_merges)
+    chain = train[: train.index("\nselect cast(1 as int) as rank")]
+    return (
+        chain
+        + f""",
+tok as (
+  select doc_id, w from (
+    select doc_id,
+           unnest(string_split_regex(trim(coalesce(lower(text), '')),
+                                     '\\s+')) as w
+    from documents
+  ) where w != ''
+),
+seg as (
+  select replace(s, ' ', '') as w,
+         cast(len(string_split(s, ' ')) as bigint) as n
+  from w{n_merges}
+)
+select t.doc_id,
+       cast(count(*) as bigint) as n_words,
+       cast(sum(coalesce(seg.n, 1)) as bigint) as n_bpe_tokens
+from tok t left join seg on seg.w = t.w
+group by t.doc_id
+order by t.doc_id
+"""
+    )
+
+
+SQL_TEXT_BPE_TOKENIZE = _bpe_tokenize_sql()
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7658,6 +7705,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_image_phash_clusters": q_dedup_image_phash_clusters,
     "x_crawl_epoch": q_x_crawl_epoch,
     "text_bpe_train": q_text_bpe_train,
+    "text_bpe_tokenize": q_text_bpe_tokenize,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -7832,6 +7880,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_image_phash_clusters": SQL_DEDUP_IMAGE_PHASH_CLUSTERS,
     "x_crawl_epoch": SQL_X_CRAWL_EPOCH,
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
+    "text_bpe_tokenize": SQL_TEXT_BPE_TOKENIZE,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,

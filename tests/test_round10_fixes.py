@@ -380,3 +380,52 @@ def test_bpe_train_matches_reference_merges(spark):
         for r in bpe_train(df, n_merges=5).orderBy("rank").collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_bpe_tokenize_count_matches_reference(spark):
+    """bpe_tokenize_count over the trained rules vs a Python
+    reference applying the same rules in rank order; untrained words
+    (non-[a-z]+ or single-char) pass through as one token."""
+    import re
+    from collections import Counter
+
+    from sslr_spark.functions.text import bpe_train, bpe_tokenize_count
+
+    texts = [
+        "low low lower lowest newest new 42 a!",
+        "newest newest widest wide new new lower",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+    rules = [
+        (r.lhs, r.rhs) for r in merges.orderBy("rank").collect()
+    ]
+
+    def segment(w):
+        s = " ".join(w)
+        for l, r in rules:
+            s = re.sub(
+                r"(?<!\S)" + re.escape(l) + " " + re.escape(r) + r"(?!\S)",
+                l + r,
+                s,
+            )
+        return len(s.split(" "))
+
+    expected = {}
+    for i, t in enumerate(texts):
+        n = 0
+        ws = t.lower().split()
+        for w in ws:
+            if re.fullmatch("[a-z]+", w) and len(w) >= 2:
+                n += segment(w)
+            else:
+                n += 1
+        expected[i] = (len(ws), n)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_tokenize_count(df, merges).collect()
+    }
+    assert got == expected, (got, expected, rules)
