@@ -854,6 +854,18 @@ def main(only: set[str] | None = None) -> dict:
             lambda: q_x_crawl_epoch(spark, SF_DIR).count(),
         )
 
+    if want("bpe_train"):
+        # 5 sequential merge rounds over the word histogram — the
+        # inherently iterative trainer; per round one pair aggregate
+        # + TakeOrdered(1) + a fold projection, vocabulary-scale
+        from sslr_spark.functions.text import bpe_train
+
+        bpe_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        run(
+            "bpe_train",
+            lambda: bpe_train(bpe_docs, n_merges=5).count(),
+        )
+
     # ---- analytics shapes -------------------------------------------
     from sslr_spark.queries_olap import (
         q_x_join_star,

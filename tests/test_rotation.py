@@ -67,3 +67,45 @@ def test_changed_keys_must_be_registered(monkeypatch):
     )
     with pytest.raises(AssertionError, match="unregistered"):
         rotation_check.check()
+
+
+def test_rotation_tolerates_just_recorded_window(monkeypatch):
+    """After the driver records a round, the head is by definition
+    the freshest evidence — that exact state must not trip the
+    checker (the r11 session would otherwise start red before its
+    rotation commit)."""
+    import __spark_entry__ as entrymod
+
+    keys = list(entrymod.queries().keys())
+    head, tail = keys[:50], keys[50:]
+    real = rotation_check.latest_evidence()
+    simulated = dict(real)
+    for k in head:
+        simulated[k] = 99  # everything in the window just verified
+    monkeypatch.setattr(
+        rotation_check, "latest_evidence", lambda repo=None: simulated
+    )
+    report = rotation_check.check()
+    assert report["head_freshness"] == [99]
+
+    # ...but a queue-jumped ordering in that same state (a
+    # never-verified key inserted into the head, displacing a stale
+    # key to the tail) must still fail: swap a tail never-verified
+    # key with the last head key.
+    never_tail = [k for k in tail if k not in simulated]
+    if never_tail:
+        jumped = dict.fromkeys(
+            head[:-1] + [never_tail[0]] + [head[-1]]
+            + [k for k in tail if k != never_tail[0]]
+        )
+        real_q = entrymod.queries()
+        monkeypatch.setattr(
+            entrymod,
+            "queries",
+            lambda: {k: real_q[k] for k in jumped},
+        )
+        with pytest.raises(
+            AssertionError,
+            match="rotation violated|never-driver-verified",
+        ):
+            rotation_check.check()

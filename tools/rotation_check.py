@@ -92,9 +92,21 @@ def check(window: int = WINDOW) -> dict:
     # 2. No tail key may have strictly staler evidence than a
     #    non-exempt verified head key (ties at the boundary are fine —
     #    they are what "≤1 leftover for next round" looks like).
+    #    ONE benign state is tolerated: immediately after the driver
+    #    records a round, the head it just verified is by definition
+    #    the freshest evidence — recognized as EVERY verified head key
+    #    sitting at the max recorded round AND no never-verified key
+    #    inside the head (a queue-jumped ordering always has one, or
+    #    mixes older evidence into the head, so it is still caught).
     head_verified = [k for k in head if k in latest and k not in changed]
     tail_verified = [k for k in tail if k in latest and k not in changed]
-    if head_verified and tail_verified:
+    max_round = max(latest.values(), default=0)
+    just_recorded = (
+        bool(head_verified)
+        and all(latest[k] == max_round for k in head_verified)
+        and not any(k in head for k in never)
+    )
+    if head_verified and tail_verified and not just_recorded:
         freshest_head = max(head_verified, key=lambda k: latest[k])
         stalest_tail = min(tail_verified, key=lambda k: latest[k])
         assert latest[freshest_head] <= latest[stalest_tail], (
