@@ -384,3 +384,108 @@ def topk_bounded(
         )
         .orderBy(F.col("lb").desc(), F.col("value"))
     )
+
+
+# ------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable
+# frequency registers as plain rows — the counting twin of the HLL
+# row-form above. depth x width counters per group; point estimates
+# are upper bounds with error <= corpus_size * e/width at probability
+# 1 - exp(-depth). Registers persist to parquet per shard/epoch and
+# merge by SUM — associative and commutative, so cross-shard and
+# cross-epoch frequency monitoring never re-touches raw data.
+# ------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_cells(value: Column, depth: int, width: int) -> Column:
+    """Array of (row, col) cells for a value: row i uses the h60 of a
+    row-seeded key — independent-enough hash rows, engine-exact."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    h60(F.concat(F.lit(f"cms{i}:"), value)), F.lit(width)
+                )
+                .cast("int")
+                .alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Per-group count-min registers of ``value_col`` occurrences:
+    one row per (group, row, col) cell with its counter — at most
+    depth*width rows per group regardless of input size, built with
+    one explode + one map-side-combinable aggregate. The output IS
+    the sketch; merge with :func:`cms_merge`, query with
+    :func:`cms_query`."""
+    v = F.coalesce(F.col(value_col).cast("string"), F.lit("\x00"))
+    return (
+        df.select(
+            *group_cols,
+            F.explode(_cms_cells(v, depth, width)).alias("__c"),
+        )
+        .groupBy(*group_cols, F.col("__c.row").alias("row"),
+                 F.col("__c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(sketch: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register rows across shards/epochs: cell-wise SUM —
+    the union of any number of :func:`cms_build` outputs (same
+    depth/width) is again a valid sketch."""
+    return sketch.groupBy(*group_cols, "row", "col").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate the count of each (group, item) pair: the MIN
+    over the item's depth cells (missing cell = 0). Never
+    underestimates the true count — the CMS guarantee — and is exact
+    when no other value collides on all depth rows.
+
+    Scale shape: items explode to depth probe rows and equi-join the
+    register table on (group, row, col) — a bounded broadcast-size
+    probe against a sketch whose size is independent of corpus size.
+    Output: group_cols + (value_col, est)."""
+    v = F.coalesce(F.col(value_col).cast("string"), F.lit("\x00"))
+    probes = items.select(
+        *group_cols,
+        F.col(value_col),
+        F.explode(_cms_cells(v, depth, width)).alias("__c"),
+    ).select(
+        *group_cols,
+        value_col,
+        F.col("__c.row").alias("row"),
+        F.col("__c.col").alias("col"),
+    )
+    return (
+        probes.join(sketch, [*group_cols, "row", "col"], "left")
+        .groupBy(*group_cols, value_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("est")
+        )
+    )

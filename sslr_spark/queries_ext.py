@@ -7631,6 +7631,87 @@ order by t.doc_id
 SQL_TEXT_BPE_TOKENIZE = _bpe_tokenize_sql()
 
 
+def q_x_cms_counts(spark, sf_dir):
+    """Mergeable count-min frequency sketch (sketches.py cms_build/
+    cms_merge/cms_query — Cormode & Muthukrishnan 2005, the counting
+    twin of the HLL row-form): per-(event_type, shard) register
+    builds SUM-merge into per-event_type sketches (associativity is
+    what makes cross-shard frequency monitoring never re-touch raw
+    data), then a bounded probe set of (event_type, user) pairs gets
+    point estimates next to exact truth — the estimate can only
+    overestimate (CMS guarantee; hash-exact in both engines via the
+    shared h60 cell arithmetic)."""
+    from sslr_spark.functions.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+    from sslr_spark.queries import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type",
+        (F.col("event_id") % 8).alias("sh"),
+        "user_id",
+    )
+    merged = cms_merge(
+        cms_build(ev, ["event_type", "sh"], "user_id"), ["event_type"]
+    )
+    items = (
+        ev.filter(F.col("user_id") % 50 == 0)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    est = cms_query(merged, items, ["event_type"], "user_id")
+    tru = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return (
+        est.join(tru, ["event_type", "user_id"])
+        .select("event_type", "user_id", "est", "true_cnt")
+        .orderBy("event_type", "user_id")
+    )
+
+
+_CMS_CELL = h60_sql(
+    "concat('cms', i, ':', coalesce(cast(user_id as varchar), chr(0)))"
+)
+SQL_X_CMS_COUNTS = f"""
+with ev as (select event_type, user_id from events),
+cells as (
+  -- per-(type, shard) builds cell-sum-merged == one direct build
+  select event_type, i as row, {_CMS_CELL} % 256 as col,
+         count(*) as cnt
+  from ev, generate_series(0, 3) t(i)
+  group by 1, 2, 3
+),
+items as (
+  select distinct event_type, user_id from ev where user_id % 50 = 0
+),
+probes as (
+  select event_type, user_id, i as row, {_CMS_CELL} % 256 as col
+  from items, generate_series(0, 3) t(i)
+),
+est as (
+  select p.event_type, p.user_id,
+         min(coalesce(c.cnt, 0)) as est
+  from probes p
+  left join cells c
+    on c.event_type = p.event_type and c.row = p.row and c.col = p.col
+  group by 1, 2
+),
+tru as (
+  select event_type, user_id, count(*) as true_cnt
+  from ev group by 1, 2
+)
+select e.event_type, e.user_id,
+       cast(e.est as bigint) as est,
+       cast(t.true_cnt as bigint) as true_cnt
+from est e
+join tru t on t.event_type = e.event_type and t.user_id = e.user_id
+order by e.event_type, e.user_id
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_epoch_plan": q_sample_epoch_plan,
     "x_warc_ingest": q_x_warc_ingest,
@@ -7706,6 +7787,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x_crawl_epoch": q_x_crawl_epoch,
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_tokenize": q_text_bpe_tokenize,
+    "x_cms_counts": q_x_cms_counts,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -7881,6 +7963,7 @@ EXT_ORACLES: dict[str, str] = {
     "x_crawl_epoch": SQL_X_CRAWL_EPOCH,
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "text_bpe_tokenize": SQL_TEXT_BPE_TOKENIZE,
+    "x_cms_counts": SQL_X_CMS_COUNTS,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,

@@ -71,3 +71,43 @@ def test_heavy_hitters_exact_and_sketch(spark):
     sketch_vals = {r.value for r in
                    heavy_hitters(df, "v", exact=False, support=0.09).collect()}
     assert {"hot", "warm"} <= sketch_vals
+
+
+def test_cms_merge_equals_direct_build_and_never_underestimates(spark):
+    """CMS invariants: (1) summing per-shard register builds equals
+    one direct build (associativity — what makes the sketch
+    cross-shard mergeable); (2) point estimates never underestimate
+    the true count; (3) estimates are exact when no value collides on
+    all depth rows (checked against truth on a skewed corpus)."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.functions.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    rows = [("g", i % 4, f"v{i % 23}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, sh int, v string")
+
+    merged = cms_merge(cms_build(df, ["g", "sh"], "v"), ["g"])
+    direct = cms_build(df, ["g"], "v")
+    m = {(r.row, r.col): r.cnt for r in merged.collect()}
+    d = {(r.row, r.col): r.cnt for r in direct.collect()}
+    assert m == d
+
+    items = df.select("g", "v").distinct()
+    est = {
+        r.v: r.est
+        for r in cms_query(merged, items, ["g"], "v").collect()
+    }
+    true = {
+        r.v: r.cnt
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(est) == set(true)
+    for v, t in true.items():
+        assert est[v] >= t  # the CMS upper-bound guarantee
+    # 23 distinct values in 4x256 cells: collisions on ALL 4 rows are
+    # effectively impossible — estimates should be exact here
+    assert est == true
