@@ -6656,6 +6656,135 @@ def q_x_stream_hll(spark, sf_dir):
     )
 
 
+# shared CMS cell arithmetic (batch x_cms_counts + streaming
+# x_stream_cms oracles): row-seeded h60 of the stringified value
+_CMS_CELL = h60_sql(
+    "concat('cms', i, ':', coalesce(cast(user_id as varchar), chr(0)))"
+)
+
+
+def q_x_stream_cms(spark, sf_dir):
+    """Streaming mergeable count-min frequency monitoring
+    (streaming/pipeline.py stream_cms — the counting twin of
+    x_stream_hll): events stream through a REAL Structured Streaming
+    windowed aggregation maintaining <= 4x256 counter rows per (day
+    window, event_type) — constant state where a streaming per-item
+    count would keep one entry per user — then the emitted registers
+    point-query a bounded probe set in batch (sketches.py cms_query)
+    next to exact truth. Registers are the same portable form as the
+    batch sketch, so the oracle replays the whole chain: epoch-aligned
+    day windows, h60 row-seeded cells, cell counts, min-over-depth."""
+    import os
+
+    from sslr_spark.functions.sketches import cms_query
+    from sslr_spark.queries import read_events
+    from sslr_spark.streaming.pipeline import stream_cms
+
+    work = _fresh_bench_dir("stream_cms")
+    src = os.path.join(work, "src")
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    ev.coalesce(1).write.parquet(src)
+    # far-future sentinel advances the watermark past every real day
+    # window (the stream_hll flush pattern); its own never-closing
+    # window is dropped by the exact-side join
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    spark.createDataFrame(
+        [(-1, max_us + 3 * 86_400_000_000, -1, "__sentinel__")],
+        "event_id long, ts_us long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(work, "out")
+    stream_cms(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        out,
+        os.path.join(work, "ckpt"),
+        group_cols=["event_type"],
+        value_col="user_id",
+        max_files_per_trigger=1,
+    )
+    regs = spark.read.parquet(out)
+    evd = ev.select(
+        (
+            F.expr("unix_micros(ts) div 86400000000") * F.lit(86400000000)
+        ).alias("win_start_us"),
+        "event_type",
+        "user_id",
+    )
+    items = (
+        evd.filter(F.col("user_id") % 50 == 0)
+        .select("win_start_us", "event_type", "user_id")
+        .distinct()
+    )
+    est = cms_query(
+        regs, items, ["win_start_us", "event_type"], "user_id"
+    )
+    tru = evd.groupBy("win_start_us", "event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    return (
+        est.join(tru, ["win_start_us", "event_type", "user_id"])
+        .select("win_start_us", "event_type", "user_id", "est", "true_cnt")
+        .orderBy("win_start_us", "event_type", "user_id")
+    )
+
+
+SQL_X_STREAM_CMS = f"""
+with ev as (
+  select (epoch_us(cast(ts as timestamp)) // 86400000000) * 86400000000
+           as win_start_us,
+         event_type, user_id
+  from events
+),
+cells as (
+  select win_start_us, event_type, i as row, {_CMS_CELL} % 256 as col,
+         count(*) as cnt
+  from ev, generate_series(0, 3) t(i)
+  group by 1, 2, 3, 4
+),
+items as (
+  select distinct win_start_us, event_type, user_id
+  from ev where user_id % 50 = 0
+),
+probes as (
+  select win_start_us, event_type, user_id, i as row,
+         {_CMS_CELL} % 256 as col
+  from items, generate_series(0, 3) t(i)
+),
+est as (
+  select p.win_start_us, p.event_type, p.user_id,
+         min(coalesce(c.cnt, 0)) as est
+  from probes p
+  left join cells c
+    on c.win_start_us = p.win_start_us and c.event_type = p.event_type
+   and c.row = p.row and c.col = p.col
+  group by 1, 2, 3
+),
+tru as (
+  select win_start_us, event_type, user_id, count(*) as true_cnt
+  from ev group by 1, 2, 3
+)
+select e.win_start_us, e.event_type, e.user_id,
+       cast(e.est as bigint) as est,
+       cast(t.true_cnt as bigint) as true_cnt
+from est e
+join tru t
+  on t.win_start_us = e.win_start_us and t.event_type = e.event_type
+ and t.user_id = e.user_id
+order by e.win_start_us, e.event_type, e.user_id
+"""
+
+
 SQL_X_STREAM_HLL = f"""
 with ev as (
   select (epoch_us(cast(ts as timestamp)) // 86400000000) * 86400000000
@@ -7672,9 +7801,6 @@ def q_x_cms_counts(spark, sf_dir):
     )
 
 
-_CMS_CELL = h60_sql(
-    "concat('cms', i, ':', coalesce(cast(user_id as varchar), chr(0)))"
-)
 SQL_X_CMS_COUNTS = f"""
 with ev as (select event_type, user_id from events),
 cells as (
@@ -7788,6 +7914,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_train": q_text_bpe_train,
     "text_bpe_tokenize": q_text_bpe_tokenize,
     "x_cms_counts": q_x_cms_counts,
+    "x_stream_cms": q_x_stream_cms,
     "x_pagerank": q_x_pagerank,
     "sim_topk_binary": q_sim_topk_binary,
     "text_bigram_logprob": q_text_bigram_logprob,
@@ -7964,6 +8091,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_bpe_train": SQL_TEXT_BPE_TRAIN,
     "text_bpe_tokenize": SQL_TEXT_BPE_TOKENIZE,
     "x_cms_counts": SQL_X_CMS_COUNTS,
+    "x_stream_cms": SQL_X_STREAM_CMS,
     "x_pagerank": SQL_X_PAGERANK,
     "text_bm25_topk": SQL_TEXT_BM25_TOPK,
     "sample_shard_manifest": SQL_SAMPLE_SHARD_MANIFEST,

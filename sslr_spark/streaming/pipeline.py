@@ -1354,3 +1354,74 @@ def stream_hll(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cms(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    watermark: str = "30 minutes",
+    depth: int = 4,
+    width: int = 256,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming build of MERGEABLE count-min registers per
+    (event-time window, group) — continuous per-item frequency
+    monitoring whose state is CONSTANT per group (<= depth*width
+    counter rows) instead of one entry per distinct item (what a
+    streaming per-item count would keep). The counting twin of
+    :func:`stream_hll`, same lambda-union contract: the registers
+    written are the exact portable form ``sketches.py cms_build``
+    produces in batch, so streamed windows and batch backfills merge
+    with one cell-wise SUM (cms_merge) and point-query with
+    cms_query — no raw re-scan.
+
+    Watermark + append output: a window's registers emit once its
+    close passes the watermark (drain a finite source with
+    ``max_files_per_trigger`` + a far-future sentinel batch — the
+    stream_hll flush pattern). One availableNow drain writes
+    (win_start_us, group..., row, col, cnt) parquet rows."""
+    from sslr_spark.functions.sketches import _cms_cells
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_path)
+    df = _event_time(df, ts_col).withWatermark(ts_col, watermark)
+    v = F.coalesce(F.col(value_col).cast("string"), F.lit("\x00"))
+    regs = (
+        df.select(
+            F.window(F.col(ts_col), window).alias("__w"),
+            *group_cols,
+            F.explode(_cms_cells(v, depth, width)).alias("__c"),
+        )
+        .groupBy(
+            "__w",
+            *group_cols,
+            F.col("__c.row").alias("row"),
+            F.col("__c.col").alias("col"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_micros(F.col("__w.start")).alias("win_start_us"),
+            *group_cols,
+            "row",
+            "col",
+            "cnt",
+        )
+    )
+    q = (
+        regs.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
