@@ -939,7 +939,9 @@ SECTION_NOTES = {
         "(updates.py read_merged — key width is identical, zero "
         "extra shuffle). Remaining +0.16 vs r8 code = the footer "
         "row-count probe + bounded 100-key collect + copy-pending "
-        "marker check the r9 features legitimately added per read."
+        "marker check the r9 features legitimately added per read. "
+        "Confirmed by the closing full pass: 0.896 s min — back in "
+        "r8's 0.80 s class on a full-pass warm JVM."
     ),
     # round-9c (continuation-2) environment attribution: the final
     # full pass measured pq_build/pq_query/winnow_spans/quality_gate/
