@@ -62,12 +62,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # head is the evidence debt — the 17 keys never driver-verified followed
 # by 33 of the 34 keys whose latest driver evidence is r06.  The one
 # leftover (x_tpch_q1, trivial OLAP, re-verified locally) waits just
-# behind them.  NO new key enters the head this round; operators added
-# in r10 (dedup_image_phash_clusters, x_crawl_epoch — both verified
-# locally at sf0.01 and sf0.001) are deliberately ABSENT from both
-# lists, so _ordered() places them between head and tail where they
-# lead the never-verified queue for the r11 head, followed by
-# x_tpch_q1 (tools/rotation_check.py asserts exactly this shape).
+# behind them.  NO new key enters the head this round; the six
+# operators added in r10 (dedup_image_phash_clusters, x_crawl_epoch,
+# text_bpe_train, text_bpe_tokenize, x_cms_counts, x_stream_cms —
+# each verified locally at sf0.01 AND sf0.001 AND under the combined
+# hostile session matrix) are deliberately ABSENT from both lists, so
+# _ordered() places them between head and tail where they lead the
+# never-verified queue for the r11 head, followed by x_tpch_q1 and
+# then the 42 r07-stale keys — 6+1+42 = 49 of the 50 r11 slots
+# (tools/rotation_check.py asserts exactly this shape).
 
 # Keys whose semantics changed in the CURRENT session (exempt from the
 # staleness ordering check in tools/rotation_check.py because they
