@@ -429,3 +429,86 @@ def test_bpe_tokenize_count_matches_reference(spark):
         for r in bpe_tokenize_count(df, merges).collect()
     }
     assert got == expected, (got, expected, rules)
+
+
+# ---- edge cases: empty inputs through the r10 operators --------------
+
+
+def test_bpe_train_empty_vocab_yields_no_rules(spark):
+    """A corpus with no trainable words (digits/punct/single chars)
+    produces an EMPTY rule table with the right schema, and
+    tokenization falls back to one token per word."""
+    from sslr_spark.functions.text import bpe_tokenize_count, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "42 7 ! x y"), (1, None)], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=3)
+    assert merges.columns == [
+        "rank", "lhs", "rhs", "merged", "pair_count",
+    ]
+    assert merges.count() == 0
+    counts = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_tokenize_count(df, merges).collect()
+    }
+    assert counts == {0: (5, 5)}  # doc 1 has no words -> no row
+
+
+def test_crawl_epoch_empty_candidates_yields_zero_manifest(spark):
+    """No candidate URLs -> the manifest still emits one explicit
+    zero row per shard (the shard_manifest completeness contract)."""
+    from sslr_spark.curation import crawl_epoch
+
+    empty = spark.createDataFrame([], "url string")
+    robots = spark.createDataFrame(
+        [("h.test", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame([], "url string, html string")
+    ranks = spark.createDataFrame([], "host string, rank_micros long")
+    out = crawl_epoch(empty, robots, pages, ranks, n_shards=4).collect()
+    assert len(out) == 4
+    assert all(r.n_rows == 0 and r.content_sum == 0 for r in out)
+
+
+def test_crawl_epoch_no_robots_rules_allows_everything(spark):
+    """An empty robots corpus fails OPEN by design (no rules = no
+    restrictions): every candidate flows to the frontier."""
+    from pyspark.sql import functions as F
+
+    from sslr_spark.curation import crawl_epoch
+
+    cand = spark.createDataFrame(
+        [(f"http://h.test/p/{i}",) for i in range(5)], "url string"
+    )
+    robots = spark.createDataFrame([], "host string, robots_txt string")
+    # body must PASS the gopher gate: >= 50 words, sane word shape,
+    # >= 2 distinct stopwords
+    body = "the quick brown fox jumps over a lazy dog and runs to it " * 5
+    pages = cand.select(
+        "url",
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.lit(body),
+            F.col("url"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    ranks = spark.createDataFrame([], "host string, rank_micros long")
+    out = crawl_epoch(cand, robots, pages, ranks, n_shards=2)
+    assert sum(r.n_rows for r in out.collect()) == 5
+
+
+def test_cms_query_unseen_item_estimates_zero_or_collision(spark):
+    """Querying an item the sketch never saw returns >= 0 and is 0
+    unless all depth cells collide with seen values."""
+    from sslr_spark.functions.sketches import cms_build, cms_query
+
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(5)], "g string, v string"
+    )
+    sk = cms_build(df, ["g"], "v")
+    probe = spark.createDataFrame([("g", "never-seen")], "g string, v string")
+    [row] = cms_query(sk, probe, ["g"], "v").collect()
+    assert row.est == 0  # 5 values in 4x256 cells: no full collision
