@@ -49,99 +49,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness checks the FIRST 50 keys of queries()
-# in dict insertion order; with 190 registered queries some keys rotate
-# out of the window each round.  Ordering policy (now ENFORCED by
-# tools/rotation_check.py, wired into pytest via tests/test_rotation.py):
-#   HEAD — keys with the weakest driver evidence: never-driver-verified
-#     keys first, then stalest-first, plus any key listed in
-#     CHANGED_KEYS (semantics changed this session).
-#   TAIL — keys safe to fall outside the window: hash-verified green in
-#     recent rounds with unchanged code (freshest evidence last).
+# in dict insertion order; with 196 registered queries some keys rotate
+# out of the window each round.  Ordering policy — never-driver-verified
+# keys first, then stalest-first; freshest evidence last — is ENFORCED
+# by tools/rotation_check.py (wired into pytest via tests/test_rotation.py);
+# see that module for the full rules.
 #
-# r10 rotation (VERDICT r9 item 1 — registration freeze): the entire
-# head is the evidence debt — the 17 keys never driver-verified followed
-# by 33 of the 34 keys whose latest driver evidence is r06.  The one
-# leftover (x_tpch_q1, trivial OLAP, re-verified locally) waits just
-# behind them.  NO new key enters the head this round; the six
-# operators added in r10 (dedup_image_phash_clusters, x_crawl_epoch,
-# text_bpe_train, text_bpe_tokenize, x_cms_counts, x_stream_cms —
-# each verified locally at sf0.01 AND sf0.001 AND under the combined
-# hostile session matrix) are deliberately ABSENT from both lists, so
-# _ordered() places them between head and tail where they lead the
-# never-verified queue for the r11 head, followed by x_tpch_q1 and
-# then the 42 r07-stale keys — 6+1+42 = 49 of the 50 r11 slots
-# (tools/rotation_check.py asserts exactly this shape).
+# r11 head (VERDICT r10 item 1): the 6 r10-new keys (verified locally
+# at sf0.01), then x_tpch_q1 (r06), then the 42 r07-stale keys, then
+# t3_staleness_check (r08) to fill slot 50.  The 50 r10-verified keys
+# move to the tail end (freshest evidence, safest outside the window).
 
 # Keys whose semantics changed in the CURRENT session (exempt from the
-# staleness ordering check in tools/rotation_check.py because they
-# deserve re-verification regardless of old evidence).  Empty for r10:
-# every r10 code change is either additive or verified locally to be
-# output-identical on the registered keys (see test_round10_fixes.py).
+# staleness ordering check in tools/rotation_check.py).  Empty for r11:
+# this is an optimization round — every change is verified locally to
+# be output-identical on the registered keys (tools/verify_oracle.py).
 CHANGED_KEYS: list[str] = []
 
 _HEAD_KEYS = [
-    # 17 never-driver-verified keys (registered in the r9 continuation
-    # sessions after the r9 head filled; all green locally at sf0.01
-    # and sf0.001 via tools/verify_oracle.py):
-    "x_table_stats",
-    "x_skew_salted_join",
-    "x_zorder_key",
-    "x_sitemap",
-    "x_topk_bounded",
-    "text_chat_flatten",
-    "text_chat_pairs",
-    "text_chat_truncate",
-    "x_frontier_delay",
-    "x_curation_pipeline_gates",
-    "x_dataset_card",
-    "x_lm_quality_gate",
-    "text_dedup_lines",
-    "text_strip_boilerplate",
-    "sim_embedding_quality",
-    "x_mor_asof_read",
-    "x_curation_pipeline_lm",
-    # 33 of the 34 keys whose latest driver evidence is r06 (unchanged
-    # code since; each re-verified locally on final r10 code):
-    "dedup_simhash_calibration",
-    "dedup_cluster_sizes",
-    "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
-    "sample_shard_manifest",
-    "dedup_clusters",
-    "s1_full_filtered_scan",
-    "s9_state_upsert",
-    "a4_bucket_fingerprint",
-    "o3_key_at_offset",
-    "sample_stratified",
-    "text_bigram_logprob",
-    "x_bloom_membership",
-    "text_unigram_logprob",
-    "dedup_incremental",
-    "sim_topk_quantized",
-    "sample_hash_split",
-    "text_repetition",
-    "dedup_contamination",
-    "mm_extract_features",
-    "a2_table_length",
-    "a3_min_key_probe",
-    "o1_event_sessionize",
-    "o2_pagination_window",
-    "p6_key_range_scan",
-    "j1_semi_join_keyset",
-    "j3_range_repair",
-    "j4_hash_diff",
-    "d1_delete_by_keyset",
-    "x_funnel",
-    "x_pivot",
-    "x_rollup",
-    "x_topk_per_group",
-]
-_TAIL_KEYS = [
-    # the single r06-evidence leftover that did not fit the 50-key
-    # window — FIRST into the r11 head:
+    # 6 r10-new keys, never driver-verified (green locally at sf0.01):
+    "dedup_image_phash_clusters",
+    "x_crawl_epoch",
+    "text_bpe_train",
+    "text_bpe_tokenize",
+    "x_cms_counts",
+    "x_stream_cms",
+    # the r06-evidence leftover:
     "x_tpch_q1",
-    # r07-green (stalest remaining evidence — next in line after the
-    # leftover and any r10-new keys):
+    # the 42 r07-stale keys:
     "t6_event_window_agg",
     "d2_range_delete",
     "mm_decode_png_jpeg",
@@ -184,8 +119,11 @@ _TAIL_KEYS = [
     "x_stream_interval_join",
     "dedup_incremental_spans",
     "dedup_ngram_coverage",
-    # r08-green:
+    # 1 r08 key filling slot 50:
     "t3_staleness_check",
+]
+_TAIL_KEYS = [
+    # r08-green:
     "a1_watermark_probe",
     "sample_weighted",
     "x_sessionize_batch",
@@ -283,6 +221,58 @@ _TAIL_KEYS = [
     "text_bpe_pairs",
     "dedup_minhash_calibration",
     "sim_ivf_recall",
+    # r10-green (the just-verified r10 window — freshest evidence,
+    # safest outside the r11 window):
+    "x_table_stats",
+    "x_skew_salted_join",
+    "x_zorder_key",
+    "x_sitemap",
+    "x_topk_bounded",
+    "text_chat_flatten",
+    "text_chat_pairs",
+    "text_chat_truncate",
+    "x_frontier_delay",
+    "x_curation_pipeline_gates",
+    "x_dataset_card",
+    "x_lm_quality_gate",
+    "text_dedup_lines",
+    "text_strip_boilerplate",
+    "sim_embedding_quality",
+    "x_mor_asof_read",
+    "x_curation_pipeline_lm",
+    "dedup_simhash_calibration",
+    "dedup_cluster_sizes",
+    "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard",
+    "sample_shard_manifest",
+    "dedup_clusters",
+    "s1_full_filtered_scan",
+    "s9_state_upsert",
+    "a4_bucket_fingerprint",
+    "o3_key_at_offset",
+    "sample_stratified",
+    "text_bigram_logprob",
+    "x_bloom_membership",
+    "text_unigram_logprob",
+    "dedup_incremental",
+    "sim_topk_quantized",
+    "sample_hash_split",
+    "text_repetition",
+    "dedup_contamination",
+    "mm_extract_features",
+    "a2_table_length",
+    "a3_min_key_probe",
+    "o1_event_sessionize",
+    "o2_pagination_window",
+    "p6_key_range_scan",
+    "j1_semi_join_keyset",
+    "j3_range_repair",
+    "j4_hash_diff",
+    "d1_delete_by_keyset",
+    "x_funnel",
+    "x_pivot",
+    "x_rollup",
+    "x_topk_per_group",
 ]
 
 

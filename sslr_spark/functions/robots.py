@@ -152,13 +152,23 @@ def robots_crawl_delay(
     Output: (host, crawl_delay_s) for every host with a robots body.
     """
     rows = _effective_group_rows(robots_df, agent, host_col, body_col)
+    # Normalize host the same way robots_allowed normalizes rule and
+    # URL hosts (ADVICE r10 item 2): a robots corpus keyed by
+    # mixed-case or port-suffixed hosts must not silently fail its
+    # Crawl-delay open to the default when the frontier joins delays
+    # against the normalized url_host.
+    norm = F.lower(F.regexp_replace(F.col("host"), ":[0-9]+$", ""))
     delays = rows.filter(F.col("directive") == "crawl-delay").select(
-        "host",
+        norm.alias("host"),
         # try_cast: a malformed delay means "no usable directive",
         # not a poisoned job (ANSI mode makes a plain cast throw)
         F.col("value").try_cast("int").alias("__d"),
     )
-    hosts = robots_df.select(F.col(host_col).alias("host")).distinct()
+    hosts = (
+        robots_df.select(F.col(host_col).alias("host"))
+        .select(norm.alias("host"))
+        .distinct()
+    )
     return (
         hosts.join(
             delays.groupBy("host").agg(F.max("__d").alias("__d")),

@@ -22,7 +22,14 @@ def test_rotation_policy_holds():
     # every never-verified key fits in (and therefore sits in) the head
     assert report["never_verified"] <= report["window"]
     # the head must not hold evidence fresher than the stalest tail key
-    if report["head_freshness"] and report["tail_stalest"] is not None:
+    # — except in the just-recorded state check() already tolerates
+    # (VERDICT r10 finding #1: re-asserting the raw inequality here
+    # made the suite go red the moment the driver wrote CORRECTNESS):
+    if (
+        not report["just_recorded"]
+        and report["head_freshness"]
+        and report["tail_stalest"] is not None
+    ):
         assert max(report["head_freshness"]) <= report["tail_stalest"]
 
 

@@ -51,7 +51,15 @@ def latest_evidence(repo: str = REPO) -> dict[str, int]:
         with open(path) as f:
             data = json.load(f)
         for key, row in data.items():
-            if row.get("err") is None and row.get("rows_match"):
+            # hash_match False is a content mismatch — not green
+            # evidence even when the row counts matched (ADVICE r10
+            # item 3: text_entropy r03/r04, x_bloom_membership r03);
+            # hash_match null (rows-only keys) still counts.
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+            ):
                 latest[key] = max(latest.get(key, 0), rnd)
     return latest
 
@@ -125,6 +133,11 @@ def check(window: int = WINDOW) -> dict:
         "registered": len(keys),
         "window": window,
         "never_verified": len(never),
+        # True in the benign post-recording state (the head the driver
+        # just verified is by definition the freshest evidence); the
+        # pytest wrapper must skip the raw freshness comparison when
+        # set instead of re-deriving it without this tolerance.
+        "just_recorded": just_recorded,
         "head_freshness": sorted(
             {latest[k] for k in head if k in latest}
         ),
