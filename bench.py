@@ -102,7 +102,18 @@ def main(only: set[str] | None = None) -> dict:
     _sweep_stale_bench_dirs()
     shutil.rmtree(TMP, ignore_errors=True)
     os.makedirs(TMP, exist_ok=True)
-    spark = get_spark(app_name="sslr_bench")
+    # optional profiling: SPARK_GRAFT_EVENTLOG=<dir> records the event
+    # log so per-stage time can be attributed to sections offline
+    # (guide §1.1/§7.1 without a live UI); off for normal runs.
+    extra_conf = None
+    ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if ev_dir:
+        os.makedirs(ev_dir, exist_ok=True)
+        extra_conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": ev_dir,
+        }
+    spark = get_spark(app_name="sslr_bench", extra_conf=extra_conf)
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -121,9 +132,13 @@ def main(only: set[str] | None = None) -> dict:
         for i in range(REPS):
             if i and reset is not None:
                 reset()
+            # label the section's jobs so the UI / event log attribute
+            # stage time to it (guide §1.5); resets stay unlabeled
+            spark.sparkContext.setJobDescription(f"bench:{name}:rep{i}")
             t0 = time.perf_counter()
             fn()
             samples.append(time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(None)
         s = sorted(samples)
         timings[name] = round(s[len(s) // 2], 3)
         mins[name] = round(s[0], 3)

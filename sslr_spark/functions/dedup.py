@@ -335,11 +335,101 @@ def _asymmetric_jaccard(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def _t_ppm(threshold: float) -> int:
+    """Integer ppm threshold with the one-ppm rounding-band slack (see
+    :func:`prefix_candidates` — true J >= t - 1e-6 covers everything
+    the round-6 verify keeps)."""
+    return max(int(round(float(threshold) * 1_000_000)) - 1, 0)
+
+
+def _prefix_per_doc(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
+    """Each doc's canonically-ordered shingle list: (doc_id, __ord)
+    with __ord = array_sort(collect_list(struct(__f, shingle))) —
+    (document frequency asc, shingle asc), the PPJoin canonical order.
+
+    The hot-shingle cap folds into the frequency aggregate as a
+    filter on the joined __f (identical to :func:`_cap_hot_shingles`
+    on the result — dropping hot shingles does not change the kept
+    shingles' frequencies — minus that helper's separate aggregate
+    and anti-join, two shuffles of the full index; r11, guide §2.4).
+    The freq JOIN stays a join (not a per-shingle collect_list): a
+    boilerplate shingle's doc list is unbounded, and AQE's skew
+    handling splits a hot join key where a single collected array
+    cannot be split."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
+    if max_doc_freq is not None:
+        freq = freq.filter(F.col("__f") < max_doc_freq)
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__f", "shingle"))
+            ).alias("__ord")
+        )
+    )
+
+
+def _prefix_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """Distinct (key_a, key_b) whose canonical PREFIXES collide, plus
+    the PPJoin length filter: J >= t implies min(|A|,|B|) >= t *
+    max(|A|,|B|), in the same integer-ppm arithmetic (with the same
+    one-ppm slack) as the prefix length — lossless for everything the
+    round-6 verify keeps, and it prunes candidates BEFORE the verify
+    join pays for them (guide §3.2 — reduce the big side first)."""
+    t_ppm = _t_ppm(threshold)
+    # integer ceil(t_ppm * n / 1e6) = (t_ppm*n + 999999) div 1e6.
+    # size() is 32-bit: the product MUST widen to bigint first —
+    # t_ppm * int overflows at ~2,700 shingles (a ~2,700-word doc),
+    # an ANSI crash / silent negative-wrap that disables all pruning
+    prefix = per_doc.select(
+        "doc_id",
+        F.size("__ord").alias("__n"),
+        F.explode(
+            F.slice(
+                F.col("__ord"),
+                1,
+                F.greatest(
+                    F.lit(0),
+                    F.size("__ord")
+                    - F.expr(
+                        f"({t_ppm} * cast(size(__ord) as bigint)"
+                        " + 999999) div 1000000"
+                    ).cast("int")
+                    + F.lit(1),
+                ),
+            )
+        ).alias("__p"),
+    ).select("doc_id", "__n", F.col("__p.shingle").alias("shingle"))
+    return (
+        prefix.select(
+            F.col("doc_id").alias("key_a"), F.col("__n").alias("__na"),
+            "shingle",
+        )
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("key_b"), F.col("__n").alias("__nb"),
+                "shingle",
+            ),
+            "shingle",
+        )
+        .filter(F.col("key_a") < F.col("key_b"))
+        # length filter: min * 1e6 >= t_ppm * max (bigint arithmetic)
+        .filter(
+            F.expr("least(__na, __nb) * cast(1000000 as bigint)")
+            >= F.expr(f"{t_ppm} * cast(greatest(__na, __nb) as bigint)")
+        )
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
 def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
-    """Candidate (key_a, key_b) pairs under PPJoin prefix filtering
-    over a distinct (doc_id, shingle) index — the pruned pair space
-    :func:`ngram_jaccard_pairs_prefix` verifies. Exposed separately so
-    the scale probes can measure the candidate-space cut directly.
+    """Candidate (key_a, key_b) pairs under PPJoin prefix + length
+    filtering over a distinct (doc_id, shingle) index — the pruned
+    pair space :func:`ngram_jaccard_pairs_prefix` verifies. Exposed
+    separately so the scale probes can measure the candidate-space
+    cut directly.
 
     Canonical order = (document frequency asc, shingle asc); each doc
     indexes only its first ``n - ceil(t*n) + 1`` shingles. The
@@ -357,57 +447,10 @@ def prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     ppm of slack extends the guarantee to exactly the rounding band
     (true J >= t - 1e-6 covers everything round-6 keeps), so the
     pruned plan stays bit-identical to the plain join at every
-    boundary. Cost: prefixes grow by at most one element."""
-    t_ppm = max(int(round(float(threshold) * 1_000_000)) - 1, 0)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-    # One aggregate builds each doc's canonically-ordered shingle
-    # list; the prefix is an array slice. This replaces the earlier
-    # sizes-aggregate + per-doc row_number window — two extra
-    # shuffles over the full index — with array_sort inside the
-    # groupBy (docs are bounded; the array sort is the same work the
-    # window's partition sort did, minus the row machinery).
-    # struct ordering sorts by (__f, shingle) = the canonical order.
-    per_doc = (
-        sh.join(freq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("__f", "shingle"))
-            ).alias("__ord")
-        )
-    )
-    # integer ceil(t_ppm * n / 1e6) = (t_ppm*n + 999999) div 1e6.
-    # size() is 32-bit: the product MUST widen to bigint first —
-    # t_ppm * int overflows at ~2,700 shingles (a ~2,700-word doc),
-    # an ANSI crash / silent negative-wrap that disables all pruning
-    prefix = per_doc.select(
-        "doc_id",
-        F.explode(
-            F.slice(
-                F.col("__ord"),
-                1,
-                F.greatest(
-                    F.lit(0),
-                    F.size("__ord")
-                    - F.expr(
-                        f"({t_ppm} * cast(size(__ord) as bigint)"
-                        " + 999999) div 1000000"
-                    ).cast("int")
-                    + F.lit(1),
-                ),
-            )
-        ).alias("__p"),
-    ).select("doc_id", F.col("__p.shingle").alias("shingle"))
-    return (
-        prefix.select(F.col("doc_id").alias("key_a"), "shingle")
-        .join(
-            prefix.select(F.col("doc_id").alias("key_b"), "shingle"),
-            "shingle",
-        )
-        .filter(F.col("key_a") < F.col("key_b"))
-        .select("key_a", "key_b")
-        .distinct()
-    )
+    boundary. Cost: prefixes grow by at most one element. The length
+    filter (r11) carries the same slack: J >= t - 1e-6 implies
+    min(|A|,|B|)/max(|A|,|B|) >= t - 1e-6."""
+    return _prefix_pairs(_prefix_per_doc(sh, None), threshold)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -442,44 +485,54 @@ def ngram_jaccard_pairs_prefix(
 
     No global rank table is materialized: the canonical order rides
     directly on the (freq, shingle) sort key inside a per-document
-    window — bounded partitions, no unpartitioned window, no
+    aggregate — bounded partitions, no unpartitioned window, no
     million-row rank dimension to join.
+
+    Verify shape (r11, guide §2.3/§2.4): the per-doc ordered list the
+    prefix step already builds IS each doc's full shingle set, so the
+    exact verify joins each candidate pair against that bounded
+    per-doc ARRAY table (two equi-joins on a doc-count-sized frame)
+    and counts the intersection per pair with ``array_intersect`` —
+    replacing the previous candidate-x-shingles explode join that
+    re-shuffled the full inverted index per verify. n_common =
+    |array_intersect| over distinct per-doc sets — the same count the
+    explode join aggregated (equality-tested). The PPJoin length
+    filter inside :func:`prefix_candidates` prunes candidates before
+    any of this runs.
     """
     _entry_release()
-    sh = _persist(
-        _cap_hot_shingles(shingles(df, text_col, n), max_shingle_doc_freq)
+    # ONE persisted frame serves the whole query: per-doc ordered
+    # shingle lists feed the prefix explode, the sizes, and both
+    # verify array sides (the raw shingle index has a single consumer
+    # now, so it no longer persists).
+    per_doc = _persist(
+        _prefix_per_doc(shingles(df, text_col, n), max_shingle_doc_freq)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
-    # cand feeds the verify join and the key_b prune set — persist the
-    # (prefix-bounded, small) pair list instead of replaying the
-    # prefix self-join per consumer
-    cand = _persist(prefix_candidates(sh, threshold))
-    # exact verify over candidates only: candidate x (a's shingles)
-    # matched against b's set — never the all-sharing-pairs blowup.
-    # The key_b side is pruned to docs that actually appear as a
-    # candidate key_b before the (key_b, shingle) shuffle: without the
-    # prune that join re-shuffles the FULL shingle index even when the
-    # prefix filter leaves few candidates (inner-join semantics make
-    # the prune a results no-op; AQE picks broadcast vs shuffled semi).
-    inter = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("key_a"), "shingle"), "key_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("key_b"), "shingle").join(
-                cand.select("key_b").distinct(), "key_b", "left_semi"
-            ),
-            ["key_b", "shingle"],
-        )
-        .groupBy("key_a", "key_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    cand = _prefix_pairs(per_doc, threshold)
+    arrays = per_doc.select(
+        "doc_id",
+        F.size("__ord").alias("__n"),
+        F.col("__ord.shingle").alias("__arr"),
     )
-    sa = sizes.select(F.col("doc_id").alias("key_a"), F.col("__n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("key_b"), F.col("__n").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    ver = cand.join(
+        arrays.select(
+            F.col("doc_id").alias("key_a"),
+            F.col("__n").alias("n_a"),
+            F.col("__arr").alias("__arr_a"),
+        ),
+        "key_a",
+    ).join(
+        arrays.select(
+            F.col("doc_id").alias("key_b"),
+            F.col("__n").alias("n_b"),
+            F.col("__arr").alias("__arr_b"),
+        ),
+        "key_b",
+    )
+    n_common = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    jac = F.col("__nc") / (F.col("n_a") + F.col("n_b") - F.col("__nc"))
     return (
-        inter.join(sa, "key_a")
-        .join(sb, "key_b")
+        ver.withColumn("__nc", n_common)
         .select(
             F.col("key_a").alias("doc_a"),
             F.col("key_b").alias("doc_b"),
@@ -1903,61 +1956,106 @@ def dup_clusters_star(
       (and itself) to that minimum.
     The edge set monotonically contracts to stars centered at
     component minima; convergence is detected by the edge multiset
-    hash going stable. localCheckpoint per round keeps the plan flat.
+    hash going stable. A lazily-marked localCheckpoint per round keeps
+    the plan flat while the signature aggregate doubles as the
+    materializing action — ONE job per round.
+
+    Round shape (r11 optimization, guide §2.4 — remove shuffles and
+    jobs outright; round results equality-tested against the prior
+    form):
+    - the per-phase ``.distinct()`` and the between-phase
+      symmetrize-``distinct`` are gone: duplicate edges cannot change
+      a per-node MIN, the phase joins fan out only on exact ``src``
+      matches, and the single end-of-round distinct canonicalizes the
+      checkpointed set — three shuffles per round instead of six;
+    - checkpoints are marked LAZY and the signature aggregate is the
+      materializing action — one job per round instead of two (the
+      initial symmetrized set materializes inside round 0 the same
+      way);
+    - a direct star test short-circuits the final detection round:
+      when every child has exactly one parent (row count ==
+      distinct-src count, free in the signature aggregate) and no
+      parent is itself a child (one tiny semi-join probe on the
+      checkpointed set), the edges already ARE the fixpoint stars —
+      running another large+small round would reproduce them exactly,
+      so the loop exits without paying it.
     """
 
-    def sym(e: DataFrame) -> DataFrame:
-        return e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+    def swap(e: DataFrame) -> DataFrame:
+        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
 
-    def star(e: DataFrame, large: bool) -> DataFrame:
+    def und(e: DataFrame) -> DataFrame:
+        # undirected view WITHOUT a distinct: consumers below are
+        # min-aggregations and equi-joins whose final distinct
+        # canonicalizes — duplicates are harmless in between
+        return e.unionByName(swap(e))
+
+    def mins_of(e: DataFrame) -> DataFrame:
         # closed-neighborhood minimum per node
-        mins = (
+        return (
             e.groupBy("src")
             .agg(F.min("dst").alias("nmin"))
             .select("src", F.least(F.col("src"), F.col("nmin")).alias("m"))
         )
-        j = e.join(mins, "src")
-        if large:
-            out = j.filter(F.col("dst") > F.col("src")).select(
-                F.col("dst").alias("src"), F.col("m").alias("dst")
-            )
-        else:
-            out = j.filter(F.col("dst") <= F.col("src")).select(
-                F.col("dst").alias("src"), F.col("m").alias("dst")
-            ).unionByName(
-                mins.select(F.col("src"), F.col("m").alias("dst"))
-            )
-        return out.filter(F.col("src") != F.col("dst")).distinct()
 
     def sig(e: DataFrame):
         # bit_xor: commutative AND overflow-free (ANSI mode errors on
-        # summing 64-bit hashes)
+        # summing 64-bit hashes). n_src rides along for the star test.
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+            F.countDistinct("src").alias("n_src"),
         ).first()
-        return (row["n"], row["h"])
+        return (row["n"], row["h"]), row["n_src"]
 
-    edges_sym = sym(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    ).localCheckpoint(eager=True)
+    edges_sym = (
+        und(pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = edges_sym.select("src").distinct()
 
     prev = None
     edges = edges_sym
+    cur_und = edges_sym  # initial set enters already symmetric
     for _ in range(max_rounds):
-        # each star consumes the UNDIRECTED graph; the directed
-        # (child -> parent) outputs re-symmetrize between phases. The
-        # initial set enters already symmetric — no wasted first sym.
-        large = star(edges_sym, large=True)
-        edges = star(sym(large), large=False).localCheckpoint(eager=True)
-        cur = sig(edges)
+        m1 = mins_of(cur_und)
+        large = (
+            cur_und.join(m1, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        u2 = und(large)
+        m2 = mins_of(u2)
+        small = (
+            u2.join(m2, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(m2.select("src", F.col("m").alias("dst")))
+        )
+        edges = (
+            small.filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur, n_src = sig(edges)
         if cur == prev:
             break
+        if cur[0] == n_src:
+            # every child points at exactly one parent; if additionally
+            # no parent appears as a child, the edges are disjoint
+            # stars centered at their components' minima (small-star
+            # always emits dst = a closed-neighborhood min < src) —
+            # the fixpoint, exit without a detection round
+            overlap = (
+                edges.select(F.col("dst").alias("src"))
+                .join(edges, "src", "left_semi")
+                .take(1)
+            )
+            if not overlap:
+                break
         prev = cur
-        edges_sym = sym(edges)
+        cur_und = und(edges)
     else:
         import warnings
 

@@ -174,11 +174,16 @@ def test_minhash_verify_prunes_sb_side(corpus):
         assert "LeftSemi" in txt
 
 
-def test_prefix_verify_prunes_key_b_side(corpus):
+def test_prefix_verify_uses_array_intersect(corpus):
+    """r11: the prefix verify counts intersections over the per-doc
+    ordered ARRAYS the prefix step already built (two doc-count-sized
+    equi-joins + array_intersect), never a re-shuffle of the exploded
+    (doc, shingle) index — the stronger form of the key_b prune the
+    r9 semi join provided."""
     with D.cache_scope():
         df = D.ngram_jaccard_pairs_prefix(corpus, threshold=0.8)
         txt = df._jdf.queryExecution().optimizedPlan().toString()
-        assert "LeftSemi" in txt
+        assert "array_intersect" in txt
 
 
 def test_incremental_minhash_prunes_corpus_side(spark, corpus):
