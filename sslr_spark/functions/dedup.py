@@ -156,6 +156,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 # shingles + n-gram Jaccard
 # ------------------------------------------------------------------
 
+def _parallel_floor(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input arrives in fewer partitions (a small corpus read as
+    one or two parquet splits would otherwise tokenize and explode on
+    that many cores). No-op at scale — any real corpus scan already
+    exceeds the floor; locally it moves the one unavoidable shuffle
+    BEFORE the CPU-heavy tokenize instead of after it (r11, guide
+    §2.5 input skew / idle capacity)."""
+    sc = df.sparkSession.sparkContext
+    floor = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < floor:
+        return df.repartition(floor)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
@@ -165,8 +180,19 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     shingle element) re-tokenizes the document once per shingle —
     O(words^2) per doc; measured 6x slower at sf0.1. Element lookups
     (``w[i]``) instead of ``slice`` skip the per-shingle array copy.
+
+    Distinctness is enforced PER ROW (``array_distinct`` before the
+    explode), not with a global ``.distinct()``: duplicate (doc_id,
+    shingle) rows can only come from repeats inside one document, so
+    the in-row dedup is equivalent — and it deletes a full shuffle of
+    the exploded index from every consumer (r11, guide §2.4).
+    Contract: ``doc_id`` must be unique per input row (true for every
+    corpus frame in the engine); a caller splitting one document
+    across rows must pre-concatenate or distinct the result itself.
     """
-    tok = df.select("doc_id", words(F.col(text_col)).alias("__w"))
+    tok = _parallel_floor(df.select("doc_id", F.col(text_col))).select(
+        "doc_id", words(F.col(text_col)).alias("__w")
+    )
     w = F.col("__w")
     sh = F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -176,7 +202,9 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
             ),
         )
     )
-    return tok.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return tok.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -1064,30 +1092,44 @@ def minhash_lsh_pairs(
     # the band self-join per consumer
     cand = _persist(lsh_candidates(sh, n_hashes, n_bands, hash_mode))
 
-    # exact-verify candidates with true Jaccard over shingle sets.
-    # Scale shape of the verify join: the (doc_b, shingle) equi-join
-    # would otherwise shuffle the FULL shingle index — at crawl scale
-    # that full-index exchange dominates even when banding leaves few
-    # candidates. Prune the sb side to docs that actually appear as a
-    # candidate doc_b first (inner-join semantics make this a no-op on
-    # results); the prune set is |candidate docs| rows, so AQE
-    # broadcasts it when small and falls back to a shuffled semi join
-    # when a pathological corpus makes it big — never forced.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle").join(
-        cand.select("doc_b").distinct(), "doc_b", "left_semi"
+    # exact-verify candidates with true Jaccard over shingle sets,
+    # computed on PER-DOC ARRAYS built only for docs that appear in a
+    # candidate pair (r11, guide §2.3/§2.4): a semi join prunes the
+    # index to candidate docs (the prune set is |candidate docs| rows
+    # — AQE broadcasts it when small, shuffled semi when not), one
+    # aggregate packs each such doc's distinct shingles into an array,
+    # and the pair's n_common is array_intersect over the two arrays.
+    # The previous form re-shuffled the full shingle index through two
+    # verify joins + a pair aggregate even when banding left a handful
+    # of candidates. n_common over distinct per-doc sets is identical
+    # (equality-tested); jaccard rounding convention unchanged.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    arrs = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("__arr"))
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb"))
-    jac = F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common"))
+    ver = cand.join(
+        arrs.select(
+            F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__arr_a")
+        ),
+        "doc_a",
+    ).join(
+        arrs.select(
+            F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__arr_b")
+        ),
+        "doc_b",
+    )
+    n_common = F.size(F.array_intersect("__arr_a", "__arr_b"))
+    jac = F.col("__nc") / (
+        F.size("__arr_a") + F.size("__arr_b") - F.col("__nc")
+    )
     return (
-        inter.join(za, "doc_a").join(zb, "doc_b")
+        ver.withColumn("__nc", n_common)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
@@ -1111,7 +1153,8 @@ def simhash(
         h64_fast(F.col("word")) if hash_mode == "fast" else h60(F.col("word"))
     )
     wc = (
-        df.select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
+        _parallel_floor(df.select("doc_id", F.col(text_col)))
+        .select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("h", word_hash)

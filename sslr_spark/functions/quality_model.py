@@ -37,21 +37,26 @@ def quality_score(
     bias: float,
     text_col: str = "text",
     decimals: int = 4,
+    carry: tuple = (),
 ) -> DataFrame:
-    """(doc_id, score): sigmoid of the fixed linear model over the
-    heuristic quality features. ``decimals`` rounds the score so both
-    engines agree despite last-ULP libm differences in exp()."""
+    """(doc_id[, carry...], score): sigmoid of the fixed linear model
+    over the heuristic quality features. ``decimals`` rounds the score
+    so both engines agree despite last-ULP libm differences in exp().
+    ``carry`` threads extra input columns through (see
+    quality_metrics) so consumers avoid a corpus self-join."""
     if len(weights) != len(QUALITY_FEATURES):
         raise ValueError(
             f"expected {len(QUALITY_FEATURES)} weights "
             f"(for {QUALITY_FEATURES})"
         )
-    m = quality_metrics(df, text_col)
+    m = quality_metrics(df, text_col, carry=carry)
     z: Column = F.lit(float(bias))
     for w, c in zip(weights, QUALITY_FEATURES):
         z = z + F.lit(float(w)) * F.col(c).cast("double")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return m.select("doc_id", F.round(score, decimals).alias("score"))
+    return m.select(
+        "doc_id", *carry, F.round(score, decimals).alias("score")
+    )
 
 
 def quality_quantile_gate(
@@ -97,16 +102,15 @@ def quality_quantile_gate(
         raise ValueError(
             f"keep_fraction must be in (0, 1], got {keep_fraction}"
         )
-    scored = (
-        quality_score(df, weights, bias, text_col)
-        .join(df.select("doc_id", by), "doc_id")
-        .select(
-            "doc_id",
-            by,
-            F.floor(F.col("score") * F.lit(1e4) + F.lit(0.5))
-            .cast("int")
-            .alias("score_bp"),
-        )
+    # carry the group column through the scoring projection instead of
+    # joining the corpus back onto itself by doc_id (r11, guide §2.4 —
+    # that join shuffled the corpus twice for a column it already had)
+    scored = quality_score(df, weights, bias, text_col, carry=(by,)).select(
+        "doc_id",
+        by,
+        F.floor(F.col("score") * F.lit(1e4) + F.lit(0.5))
+        .cast("int")
+        .alias("score_bp"),
     )
     return score_bp_quantile_gate(scored, keep_fraction, by)
 
@@ -176,18 +180,18 @@ def lm_quality_gate(
     """
     from sslr_spark.functions.text import bigram_logprob
 
-    scored = (
-        bigram_logprob(df, text_col, vocab_size=vocab_size)
-        .join(df.select("doc_id", by), "doc_id")
-        .select(
-            "doc_id",
-            by,
-            F.floor(
-                F.col("mean_bigram_logprob") * F.lit(1e4) + F.lit(0.5)
-            )
-            .cast("int")
-            .alias("score_bp"),
+    # the group column rides the scorer's per-doc base frame instead
+    # of a corpus self-join by doc_id (r11, guide §2.4)
+    scored = bigram_logprob(
+        df, text_col, vocab_size=vocab_size, carry=(by,)
+    ).select(
+        "doc_id",
+        by,
+        F.floor(
+            F.col("mean_bigram_logprob") * F.lit(1e4) + F.lit(0.5)
         )
+        .cast("int")
+        .alias("score_bp"),
     )
     return score_bp_quantile_gate(scored, keep_fraction, by)
 

@@ -67,10 +67,16 @@ def mean_word_len(text: Column) -> Column:
     return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(total / F.size(ws))
 
 
-def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_metrics(
+    df: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
     """Per-document quality scoring: token count, stopword ratio, mean
     word length, and a composite keep/drop flag (Gopher-rule shaped:
-    drop too-short docs and docs with implausible word shape)."""
+    drop too-short docs and docs with implausible word shape).
+
+    ``carry`` threads extra input columns through the projection so a
+    consumer needing (score, group) never has to join the corpus back
+    onto itself by doc_id (r11, guide §2.4)."""
     t = F.col(text_col)
     n_tok = token_count(t)
     n_stop = word_match_count(t, STOPWORDS)
@@ -80,6 +86,7 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
+        *carry,
         n_tok.alias("n_tokens"),
         subtoken_count(t).alias("n_subtokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
@@ -579,6 +586,7 @@ def bigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab_size: int = 50_000,
+    carry: tuple = (),
 ) -> DataFrame:
     """Per-document mean BIGRAM log-probability — the stronger
     perplexity proxy (:func:`unigram_logprob` scores the token
@@ -600,9 +608,12 @@ def bigram_logprob(
     the scoring join. Docs with < 2 tokens score 0 with
     ``n_bigrams = 0``.
 
-    Output: ``id_col, n_bigrams, n_oov, round(mean_bigram_logprob,
-    4)`` — 4 decimals because avg() over per-pair ln() values is an
-    order-dependent float sum (see word_entropy).
+    Output: ``id_col[, carry...], n_bigrams, n_oov,
+    round(mean_bigram_logprob, 4)`` — 4 decimals because avg() over
+    per-pair ln() values is an order-dependent float sum (see
+    word_entropy). ``carry`` threads extra input columns through the
+    per-doc base frame so consumers needing (score, group) avoid a
+    corpus self-join (r11, guide §2.4).
     """
     # materialize the token array BEFORE the lambda: inlining words()
     # into the element accesses would re-split the whole text once per
@@ -669,9 +680,10 @@ def bigram_logprob(
             F.round(F.avg("lp"), 4).alias("mean_bigram_logprob"),
         )
     )
-    base = df.select(id_col)
+    base = df.select(id_col, *carry)
     return base.join(scored, id_col, "left").select(
         id_col,
+        *carry,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
         F.coalesce("mean_bigram_logprob", F.lit(0.0)).alias(

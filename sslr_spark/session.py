@@ -31,10 +31,25 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
 
+    # Scan-split floor (guide §6): Spark floors every file split at
+    # spark.sql.files.openCostInBytes (default 4 MB), which defeats the
+    # spark.sql.files.minPartitionNum parallelism floor for small
+    # single-file tables — a sub-4MB parquet table scans as ONE task
+    # and every narrow CPU stage fused to it (tokenize, decode, regex)
+    # runs on one core until the first shuffle. 512 KB keeps scan
+    # parallelism at the core count for small inputs; at scale
+    # maxPartitionBytes (128 MB default) dominates split sizing and a
+    # lower open cost only packs MORE tiny files per task (fewer,
+    # fatter tasks — the right direction there too). Override via
+    # $SSLR_FILES_OPEN_COST for deployments where file-open latency
+    # genuinely costs more (high-latency object stores).
+    open_cost = os.environ.get("SSLR_FILES_OPEN_COST", str(512 * 1024))
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.openCostInBytes", open_cost)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

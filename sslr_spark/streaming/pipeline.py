@@ -16,6 +16,7 @@ aggregations, and versions are unbounded 64-bit.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,25 @@ from pyspark.sql import types as T
 
 from sslr_spark.operators.updates import dedup_latest_version, merge_upsert
 from sslr_spark.sources.parquet import ParquetDatabase
+
+
+@contextlib.contextmanager
+def _shuffle_partitions_scope(spark: SparkSession, n: int | None):
+    """Temporarily pin spark.sql.shuffle.partitions for a streaming
+    query START (the value is captured into the checkpoint at first
+    batch planning); restores the previous session value on exit."""
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
@@ -1063,6 +1083,7 @@ def stream_sessionize(
     watermark: str = "10 minutes",
     max_files_per_trigger: int | None = None,
     metrics: dict | None = None,
+    state_partitions: int | None = None,
 ) -> None:
     """CUSTOM stateful streaming operator: gap-timeout sessionization
     via ``applyInPandasWithState`` — the arbitrary-state primitive the
@@ -1118,6 +1139,19 @@ def stream_sessionize(
     ``metrics["late_dropped"]`` — the count of events dropped by
     closed-session immutability (an accumulator total; approximate
     under task retries, like any Spark accumulator-backed metric).
+
+    ``state_partitions``: state-store partition count for a NEW
+    checkpoint — an int pins it (via a scoped
+    spark.sql.shuffle.partitions around the start); None (default)
+    keeps the session conf. Existing checkpoints keep their recorded
+    count either way (Spark pins it at first start). Measured r11
+    A/B at sf0.1 (3 availableNow batches): 1 partition 10.1-10.4 s,
+    4 partitions 4.8-5.4 s, 32 partitions 5.3-5.4 s — the per-batch
+    cost here is compute that parallelizes, NOT state-store commit
+    fan-out, so deriving a tiny count from source bytes (the AQE-like
+    heuristic) makes this operator SLOWER; the session conf stays the
+    right default and the knob exists for deliberate production
+    pinning only.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1215,14 +1249,15 @@ def stream_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _shuffle_partitions_scope(spark, state_partitions):
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     if metrics is not None:
         metrics["late_dropped"] = int(dropped_acc.value)
 
