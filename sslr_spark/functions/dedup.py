@@ -1145,26 +1145,35 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash: per word, a word hash contributes +freq/-freq
     to each bit position; fingerprint sets bits with positive sums.
-    Two shuffles (word counts, bit sums) — fully map-side-combinable.
     ``hash_mode='fast'`` swaps the md5-derived word hash for xxhash64
     (production path; 'portable' is the DuckDB-reproducible oracle
-    path)."""
+    path).
+
+    One tiny shuffle (r11, guide §2.3/§2.4; previously two). The
+    per-bit sum over DISTINCT words weighted by frequency equals the
+    plain sum over word OCCURRENCES (each occurrence contributes its
+    word's ±1 exactly once), so the (doc, word) frequency aggregate —
+    a full exchange of the exploded token strings — is unnecessary:
+    hash each occurrence in the scan stage and feed one per-doc
+    aggregate of ``bits`` conditional sums. Partial (map-side)
+    aggregation collapses every doc to one row per input partition
+    before the exchange, so the only shuffle carries ~n_docs rows of
+    ``bits`` longs, never tokens. Fingerprints are bit-identical to
+    the two-shuffle form (equality-tested)."""
     word_hash = (
         h64_fast(F.col("word")) if hash_mode == "fast" else h60(F.col("word"))
     )
-    wc = (
+    occ = (
         _parallel_floor(df.select("doc_id", F.col(text_col)))
         .select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn("h", word_hash)
+        .select("doc_id", word_hash.alias("h"))
     )
-    # one aggregation with `bits` conditional sums — no bit explode, so
-    # the shuffle carries (doc, word) rows once instead of `bits` times;
-    # the fingerprint assembles from the agg columns without a shuffle
-    per_bit = wc.groupBy("doc_id").agg(
+    # one aggregation with `bits` conditional sums — no bit explode and
+    # no per-word pre-aggregate; the fingerprint assembles from the agg
+    # columns without a further shuffle
+    per_bit = occ.groupBy("doc_id").agg(
         *[
-            F.sum(F.expr(f"freq * (((h >> {b}) & 1) * 2 - 1)")).alias(f"s{b}")
+            F.sum(F.expr(f"(((h >> {b}) & 1) * 2 - 1)")).alias(f"s{b}")
             for b in range(bits)
         ]
     )

@@ -913,28 +913,30 @@ def dsir_weights(
     Output: (``id_col``, n_features, logratio_micros) — one row per
     raw doc; zero-token docs score (0, 0).
 
-    100 TB shape: the paper's own two passes over the raw corpus —
-    a FIT pass (bucket histogram: map-side combine collapses every
-    task to <= n_buckets rows before a trivial exchange on the
-    integer bucket) and a SCORE pass (per-doc bucket counts joined
-    to the broadcast log-ratio table) — plus one pass over the
-    (smaller) target. The fit histogram deliberately aggregates
-    straight off the explode rather than through the score pass's
-    (doc, bucket) exchange: that exchange is corpus-sized, the
-    direct one is n_buckets-sized. Totals ride a single-partition
-    window over the <= n_buckets-row joined histogram (bounded by
-    construction — the quality_model.Window_all convention), NOT
-    1-row crossJoins, which would re-derive the whole count chain
-    once per total. Nothing global ever shuffles by feature string —
-    only by the integer bucket. (At crawl scale the fit pass can run
-    on a hash-sample of the corpus — the estimator is an aggregate —
-    but the exact fit is the verifiable default.)
+    100 TB shape: ONE extraction pass over the raw corpus — the
+    SCORE pass's per-doc bucket counts — plus one pass over the
+    (smaller) target. The FIT histogram sums the score pass's
+    (doc, bucket) counts per bucket instead of re-aggregating
+    straight off the feature explode: the totals are identical, and
+    because both consumers share the (doc, bucket) exchange the plan
+    serves the fit from a ReusedExchange — the tokenize + md5 feature
+    extraction (the dominant cost) runs once, not twice (r11, guide
+    §2.4; previously the fit re-paid the full extraction to save
+    shuffling rows an exchange was already materializing anyway).
+    Totals ride a single-partition window over the <= n_buckets-row
+    joined histogram (bounded by construction — the
+    quality_model.Window_all convention), NOT 1-row crossJoins,
+    which would re-derive the whole count chain once per total.
+    Nothing global ever shuffles by feature string — only by the
+    integer bucket. (At crawl scale the fit pass can run on a
+    hash-sample of the corpus — the estimator is an aggregate — but
+    the exact fit is the verifiable default.)
     """
     feats = dsir_features(df, text_col, id_col, n_buckets)
     docb = feats.groupBy(id_col, "__b").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    raw_c = feats.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    raw_c = docb.groupBy("__b").agg(F.sum("__c").alias("__cr"))
     tgt_c = (
         dsir_features(target, text_col, id_col, n_buckets)
         .groupBy("__b")
