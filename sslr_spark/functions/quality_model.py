@@ -130,7 +130,13 @@ def score_bp_quantile_gate(
     hist = scored.groupBy(by, "score_bp").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    sizes = scored.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    # group sizes sum the histogram instead of re-counting the scored
+    # frame: identical totals, and the scoring pipeline (the expensive
+    # feature/LM extraction feeding ``scored``) runs one less full
+    # pass — the histogram's exchange serves both consumers (r11,
+    # guide §2.4; previously hist, sizes and the final join each
+    # recomputed ``scored`` from the corpus)
+    sizes = hist.groupBy(by).agg(F.sum("__c").alias("__n"))
     w = (
         Window.partitionBy(by)
         .orderBy(F.col("score_bp").desc())
@@ -340,9 +346,10 @@ def lm_perplexity_buckets(
     """
     from sslr_spark.functions.text import bigram_logprob
 
+    # the group column rides the scorer's per-doc base frame instead
+    # of a corpus self-join by doc_id (r11, guide §2.4)
     scored = (
-        bigram_logprob(df, text_col, vocab_size=vocab_size)
-        .join(df.select("doc_id", by), "doc_id")
+        bigram_logprob(df, text_col, vocab_size=vocab_size, carry=(by,))
         .select(
             "doc_id",
             by,
@@ -356,7 +363,9 @@ def lm_perplexity_buckets(
     hist = scored.groupBy(by, "score_bp").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    sizes = scored.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    # same histogram-sum derivation as score_bp_quantile_gate (one
+    # less full LM-scoring pass; identical totals)
+    sizes = hist.groupBy(by).agg(F.sum("__c").alias("__n"))
     from pyspark.sql import Window
 
     w = (

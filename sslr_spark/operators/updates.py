@@ -287,22 +287,28 @@ def merge_upsert_partitioned(
             # count: a 1M-key set of ~1KB composite string PKs is a
             # gigabyte — row count alone would wave it through and
             # OOM the driver. Width is sampled from the persisted
-            # slice (bounded collect).
-            n_keys = keys.count()  # cheap: slice is persisted
-            sample = keys.limit(100).collect()
-            row_bytes = max(  # conservative: max sampled width
-                (sum(len(str(v)) for v in r) + 16 for r in sample),
-                default=16,
-            )
-            key_bytes = n_keys * row_bytes
+            # slice (bounded collect). The big-table check is pure
+            # metadata — it goes FIRST, so a small table (the common
+            # case, which always takes the clustered rewrite) never
+            # pays the key-count and width-sample driver jobs that
+            # only the aligned path's byte gate consumes (r11,
+            # guide §1.2 — don't compute things you throw away).
             big_table = (
                 hasattr(target, "table_bytes")
                 and target.table_bytes(table) >= aligned_rewrite_bytes
             )
+            key_bytes = None
+            if big_table and hasattr(target, "overwrite_partitioned_aligned"):
+                n_keys = keys.count()  # cheap: slice is persisted
+                sample = keys.limit(100).collect()
+                row_bytes = max(  # conservative: max sampled width
+                    (sum(len(str(v)) for v in r) + 16 for r in sample),
+                    default=16,
+                )
+                key_bytes = n_keys * row_bytes
             if (
-                big_table
+                key_bytes is not None
                 and key_bytes <= broadcast_key_bytes
-                and hasattr(target, "overwrite_partitioned_aligned")
             ):
                 # Shuffle-avoiding path for BIG tables: a BROADCAST
                 # anti-join is narrow, so the kept rows retain the
