@@ -1523,10 +1523,19 @@ def _pq_adc_expr(qvec: list[float], books, m: int):
             row.append(int(math.floor(d * 1_000_000 + 0.5)))
         dtab.append(row)
     adc = None
+    # one JVM-parsed SQL array literal per subspace instead of ks
+    # F.lit() py4j round trips each (r11 — see ivfpq_topk_serve's
+    # residual table note). Plain literals keep IntegerType when every
+    # value fits int32 — the type F.lit() inferred before — and fall
+    # back to L-suffixed bigints (the mixed-type coercion F.array()
+    # would have applied) otherwise.
     for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in dtab[j]]),
-            F.element_at("__codes", j + 1) + 1,
+        if all(-(1 << 31) <= v < (1 << 31) for v in dtab[j]):
+            vals = ", ".join(str(v) for v in dtab[j])
+        else:
+            vals = ", ".join(f"{v}L" for v in dtab[j])
+        term = F.expr(
+            f"element_at(array({vals}), element_at(__codes, {j + 1}) + 1)"
         )
         adc = term if adc is None else adc + term
     return adc
@@ -2000,12 +2009,14 @@ def ivfpq_topk_serve(
         # CELLS, and candidates from different probed cells compare by
         # total ADC — dropping it would make far cells look close.
         qu = _unit_quantized(qvec)
+        # query residual per cell, hoisted out of the subspace loop
+        # (it does not depend on j)
+        rqs = [[qu[i] - cu[i] for i in range(len(qu))] for cu in cent_units]
         adc = None
         for j in range(m):
             dtab_j = []
-            for cu in cent_units:
-                rq = [qu[i] - cu[i] for i in range(len(qu))]
-                rsub = rq[j * dsub:(j + 1) * dsub]
+            for ci in range(len(cent_units)):
+                rsub = rqs[ci][j * dsub:(j + 1) * dsub]
                 rqsq = _sumsq_int(rsub)
                 dtab_j.append(
                     [
@@ -2024,9 +2035,21 @@ def ivfpq_topk_serve(
                         for c in range(len(books[j]))
                     ]
                 )
-            term = F.element_at(
-                F.element_at(F.lit(dtab_j), F.col("__cell") + 1),
-                F.element_at("__codes", j + 1) + 1,
+            # ONE JVM-parsed SQL literal per subspace (r11, guide §1/§5
+            # driver work): assembling this n_cells x ks table from
+            # nested F.lit()/Column calls cost ~2 s of driver-side
+            # py4j round trips PER QUERY (profiled — it dominated the
+            # serve path); the SQL string parses in the JVM in
+            # milliseconds. L-suffixed literals keep the bigint
+            # element type F.lit() inferred for Python ints, so the
+            # summed ADC value is bit-identical.
+            arr_sql = "array({})".format(", ".join(
+                "array({})".format(", ".join(f"{v}L" for v in row))
+                for row in dtab_j
+            ))
+            term = F.expr(
+                f"element_at(element_at({arr_sql}, __cell + 1), "
+                f"element_at(__codes, {j + 1}) + 1)"
             )
             adc = term if adc is None else adc + term
     else:
