@@ -255,9 +255,18 @@ def assign_cells_fixed(
     ]
     with_lits = df
     for i, r in enumerate(rows):
-        with_lits = with_lits.withColumn(
-            f"__c{i}", F.lit([float(x) for x in r.centroid])
+        # one JVM-parsed SQL array literal per centroid: F.lit(list)
+        # recursively builds a py4j lit() per ELEMENT (~dim round
+        # trips per centroid — hundreds of driver-side calls per index
+        # build; r11, same fix as the PQ ADC tables). Python repr() is
+        # the shortest round-trip form, and the D suffix makes Spark
+        # parse it as a DOUBLE literal (bare decimals parse as
+        # DECIMAL), so each literal is the bit-identical double
+        # F.lit() produced.
+        arr_sql = "array({})".format(
+            ", ".join(f"{float(x)!r}D" for x in r.centroid)
         )
+        with_lits = with_lits.withColumn(f"__c{i}", F.expr(arr_sql))
     best = F.array_max(F.array(*scored))
     out = with_lits.withColumn("__cell", (-best["nc"]).cast("int"))
     if score_col is not None:
