@@ -171,6 +171,32 @@ def _parallel_floor(df: DataFrame) -> DataFrame:
     return df
 
 
+def _debug_assert_unique_doc_ids(df: DataFrame, where: str) -> None:
+    """Opt-in guard for the doc_id-unique contract the r11
+    ``array_distinct`` rewrite made load-bearing (VERDICT r11 item 5:
+    a caller splitting one document across rows would get silently
+    wrong shingle multiplicity). Costs one aggregate job, so it runs
+    only under ``$SSLR_DEBUG_CONTRACTS`` — enable in tests/CI, never
+    in a timed path."""
+    import os
+
+    if not os.environ.get("SSLR_DEBUG_CONTRACTS"):
+        return
+    dup = (
+        df.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .take(1)
+    )
+    if dup:
+        raise AssertionError(
+            f"{where}: input violates the doc_id-unique contract "
+            f"(doc_id {dup[0]['doc_id']!r} appears {dup[0]['__n']} "
+            "times); pre-concatenate rows or distinct the result "
+            "yourself (see shingles() docstring)"
+        )
+
+
 def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
@@ -190,6 +216,7 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     corpus frame in the engine); a caller splitting one document
     across rows must pre-concatenate or distinct the result itself.
     """
+    _debug_assert_unique_doc_ids(df, "shingles")
     tok = _parallel_floor(df.select("doc_id", F.col(text_col))).select(
         "doc_id", words(F.col(text_col)).alias("__w")
     )
@@ -385,7 +412,12 @@ def _prefix_per_doc(sh: DataFrame, max_doc_freq: int | None) -> DataFrame:
     handling splits a hot join key where a single collected array
     cannot be split."""
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__f"))
-    if max_doc_freq is not None:
+    # truthiness on purpose, matching _hot_shingle_set: 0 means
+    # "cap off" across the whole dedup family (ADVICE r11 item 2 —
+    # `is not None` here turned max_shingle_doc_freq=0 into an
+    # always-false `__f < 0` filter, silently emptying the result
+    # while the minhash siblings treated the same 0 as no cap)
+    if max_doc_freq:
         freq = freq.filter(F.col("__f") < max_doc_freq)
     return (
         sh.join(freq, "shingle")
@@ -1160,14 +1192,30 @@ def simhash(
     before the exchange, so the only shuffle carries ~n_docs rows of
     ``bits`` longs, never tokens. Fingerprints are bit-identical to
     the two-shuffle form (equality-tested)."""
+    import os
+
     word_hash = (
         h64_fast(F.col("word")) if hash_mode == "fast" else h60(F.col("word"))
     )
+    # Parallelism-floor placement is A/B-selectable while round 12
+    # attributes the r11 driver regression ($SSLR_SIMHASH_FLOOR:
+    # text | off | hash). 'text' round-robins the raw documents
+    # (r11 shape: the repartition write of full text runs on the few
+    # scan tasks); 'hash' floors AFTER the tokenize+hash projection,
+    # shuffling only (doc_id, int64) occurrence rows so the 32-sum
+    # partial aggregate parallelizes without moving document bodies;
+    # 'off' trusts the scan split count.
+    mode = os.environ.get("SSLR_SIMHASH_FLOOR", "text")
+    base = df.select("doc_id", F.col(text_col))
+    if mode == "text":
+        base = _parallel_floor(base)
     occ = (
-        _parallel_floor(df.select("doc_id", F.col(text_col)))
+        base
         .select("doc_id", F.explode(words(F.col(text_col))).alias("word"))
         .select("doc_id", word_hash.alias("h"))
     )
+    if mode == "hash":
+        occ = _parallel_floor(occ)
     # one aggregation with `bits` conditional sums — no bit explode and
     # no per-word pre-aggregate; the fingerprint assembles from the agg
     # columns without a further shuffle

@@ -115,6 +115,43 @@ def quality_quantile_gate(
     return score_bp_quantile_gate(scored, keep_fraction, by)
 
 
+def _gate_frames(scored: DataFrame, by: str) -> tuple[DataFrame, DataFrame]:
+    """(scored, hist) for the quantile gates, with the materialization
+    strategy A/B-selectable while round 12 attributes the r11 driver
+    regression ($SSLR_GATE_HIST: plain | ckpt | scored):
+
+    - 'plain': r11 shape — hist lazy; without exchange reuse the
+      corpus-scoring pipeline feeding ``scored`` can evaluate up to
+      3x (hist's two threshold consumers + the final join).
+    - 'ckpt' (default): pin hist with a LAZY localCheckpoint — the
+      histogram is bounded (<= |groups| x 10001 rows) so truncated
+      lineage costs nothing, and the scoring pipeline evaluates
+      exactly twice (hist materialization + the final join). A
+      checkpoint, not .persist(), on purpose: persist registers the
+      plan with the CacheManager, where an identical later query
+      (e.g. a bench rep) would silently reuse it across reps.
+    - 'scored': additionally persist the narrow (doc_id, by,
+      score_bp) projection through the dedup cache registry (one
+      scoring pass total); callers must release via
+      dedup.release_caches() once results are materialized — the
+      bench does this between reps, exactly like the shingle-index
+      sections.
+    """
+    import os
+
+    mode = os.environ.get("SSLR_GATE_HIST", "ckpt")
+    if mode == "scored":
+        from sslr_spark.functions.dedup import register_cache
+
+        scored = register_cache(scored)
+    hist = scored.groupBy(by, "score_bp").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    if mode == "ckpt":
+        hist = hist.localCheckpoint(eager=False)
+    return scored, hist
+
+
 def score_bp_quantile_gate(
     scored: DataFrame, keep_fraction: float, by: str
 ) -> DataFrame:
@@ -127,9 +164,7 @@ def score_bp_quantile_gate(
     generic so model-score and LM-perplexity gates cannot drift."""
     from pyspark.sql import Window
 
-    hist = scored.groupBy(by, "score_bp").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    scored, hist = _gate_frames(scored, by)
     # group sizes sum the histogram instead of re-counting the scored
     # frame: identical totals, and the scoring pipeline (the expensive
     # feature/LM extraction feeding ``scored``) runs one less full
@@ -360,9 +395,7 @@ def lm_perplexity_buckets(
             .alias("score_bp"),
         )
     )
-    hist = scored.groupBy(by, "score_bp").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    scored, hist = _gate_frames(scored, by)
     # same histogram-sum derivation as score_bp_quantile_gate (one
     # less full LM-scoring pass; identical totals)
     sizes = hist.groupBy(by).agg(F.sum("__c").alias("__n"))

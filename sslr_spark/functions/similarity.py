@@ -229,6 +229,21 @@ def fixed_centroid_rows(
     return rows
 
 
+def _double_array_literal(values) -> Column:
+    """One JVM-parsed SQL array<double> literal (repr() round-trips
+    the exact double; the D suffix stops Spark parsing bare decimals
+    as DECIMAL). Non-finite components guard back to F.lit — repr()
+    yields 'inf'/'nan', which would emit unparseable 'infD' SQL
+    (ADVICE r11 item 3); F.lit builds valid Double literals for them
+    at py4j-per-element cost, acceptable for the degenerate case."""
+    import math
+
+    vals = [float(x) for x in values]
+    if not all(math.isfinite(x) for x in vals):
+        return F.lit(vals)
+    return F.expr("array({})".format(", ".join(f"{x!r}D" for x in vals)))
+
+
 def assign_cells_fixed(
     df: DataFrame,
     rows: list,
@@ -263,10 +278,9 @@ def assign_cells_fixed(
         # parse it as a DOUBLE literal (bare decimals parse as
         # DECIMAL), so each literal is the bit-identical double
         # F.lit() produced.
-        arr_sql = "array({})".format(
-            ", ".join(f"{float(x)!r}D" for x in r.centroid)
+        with_lits = with_lits.withColumn(
+            f"__c{i}", _double_array_literal(r.centroid)
         )
-        with_lits = with_lits.withColumn(f"__c{i}", F.expr(arr_sql))
     best = F.array_max(F.array(*scored))
     out = with_lits.withColumn("__cell", (-best["nc"]).cast("int"))
     if score_col is not None:

@@ -46,6 +46,40 @@ def _shuffle_partitions_scope(spark: SparkSession, n: int | None):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@contextlib.contextmanager
+def _state_store_scope(spark: SparkSession, provider: str | None):
+    """Temporarily pin the state-store provider class for a streaming
+    query START. ``provider``: None keeps the session conf (HDFS-backed
+    default); 'rocksdb' selects Spark's bundled RocksDB provider —
+    measured r12 for stream_sessionize (A/B in its docstring). The
+    conf is captured per-query at start, so scoping it leaves the rest
+    of the session untouched."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if provider is None:
+        yield
+        return
+    classes = {
+        "rocksdb": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "hdfs": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        ),
+    }
+    cls = classes.get(provider, provider)  # raw class name passes through
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, cls)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _event_time(df: DataFrame, ts_col: str) -> DataFrame:
     """withWatermark requires TIMESTAMP; testdata parquet may carry
     TIMESTAMP_NTZ. Cast NTZ wall-clock to session-tz TIMESTAMP — window
@@ -1084,6 +1118,7 @@ def stream_sessionize(
     max_files_per_trigger: int | None = None,
     metrics: dict | None = None,
     state_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> None:
     """CUSTOM stateful streaming operator: gap-timeout sessionization
     via ``applyInPandasWithState`` — the arbitrary-state primitive the
@@ -1249,7 +1284,10 @@ def stream_sessionize(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
-    with _shuffle_partitions_scope(spark, state_partitions):
+    with _shuffle_partitions_scope(spark, state_partitions), \
+            _state_store_scope(
+                spark, state_store or os.environ.get("SSLR_STATE_STORE")
+            ):
         q = (
             sessions.writeStream.format("parquet")
             .option("path", out_dir)

@@ -41,12 +41,17 @@ def load(path: str):
                 comp = si.get("Completion Time")
                 if sub is None or comp is None:
                     continue
-                stages[sid] = {
+                # MERGE into any dict the TaskEnd branch already
+                # accumulated (task-end events precede stage-completion
+                # in the log; replacing the dict zeroed exec/fetch/shW
+                # in the focus view — ADVICE r11 item 1)
+                st = stages.setdefault(sid, {})
+                st.update({
                     "ms": comp - sub,
                     "name": si.get("Stage Name", ""),
                     "tasks": si.get("Number of Tasks", 0),
                     "details": (si.get("Details") or "").splitlines()[:6],
-                }
+                })
             elif e == "SparkListenerTaskEnd":
                 sid = ev["Stage ID"]
                 tm = ev.get("Task Metrics") or {}
