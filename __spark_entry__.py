@@ -55,75 +55,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # by tools/rotation_check.py (wired into pytest via tests/test_rotation.py);
 # see that module for the full rules.
 #
-# r11 head (VERDICT r10 item 1): the 6 r10-new keys (verified locally
-# at sf0.01), then x_tpch_q1 (r06), then the 42 r07-stale keys, then
-# t3_staleness_check (r08) to fill slot 50.  The 50 r10-verified keys
-# move to the tail end (freshest evidence, safest outside the window).
+# r12 head (VERDICT r11 item 8): the 46 r08-green keys (the stalest
+# evidence on the board), then 4 CHANGED keys whose physical plans this
+# optimization round touched (fused star-CC rounds, simhash floor
+# placement) — they are output-identical by construction and locally
+# oracle-verified (196/196 at sf0.01 AND sf0.001), but deserve driver
+# re-verification first.  Tail is stalest-first (r09 block, then r10,
+# then r11) so the r13 head is its leading prefix.
 
-# Keys whose semantics changed in the CURRENT session (exempt from the
-# staleness ordering check in tools/rotation_check.py).  Empty for r11:
-# this is an optimization round — every change is verified locally to
-# be output-identical on the registered keys (tools/verify_oracle.py).
-CHANGED_KEYS: list[str] = []
+# Keys whose physical plan shape changed in the CURRENT session (exempt
+# from the staleness ordering check in tools/rotation_check.py): the
+# fused star-CC rounds ($SSLR_CC_ROUND), the gate materialization
+# default ($SSLR_GATE_HIST=scored), and the simhash parallelism-floor
+# default ($SSLR_SIMHASH_FLOOR=off).  All verified output-identical
+# locally — full oracle green twice this round (sf0.01 + sf0.001) plus
+# per-knob equality tests in tests/test_round12_fixes.py.
+CHANGED_KEYS: list[str] = [
+    "x_curation_pipeline",
+    "x_curation_pipeline_neardup",
+    "dedup_keep_best",
+    "text_quality_gate",
+    "x_curation_pipeline_dsir",
+    "text_ccnet_buckets",
+    "x_curation_pipeline_gates",
+    "x_lm_quality_gate",
+    "x_curation_pipeline_lm",
+    "dedup_simhash_calibration",
+    "dedup_cluster_sizes",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_image_phash_clusters",
+]
 
 _HEAD_KEYS = [
-    # 6 r10-new keys, never driver-verified (green locally at sf0.01):
-    "dedup_image_phash_clusters",
-    "x_crawl_epoch",
-    "text_bpe_train",
-    "text_bpe_tokenize",
-    "x_cms_counts",
-    "x_stream_cms",
-    # the r06-evidence leftover:
-    "x_tpch_q1",
-    # the 42 r07-stale keys:
-    "t6_event_window_agg",
-    "d2_range_delete",
-    "mm_decode_png_jpeg",
-    "mm_resize_multi",
-    "mm_resample_audio",
-    "mm_tar_shards",
-    "s5_catalog_schema",
-    "s7_object_exists",
-    "mm_resize",
-    "x_asof_join",
-    "x_json_extract",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_apply",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_topk_bruteforce",
-    "sim_topk_lsh",
-    "sim_knn_blocked",
-    "mm_binary_meta",
-    "x_set_ops",
-    "x_date_rollup",
-    "x_join_star",
-    "x_scalar_functions",
-    "text_entropy",
-    "files_roundtrip",
-    "sim_topk_binary",
-    "x_stream_ingest",
-    "sim_ivf_ann",
-    "text_gopher_flags",
-    "sim_hard_negatives",
-    "dedup_winnow_spans",
-    "sample_source_cap",
-    "text_bm25_topk",
-    "dedup_strip_spans",
-    "x_stream_interval_join",
-    "dedup_incremental_spans",
-    "dedup_ngram_coverage",
-    # 1 r08 key filling slot 50:
-    "t3_staleness_check",
-]
-_TAIL_KEYS = [
-    # r08-green:
+    # 46 r08-green keys (stalest evidence):
     "a1_watermark_probe",
     "sample_weighted",
     "x_sessionize_batch",
@@ -170,7 +135,14 @@ _TAIL_KEYS = [
     "text_quality_gate",
     "x_stream_dedup",
     "sample_shuffle_order",
-    # r09-green (freshest evidence — safest outside the window):
+    # 4 r12-CHANGED keys (fused CC / simhash floor — re-verify first):
+    "dedup_clusters",
+    "dedup_cluster_sizes",
+    "dedup_simhash",
+    "dedup_image_phash_clusters",
+]
+_TAIL_KEYS = [
+    # r09-green:
     "sim_hybrid_rrf",
     "x_hll_distinct",
     "x_link_graph",
@@ -221,8 +193,7 @@ _TAIL_KEYS = [
     "text_bpe_pairs",
     "dedup_minhash_calibration",
     "sim_ivf_recall",
-    # r10-green (the just-verified r10 window — freshest evidence,
-    # safest outside the r11 window):
+    # r10-green:
     "x_table_stats",
     "x_skew_salted_join",
     "x_zorder_key",
@@ -241,11 +212,9 @@ _TAIL_KEYS = [
     "x_mor_asof_read",
     "x_curation_pipeline_lm",
     "dedup_simhash_calibration",
-    "dedup_cluster_sizes",
     "dedup_jaccard_prefix",
     "dedup_ngram_jaccard",
     "sample_shard_manifest",
-    "dedup_clusters",
     "s1_full_filtered_scan",
     "s9_state_upsert",
     "a4_bucket_fingerprint",
@@ -273,6 +242,56 @@ _TAIL_KEYS = [
     "x_pivot",
     "x_rollup",
     "x_topk_per_group",
+    # r11-green (the just-verified r11 window — freshest evidence,
+    # safest outside the r12 window):
+    "x_crawl_epoch",
+    "text_bpe_train",
+    "text_bpe_tokenize",
+    "x_cms_counts",
+    "x_stream_cms",
+    "x_tpch_q1",
+    "t6_event_window_agg",
+    "d2_range_delete",
+    "mm_decode_png_jpeg",
+    "mm_resize_multi",
+    "mm_resample_audio",
+    "mm_tar_shards",
+    "s5_catalog_schema",
+    "s7_object_exists",
+    "mm_resize",
+    "x_asof_join",
+    "x_json_extract",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_apply",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "sim_knn_blocked",
+    "mm_binary_meta",
+    "x_set_ops",
+    "x_date_rollup",
+    "x_join_star",
+    "x_scalar_functions",
+    "text_entropy",
+    "files_roundtrip",
+    "sim_topk_binary",
+    "x_stream_ingest",
+    "sim_ivf_ann",
+    "text_gopher_flags",
+    "sim_hard_negatives",
+    "dedup_winnow_spans",
+    "sample_source_cap",
+    "text_bm25_topk",
+    "dedup_strip_spans",
+    "x_stream_interval_join",
+    "dedup_incremental_spans",
+    "dedup_ngram_coverage",
+    "t3_staleness_check",
 ]
 
 

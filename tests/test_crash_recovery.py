@@ -5,6 +5,8 @@ idempotent merge = exactly-once effect)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sslr_spark.operators.updates import sync_updates
@@ -12,6 +14,7 @@ from sslr_spark.state import StateStore
 from tests.conftest import assert_df_equal, make_timestamps
 
 
+@pytest.mark.slow
 def test_replay_after_crash_between_data_and_state_commit(
     spark, source_db, target_db
 ):

@@ -4,6 +4,8 @@ recomputation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 WEIGHTS = [0.02, -0.005, 1.0, 0.1]
@@ -30,6 +32,7 @@ def _docs(spark):
     )
 
 
+@pytest.mark.slow
 def test_curation_funnel_monotone_and_stages_bind(spark):
     from sslr_spark.curation import curate_documents
 
@@ -61,6 +64,7 @@ def test_curation_funnel_monotone_and_stages_bind(spark):
     assert set(r.shard for r in rows) <= set(range(4))
 
 
+@pytest.mark.slow
 def test_curation_neardup_stage_drops_near_copies_keeps_longest(spark):
     """near_dup=True inserts the MinHash-LSH stage between exact dedup
     and the gate: edited re-crawls (non-identical, high Jaccard)
@@ -134,6 +138,7 @@ def test_curation_gate_thresholds_use_survivors_not_raw_corpus(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_curation_config_cli_end_to_end(spark, tmp_path, capsys):
     """Config-driven curation through the CLI surface: load a JSON
     config (unknown keys reject, exit 3), run the chain, write the

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from sslr_spark.functions.dedup import dup_clusters
 
 
@@ -18,6 +20,7 @@ def test_chain_and_islands(spark):
     }
 
 
+@pytest.mark.slow
 def test_long_chain_converges(spark):
     # a 30-node chain needs ~log-diameter passes with doubling — our
     # simple propagation needs diameter passes; keep under max_iterations
@@ -38,6 +41,7 @@ def test_keeper_is_min_id(spark):
     assert got == {3: 3, 7: 3, 9: 3}
 
 
+@pytest.mark.slow
 def test_star_equals_propagation(spark):
     """large-star/small-star yields exactly the same clusters as
     min-label propagation on assorted graph shapes."""

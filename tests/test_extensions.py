@@ -45,6 +45,7 @@ def test_simhash_blocking_equals_naive(spark, docs):
     assert blocked == naive
 
 
+@pytest.mark.slow
 def test_minhash_lsh_finds_high_jaccard_pairs(spark, docs):
     """Every truly-similar pair (jaccard >= 0.5) must be an LSH
     candidate with 4x4 bands at these parameters; and all reported
@@ -103,6 +104,7 @@ def test_decode_stub_plumbing(spark, docs):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
+@pytest.mark.slow
 def test_lang_id_and_quality_shapes(spark, docs):
     from sslr_spark.functions.text import lang_id, quality_metrics
 
@@ -117,6 +119,7 @@ def test_lang_id_and_quality_shapes(spark, docs):
     assert all(r.n_subtokens >= r.n_tokens for r in qm)
 
 
+@pytest.mark.slow
 def test_minhash_fast_mode_precision_and_recall(spark, docs):
     """The xxhash64 production path is a different hash family over
     the same LSH scheme, so the candidate sets differ by band-recall
@@ -192,6 +195,7 @@ def test_dedup_caches_released(spark, docs):
     assert n_cached() <= base
 
 
+@pytest.mark.slow
 def test_cache_scope_keeps_interleaved_caches_live(spark, docs):
     """Inside cache_scope() a later generator call must NOT release an
     earlier call's caches (interleaved pipelines keep their shingle
@@ -1030,6 +1034,7 @@ def test_hard_negatives_labels_and_ranks(spark):
 _PQ_IDS = list(range(100, 116))  # ks=16, and the key's m=16
 
 
+@pytest.mark.slow
 def test_pq_encode_codes_shape_and_determinism(spark, emb):
     from sslr_spark.functions.similarity import pq_encode_fixed
 
@@ -1075,6 +1080,7 @@ def test_pq_adc_preranking_recall_floor_vs_bruteforce(spark, emb):
     assert total >= 15  # ~half the true neighbors across the panel
 
 
+@pytest.mark.slow
 def test_pq_train_codebooks_encode_and_beat_fixed_distortion(spark, emb):
     """pq_train (per-subspace distributed KMeans) is the production
     codebook path: trained books must be well-formed, encode
@@ -1125,6 +1131,7 @@ def test_pq_train_codebooks_encode_and_beat_fixed_distortion(spark, emb):
     assert distortion(trained, enc) < distortion(fixed_books, fixed_enc)
 
 
+@pytest.mark.slow
 def test_pq_arrow_encoder_equals_expression_encoder(spark, emb):
     """The numpy/einsum production encoder must assign the SAME code
     in every subspace as the JVM expression encoder (both compute the
@@ -1148,6 +1155,7 @@ def test_pq_arrow_encoder_equals_expression_encoder(spark, emb):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+@pytest.mark.slow
 def test_pq_full_rerank_equals_bruteforce(spark, emb):
     """With the rerank cut covering the whole corpus, PQ's final
     top-k must equal exact brute force — the ADC pre-rank only
@@ -1165,6 +1173,7 @@ def test_pq_full_rerank_equals_bruteforce(spark, emb):
     ]
 
 
+@pytest.mark.slow
 def test_pq_recall_at_default_rerank(spark, emb):
     """Recall sanity at the production cut (rerank_factor=4). This
     corpus is nearly isotropic (top cosine 0.33, median 0.01 — the
@@ -1181,6 +1190,7 @@ def test_pq_recall_at_default_rerank(spark, emb):
     assert len(got & want) >= 5, (got, want)
 
 
+@pytest.mark.slow
 def test_prefix_jaccard_equals_plain_at_all_thresholds(spark, docs):
     """Prefix filtering (PPJoin) must be LOSSLESS: identical pair set
     and jaccard values as the plain inverted-index join at every
@@ -1581,6 +1591,7 @@ def test_prefix_candidates_wide_doc_no_overflow(spark):
     assert cand == {(1, 2)}
 
 
+@pytest.mark.slow
 def test_ivfpq_full_cover_equals_ivf(spark, emb):
     """IVF-PQ with full probe + full-cover rerank must equal the
     plain fixed-quantizer IVF at the same probe: the PQ pre-rank only

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sslr_spark.functions.similarity import ivf_index, ivf_search, topk_bruteforce
@@ -79,6 +81,7 @@ def test_ivf_cells_partition_the_data(spark):
     assert centroids.count() == 5
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
     """Residual IVF-PQ calibration at EQUAL code budget (m=8, ks=16,
     same cells, same probe rule): on a clustered corpus — the regime
@@ -176,6 +179,7 @@ def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
     assert tot_res >= 15, tot_res  # >= 30% across 5 queries
 
 
+@pytest.mark.slow
 def test_residual_encoders_expression_and_arrow_bit_identical(spark):
     """The numpy residual encoder must produce byte-for-byte the same
     codes as the expression encoder on every row — the determinism

@@ -85,6 +85,7 @@ def test_validation_order_dependencies_first():
 
 # -- job runs ----------------------------------------------------------
 
+@pytest.mark.slow
 def test_job_end_to_end_sync(spark, tmp_path):
     job = make_job(spark, tmp_path)
     src = make_timestamps(spark, 800)

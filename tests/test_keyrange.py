@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sslr_spark.operators.keyrange import (
@@ -59,6 +61,7 @@ def test_sorted_pk_cols():
     assert sorted_pk_cols(["tenant", "seq"]) == ["seq", "tenant"]
 
 
+@pytest.mark.slow
 def test_key_at_offset_scalable_equals_window(spark):
     """The quantile+top-k scale path returns exactly the window
     form's answer, offset by offset — including clamps and scoping."""

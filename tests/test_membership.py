@@ -4,6 +4,8 @@ round-3 additions)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sslr_spark.functions import dedup as D
@@ -156,6 +158,7 @@ _key_st = st.text(min_size=0, max_size=40)
     members=st.sets(_key_st, min_size=1, max_size=30),
     probes=st.sets(_key_st, max_size=30),
 )
+@pytest.mark.slow
 def test_bloom_property_no_false_negatives_any_unicode(
     spark, members, probes
 ):
@@ -185,6 +188,7 @@ def test_bloom_property_no_false_negatives_any_unicode(
     corpus_texts=st.lists(_key_st, min_size=1, max_size=25),
     batch_texts=st.lists(_key_st, min_size=1, max_size=25),
 )
+@pytest.mark.slow
 def test_incremental_dedup_property_matches_exact_join(
     spark, corpus_texts, batch_texts
 ):

@@ -3,6 +3,8 @@ serial pass, including state consistency under concurrent upserts."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -40,6 +42,7 @@ def _mk_job(spark, tmp, parallel):
     )
 
 
+@pytest.mark.slow
 def test_parallel_equals_serial(spark, tmp_path):
     tables = _tables(spark)
     job = _mk_job(spark, tmp_path, parallel=4)

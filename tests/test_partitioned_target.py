@@ -4,6 +4,8 @@ the whole-table paths, while rewriting only touched partitions."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -167,6 +169,7 @@ def test_partitioned_delete_repair_selective(spark, tmp_path):
     assert _logical(job2.target.read("t1")) == _logical(src2)
 
 
+@pytest.mark.slow
 def test_partitioned_random_workload_property(spark, tmp_path):
     """Random delete+update workloads against a partitioned target
     converge exactly like the whole-table path (hypothesis-lite: a few

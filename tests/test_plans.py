@@ -511,6 +511,7 @@ def test_media_synthesis_and_decode_are_narrow(spark):
     assert "MapInPandas" in p
 
 
+@pytest.mark.slow
 def test_curation_neardup_stage_has_no_cartesian(spark):
     """The near-dup stage inside the curation chain must keep the
     banded-LSH equi-join shape — no cartesian product anywhere in the

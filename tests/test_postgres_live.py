@@ -232,6 +232,7 @@ def _cfg(source, target, **kw):
     )
 
 
+@pytest.mark.slow
 def test_job_postgres_to_parquet_real_xmin_cdc(pg_db, spark, tmp_path):
     """Full copy then REAL-xmin incremental: the UPDATE's new
     transaction id — not a synthetic version column — is what the
@@ -276,6 +277,7 @@ def test_job_postgres_to_parquet_real_xmin_cdc(pg_db, spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_job_parquet_to_postgres_in_place_apply(pg_db, spark, tmp_path):
     """Target side live: mirrored DDL + pk index bootstrap the table,
     the full copy COPYes rows in, and the incremental run applies
@@ -317,6 +319,7 @@ def test_job_parquet_to_postgres_in_place_apply(pg_db, spark, tmp_path):
     assert_df_equal(tgt.read("timestamps"), data2.drop("xmin"), ["id"])
 
 
+@pytest.mark.slow
 def test_job_postgres_to_postgres_live(pg_db, spark):
     """The reference's actual deployment shape — Postgres source AND
     Postgres target on one server (separate databases via separate

@@ -7,6 +7,8 @@ never-underestimate guarantee) under random corpora.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -72,6 +74,7 @@ def test_bpe_train_property(spark, words, n_merges):
 
 @settings(**_SETTINGS)
 @given(words=st.lists(_WORD, min_size=1, max_size=15))
+@pytest.mark.slow
 def test_bpe_tokenize_property(spark, words):
     """Token counts after applying the trained rules equal the
     reference histogram's post-merge symbol counts."""
@@ -94,6 +97,7 @@ def test_bpe_tokenize_property(spark, words):
     ),
     n_shards=st.sampled_from([1, 3]),
 )
+@pytest.mark.slow
 def test_cms_property(spark, values, n_shards):
     """CMS invariants on random corpora: shard builds SUM-merge into
     the direct build, and every point estimate >= its true count."""

@@ -4,6 +4,8 @@ winnowing shared-run guarantee, and per-group cap append-stability."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -30,6 +32,7 @@ def _doc(rng_words):
     # 0.14, 0.07) alongside benign ones
     threshold=st.sampled_from([0.07, 0.14, 0.28, 0.3, 0.55, 0.5, 0.8]),
 )
+@pytest.mark.slow
 def test_prefix_join_lossless_random(spark, docs, threshold):
     from sslr_spark.functions.dedup import (
         cache_scope,

@@ -6,6 +6,8 @@ line cleaners.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -34,6 +36,7 @@ def _sh3(text):
     ),
     threshold=st.sampled_from([0.3, 0.7, 1.0]),
 )
+@pytest.mark.slow
 def test_containment_matches_reference(spark, docs, threshold):
     """ngram_containment_pairs == the exhaustive per-pair formula,
     and containment >= jaccard always (min(|A|,|B|) <= |A∪B|)."""
@@ -136,6 +139,7 @@ def test_shard_budget_matches_reference(spark, sizes, budget):
     vals=st.lists(st.integers(min_value=0, max_value=99),
                   min_size=1, max_size=50),
 )
+@pytest.mark.slow
 def test_psi_identity_and_symmetry(spark, vals):
     """PSI(X, X) == 0 exactly; PSI contributions are finite; swapping
     sides flips nothing but the sign structure (total is symmetric
@@ -166,6 +170,7 @@ def test_psi_identity_and_symmetry(spark, vals):
     ),
     min_docs=st.sampled_from([2, 3]),
 )
+@pytest.mark.slow
 def test_line_cleaners_match_reference(spark, docs, min_docs):
     from sslr_spark.functions.text import (
         dedup_doc_lines,

@@ -6,6 +6,8 @@ against a pure-Python reference on randomized corpora: DSIR weights
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 from collections import Counter
@@ -74,6 +76,7 @@ def _py_dsir(docs, target_ids, n_buckets):
     target_mod=st.sampled_from([2, 3]),
     n_buckets=st.sampled_from([16, 64]),
 )
+@pytest.mark.slow
 def test_dsir_weights_match_reference(spark, docs, target_mod, n_buckets):
     from sslr_spark.functions.sampling import dsir_weights
 

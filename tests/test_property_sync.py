@@ -5,6 +5,8 @@ algorithm description), across int/string/composite PKs."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings
@@ -40,6 +42,7 @@ def _mk_job(spark, tmp, pks, bucket_hash="portable"):
     updates=st.sets(st.integers(0, 299), max_size=40),
     inserts=st.integers(min_value=0, max_value=30),
 )
+@pytest.mark.slow
 def test_random_workload_int_pk(spark, tmp_path_factory, deletes, updates, inserts):
     tmp = tmp_path_factory.mktemp("wl")
     job = _mk_job(spark, tmp, ["id"])
@@ -73,6 +76,7 @@ def test_random_workload_int_pk(spark, tmp_path_factory, deletes, updates, inser
 @given(
     deletes=st.sets(st.tuples(st.integers(0, 4), st.integers(0, 59)), max_size=30),
 )
+@pytest.mark.slow
 def test_random_workload_composite_string_pk(spark, tmp_path_factory, deletes):
     tmp = tmp_path_factory.mktemp("wl2")
     job = _mk_job(spark, tmp, ["seq", "tenant"])  # name-sorted PK order
@@ -104,6 +108,7 @@ def test_random_workload_composite_string_pk(spark, tmp_path_factory, deletes):
     deletes=st.sets(st.integers(0, 299), max_size=40),
     updates=st.sets(st.integers(0, 299), max_size=40),
 )
+@pytest.mark.slow
 def test_random_workload_fast_bucket_hash(
     spark, tmp_path_factory, deletes, updates
 ):

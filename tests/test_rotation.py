@@ -35,14 +35,32 @@ def test_rotation_policy_holds():
 
 def test_rotation_check_detects_queue_jumping(monkeypatch):
     """Reproduce the r9 failure mode: fresh keys at the head while
-    stale keys sit in the tail must trip the checker."""
+    stale keys sit in the tail must trip the checker.
+
+    Evidence is SYNTHESIZED (round 12): deriving the bad ordering from
+    the repo's real CORRECTNESS files made this negative test
+    state-dependent — immediately after the driver records a round,
+    the 50 freshest keys ARE the just-verified window, so a
+    freshest-first ordering becomes indistinguishable from the benign
+    just-recorded state check() rightly tolerates, and the expected
+    raise never fired. A fixed fresh/stale split (49 fresh + the rest
+    stale) keeps the head mixed, which the tolerance never covers."""
     import __spark_entry__ as entrymod
 
     real = entrymod.queries()
-    latest = rotation_check.latest_evidence()
-    # Build a deliberately bad ordering: freshest-first.
+    keys = list(real)
+    fake_latest = {k: 9 if i < 49 else 5 for i, k in enumerate(keys)}
+    monkeypatch.setattr(
+        rotation_check, "latest_evidence", lambda repo=None: fake_latest
+    )
+    # hermetic: CHANGED_KEYS are exempt from the staleness assert, so
+    # a real changed key landing in the synthetic head would mask the
+    # violation this test exists to detect
+    monkeypatch.setattr(entrymod, "CHANGED_KEYS", [])
+    # Deliberately bad ordering: freshest-first — the 50-key head gets
+    # 49 r9 keys plus one r5 key, while r5 keys sit in the tail.
     bad = dict(
-        sorted(real.items(), key=lambda kv: -latest.get(kv[0], 999))
+        sorted(real.items(), key=lambda kv: -fake_latest[kv[0]])
     )
     monkeypatch.setattr(entrymod, "queries", lambda: bad)
     with pytest.raises(AssertionError, match="rotation violated"):

@@ -142,3 +142,65 @@ class TestGateHistVariantsIdentical:
             DD.release_caches()  # 'scored' mode registers a persist
         assert got == base
         assert len(base) >= 60 * 0.5 * 0.9  # sanity: gate kept ~half
+
+
+class TestCcRoundVariantsIdentical:
+    """$SSLR_CC_ROUND forms (fused adjacency-array vs r11 join rounds)
+    must produce identical (doc_id, cluster_id) labels — the knob only
+    changes the physical round shape."""
+
+    GRAPHS = {
+        "chain": [(i, i + 1) for i in range(1, 30)],
+        "star_min_centered": [(1, i) for i in range(2, 20)],
+        "star_max_centered": [(i, 100) for i in range(2, 20)],
+        "self_loop": [(5, 5), (5, 6)],
+        "multi_component": [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "dup_and_reversed_edges": [(2, 1), (1, 2), (3, 2), (2, 3), (7, 9)],
+    }
+
+    @pytest.mark.parametrize("name", sorted(GRAPHS))
+    def test_labels_equal(self, spark, monkeypatch, name):
+        from sslr_spark.functions.dedup import dup_clusters_star
+
+        pairs = spark.createDataFrame(
+            self.GRAPHS[name], "doc_a long, doc_b long"
+        )
+        monkeypatch.setenv("SSLR_CC_ROUND", "join")
+        base = sorted(map(tuple, dup_clusters_star(pairs).collect()))
+        monkeypatch.setenv("SSLR_CC_ROUND", "fused")
+        got = sorted(map(tuple, dup_clusters_star(pairs).collect()))
+        assert got == base
+        # every cluster_id is its component's minimum member
+        by_cluster: dict = {}
+        for doc, c in got:
+            by_cluster.setdefault(c, []).append(doc)
+        assert all(c == min(docs) for c, docs in by_cluster.items())
+
+    def test_labels_equal_random_graph(self, spark, monkeypatch):
+        import random
+
+        from sslr_spark.functions.dedup import dup_clusters_star
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randint(1, 150), rng.randint(1, 150)) for _ in range(250)
+        ]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        monkeypatch.setenv("SSLR_CC_ROUND", "join")
+        base = sorted(map(tuple, dup_clusters_star(pairs).collect()))
+        monkeypatch.setenv("SSLR_CC_ROUND", "fused")
+        got = sorted(map(tuple, dup_clusters_star(pairs).collect()))
+        assert got == base
+
+    def test_labels_equal_string_ids(self, spark, monkeypatch):
+        from sslr_spark.functions.dedup import dup_clusters_star
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y")],
+            "doc_a string, doc_b string",
+        )
+        monkeypatch.setenv("SSLR_CC_ROUND", "join")
+        base = sorted(map(tuple, dup_clusters_star(pairs).collect()))
+        monkeypatch.setenv("SSLR_CC_ROUND", "fused")
+        got = sorted(map(tuple, dup_clusters_star(pairs).collect()))
+        assert got == base

@@ -27,6 +27,7 @@ def _write_file(spark, src, rows):
     ).coalesce(1).write.mode("append").parquet(src)
 
 
+@pytest.mark.slow
 def test_sessionize_late_event_fresh_user_does_not_crash(
     spark, tmp_path
 ):
@@ -66,6 +67,7 @@ def test_sessionize_late_event_fresh_user_does_not_crash(
     }
 
 
+@pytest.mark.slow
 def test_sessionize_late_drop_metric(spark, tmp_path):
     """Events dropped by closed-session immutability are counted and
     surfaced via the metrics dict (verdict item 6)."""
@@ -101,6 +103,7 @@ def test_sessionize_late_drop_metric(spark, tmp_path):
     assert got == {(1, t0, 1), (1, t0 + 100 * minute, 1)}
 
 
+@pytest.mark.slow
 def test_sessionize_late_merge_into_stale_state_does_not_crash(
     spark, tmp_path
 ):
@@ -140,6 +143,7 @@ def test_sessionize_late_merge_into_stale_state_does_not_crash(
     assert got == {(1, t0, t0 + 1 * minute, 2)}
 
 
+@pytest.mark.slow
 def test_sessionize_batch_equals_streaming_on_in_horizon_data(
     spark, tmp_path
 ):

@@ -319,6 +319,7 @@ def test_dsir_gate_is_action_free(docs_df, monkeypatch):
     assert "score_bp" in df.columns  # plan built, nothing executed
 
 
+@pytest.mark.slow
 def test_curation_chain_dsir_stage(spark):
     """Chain wiring: the DSIR stage gates the quality-gate survivors
     toward the target source's surviving docs, and the funnel records

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sslr_spark.sources.parquet import ParquetDatabase
@@ -214,6 +216,7 @@ def test_streaming_ingest_dedup_against_static_corpus(spark, tmp_path):
     bits.unpersist()
 
 
+@pytest.mark.slow
 def test_streaming_neardup_ingest_with_self_maintaining_index(
     spark, tmp_path
 ):
@@ -333,6 +336,7 @@ def test_streaming_neardup_survives_first_epoch_crash_artifacts(
     assert got == {1, 2}
 
 
+@pytest.mark.slow
 def test_compact_neardup_index_folds_old_epochs(spark, tmp_path):
     """Index maintenance: old per-epoch partitions fold into the -1
     base; dedup behavior is unchanged afterwards and a second
@@ -390,6 +394,7 @@ def test_compact_neardup_index_folds_old_epochs(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_streaming_neardup_auto_compaction(spark, tmp_path):
     """compact_every folds old epochs during the stream itself; dedup
     behavior is unchanged afterwards."""
@@ -445,6 +450,7 @@ def _mk_epoch(spark, target, e, n_rows=10):
     mk(spark, target, e, n_rows, id_stride=1000)
 
 
+@pytest.mark.slow
 def test_incremental_compaction_cost_bounded(spark, tmp_path):
     """VERDICT r3 task #5's acceptance bar: per-call rewritten rows
     are bounded by the folded batches plus the merged (smallest)
@@ -492,6 +498,7 @@ def test_incremental_compaction_cost_bounded(spark, tmp_path):
     assert again["folded_epochs"] == 0 and again["rewritten_rows"] == 0
 
 
+@pytest.mark.slow
 def test_incremental_compaction_crash_convergence(spark, tmp_path, monkeypatch):
     """Crash windows: (a) after segment write, BEFORE manifest commit
     — the orphan partition stays invisible and the next call overwrites
@@ -597,6 +604,7 @@ def test_incremental_compaction_dedupes_legacy_crash_dupes(
     assert bk.count() == 20
 
 
+@pytest.mark.slow
 def test_compaction_state_machine_property(spark, tmp_path_factory):
     """Hypothesis state machine over the compactor: any interleaving
     of epoch arrivals, incremental compactions, FULL compactions, and
@@ -719,6 +727,7 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == {(1, 2), (1, 3)}
 
 
+@pytest.mark.slow
 def test_stream_sessionize_state_survives_checkpoint_restart(
     spark, tmp_path
 ):
@@ -774,6 +783,7 @@ def test_stream_sessionize_state_survives_checkpoint_restart(
     }
 
 
+@pytest.mark.slow
 def test_stream_sessionize_drops_below_watermark_events(spark, tmp_path):
     """T9 semantics pinned: an event arriving BELOW the advanced
     watermark is dropped before the stateful operator — it must not

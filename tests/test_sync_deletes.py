@@ -5,6 +5,8 @@ reference internal/deletes.go:13-89)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -78,6 +80,7 @@ def test_composite_string_pk(spark, source_db, target_db):
     extra=st.sets(st.integers(min_value=500, max_value=599), max_size=30),
     bucket_rows=st.sampled_from([50, 100, 500]),
 )
+@pytest.mark.slow
 def test_property_random_divergence_repaired(
     spark, tmp_path_factory, deleted, extra, bucket_rows
 ):

@@ -138,8 +138,15 @@ def check(window: int = WINDOW) -> dict:
         # pytest wrapper must skip the raw freshness comparison when
         # set instead of re-deriving it without this tolerance.
         "just_recorded": just_recorded,
+        # policy-relevant freshness only: CHANGED_KEYS are exempt from
+        # the staleness ordering (they may sit in the head with fresh
+        # evidence precisely because they changed), so they must not
+        # appear here either — the pytest wrapper re-derives the raw
+        # inequality from this field (r12: a changed r11 key in the
+        # r12 head flipped the wrapper red while check() itself
+        # correctly passed).
         "head_freshness": sorted(
-            {latest[k] for k in head if k in latest}
+            {latest[k] for k in head if k in latest and k not in changed}
         ),
         "tail_stalest": min(
             (latest[k] for k in tail if k in latest), default=None
