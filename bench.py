@@ -375,9 +375,12 @@ def main(only: set[str] | None = None) -> dict:
         )
     run("dataset_card", lambda: q_x_dataset_card(spark, SF_DIR).count())
     run("corpus_diff", lambda: q_dedup_corpus_diff(spark, SF_DIR).count())
+    # reset: release the 'scored' gate persist between reps — see the
+    # quality_gate section note (cold-rep contract)
     run(
         "lm_quality_gate",
         lambda: q_x_lm_quality_gate(spark, SF_DIR).count(),
+        reset=DD.release_caches,
     )
     run(
         "strip_boilerplate",
@@ -563,9 +566,18 @@ def main(only: set[str] | None = None) -> dict:
         q_x_curation_pipeline,
     )
 
+    # reset: the r12 'scored' gate mode persists the (doc_id, by,
+    # score_bp) projection through the dedup cache registry; Spark's
+    # CacheManager matches an identical plan in the next rep to the
+    # already-materialized cache, so WITHOUT a release the later reps
+    # would read rep 0's cache and measure warm — the same cold-rep
+    # contract the dedup sections enforce (measurement-fairness fix,
+    # r12; the driver's r12 numbers for the four gate sections are
+    # cold-rep medians, directly comparable to every earlier round)
     run(
         "quality_gate",
         lambda: q_text_quality_gate(spark, SF_DIR).count(),
+        reset=DD.release_caches,
     )
     run(
         "shuffle_order",
@@ -574,6 +586,7 @@ def main(only: set[str] | None = None) -> dict:
     run(
         "curation_pipeline",
         lambda: q_x_curation_pipeline(spark, SF_DIR).count(),
+        reset=DD.release_caches,
     )
 
     # ---- round-7 operator families ----------------------------------
@@ -760,6 +773,9 @@ def main(only: set[str] | None = None) -> dict:
     run(
         "ccnet_buckets",
         lambda: q_text_ccnet_buckets(spark, SF_DIR).count(),
+        # lm_perplexity_buckets shares _gate_frames — release the
+        # 'scored' persist between reps (cold-rep contract)
+        reset=DD.release_caches,
     )
 
     # ---- round-9c sections ------------------------------------------
